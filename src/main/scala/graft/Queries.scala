@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Assembles the full judged inventory (SURVEY.md §2.B) from the module
+  * objects into the SparkEntry contract maps. */
+object Queries {
+
+  val all: Seq[GraftQuery] =
+    rel.Relational.all ++
+      fns.Scalars.all ++
+      time.EventWindows.all ++
+      agg.VectorMeanQuery.all ++
+      llm.Dedup.all ++
+      llm.Similarity.all ++
+      llm.TextStats.all ++
+      llm.Multimodal.all
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+}

@@ -1,0 +1,124 @@
+package graft.llm
+
+import graft.GraftQuery
+import graft.io.Tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search (B10): brute-force cosine top-k as the exact baseline,
+  * and an IVF-style (inverted-file / coarse-quantizer) variant as the scale
+  * path.
+  *
+  * Numerics: embeddings are quantized to scaled integers (round(x*1e6)) so
+  * dot products are exact (< 2^53) and the resulting doubles — and
+  * therefore the top-k ranking — are bit-identical between Spark and the
+  * DuckDB oracle. Ties broken by neighbor id.
+  *
+  * 100 TB posture: the brute-force path broadcasts the (small) query set and
+  * scans the corpus once — a map-only BroadcastNestedLoopJoin, no shuffle of
+  * the corpus.  The IVF path prunes the scan to the best nprobe cells via an
+  * equi join on the cell id; at real scale the coarse centroids come from
+  * k-means (here: the provided cluster labels), and the same plan shape
+  * applies.
+  */
+object Similarity {
+
+  private def quantized(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val qv = transform(col("embedding"), x => round(x.cast(DoubleType) * 1000000).cast(LongType))
+    embeddings(spark, sfDir).select(col("vec_id"), col("label"), qv.as("qv"))
+      .withColumn("nrm",
+        aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+          .cast(DoubleType))
+  }
+
+  private def dotCol(a: String, b: String) =
+    aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      .cast(DoubleType)
+
+  /** Exact cosine top-5 for query vectors vec_id < 10 over the full corpus. */
+  val similarityTopk: GraftQuery = GraftQuery("q_llm_similarity_topk",
+    """WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q)
+      |SELECT qid, nid, rn, sim FROM (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    list_dot_product(a.qv, b.qv) / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_dot_product(a.qv, b.qv) / (sqrt(a.nrm) * sqrt(b.nrm)) DESC,
+      |               b.vec_id) AS rn
+      |  FROM n a, n b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+      |WHERE rn <= 5""".stripMargin) { (spark, sfDir) =>
+    val base = quantized(spark, sfDir)
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
+    val sim = dotCol("qq", "qv") / (sqrt(col("qn")) * sqrt(col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    base.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("sim"))
+  }
+
+  /** IVF-style ANN: coarse cells = provided cluster labels, cell centroids =
+    * exact scaled-integer means, query probes its nprobe=2 nearest
+    * centroids, exact re-rank inside probed cells only.  Approximate by
+    * construction (recall < 1), so no SQL oracle — the scalatest suite
+    * checks recall against the brute-force baseline. */
+  val annIvf: GraftQuery = GraftQuery.noOracle("q_llm_ann_ivf") { (spark, sfDir) =>
+    val base = quantized(spark, sfDir)
+    // centroids: exact integer mean per label, kept as double components
+    val cent = base
+      .select(col("label"), posexplode(col("qv")).as(Seq("i", "v")))
+      .groupBy("label", "i").agg(avg(col("v")).as("c"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
+      .select(col("label").as("cell"),
+        transform(col("ic"), s => s.getField("c")).as("cv"))
+      .withColumn("cnrm",
+        aggregate(zip_with(col("cv"), col("cv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
+    // rank cells per query, keep nprobe = 2
+    val qdot = aggregate(zip_with(col("qq"), col("cv"), (x, y) => x.cast(DoubleType) * y),
+      lit(0.0), (acc, x) => acc + x)
+    val cellRank = Window.partitionBy(col("qid"))
+      .orderBy((qdot / (sqrt(col("qn")) * sqrt(col("cnrm")))).desc, col("cell"))
+    val probed = queries.crossJoin(broadcast(cent))
+      .withColumn("cr", row_number().over(cellRank))
+      .filter(col("cr") <= 2)
+      .select("qid", "qq", "qn", "cell")
+    // exact re-rank within probed cells (equi join on cell id)
+    val sim = dotCol("qq", "qv") / (sqrt(col("qn")) * sqrt(col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    base.join(broadcast(probed), col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("sim"))
+  }
+
+  /** Multimodal join: text + embedding modalities co-located by id; the
+    * output row carries scalar metadata from both. */
+  val multimodalJoin: GraftQuery = GraftQuery("q_llm_multimodal_join",
+    """SELECT doc_id, lang, source, n_chars, label,
+      |  CAST(len(embedding) AS BIGINT) AS dim,
+      |  list_dot_product(
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)),
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)))
+      |    / 1000000000000.0 AS norm2
+      |FROM documents JOIN embeddings ON doc_id = vec_id""".stripMargin) { (spark, sfDir) =>
+    val qv = transform(col("embedding"), x => round(x.cast(DoubleType) * 1000000).cast(LongType))
+    val e = embeddings(spark, sfDir).select(col("vec_id"), col("label"),
+      size(col("embedding")).cast(LongType).as("dim"),
+      (aggregate(zip_with(qv, qv, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+        .cast(DoubleType) / lit(1000000000000.0)).as("norm2"))
+    documents(spark, sfDir).select("doc_id", "lang", "source", "n_chars")
+      .join(e, col("doc_id") === col("vec_id"))
+      .select("doc_id", "lang", "source", "n_chars", "label", "dim", "norm2")
+  }
+
+  val all: Seq[GraftQuery] = Seq(similarityTopk, annIvf, multimodalJoin)
+}

@@ -1,0 +1,143 @@
+package graft.llm
+
+import graft.GraftQuery
+import graft.fns.Exact._
+import graft.io.Tables._
+import graft.llm.TextOps._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis (B10): corpus stats, n-gram-heuristic language ID, quality
+  * scoring, token counting, and rolling-hash document fingerprinting.
+  * All integer arithmetic (ratios as scaled integer division) so the DuckDB
+  * oracle matches exactly.
+  */
+object TextStats {
+
+  val textStats: GraftQuery = GraftQuery("q_llm_text_stats",
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) / (count(*) * 1.0) AS avg_chars,
+       |  count(DISTINCT source) AS n_sources
+       |FROM documents GROUP BY lang""".stripMargin) { (spark, sfDir) =>
+    documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text"))).cast(LongType)).as("total_tokens"),
+        (sum(col("n_chars")) / (count(lit(1)) * lit(1.0))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
+  val tokens: GraftQuery = GraftQuery("q_llm_tokens",
+    s"""SELECT doc_id,
+       |  CAST(len($toksSql) AS BIGINT) AS n_ws,
+       |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re,
+       |  CAST(length(text) AS BIGINT) AS n_chars_len
+       |FROM documents""".stripMargin) { (spark, sfDir) =>
+    documents(spark, sfDir).select(
+      col("doc_id"),
+      size(toks(col("text"))).cast(LongType).as("n_ws"),
+      regexp_count(col("text"), lit("[a-z0-9]+")).cast(LongType).as("n_re"),
+      length(col("text")).cast(LongType).as("n_chars_len"))
+  }
+
+  // Disjoint "language signature" word lists drawn from the corpus
+  // vocabulary (31 distinct words) — the n-gram-heuristic shape of a real
+  // langid model, deterministic and oracle-reproducible.
+  private val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "data"),
+    "de" -> Seq("query", "join", "filter"),
+    "es" -> Seq("scan", "sort", "merge"),
+    "fr" -> Seq("group", "agg", "window"),
+    "zh" -> Seq("hash", "vector", "stream"))
+
+  val langid: GraftQuery = {
+    val cntSql = langWords.map { case (l, ws) =>
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(t, w -> w IN ($set))) AS BIGINT) AS c_$l"
+    }.mkString(",\n  ")
+    // argmax with ties broken toward the lexicographically larger lang code
+    val order = Seq("zh", "fr", "es", "en", "de")
+    val caseSql = order.init.zipWithIndex.map { case (l, i) =>
+      val rest = order.drop(i + 1).map(o => s"c_$l >= c_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    GraftQuery("q_llm_langid",
+      s"""WITH x AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  $cntSql
+         |  FROM x)
+         |SELECT doc_id, lang, c_en, c_de, c_es, c_fr, c_zh,
+         |       CASE $caseSql ELSE '${order.last}' END AS predicted
+         |FROM c""".stripMargin) { (spark, sfDir) =>
+      val t = toks(col("text"))
+      val counts = langWords.map { case (l, ws) =>
+        size(filter(t, w => w.isin(ws: _*))).cast(LongType).as(s"c_$l")
+      }
+      val base = documents(spark, sfDir)
+        .select(col("doc_id") +: col("lang") +: counts: _*)
+      val predicted = order.init.zipWithIndex.foldLeft(Option.empty[Column]) {
+        case (acc, (l, i)) =>
+          val cond = order.drop(i + 1).map(o => col(s"c_$l") >= col(s"c_$o")).reduce(_ && _)
+          Some(acc.fold(when(cond, l))(_.when(cond, l)))
+      }.get.otherwise(order.last)
+      base.withColumn("predicted", predicted)
+        .select("doc_id", "lang", "c_en", "c_de", "c_es", "c_fr", "c_zh", "predicted")
+    }
+  }
+
+  private val stopWords = Seq("the", "a", "of", "and", "data")
+
+  val quality: GraftQuery = {
+    val stopSet = stopWords.map(w => s"'$w'").mkString(", ")
+    GraftQuery("q_llm_quality",
+      s"""WITH x AS (SELECT doc_id, $toksSql AS t, text FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tok,
+         |  CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS sum_len,
+         |  CAST(len(list_filter(t, w -> w IN ($stopSet))) AS BIGINT) AS n_stop,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+         |  FROM x WHERE len(t) > 0)
+         |SELECT doc_id, n_tok, sum_len, n_stop, n_punct,
+         |  (sum_len * 10000) // n_tok AS avg_len_4,
+         |  (n_stop * 10000) // n_tok AS stop_ratio_4,
+         |  (sum_len * 10000) // n_tok * 2 + (n_stop * 10000) // n_tok + n_tok AS score
+         |FROM f""".stripMargin) { (spark, sfDir) =>
+      val t = toks(col("text"))
+      val base = documents(spark, sfDir).select(
+        col("doc_id"),
+        size(t).cast(LongType).as("n_tok"),
+        aggregate(t, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        size(filter(t, w => w.isin(stopWords: _*))).cast(LongType).as("n_stop"),
+        regexp_count(col("text"), lit("[.,!?;:]")).cast(LongType).as("n_punct"))
+        .filter(col("n_tok") > 0)
+      def idiv(a: Column, b: Column): Column = floor(a.cast(DoubleType) / b).cast(LongType)
+      val avgLen = idiv(col("sum_len") * 10000, col("n_tok"))
+      val stopRatio = idiv(col("n_stop") * 10000, col("n_tok"))
+      base.withColumn("avg_len_4", avgLen)
+        .withColumn("stop_ratio_4", stopRatio)
+        .withColumn("score", avgLen * 2 + stopRatio + col("n_tok"))
+    }
+  }
+
+  /** Order-sensitive polynomial rolling hash over the token stream,
+    * mod 2^31-1 (fits long arithmetic without overflow); token hashes are
+    * md5-derived, so the oracle reproduces the fold exactly via
+    * list_reduce. */
+  val fingerprint: GraftQuery = GraftQuery("q_llm_fingerprint",
+    s"""WITH x AS (SELECT doc_id, $toksSql AS t FROM documents)
+       |SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(t, w -> ${md5LongSql("w")} % 2147483647)),
+       |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
+       |FROM x""".stripMargin) { (spark, sfDir) =>
+    val t = toks(col("text"))
+    val fp = aggregate(t, lit(0L),
+      (acc, w) => pmod(acc * lit(1000003L) + pmod(md5Long(w), lit(2147483647L)), lit(2147483647L)))
+    documents(spark, sfDir).select(col("doc_id"), fp.as("fp"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(textStats, tokens, langid, quality, fingerprint)
+}
