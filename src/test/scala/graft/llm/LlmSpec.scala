@@ -1,0 +1,112 @@
+package graft.llm
+
+import graft.{Queries, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the approximate / hash-based LLM operators, run on a
+  * synthetic corpus with PLANTED duplicates (written as a temp sfDir so the
+  * judged query functions run unmodified).
+  */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Corpus: 40 random word-soup docs + planted pairs:
+    * 100/101 exact dupes, 102/103 near-dupes (2 token edits in 60). */
+  private lazy val plantedDir: String = {
+    val dir = "/tmp/graft_test_planted"
+    val vocab = Vector("the", "a", "data", "query", "join", "filter", "scan",
+      "sort", "merge", "group", "agg", "window", "hash", "vector", "stream")
+    val r = new scala.util.Random(99)
+    def soup(n: Int) = Seq.fill(n)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, soup(60)))
+    val exact = soup(60)
+    val nearToks = Seq.fill(60)(vocab(r.nextInt(vocab.size)))
+    val near1 = nearToks.mkString(" ")
+    val near2 = nearToks.updated(10, "xxx").updated(40, "yyy").mkString(" ")
+    val docs = (base ++ Seq((100L, exact), (101L, exact), (102L, near1), (103L, near2)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup groups the planted exact duplicates; idempotent") {
+    val out = Queries.queries("q_llm_dedup_exact")(spark, plantedDir)
+    val dup = out.filter($"dups" > 1).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("keep_id") == 100L)
+    // idempotence: dedup of the deduped keep-set has no dups
+    assert(out.filter($"dups" > 1).count() == 1)
+    assert(out.count() == 43) // 44 docs, one pair collapsed
+  }
+
+  test("MinHash LSH surfaces the planted near-dup pair") {
+    val out = Queries.queries("q_llm_dedup_near")(spark, plantedDir)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(out.contains((100L, 101L)), "exact pair must collide")
+    assert(out.contains((102L, 103L)), "near pair (2/60 token edits) must collide")
+  }
+
+  test("SimHash: identical docs at hamming 0; near pair within threshold") {
+    val out = Queries.queries("q_llm_dedup_simhash")(spark, plantedDir)
+    val m = out.select("ia", "ib", "ham").as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(m.get((100L, 101L)).contains(0L))
+    assert(m.contains((102L, 103L)))
+  }
+
+  test("ngram Jaccard: planted near pair scores high, exact pair = 1") {
+    val out = Queries.queries("q_llm_dedup_ngram")(spark, plantedDir)
+    val m = out.select("ia", "ib", "jacc").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m((100L, 101L)) == 1.0)
+    assert(m((102L, 103L)) > 0.7)
+    assert(m.values.forall(j => j >= 0.0 && j <= 1.0))
+  }
+
+  test("similarity top-k: ranks are 1..5, no self-matches, sims descend") {
+    val out = Queries.queries("q_llm_similarity_topk")(spark, TestSpark.sf)
+      .select("qid", "nid", "rn", "sim").as[(Long, Long, Int, Double)].collect()
+    assert(out.forall { case (q, n, _, _) => q != n })
+    val byQ = out.groupBy(_._1)
+    assert(byQ.forall(_._2.map(_._3).sorted.sameElements(1 to 5)))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_._3).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sims.forall(s => s <= 1.0 + 1e-9 && s >= -1.0 - 1e-9))
+    }
+  }
+
+  test("IVF ANN recall@5 >= 0.6 vs brute force") {
+    val brute = Queries.queries("q_llm_similarity_topk")(spark, TestSpark.sf)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Queries.queries("q_llm_ann_ivf")(spark, TestSpark.sf)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("approx distinct within 15% of exact") {
+    val approx = Queries.queries("q_agg_approx_distinct")(spark, TestSpark.sf)
+      .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
+    val exact = Queries.queries("q_agg_distinct")(spark, TestSpark.sf)
+      .select("l_returnflag", "n_parts").as[(String, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex < 0.15)
+    }
+  }
+
+  test("fingerprint is order-sensitive (rolling, not bag-of-words)") {
+    val dir = "/tmp/graft_test_fp"
+    Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(5L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = Queries.queries("q_llm_fingerprint")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(3L) && fp(1L) != fp(2L))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.streaming.EventStreams._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** End-to-end Structured Streaming demos over MemoryStream: the B9 batch
+  * operators lift unchanged, plus streaming-only watermark semantics.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  final case class E(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
+  test("streaming tumbling window with watermark matches batch semantics") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[E]
+    val q = tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    try {
+      mem.addData(
+        E(1, ts(10), 1, "click"), E(2, ts(20), 1, "click"),
+        E(3, ts(60 * 24 + 5), 2, "view"))
+      q.processAllAvailable()
+      // advance watermark past day 0 so its window finalizes (append mode)
+      mem.addData(E(4, ts(60 * 49), 2, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("tumb").select("wstart", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed event ids") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[E]
+    val q = dedupedEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(E(1, ts(10), 1, "click"), E(1, ts(10), 1, "click"), E(2, ts(11), 1, "view"))
+      q.processAllAvailable()
+      mem.addData(E(1, ts(12), 1, "click")) // replay within watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id").as[Long].collect().sorted
+        .sameElements(Array(1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer matches session_window cuts") {
+    import spark.implicits._
+    val evs = Seq(
+      Ev(1, 0L), Ev(1, 60L * 1000000), Ev(1, 3600L * 1000000), // gap 59 min => new session
+      Ev(2, 0L)).toDS()
+    val out = sessionize(evs).collect().toSet
+    assert(out == Set(
+      SessionOut(1, 0L, 60L * 1000000 + 1800000000L, 2),
+      SessionOut(1, 3600L * 1000000, 3600L * 1000000 + 1800000000L, 1),
+      SessionOut(2, 0L, 1800000000L, 1)))
+  }
+}
