@@ -1,6 +1,7 @@
 package graft.fns
 
 import graft.GraftQuery
+import graft.fns.VecExpressions.vecDot
 import graft.io.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -91,7 +92,7 @@ object Scalars {
       x => round(x.cast(DoubleType) * 1000).cast(LongType))
     val q = transform(col("embedding"),
       x => round(x.cast(DoubleType) * 1000000).cast(LongType))
-    val dot = aggregate(zip_with(q, q, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val dot = vecDot(spark, q, q)
     embeddings(spark, sfDir).select(
       col("vec_id"),
       size(col("embedding")).cast(LongType).as("dim"),

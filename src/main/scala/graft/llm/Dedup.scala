@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.GraftQuery
 import graft.fns.Exact._
+import graft.fns.VecExpressions.vecDot
 import graft.io.Tables._
 import graft.llm.TextOps._
 import org.apache.spark.sql.DataFrame
@@ -37,8 +38,9 @@ object Dedup {
 
   val dedupNgram: GraftQuery = GraftQuery("q_llm_dedup_ngram",
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-       |sh AS (SELECT doc_id, unnest($shinglesSql) AS s
-       |       FROM toks WHERE len(t) >= 3),
+       |sh AS (SELECT doc_id, ${md5LongSql("unnest")} AS s FROM (
+       |         SELECT doc_id, unnest($shinglesSql) AS unnest
+       |         FROM toks WHERE len(t) >= 3)),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -47,9 +49,14 @@ object Dedup {
        |       common / (x.n + y.n - common) AS jacc
        |FROM p JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
        |WHERE common / (x.n + y.n - common) >= $NGRAM_TAU""".stripMargin) { (spark, sfDir) =>
+    // The inverted index carries 60-bit shingle hashes, not strings: ~3x
+    // less shuffle volume through the sum(df^2)-sized join (collisions at
+    // 2^-60 are immaterial and the oracle hashes identically).
     val t = documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
     val sh = t.filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(shingles(col("t"))).as("s"))
+      .select(col("doc_id"), explode(shingles(col("t"))).as("s0"))
+      .select(col("doc_id"), md5Long(col("s0")).as("s"))
+      .localCheckpoint() // referenced three times (sz + both join sides)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.select(col("doc_id").as("ia"), col("s"))
       .join(sh.select(col("doc_id").as("ib"), col("s").as("s2")),
@@ -68,13 +75,29 @@ object Dedup {
   private val BANDS = 4 // bands of 4 rows each
   private val ROWS = K / BANDS
   private val MH_TAU = 0.5
+  // Universal hash family over one md5 base hash: h_j = (a_j*h + b_j) mod P.
+  // One md5 per shingle instead of K (md5 is the dominant cost); the affine
+  // family is codegen'd integer arithmetic and reproduced verbatim in the
+  // oracle SQL.  P = 2^31-1 keeps a_j*h below 2^62 (no signed overflow).
+  private val P = 2147483647L
+  private val (hashA, hashB) = {
+    val rng = new scala.util.Random(1234)
+    ((0 until K).map(_ => 1L + rng.nextInt(Int.MaxValue - 1)),
+      (0 until K).map(_ => rng.nextInt(Int.MaxValue).toLong))
+  }
 
   /** MinHash(16) signatures -> 4-row LSH bands -> candidate pairs by band
     * equi-join -> exact Jaccard verification.  Fully deterministic (seeded
-    * md5 hash family), hence oracle-checked end to end. */
+    * md5 hash family), hence oracle-checked end to end.
+    *
+    * Signatures are row-local array expressions (`array_min(transform(...))`
+    * over the shingle array) — zero shuffle until the band join, so at
+    * 100 TB this is one scan + one hash-partitioned candidate join, and the
+    * Jaccard verify rides along on the joined shingle arrays. */
   val dedupNear: GraftQuery = {
-    val minsSql = (0 until K)
-      .map(j => s"min(${seededHashSql(j, "s")}) AS m$j").mkString(",\n       ")
+    val baseSql = s"(${md5LongSql("s")} % $P)"
+    def hSql(j: Int) = s"((${hashA(j)} * hb + ${hashB(j)}) % $P)"
+    val minsSql = (0 until K).map(j => s"min(${hSql(j)}) AS m$j").mkString(", ")
     val bandCases = (0 until BANDS).map { b =>
       val cols = (b * ROWS until (b + 1) * ROWS)
         .map(j => s"m$j::VARCHAR").mkString(" || ',' || ")
@@ -82,96 +105,125 @@ object Dedup {
     }.mkString(" ")
     GraftQuery("q_llm_dedup_near",
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |sh AS (SELECT doc_id, unnest($shinglesSql) AS s
-         |       FROM toks WHERE len(t) >= 3),
-         |sig AS (SELECT doc_id,
-         |       $minsSql
-         |       FROM sh GROUP BY doc_id),
-         |bands AS (SELECT doc_id, b, CASE b $bandCases END AS bs
+         |shing AS (SELECT doc_id, unnest($shinglesSql) AS s
+         |          FROM toks WHERE len(t) >= 3),
+         |sh AS (SELECT doc_id, s, $baseSql AS hb FROM shing),
+         |sig AS (SELECT doc_id, $minsSql, list(s) AS sh FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, sh, b, CASE b $bandCases END AS bs
          |          FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) tb(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |                first(a.sh) AS sha, first(b.sh) AS shb
          |         FROM bands a JOIN bands b
-         |           ON a.b = b.b AND a.bs = b.bs AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list(s) AS ss, count(*) AS n FROM sh GROUP BY doc_id)
-         |SELECT ia, ib,
-         |       len(list_filter(x.ss, e -> list_contains(y.ss, e)))
-         |         / (x.n + y.n - len(list_filter(x.ss, e -> list_contains(y.ss, e)))) AS jacc
-         |FROM cand JOIN sets x ON ia = x.doc_id JOIN sets y ON ib = y.doc_id
-         |WHERE len(list_filter(x.ss, e -> list_contains(y.ss, e)))
-         |        / (x.n + y.n - len(list_filter(x.ss, e -> list_contains(y.ss, e)))) >= $MH_TAU""".stripMargin) { (spark, sfDir) =>
+         |           ON a.b = b.b AND a.bs = b.bs AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |j AS (SELECT ia, ib,
+         |        len(list_filter(sha, e -> list_contains(shb, e))) AS common,
+         |        len(sha) AS na, len(shb) AS nb
+         |      FROM cand)
+         |SELECT ia, ib, common / (na + nb - common) AS jacc
+         |FROM j WHERE common / (na + nb - common) >= $MH_TAU""".stripMargin) { (spark, sfDir) =>
+      // Shape note: explode + ONE hash aggregate (min x16 + collect_list in
+      // the same groupBy) keeps everything in WholeStageCodegen (array
+      // lambdas would be interpreted), and ONE md5 per shingle feeds the
+      // whole affine hash family.
       val t = documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
       val sh = t.filter(size(col("t")) >= 3)
         .select(col("doc_id"), explode(shingles(col("t"))).as("s"))
+        .withColumn("hb", pmod(md5Long(col("s")), lit(P)))
       val sig = sh.groupBy("doc_id")
-        .agg(min(seededHash(0, col("s"))).as("m0"),
-          (1 until K).map(j => min(seededHash(j, col("s"))).as(s"m$j")): _*)
+        .agg(min(pmod(col("hb") * hashA(0) + hashB(0), lit(P))).as("m0"),
+          (1 until K).map(j =>
+            min(pmod(col("hb") * hashA(j) + hashB(j), lit(P))).as(s"m$j")) :+
+            collect_list(col("s")).as("sh"): _*)
+        // the band self-join references this subplan twice; materialize it
+        // once (cluster analog: persist the signature table)
+        .localCheckpoint()
       val bandStructs = (0 until BANDS).map { b =>
         val bs = concat_ws(",", (b * ROWS until (b + 1) * ROWS)
           .map(j => col(s"m$j").cast(StringType)): _*)
         struct(lit(b).as("b"), bs.as("bs"))
       }
-      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
-        .select(col("doc_id"), col("x.b").as("b"), col("x.bs").as("bs"))
-      val cand = bands.select(col("doc_id").as("ia"), col("b"), col("bs"))
-        .join(bands.select(col("doc_id").as("ib"), col("b").as("b2"), col("bs").as("bs2")),
+      val bands = sig.select(col("doc_id"), col("sh"), explode(array(bandStructs: _*)).as("x"))
+        .select(col("doc_id"), col("sh"), col("x.b").as("b"), col("x.bs").as("bs"))
+      val cand = bands.select(col("doc_id").as("ia"), col("sh").as("sha0"), col("b"), col("bs"))
+        .join(bands.select(col("doc_id").as("ib"), col("sh").as("shb0"),
+          col("b").as("b2"), col("bs").as("bs2")),
           col("b") === col("b2") && col("bs") === col("bs2") && col("ia") < col("ib"))
-        .select("ia", "ib").distinct()
-      val sets = sh.groupBy("doc_id")
-        .agg(collect_list(col("s")).as("ss"), count(lit(1)).as("n"))
-      val common = size(array_intersect(col("ssa"), col("ssb"))).cast(LongType)
-      val jacc = common / (col("na") + col("nb") - common)
-      cand
-        .join(sets.select(col("doc_id"), col("ss").as("ssa"), col("n").as("na")),
-          col("ia") === col("doc_id")).drop("doc_id")
-        .join(sets.select(col("doc_id"), col("ss").as("ssb"), col("n").as("nb")),
-          col("ib") === col("doc_id")).drop("doc_id")
-        .filter(jacc >= MH_TAU)
+        .groupBy("ia", "ib")
+        .agg(first(col("sha0")).as("sha"), first(col("shb0")).as("shb"))
+      val common = size(array_intersect(col("sha"), col("shb")))
+      val jacc = common / (size(col("sha")) + size(col("shb")) - common)
+      cand.filter(jacc >= MH_TAU)
         .select(col("ia"), col("ib"), jacc.as("jacc"))
     }
   }
 
   // --------------------------------------------------------- SimHash
-  private val SH_BITS = 32
-  private val SH_BANDS = 4 // 8-bit bands
+  // 48 bits in 4 x 12-bit bands: band-collision probability for unrelated
+  // docs drops 16x vs 8-bit bands (the corpus' shared vocabulary makes
+  // simhashes correlate, so narrow bands go quadratic in candidates).
+  // Recall guarantee: hamming <= 3 implies at least one identical band.
+  private val SH_BITS = 48
+  private val SH_BANDS = 4 // 12-bit bands
   private val SH_MAXHAM = 6
 
-  /** 32-bit SimHash over distinct tokens; candidates share >= 1 of 4 8-bit
-    * bands (guarantees recall for hamming <= 3; verified filter <= 6). */
+  /** 48-bit SimHash over distinct tokens; candidates share >= 1 of 4 12-bit
+    * bands (guarantees recall for hamming <= 3; verified filter <= 6).
+    *
+    * Bit-sliced counting: instead of 48 separate +-1 sum aggregates (which
+    * blows up generated code), the 48 per-bit vote counters are packed as
+    * 8-bit lanes into 6 long accumulators — `sum` of a "spread" word whose
+    * byte i holds bit (8g+i) of the token hash.  Decode: bit b of the
+    * simhash is set iff 2*count_b >= n_tokens.  Docs are capped at 127
+    * distinct tokens so no lane can overflow (127 * 2^56 < 2^63).  The
+    * oracle reproduces the identical packed arithmetic. */
   val dedupSimhash: GraftQuery = {
-    val sumsSql = (0 until SH_BITS)
-      .map(b => s"CAST(sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b")
-      .mkString(",\n       ")
-    val bitsSql = (0 until SH_BITS)
-      .map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)")
-      .mkString(" + ")
+    val GROUPS = SH_BITS / 8
+    def spreadSql(g: Int) = (0 until 8)
+      .map(i => s"(((h >> ${8 * g + i}) & 1) << ${8 * i})").mkString(" + ")
+    val accSql = (0 until GROUPS)
+      .map(g => s"CAST(sum(${spreadSql(g)}) AS BIGINT) AS acc$g").mkString(", ")
+    def bitSql(b: Int) = {
+      val g = b / 8; val i = b % 8
+      s"(CASE WHEN 2 * ((acc$g >> ${8 * i}) & 255) >= n THEN ${1L << b} ELSE 0 END)"
+    }
+    val simSql = (0 until SH_BITS).map(bitSql).mkString(" + ")
     GraftQuery("q_llm_dedup_simhash",
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |w AS (SELECT doc_id, unnest(list_distinct(t)) AS w FROM toks),
+         |w AS (SELECT doc_id, unnest(list_distinct(t)[1:127]) AS w FROM toks),
          |h AS (SELECT doc_id, ${md5LongSql("w")} AS h FROM w),
-         |s AS (SELECT doc_id,
-         |       $sumsSql
-         |       FROM h GROUP BY doc_id),
-         |sim AS (SELECT doc_id, $bitsSql AS simhash FROM s),
-         |bands AS (SELECT doc_id, simhash, k, (simhash >> (8 * k)) & 255 AS bv
+         |s AS (SELECT doc_id, $accSql, count(*) AS n FROM h GROUP BY doc_id),
+         |sim AS (SELECT doc_id, $simSql AS simhash FROM s),
+         |bands AS (SELECT doc_id, simhash, k, (simhash >> (12 * k)) & 4095 AS bv
          |          FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) t(k))
          |SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
          |FROM bands a JOIN bands b
          |  ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SH_MAXHAM""".stripMargin) { (spark, sfDir) =>
+      // Shape note: explode + codegen'd projection + one hash aggregate —
+      // array-lambda folds would leave WholeStageCodegen (interpreted).
       val t = documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
-      val w = t.select(col("doc_id"), explode(array_distinct(col("t"))).as("w"))
+      val w = t.select(col("doc_id"),
+        explode(slice(array_distinct(col("t")), 1, 127)).as("w"))
         .withColumn("h", md5Long(col("w")))
-      val sums = w.groupBy("doc_id")
-        .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as("s0"),
-          (1 until SH_BITS).map(b =>
-            sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
-      val simhash = (0 until SH_BITS)
-        .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      def spread(g: Int) = (0 until 8)
+        .map(i => shiftleft(shiftright(col("h"), 8 * g + i).bitwiseAND(lit(1L)), 8 * i))
         .reduce(_ + _)
+      val sums = w.groupBy("doc_id")
+        .agg(sum(spread(0)).as("acc0"),
+          (1 until GROUPS).map(g => sum(spread(g)).as(s"acc$g")) :+
+            count(lit(1)).as("n"): _*)
+      def bitOf(b: Int) = {
+        val g = b / 8; val i = b % 8
+        when(shiftright(col(s"acc$g"), 8 * i).bitwiseAND(lit(255L)) * 2 >= col("n"),
+          lit(1L << b)).otherwise(lit(0L))
+      }
+      val simhash = (0 until SH_BITS).map(bitOf).reduce(_ + _)
       val sim = sums.select(col("doc_id"), simhash.as("simhash"))
+        .localCheckpoint() // band self-join references this twice
       val bandStructs = (0 until SH_BANDS).map(k =>
-        struct(lit(k).as("k"), shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("bv")))
+        struct(lit(k).as("k"), shiftright(col("simhash"), 12 * k).bitwiseAND(lit(4095L)).as("bv")))
       val bands = sim.select(col("doc_id"), col("simhash"),
         explode(array(bandStructs: _*)).as("x"))
         .select(col("doc_id"), col("simhash"), col("x.k").as("k"), col("x.bv").as("bv"))
@@ -208,16 +260,13 @@ object Dedup {
     val qv = transform(slice(col("embedding"), 1, PREFIX),
       x => round(x.cast(DoubleType) * 1000000).cast(LongType))
     val base = embeddings(spark, sfDir).select(col("vec_id"), col("label"), qv.as("qv"))
-      .withColumn("nrm",
-        aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
-          .cast(DoubleType))
+      .withColumn("nrm", vecDot(spark, col("qv"), col("qv")).cast(DoubleType))
     val a = base.select(col("vec_id").as("ia"), col("label"),
       col("qv").as("qa"), col("nrm").as("na"))
     val b = base.select(col("vec_id").as("ib"), col("label").as("label_b"),
       col("qv").as("qb"), col("nrm").as("nb"))
-    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x).cast(DoubleType)
-    val sim = dot / (sqrt(col("na")) * sqrt(col("nb")))
+    val sim = vecDot(spark, col("qa"), col("qb")).cast(DoubleType) /
+      (sqrt(col("na")) * sqrt(col("nb")))
     a.join(b, col("label") === col("label_b") && col("ia") < col("ib"))
       .withColumn("sim", sim)
       .filter(col("sim") >= EMB_TAU)

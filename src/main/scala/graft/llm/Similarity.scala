@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.GraftQuery
+import graft.fns.VecExpressions.vecDot
 import graft.io.Tables._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -27,15 +28,10 @@ object Similarity {
 
   private def quantized(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val qv = transform(col("embedding"), x => round(x.cast(DoubleType) * 1000000).cast(LongType))
-    embeddings(spark, sfDir).select(col("vec_id"), col("label"), qv.as("qv"))
-      .withColumn("nrm",
-        aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
-          .cast(DoubleType))
+    val base = embeddings(spark, sfDir).select(col("vec_id"), col("label"), qv.as("qv"))
+    base.withColumn("nrm", vecDot(base.sparkSession, col("qv"), col("qv")).cast(DoubleType))
+      .localCheckpoint() // every consumer self-joins or re-reads this base
   }
-
-  private def dotCol(a: String, b: String) =
-    aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-      .cast(DoubleType)
 
   /** Exact cosine top-5 for query vectors vec_id < 10 over the full corpus. */
   val similarityTopk: GraftQuery = GraftQuery("q_llm_similarity_topk",
@@ -54,7 +50,8 @@ object Similarity {
     val base = quantized(spark, sfDir)
     val queries = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
-    val sim = dotCol("qq", "qv") / (sqrt(col("qn")) * sqrt(col("nrm")))
+    val sim = vecDot(spark, col("qq"), col("qv")).cast(DoubleType) /
+      (sqrt(col("qn")) * sqrt(col("nrm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     base.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .withColumn("sim", sim)
@@ -122,7 +119,8 @@ object Similarity {
       .withColumn("cr", row_number().over(cellRank))
       .filter(col("cr") <= 2)
       .select(col("qid"), col("qq"), col("qn"), col("cell").as("pcell"))
-    val sim = dotCol("qq", "qv") / (sqrt(col("qn")) * sqrt(col("nrm")))
+    val sim = vecDot(spark, col("qq"), col("qv")).cast(DoubleType) /
+      (sqrt(col("qn")) * sqrt(col("nrm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     indexed.join(broadcast(probed), col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
       .withColumn("sim", sim)
@@ -144,8 +142,7 @@ object Similarity {
     val qv = transform(col("embedding"), x => round(x.cast(DoubleType) * 1000000).cast(LongType))
     val e = embeddings(spark, sfDir).select(col("vec_id"), col("label"),
       size(col("embedding")).cast(LongType).as("dim"),
-      (aggregate(zip_with(qv, qv, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
-        .cast(DoubleType) / lit(1000000000000.0)).as("norm2"))
+      (vecDot(spark, qv, qv).cast(DoubleType) / lit(1000000000000.0)).as("norm2"))
     documents(spark, sfDir).select("doc_id", "lang", "source", "n_chars")
       .join(e, col("doc_id") === col("vec_id"))
       .select("doc_id", "lang", "source", "n_chars", "label", "dim", "norm2")
