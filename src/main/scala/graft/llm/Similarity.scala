@@ -20,9 +20,8 @@ import org.apache.spark.sql.types._
   * 100 TB posture: the brute-force path broadcasts the (small) query set and
   * scans the corpus once — a map-only BroadcastNestedLoopJoin, no shuffle of
   * the corpus.  The IVF path prunes the scan to the best nprobe cells via an
-  * equi join on the cell id; at real scale the coarse centroids come from
-  * k-means (here: the provided cluster labels), and the same plan shape
-  * applies.
+  * equi join on the cell id, with centroids from a deterministic mini
+  * k-means; the same plan shape applies at any corpus size.
   */
 object Similarity {
 
@@ -98,7 +97,7 @@ object Similarity {
     (assigned.select("vec_id", "cell"), cent)
   }
 
-  /** IVF ANN: k-means coarse cells (k=16, 3 Lloyd iterations), query probes
+  /** IVF ANN: k-means coarse cells (k=16, 2 Lloyd iterations), query probes
     * its nprobe=2 nearest centroids, exact re-rank inside probed cells only
     * (an equi join on the cell id — the corpus is scanned once, never
     * all-pairs).  Approximate by construction (recall < 1), so no SQL
@@ -106,7 +105,7 @@ object Similarity {
     * baseline. */
   val annIvf: GraftQuery = GraftQuery.noOracle("q_llm_ann_ivf") { (spark, sfDir) =>
     val base = quantized(spark, sfDir)
-    val (cells, cent) = kmeans(base, k = 16, iters = 3)
+    val (cells, cent) = kmeans(base, k = 16, iters = 2)
     val indexed = base.join(cells.withColumnRenamed("vec_id", "vid2"),
       col("vec_id") === col("vid2")).drop("vid2")
     val queries = base.filter(col("vec_id") < 10)
@@ -123,6 +122,47 @@ object Similarity {
       (sqrt(col("qn")) * sqrt(col("nrm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     indexed.join(broadcast(probed), col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH ANN (the sibling scale path to IVF):
+    * deterministic hyperplanes (components derived from md5 integers, so
+    * the index is reproducible across runs/clusters), bucket = sign bits;
+    * a query probes its own bucket plus every bucket within hamming
+    * distance 2 (multi-probe) and re-ranks exactly inside them.
+    * Approximate => no SQL oracle; recall is property-tested. */
+  val annLsh: GraftQuery = GraftQuery.noOracle("q_llm_ann_lsh") { (spark, sfDir) =>
+    val base = quantized(spark, sfDir)
+    val planes = 6
+    val dim = 64
+    // hyperplane component p_ij in {-1, +1} from the shared md5-derived hash
+    def planeSign(p: Int, i: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p|$i".getBytes("UTF-8"))
+      if ((hex(0) & 1) == 1) 1 else -1
+    }
+    val bucketCol = (0 until planes).map { p =>
+      val dot = (0 until dim).map(i =>
+        element_at(col("qv"), i + 1) * lit(planeSign(p, i).toLong)).reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val indexed = base.withColumn("bucket", bucketCol).localCheckpoint()
+    // multi-probe: own bucket + every bucket within hamming distance 2
+    val flips = Seq(0L) ++
+      (0 until planes).map(i => 1L << i) ++
+      (for (i <- 0 until planes; j <- i + 1 until planes) yield (1L << i) | (1L << j))
+    val probes = flips.map(f => col("bucket").bitwiseXOR(lit(f)))
+    val queries = indexed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nrm").as("qn"),
+        explode(array(probes: _*)).as("pbucket"))
+    val sim = vecDot(spark, col("qq"), col("qv")).cast(DoubleType) /
+      (sqrt(col("qn")) * sqrt(col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    indexed.join(broadcast(queries),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("qid"))
       .withColumn("sim", sim)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -148,5 +188,5 @@ object Similarity {
       .select("doc_id", "lang", "source", "n_chars", "label", "dim", "norm2")
   }
 
-  val all: Seq[GraftQuery] = Seq(similarityTopk, annIvf, multimodalJoin)
+  val all: Seq[GraftQuery] = Seq(similarityTopk, annIvf, annLsh, multimodalJoin)
 }

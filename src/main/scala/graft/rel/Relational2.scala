@@ -1,0 +1,97 @@
+package graft.rel
+
+import graft.GraftQuery
+import graft.fns.Exact._
+import graft.io.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second wave of relational surface: JSON source round-trip, pivot,
+  * exact median, ordered string aggregation, and the distribution window
+  * functions (ntile / percent_rank / cume_dist).
+  */
+object Relational2 {
+
+  private def tmpDir(sfDir: String, tag: String): String =
+    s"/tmp/graft_${tag}_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** JSON-lines round-trip: parquet -> json sink -> json scan (explicit
+    * schema — never infer on a 100 TB lake) -> aggregate. */
+  val scanJsonRoundtrip: GraftQuery = GraftQuery("q_scan_json_roundtrip",
+    """SELECT n_regionkey, count(*) AS n, max(n_name) AS max_name
+      |FROM nation GROUP BY n_regionkey""".stripMargin) { (spark, sfDir) =>
+    val path = tmpDir(sfDir, "json_nation")
+    nation(spark, sfDir).select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.schema(schema).json(path)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), max("n_name").as("max_name"))
+  }
+
+  /** Pivot (cross-tab): linestatus columns per returnflag row.  Catalyst
+    * plans this as a single hash aggregate with conditional measures — the
+    * oracle states the same thing with CASE sums. */
+  val aggPivot: GraftQuery = GraftQuery("q_agg_pivot",
+    s"""SELECT l_returnflag,
+       |  ${exactSumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE NULL END", 2)} AS qty_f,
+       |  ${exactSumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE NULL END", 2)} AS qty_o
+       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, sfDir) =>
+    lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(exactSum(col("l_quantity"), 2))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+  }
+
+  /** Exact median over scaled integers — both engines interpolate the two
+    * middle values, and on identical longs the double result is identical. */
+  val aggMedian: GraftQuery = GraftQuery("q_agg_median",
+    """SELECT l_returnflag,
+      |  median(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS med_qty,
+      |  median(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS med_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, sfDir) =>
+    lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg((median(scaled(col("l_quantity"), 2)) / 100.0).as("med_qty"),
+        (median(scaled(col("l_extendedprice"), 2)) / 100.0).as("med_price"))
+  }
+
+  /** Ordered, distinct string aggregation (LISTAGG shape): deterministic via
+    * sort-before-concat on both sides. */
+  val aggStringAgg: GraftQuery = GraftQuery("q_agg_stringagg",
+    """SELECT r_name, string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+      |FROM region JOIN nation ON r_regionkey = n_regionkey
+      |GROUP BY r_name""".stripMargin) { (spark, sfDir) =>
+    region(spark, sfDir)
+      .join(nation(spark, sfDir), col("r_regionkey") === col("n_regionkey"))
+      .groupBy("r_name")
+      .agg(array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"))
+  }
+
+  /** Distribution window functions.  percent_rank/cume_dist divide exact
+    * integers, so the doubles agree bit-for-bit across engines. */
+  val windowDistribution: GraftQuery = GraftQuery("q_window_distribution",
+    """SELECT o_orderkey, o_custkey,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_custkey"),
+      ntile(4).over(w).cast(LongType).as("quartile"),
+      percent_rank().over(w).as("prank"),
+      cume_dist().over(w).as("cdist"))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(scanJsonRoundtrip, aggPivot, aggMedian, aggStringAgg, windowDistribution)
+}

@@ -88,6 +88,17 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("LSH ANN returns ranked neighbors with sane recall vs brute force") {
+    val brute = Queries.queries("q_llm_similarity_topk")(spark, TestSpark.sf)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lsh = Queries.queries("q_llm_ann_lsh")(spark, TestSpark.sf)
+      .select("qid", "nid", "rn").as[(Long, Long, Int)].collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.forall { case (q, n, _) => q != n })
+    val recall = (brute & lsh.map(t => (t._1, t._2)).toSet).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall=$recall") // multi-probe over 9 of 256 buckets
+  }
+
   test("approx distinct within 15% of exact") {
     val approx = Queries.queries("q_agg_approx_distinct")(spark, TestSpark.sf)
       .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
