@@ -9,6 +9,7 @@ object Queries {
   val all: Seq[GraftQuery] =
     rel.Relational.all ++
       rel.Relational2.all ++
+      rel.Relational3.all ++
       fns.Scalars.all ++
       time.EventWindows.all ++
       agg.VectorMeanQuery.all ++

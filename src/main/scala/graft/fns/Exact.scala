@@ -53,16 +53,19 @@ object Exact {
   def md5LongSql(expr: String): String =
     s"CAST('0x' || substr(md5(CAST(($expr) AS VARCHAR)), 1, 15) AS BIGINT)"
 
-  /** DuckDB SQL fragment mirroring [[exactSum]]. */
+  /** SQL fragment mirroring [[exactSum]].  The outer DOUBLE cast is a no-op
+    * in DuckDB (whose `/` is float division) but REQUIRED when the same
+    * text is parsed by Spark SQL, where the `$p.0` literal is a DECIMAL and
+    * would otherwise make the whole column decimal-typed. */
   def exactSumSql(expr: String, scale: Int): String = {
     val p = "1" + "0" * scale
-    s"CAST(sum(CAST(round(($expr) * $p, 0) AS BIGINT)) AS BIGINT) / $p.0"
+    s"CAST(CAST(sum(CAST(round(($expr) * $p, 0) AS BIGINT)) AS BIGINT) / $p.0 AS DOUBLE)"
   }
 
-  /** DuckDB SQL fragment mirroring [[exactAvg]]. */
+  /** SQL fragment mirroring [[exactAvg]] (see [[exactSumSql]] re: cast). */
   def exactAvgSql(expr: String, scale: Int): String = {
     val p = "1" + "0" * scale
-    s"CAST(sum(CAST(round(($expr) * $p, 0) AS BIGINT)) AS BIGINT) / (count(*) * $p.0)"
+    s"CAST(CAST(sum(CAST(round(($expr) * $p, 0) AS BIGINT)) AS BIGINT) / (count(*) * $p.0) AS DOUBLE)"
   }
 
   /** DuckDB SQL fragment mirroring [[scaled]]. */

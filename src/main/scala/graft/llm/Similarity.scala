@@ -54,7 +54,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     base.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .withColumn("sim", sim)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("sim"))
   }
@@ -123,7 +123,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     indexed.join(broadcast(probed), col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
       .withColumn("sim", sim)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("sim"))
   }
@@ -164,7 +164,7 @@ object Similarity {
     indexed.join(broadcast(queries),
         col("bucket") === col("pbucket") && col("vec_id") =!= col("qid"))
       .withColumn("sim", sim)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("sim"))
   }

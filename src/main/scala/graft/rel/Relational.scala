@@ -283,9 +283,9 @@ object Relational {
     val byDateKey = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
     val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
     orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"),
-      row_number().over(byDateKey).as("rn"),
-      rank().over(byDate).as("rnk"),
-      dense_rank().over(byDate).as("drnk"))
+      row_number().over(byDateKey).cast("long").as("rn"),
+      rank().over(byDate).cast("long").as("rnk"),
+      dense_rank().over(byDate).cast("long").as("drnk"))
   }
 
   val windowRunning: GraftQuery = GraftQuery("q_window_running",
@@ -318,7 +318,7 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(w).as("rn"))
+        row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= 3)
   }
 

@@ -1,0 +1,108 @@
+package graft.rel
+
+import graft.GraftQuery
+import graft.fns.Exact._
+import graft.io.Tables._
+import org.apache.spark.sql.functions._
+
+/** Third wave: cube / grouping sets, full-outer join, the SQL entry point
+  * (temp views + spark.sql) with correlated and scalar subqueries that
+  * exercise Catalyst's decorrelation, a TPC-H-shaped multi-join flagship,
+  * and deterministic sampling.
+  */
+object Relational3 {
+
+  /** CUBE with grouping() flags (DuckDB's grouping() matches Spark's). */
+  val aggCube: GraftQuery = GraftQuery("q_agg_cube",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+       |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+       |  count(*) AS n, ${exactSumSql("l_extendedprice", 2)} AS sum_price
+       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (spark, sfDir) =>
+    lineitem(spark, sfDir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("n"),
+        exactSum(col("l_extendedprice"), 2).as("sum_price"))
+      .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_price")
+  }
+
+  /** Full outer join with genuine exclusives on both sides: nations having
+    * suppliers vs nations having customers. */
+  val joinFullOuter: GraftQuery = GraftQuery("q_join_full_outer",
+    """WITH s AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1),
+      |     c AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1)
+      |SELECT s.k AS supp_nation, c.k AS cust_nation, s.n_supp, c.n_cust
+      |FROM s FULL JOIN c ON s.k = c.k""".stripMargin) { (spark, sfDir) =>
+    val s = supplier(spark, sfDir).groupBy(col("s_nationkey").as("supp_nation"))
+      .agg(count(lit(1)).as("n_supp"))
+    val c = customer(spark, sfDir).groupBy(col("c_nationkey").as("cust_nation"))
+      .agg(count(lit(1)).as("n_cust"))
+    s.join(c, col("supp_nation") === col("cust_nation"), "full")
+      .select("supp_nation", "cust_nation", "n_supp", "n_cust")
+  }
+
+  private def registerViews(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
+
+  /** SQL surface: correlated EXISTS + scalar subquery, decorrelated by
+    * Catalyst into joins (no per-row subquery execution). */
+  val subqueries: GraftQuery = GraftQuery("q_subquery",
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_totalprice > (SELECT avg(o_totalprice) FROM orders))""".stripMargin) { (spark, sfDir) =>
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_totalprice > (SELECT avg(o_totalprice) FROM orders))""".stripMargin)
+  }
+
+  /** TPC-H Q5-shaped flagship through the SQL entry point: six-way join,
+    * region filter, date range, grouped exact revenue.  Catalyst broadcast
+    * rules + AQE pick the dim-table strategy. */
+  val sqlTpchQ5: GraftQuery = {
+    val rev = exactSumSql("l_extendedprice * (1 - l_discount)", 4)
+    val sql =
+      s"""SELECT n_name, count(*) AS n_items, $rev AS revenue
+         |FROM customer
+         |JOIN orders   ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name IN ('ASIA', 'AMERICA', 'EUROPE', 'AFRICA', 'MIDDLE EAST')
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name""".stripMargin
+    GraftQuery("q_sql_tpch_q5", sql) { (spark, sfDir) =>
+      registerViews(spark, sfDir)
+      // Spark round() is HALF_UP vs DuckDB's half-away — identical for the
+      // positive scaled sums used here; the SQL text runs on both engines.
+      spark.sql(sql)
+    }
+  }
+
+  /** Deterministic stratified sampling (training-pipeline op): seeded
+    * Bernoulli sampling is partitioning-dependent in Spark, so sample by a
+    * hash predicate instead — reproducible on any cluster layout AND in the
+    * oracle. */
+  val sampleHash: GraftQuery = GraftQuery("q_sample_hash",
+    s"""SELECT l_orderkey, l_linenumber, l_returnflag
+       |FROM lineitem
+       |WHERE ${md5LongSql("CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)")} % 20 = 0""".stripMargin) { (spark, sfDir) =>
+    lineitem(spark, sfDir)
+      .filter(pmod(md5Long(concat(col("l_orderkey").cast("string"), lit("#"),
+        col("l_linenumber").cast("string"))), lit(20L)) === 0)
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(aggCube, joinFullOuter, subqueries, sqlTpchQ5, sampleHash)
+}

@@ -68,10 +68,10 @@ class LlmSpec extends AnyFunSuite {
 
   test("similarity top-k: ranks are 1..5, no self-matches, sims descend") {
     val out = Queries.queries("q_llm_similarity_topk")(spark, TestSpark.sf)
-      .select("qid", "nid", "rn", "sim").as[(Long, Long, Int, Double)].collect()
+      .select("qid", "nid", "rn", "sim").as[(Long, Long, Long, Double)].collect()
     assert(out.forall { case (q, n, _, _) => q != n })
     val byQ = out.groupBy(_._1)
-    assert(byQ.forall(_._2.map(_._3).sorted.sameElements(1 to 5)))
+    assert(byQ.forall(_._2.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
     byQ.values.foreach { rows =>
       val sims = rows.sortBy(_._3).map(_._4)
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
@@ -92,7 +92,7 @@ class LlmSpec extends AnyFunSuite {
     val brute = Queries.queries("q_llm_similarity_topk")(spark, TestSpark.sf)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val lsh = Queries.queries("q_llm_ann_lsh")(spark, TestSpark.sf)
-      .select("qid", "nid", "rn").as[(Long, Long, Int)].collect()
+      .select("qid", "nid", "rn").as[(Long, Long, Long)].collect()
     assert(lsh.nonEmpty)
     assert(lsh.forall { case (q, n, _) => q != n })
     val recall = (brute & lsh.map(t => (t._1, t._2)).toSet).size.toDouble / brute.size

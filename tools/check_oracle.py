@@ -32,6 +32,17 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            sp_types = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()}
+            du_types = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+            skew = [c for c in set(sp_types) | set(du_types)
+                    if sp_types.get(c) != du_types.get(c)]
+            if skew:
+                n_fail += 1
+                for c in skew:
+                    print(f"FAIL {name}: type skew on '{c}': "
+                          f"spark={sp_types.get(c)} oracle={du_types.get(c)}")
+                continue
             res = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").arrow()
             cols = sorted(res.column_names)
