@@ -146,6 +146,24 @@ object NonEquiJoins {
   def crossJoinSmall(big: DataFrame, small: DataFrame): DataFrame =
     big.crossJoin(broadcast(small))
 
+  /** Skew-proof equi join (B3j): salt the skewed (left) side's key into
+    * `factor` sub-keys and replicate the right side across all salts — the
+    * manual fallback when AQE's runtime skew splitting isn't available
+    * (e.g. a static plan, or skew on the build side of a non-AQE stage).
+    * Results are identical to a plain equi join; cost is |R|·factor
+    * replication traded for an even shuffle of the hot keys.
+    */
+  def saltedEquiJoin(
+      skewed: DataFrame, other: DataFrame,
+      leftKey: String, rightKey: String, factor: Int): DataFrame = {
+    val l = skewed.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor.toLong)))
+    val r = other.withColumn("__salt",
+      explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))
+      .drop("__salt")
+  }
+
   /** Reference-shape fallback: 1-Bucket-Theta for an *arbitrary* theta
     * predicate with no exploitable structure.  Partitions the |S|×|T| join
     * matrix into an rS×rT grid: S rows are assigned a deterministic matrix

@@ -97,6 +97,18 @@ class NonEquiJoinsSpec extends AnyFunSuite {
     assertSameRows(fast, naive)
   }
 
+  test("saltedEquiJoin == plain equi join on a skewed key distribution") {
+    val r = new scala.util.Random(31)
+    // 80% of left rows share one hot key
+    val skewed = (1 to 500).map(i =>
+      (i.toLong, if (r.nextInt(5) < 4) 7L else r.nextInt(50).toLong)).toDF("id", "k")
+    val other = (0 until 50).map(i => (i.toLong, s"v$i")).toDF("k2", "payload")
+    val fast = saltedEquiJoin(skewed, other, "k", "k2", factor = 8)
+      .select("id", "k", "payload")
+    val naive = skewed.join(other, $"k" === $"k2").select("id", "k", "payload")
+    assertSameRows(fast, naive)
+  }
+
   test("oneBucketThetaJoin covers every pair exactly once (arbitrary theta)") {
     val a = rnd.limit(80).select($"id".as("ida"), $"v".as("va"))
     val b = rnd.limit(80).select($"id".as("idb"), $"v".as("vb"))
