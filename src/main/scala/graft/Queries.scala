@@ -16,6 +16,7 @@ object Queries {
       llm.Dedup.all ++
       llm.Similarity.all ++
       llm.TextStats.all ++
+      llm.Pipeline.all ++
       llm.Multimodal.all
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -14,6 +14,10 @@ class RelationalSmokeSpec extends AnyFunSuite {
     assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
   }
 
+  test("driver entry point returns rows (smoke contract)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   for (q <- Queries.all) {
     test(s"${q.name} executes") {
       val n = q.fn(spark, TestSpark.sf).count()
