@@ -88,6 +88,8 @@ object BandJoinAutoRewrite extends Rule[LogicalPlan] with PredicateHelper {
 /** `spark.sql.extensions=graft.plans.GraftExtensions` installs the graft
   * planner extensions into every new SparkSession. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BandJoinAutoRewrite)
+    e.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }

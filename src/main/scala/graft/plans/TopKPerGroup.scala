@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Whole-operator custom plan (the §4.3(c) path): per-group top-k without
+  * sorting.
+  *
+  * Catalyst plans `row_number() OVER (PARTITION BY g ORDER BY o) <= k` as
+  * Exchange -> full Sort of every partition -> WindowExec -> Filter: the
+  * sort is O(n log n) per partition and materializes every row.  This
+  * operator keeps a bounded k-heap per group instead — O(n log k), memory
+  * O(groups·k) — the right shape when k << group size (top-k per user over
+  * a 100 TB event log).  It declares ClusteredDistribution on the group
+  * keys, so the planner inserts only the hash Exchange; no sort anywhere.
+  *
+  * Pieces: logical node + planner Strategy (injected via GraftExtensions or
+  * `spark.experimental.extraStrategies`) + physical exec with a codegen'd
+  * row ordering.  `TopKPerGroup.apply` is the user-facing API.
+  */
+case class TopKPerGroupNode(
+    group: Seq[Expression], order: Seq[SortOrder], k: Int, child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(
+    group: Seq[Expression], order: Seq[SortOrder], k: Int, child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(group) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupExprs = group
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val rowOrd = GenerateOrdering.generate(sortOrder, childOutput)
+      // per group: bounded heap holding the current top k (heap head = the
+      // *worst* of the kept rows, so it can be evicted in O(log k))
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      val reverse = rowOrd.reverse
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](limit + 1, reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < limit) heap.add(row.copy())
+        else if (rowOrd.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerGroup {
+  /** Top `k` rows per group of `groupCols`, "top" = smallest under `order`
+    * ((name, ascending) pairs; include a unique tiebreaker for
+    * deterministic results).  Equivalent to filtering
+    * `row_number() OVER (PARTITION BY group ORDER BY order) <= k`,
+    * minus the sort. */
+  def apply(df: DataFrame, groupCols: Seq[String],
+      order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val plan = df.queryExecution.analyzed
+    def attr(n: String): Attribute = plan.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$n' not in ${plan.output.map(_.name).mkString(", ")}"))
+    val sortOrders = order.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) org.apache.spark.sql.catalyst.expressions.Ascending
+      else org.apache.spark.sql.catalyst.expressions.Descending)
+    }
+    GraftSqlBridge.ofRows(spark,
+      TopKPerGroupNode(groupCols.map(attr), sortOrders, k, plan))
+  }
+}

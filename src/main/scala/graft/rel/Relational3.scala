@@ -103,6 +103,20 @@ object Relational3 {
       .select("l_orderkey", "l_linenumber", "l_returnflag")
   }
 
+  /** Top-3 orders per customer through the custom TopKPerGroupExec physical
+    * operator (bounded heaps, no sort — see graft.plans.TopKPerGroup); the
+    * oracle states the equivalent window formulation. */
+  val topkCustomPlan: GraftQuery = GraftQuery("q_topk_custom_plan",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin) { (spark, sfDir) =>
+    graft.plans.TopKPerGroup(
+      orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_totalprice"),
+      groupCols = Seq("o_custkey"),
+      order = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      k = 3)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(aggCube, joinFullOuter, subqueries, sqlTpchQ5, sampleHash)
+    Seq(aggCube, joinFullOuter, subqueries, sqlTpchQ5, sampleHash, topkCustomPlan)
 }
