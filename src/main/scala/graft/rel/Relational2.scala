@@ -92,6 +92,48 @@ object Relational2 {
       cume_dist().over(w).as("cdist"))
   }
 
+  /** Navigation window functions: lag/lead with defaults, first/last/nth
+    * value over a running frame — all under a total order. */
+  val windowNavigation: GraftQuery = GraftQuery("q_window_navigation",
+    """SELECT o_orderkey, o_custkey,
+      |  lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
+      |  lead(o_totalprice, 1, -1.0) OVER w AS next_price,
+      |  first_value(o_orderkey) OVER w AS first_key,
+      |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_key_sofar,
+      |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_custkey"),
+      lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1, -1.0).over(w).as("next_price"),
+      first_value(col("o_orderkey")).over(w).as("first_key"),
+      last_value(col("o_orderkey")).over(wRun).as("last_key_sofar"),
+      nth_value(col("o_orderkey"), 2).over(wRun).as("second_key"))
+  }
+
+  /** Exact interpolated percentiles over scaled integers: both engines
+    * interpolate linearly between identical longs => identical doubles. */
+  val aggPercentiles: GraftQuery = GraftQuery("q_agg_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.25) / 100.0 AS p25,
+      |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.50) / 100.0 AS p50,
+      |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.90) / 100.0 AS p90
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, sfDir) =>
+    val cents = scaled(col("l_extendedprice"), 2)
+    lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg((percentile(cents, lit(0.25)) / 100.0).as("p25"),
+        (percentile(cents, lit(0.50)) / 100.0).as("p50"),
+        (percentile(cents, lit(0.90)) / 100.0).as("p90"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(scanJsonRoundtrip, aggPivot, aggMedian, aggStringAgg, windowDistribution)
+    Seq(scanJsonRoundtrip, aggPivot, aggMedian, aggStringAgg, windowDistribution,
+      windowNavigation, aggPercentiles)
 }
