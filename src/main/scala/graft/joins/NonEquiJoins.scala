@@ -37,15 +37,25 @@ object NonEquiJoins {
       left: DataFrame, right: DataFrame,
       lVal: String, rVal: String, eps: Double,
       extraKeys: Seq[(String, String)] = Nil,
-      strict: Boolean = false): DataFrame = {
-    val lb = left.withColumn("__gb",
-      explode(array((-1 to 1).map(d => floor(col(lVal) / eps).cast(LongType) + d): _*)))
-    val rb = right.withColumn("__gb", floor(col(rVal) / eps).cast(LongType))
-    val keyCond = extraKeys.map { case (a, b) => lb(a) === rb(b) }
-      .foldLeft(lb("__gb") === rb("__gb"))(_ && _)
+      strict: Boolean = false,
+      bucketWithKeys: Boolean = false): DataFrame = {
     val diff = abs(col(lVal) - col(rVal))
     val band = if (strict) diff < eps else diff <= eps
-    lb.join(rb, keyCond).filter(band).drop("__gb")
+    if (extraKeys.nonEmpty && !bucketWithKeys) {
+      // With a selective equi key the bucket only triples the shuffle: join
+      // on the keys and post-filter the band.  Set bucketWithKeys=true when
+      // the keys are coarse (few distinct values) so the bucket still
+      // prunes within each key group.
+      val keyCond = extraKeys.map { case (a, b) => left(a) === right(b) }.reduce(_ && _)
+      left.join(right, keyCond).filter(band)
+    } else {
+      val lb = left.withColumn("__gb",
+        explode(array((-1 to 1).map(d => floor(col(lVal) / eps).cast(LongType) + d): _*)))
+      val rb = right.withColumn("__gb", floor(col(rVal) / eps).cast(LongType))
+      val keyCond = extraKeys.map { case (a, b) => lb(a) === rb(b) }
+        .foldLeft(lb("__gb") === rb("__gb"))(_ && _)
+      lb.join(rb, keyCond).filter(band).drop("__gb")
+    }
   }
 
   /** Long-typed band join (e.g. epoch-micros intervals). Same rewrite with
@@ -55,6 +65,8 @@ object NonEquiJoins {
       lVal: String, rVal: String, eps: Long,
       extraKeys: Seq[(String, String)] = Nil,
       strict: Boolean = false): DataFrame = {
+    // Time-style keys (e.g. user_id) are usually coarse, so the bucket is
+    // kept even alongside equi keys — it prunes within each key group.
     val lb = left.withColumn("__gb",
       explode(array((-1 to 1).map(d => floor(col(lVal).cast("double") / eps).cast(LongType) + d): _*)))
     val rb = right.withColumn("__gb", floor(col(rVal).cast("double") / eps).cast(LongType))

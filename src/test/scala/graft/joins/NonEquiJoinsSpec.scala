@@ -59,6 +59,21 @@ class NonEquiJoinsSpec extends AnyFunSuite {
     assertSameRows(fast, naive)
   }
 
+  test("bandJoin with keys: bucketed and key-only paths agree with naive") {
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+    val a = li.select($"l_orderkey".as("ok"), $"l_linenumber".as("ln_a"),
+      $"l_extendedprice".as("pa"))
+    val b = li.select($"l_orderkey".as("ok_b"), $"l_linenumber".as("ln_b"),
+      $"l_extendedprice".as("pb"))
+    val naive = a.join(b, $"ok" === $"ok_b" && abs($"pa" - $"pb") <= 100.0)
+    assertSameRows(
+      bandJoin(a, b, "pa", "pb", 100.0, Seq("ok" -> "ok_b"), bucketWithKeys = true),
+      naive)
+    assertSameRows(
+      bandJoin(a, b, "pa", "pb", 100.0, Seq("ok" -> "ok_b"), bucketWithKeys = false),
+      naive)
+  }
+
   test("lessThanJoin == naive, including values outside [lo,hi] clamp") {
     val a = rnd.select($"id".as("ida"), ($"v" - 200).as("va")) // some < lo
     val b = rnd.select($"id".as("idb"), ($"v" * 2).as("vb"))   // some > hi
