@@ -4,6 +4,7 @@ import graft.GraftQuery
 import graft.fns.Exact._
 import graft.io.Tables._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Third wave: cube / grouping sets, full-outer join, the SQL entry point
   * (temp views + spark.sql) with correlated and scalar subqueries that
@@ -117,6 +118,50 @@ object Relational3 {
       k = 3)
   }
 
+  /** Correlation / covariance / stddev from exact integer moments.  The
+    * built-in corr/stddev aggregates accumulate doubles (order-dependent
+    * low bits), so instead both engines compute the identical closed-form
+    * expression over exact long sums (every sum < 2^53, the final doubles
+    * go through the same IEEE ops => bit-identical). */
+  val aggStats: GraftQuery = {
+    def longSumSql(e: String) = s"CAST(sum($e) AS BIGINT)"
+    val xi = "CAST(round(l_quantity, 0) AS BIGINT)"
+    val yi = "CAST(round(l_extendedprice, 0) AS BIGINT)"
+    GraftQuery("q_agg_stats",
+      s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+         |  ${longSumSql(xi)} AS sx, ${longSumSql(yi)} AS sy,
+         |  ${longSumSql(s"$xi * $xi")} AS sxx,
+         |  ${longSumSql(s"$yi * $yi")} AS syy,
+         |  ${longSumSql(s"$xi * $yi")} AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS covar_qty_price,
+         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price,
+         |  sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_price
+         |FROM m""".stripMargin) { (spark, sfDir) =>
+      val x = round(col("l_quantity")).cast(LongType)
+      val y = round(col("l_extendedprice")).cast(LongType)
+      val m = lineitem(spark, sfDir).groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      val nD = col("n").cast(DoubleType)
+      val sxD = col("sx").cast(DoubleType); val syD = col("sy").cast(DoubleType)
+      val sxxD = col("sxx").cast(DoubleType); val syyD = col("syy").cast(DoubleType)
+      val sxyD = col("sxy").cast(DoubleType)
+      val cov = (nD * sxyD - sxD * syD) / (nD * (nD - 1.0))
+      val corr = (nD * sxyD - sxD * syD) /
+        (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD))
+      val sd = sqrt((nD * syyD - syD * syD) / (nD * (nD - 1.0)))
+      m.select(col("l_returnflag"), col("n"),
+        cov.as("covar_qty_price"), corr.as("corr_qty_price"), sd.as("stddev_price"))
+    }
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(aggCube, joinFullOuter, subqueries, sqlTpchQ5, sampleHash, topkCustomPlan)
+    Seq(aggCube, joinFullOuter, subqueries, sqlTpchQ5, sampleHash, topkCustomPlan,
+      aggStats)
 }
