@@ -133,7 +133,42 @@ object Relational2 {
         (percentile(cents, lit(0.90)) / 100.0).as("p90"))
   }
 
+  /** The reference's native input format: delimited text lines parsed
+    * positionally (HDFS TextInputFormat + String.split in the mapper).
+    * Round-trip: write "key|name|regionkey" lines, read with spark.read.text,
+    * split and cast — then aggregate for the oracle. */
+  val scanTextParse: GraftQuery = GraftQuery("q_scan_text_parse",
+    """SELECT n_regionkey, count(*) AS n,
+      |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+      |FROM nation GROUP BY n_regionkey""".stripMargin) { (spark, sfDir) =>
+    val path = tmpDir(sfDir, "text_nation")
+    nation(spark, sfDir)
+      .select(concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+      .write.mode("overwrite").text(path)
+    spark.read.text(path)
+      .select(split(col("value"), "\\|").as("f"))
+      .select(element_at(col("f"), 1).cast(IntegerType).as("n_nationkey"),
+        element_at(col("f"), 2).as("n_name"),
+        element_at(col("f"), 3).cast(IntegerType).as("n_regionkey"))
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).cast("long").as("key_sum"))
+  }
+
+  /** Explicit GROUPING SETS (the general form of rollup/cube). */
+  val aggGroupingSets: GraftQuery = GraftQuery("q_agg_grouping_sets",
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |       ${exactSumSql("l_quantity", 2)} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (spark, sfDir) =>
+    lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |       ${exactSumSql("l_quantity", 2)} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(scanJsonRoundtrip, aggPivot, aggMedian, aggStringAgg, windowDistribution,
-      windowNavigation, aggPercentiles)
+      windowNavigation, aggPercentiles, scanTextParse, aggGroupingSets)
 }

@@ -45,6 +45,30 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream NON-EQUI join — the reference's theta-join semantics on
+    * live streams: each purchase matched to clicks of the same user within
+    * the preceding hour.  Spark requires exactly this shape (equi key +
+    * event-time range condition + watermarks on both sides) to bound the
+    * join state; state for rows older than the range horizon is dropped.
+    * This is the streaming analog of the batch interval/as-of joins in
+    * graft.joins.NonEquiJoins. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val c = clicks
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   // ---- custom stateful sessionization (flatMapGroupsWithState) ----------
 
   final case class Ev(user_id: Long, ts_us: Long)

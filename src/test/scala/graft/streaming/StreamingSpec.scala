@@ -54,6 +54,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream non-equi join: purchases match prior-hour clicks only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[E]
+    val purchases = MemoryStream[E]
+    val q = purchaseClickJoin(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      clicks.addData(
+        E(10, ts(0), 1, "click"),    // 70 min before purchase -> out of range
+        E(11, ts(30), 1, "click"),   // 40 min before -> match
+        E(12, ts(80), 2, "click"))   // other user
+      purchases.addData(E(20, ts(70), 1, "purchase"))
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      clicks.addData(E(13, ts(300), 2, "click"))
+      purchases.addData(E(21, ts(300), 2, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(rows.contains((20L, 11L)), s"expected in-range match, got $rows")
+      assert(!rows.contains((20L, 10L)), "out-of-range click must not match")
+      assert(!rows.exists(_._2 == 12L), "cross-user click must not match")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window cuts") {
     import spark.implicits._
     val evs = Seq(
