@@ -28,7 +28,11 @@ object VectorMeanAgg extends Aggregator[Seq[Float], VecBuf, Seq[Double]] {
 
   override def reduce(b: VecBuf, v: Seq[Float]): VecBuf = {
     if (v == null) return b
-    val sums = if (b.sums.length == 0) new Array[Long](v.length) else b.sums
+    // Ragged inputs are legal: missing trailing components count as 0, so
+    // the buffer grows to the longest vector seen instead of overflowing.
+    val sums =
+      if (b.sums.length >= v.length) b.sums
+      else java.util.Arrays.copyOf(b.sums, v.length)
     var i = 0
     while (i < v.length) { sums(i) += rhalf(v(i).toDouble * 1e6); i += 1 }
     VecBuf(sums, b.n + 1)
@@ -37,9 +41,11 @@ object VectorMeanAgg extends Aggregator[Seq[Float], VecBuf, Seq[Double]] {
   override def merge(a: VecBuf, b: VecBuf): VecBuf = {
     if (a.sums.length == 0) return b
     if (b.sums.length == 0) return a
-    val out = new Array[Long](a.sums.length)
+    val (long, short) = if (a.sums.length >= b.sums.length) (a.sums, b.sums)
+                        else (b.sums, a.sums)
+    val out = java.util.Arrays.copyOf(long, long.length)
     var i = 0
-    while (i < out.length) { out(i) = a.sums(i) + b.sums(i); i += 1 }
+    while (i < short.length) { out(i) += short(i); i += 1 }
     VecBuf(out, a.n + b.n)
   }
 
@@ -53,24 +59,31 @@ object VectorMeanAgg extends Aggregator[Seq[Float], VecBuf, Seq[Double]] {
 
 object VectorMeanQuery {
   /** Per-label centroid of the embedding space via the UDAF; the oracle
-    * reproduces the scaled-integer mean with unnest + group-by-index. */
+    * reproduces the scaled-integer mean with unnest + group-by-index.
+    * The mean vector is posexploded to (label, n, i, comp) scalar rows so
+    * the driver's hash comparator (which cannot hash array cells) checks
+    * every component exactly; the double division sum/(n*1e6) is a single
+    * IEEE op, bit-identical across engines. */
   val udafVectorMean: GraftQuery = GraftQuery("q_udaf_vector_mean",
     """WITH x AS (SELECT label, unnest(embedding) AS v,
       |                  generate_subscripts(embedding, 1) AS i
       |           FROM embeddings),
-      |s AS (SELECT label, i,
+      |s AS (SELECT label, CAST(i AS BIGINT) AS i,
       |        CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT)
       |          / (count(*) * 1000000.0) AS comp
       |      FROM x GROUP BY label, i),
       |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
-      |SELECT s.label, n.n, list(s.comp ORDER BY s.i) AS mean_vec
-      |FROM s JOIN n ON s.label = n.label
-      |GROUP BY s.label, n.n""".stripMargin) { (spark, sfDir) =>
+      |SELECT s.label, n.n, s.i, s.comp
+      |FROM s JOIN n ON s.label = n.label""".stripMargin) { (spark, sfDir) =>
     val vecMean = udaf(VectorMeanAgg)
     embeddings(spark, sfDir)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), vecMean(col("embedding")).as("mean_vec"))
-      .select("label", "n", "mean_vec")
+      .select(col("label"), col("n"),
+        posexplode(col("mean_vec")).as(Seq("i", "comp")))
+      .select(col("label"), col("n"),
+        (col("i") + 1).cast(org.apache.spark.sql.types.LongType).as("i"),
+        col("comp"))
   }
 
   val all: Seq[GraftQuery] = Seq(udafVectorMean)

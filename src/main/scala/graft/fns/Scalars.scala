@@ -77,12 +77,15 @@ object Scalars {
   }
 
   /** Array ops over the embedding column; reductions use the scaled-integer
-    * dot (exact in both engines — see [[Exact]]). */
+    * dot (exact in both engines — see [[Exact]]).  Array-valued results are
+    * serialized to CSV strings (`concat_ws` / `array_to_string`) so the
+    * driver's hash comparator — which cannot hash ndarray cells — checks
+    * them end to end. */
   val scalarArray: GraftQuery = GraftQuery("q_scalar_array",
     """SELECT vec_id,
       |  CAST(len(embedding) AS BIGINT) AS dim,
-      |  list_transform(embedding[1:4], x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS head4,
-      |  list_sort(list_transform(embedding[1:4], x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))) AS head4_sorted,
+      |  array_to_string(list_transform(embedding[1:4], x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)), ',') AS head4_csv,
+      |  array_to_string(list_sort(list_transform(embedding[1:4], x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))), ',') AS head4_sorted_csv,
       |  list_max(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))) AS max_mill,
       |  list_dot_product(
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)),
@@ -96,10 +99,10 @@ object Scalars {
     embeddings(spark, sfDir).select(
       col("vec_id"),
       size(col("embedding")).cast(LongType).as("dim"),
-      transform(slice(col("embedding"), 1, 4),
-        x => round(x.cast(DoubleType) * 1000).cast(LongType)).as("head4"),
-      sort_array(transform(slice(col("embedding"), 1, 4),
-        x => round(x.cast(DoubleType) * 1000).cast(LongType))).as("head4_sorted"),
+      concat_ws(",", transform(slice(col("embedding"), 1, 4),
+        x => round(x.cast(DoubleType) * 1000).cast(LongType))).as("head4_csv"),
+      concat_ws(",", sort_array(transform(slice(col("embedding"), 1, 4),
+        x => round(x.cast(DoubleType) * 1000).cast(LongType)))).as("head4_sorted_csv"),
       array_max(mill).as("max_mill"),
       (dot.cast(DoubleType) / lit(1000000000000.0)).as("norm2"))
   }

@@ -67,9 +67,17 @@ object NonEquiJoins {
       strict: Boolean = false): DataFrame = {
     // Time-style keys (e.g. user_id) are usually coarse, so the bucket is
     // kept even alongside equi keys — it prunes within each key group.
+    // Buckets use exact long floor-division: subtracting pmod makes the
+    // numerator an exact multiple of eps, so integral `div` equals the floor
+    // quotient.  A double quotient would mis-bucket values above 2^53 by
+    // more than the ±1 replication and silently drop qualifying pairs.
+    def bucketOf(c: Column): Column = {
+      val l = c.cast(LongType)
+      call_function("div", l - pmod(l, lit(eps)), lit(eps))
+    }
     val lb = left.withColumn("__gb",
-      explode(array((-1 to 1).map(d => floor(col(lVal).cast("double") / eps).cast(LongType) + d): _*)))
-    val rb = right.withColumn("__gb", floor(col(rVal).cast("double") / eps).cast(LongType))
+      explode(array((-1 to 1).map(d => bucketOf(col(lVal)) + d): _*)))
+    val rb = right.withColumn("__gb", bucketOf(col(rVal)))
     val keyCond = extraKeys.map { case (a, b) => lb(a) === rb(b) }
       .foldLeft(lb("__gb") === rb("__gb"))(_ && _)
     val diff = abs(col(lVal) - col(rVal))

@@ -28,6 +28,7 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 case class TopKPerGroupNode(
     group: Seq[Expression], order: Seq[SortOrder], k: Int, child: LogicalPlan)
     extends UnaryNode {
+  require(k >= 1, s"k must be >= 1, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
@@ -91,10 +92,15 @@ object TopKPerGroup {
     * minus the sort. */
   def apply(df: DataFrame, groupCols: Seq[String],
       order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession.asInstanceOf[SparkSession]
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // extraStrategies is session-global mutable state; synchronize the
+    // check-then-append so concurrent callers can't drop each other's entry.
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+    }
     val plan = df.queryExecution.analyzed
     def attr(n: String): Attribute = plan.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(

@@ -78,31 +78,70 @@ object EventStreams {
 
   private val GAP_US = 1800000000L // 30 min
 
-  /** Per-key custom state machine: emits a session when a gap >= 30 min is
-    * observed or the group times out.  The escalation path for session
-    * semantics `session_window` can't express (e.g. dynamic gaps). */
-  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+  /** BATCH-DEMO ONLY: sorts each whole group and cuts at gaps, assuming
+    * every event of the group is present in one invocation.  On a real
+    * multi-batch stream this would split and double-emit sessions spanning
+    * batch boundaries — use [[sessionize]] for streams. */
+  def sessionizeBatch(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
-          // batch-demo variant: sort the group, cut at gaps (in production
-          // the iterator arrives per micro-batch and state carries the open
-          // session across batches)
-          val ts = evs.map(_.ts_us).toSeq.sorted
-          if (ts.isEmpty) Iterator.empty
-          else {
-            val sessions = ts.tail.foldLeft(List(SessionState(ts.head, ts.head, 1))) {
-              case (cur :: done, t) =>
-                if (t - cur.last >= GAP_US) SessionState(t, t, 1) :: cur :: done
-                else cur.copy(last = t, n = cur.n + 1) :: done
-              case (Nil, _) => Nil // unreachable
-            }
+      .flatMapGroups { (uid: Long, evs: Iterator[Ev]) =>
+        val ts = evs.map(_.ts_us).toSeq.sorted
+        if (ts.isEmpty) Iterator.empty
+        else {
+          val sessions = ts.tail.foldLeft(List(SessionState(ts.head, ts.head, 1))) {
+            case (cur :: done, t) =>
+              if (t - cur.last >= GAP_US) SessionState(t, t, 1) :: cur :: done
+              else cur.copy(last = t, n = cur.n + 1) :: done
+            case (Nil, _) => Nil // unreachable
+          }
+          sessions.reverseIterator.map(s =>
+            SessionOut(uid, s.start, s.last + GAP_US, s.n))
+        }
+      }
+  }
+
+  final case class SEv(user_id: Long, ts: java.sql.Timestamp)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Cross-batch stateful sessionizer (the escalation path for semantics
+    * `session_window` can't express, e.g. dynamic gaps).  GroupState carries
+    * the OPEN session across micro-batches: a session is emitted only when a
+    * later event reveals a >= 30 min gap, or when the event-time timeout
+    * fires (watermark passed last+gap), so sessions spanning batch
+    * boundaries are neither split nor double-emitted.  State per key is one
+    * session struct, dropped on timeout — O(active users), not O(stream).
+    */
+  def sessionize(events: Dataset[SEv]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SEv], state: GroupState[SessionState]) =>
+          def close(s: SessionState) = SessionOut(uid, s.start, s.last + GAP_US, s.n)
+          if (!evs.hasNext) {
+            // event-time timeout: watermark passed last+gap — open session is final
+            val out = state.getOption.map(close).iterator
             state.remove()
-            sessions.reverseIterator.map(s =>
-              SessionOut(uid, s.start, s.last + GAP_US, s.n))
+            out
+          } else {
+            val ts = evs.map(e => micros(e.ts)).toArray
+            java.util.Arrays.sort(ts)
+            val closed = List.newBuilder[SessionOut]
+            var open = state.getOption.orNull
+            ts.foreach { t =>
+              if (open == null) open = SessionState(t, t, 1)
+              else if (t - open.last >= GAP_US) { closed += close(open); open = SessionState(t, t, 1) }
+              else open = SessionState(math.min(open.start, t), math.max(open.last, t), open.n + 1)
+            }
+            state.update(open)
+            state.setTimeoutTimestamp((open.last + GAP_US) / 1000L) // µs -> ms
+            closed.result().iterator
           }
       }
   }

@@ -82,6 +82,19 @@ class NonEquiJoinsSpec extends AnyFunSuite {
     assertSameRows(fast, naive)
   }
 
+  test("bandJoinLong exact buckets above 2^53 (double quotient would mis-bucket)") {
+    // offsets near 2^62: double arithmetic has 512-ulp granularity here, so
+    // a cast-to-double bucket would shift by more than the ±1 replication
+    val base = 1L << 62
+    val vals = Seq(0L, 1L, 999L, 1000L, 1001L, 123456L, 123457L, -999L, -1000L, -1001L)
+      .zipWithIndex.map { case (d, i) => (i.toLong, base + d) }
+    val a = vals.toDF("ida", "va")
+    val b = vals.toDF("idb", "vb")
+    val fast = bandJoinLong(a, b, "va", "vb", 1000L)
+    val naive = a.crossJoin(b).filter(abs($"va" - $"vb") <= 1000L)
+    assertSameRows(fast, naive)
+  }
+
   test("intervalOverlapJoin == naive overlap predicate") {
     val r = new scala.util.Random(7)
     val ev = (1 to 300).map(i => (i.toLong, i.toLong % 5, r.nextInt(100000).toLong))

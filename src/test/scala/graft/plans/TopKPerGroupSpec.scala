@@ -32,6 +32,12 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("k <= 0 is rejected up front") {
+    intercept[IllegalArgumentException] {
+      TopKPerGroup(orders, Seq("o_custkey"), Seq("o_orderkey" -> true), 0)
+    }
+  }
+
   test("k larger than any group returns everything") {
     val got = TopKPerGroup(orders, Seq("o_custkey"),
       Seq("o_orderkey" -> true), 100000).count()

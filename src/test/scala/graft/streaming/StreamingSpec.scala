@@ -80,15 +80,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("flatMapGroupsWithState sessionizer matches session_window cuts") {
+  test("batch sessionizer matches session_window cuts") {
     import spark.implicits._
     val evs = Seq(
       Ev(1, 0L), Ev(1, 60L * 1000000), Ev(1, 3600L * 1000000), // gap 59 min => new session
       Ev(2, 0L)).toDS()
-    val out = sessionize(evs).collect().toSet
+    val out = sessionizeBatch(evs).collect().toSet
     assert(out == Set(
       SessionOut(1, 0L, 60L * 1000000 + 1800000000L, 2),
       SessionOut(1, 3600L * 1000000, 3600L * 1000000 + 1800000000L, 1),
       SessionOut(2, 0L, 1800000000L, 1)))
+  }
+
+  test("streaming sessionizer: session spanning batches emits once, open session closes on timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    val q = sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    val base = 1440L // start a day after epoch so nothing sits at watermark 0
+    def us(min: Long): Long = (base + min) * 60000000L
+    try {
+      // batch 1: two events 10 min apart (one open session)
+      mem.addData(SEv(1, ts(base + 0)), SEv(1, ts(base + 10)))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0, "open session must not emit yet")
+      // batch 2: +20 min — still the SAME session (gap < 30 min across batches)
+      mem.addData(SEv(1, ts(base + 30)))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0, "session spanning batches must not split")
+      // batch 3: event far in the future -> in-stream gap closes user 1's session
+      mem.addData(SEv(1, ts(base + 600)))
+      q.processAllAvailable()
+      val afterGap = spark.table("sess").as[SessionOut].collect().toSet
+      assert(afterGap == Set(SessionOut(1, us(0), us(30) + 1800000000L, 3)),
+        s"expected the merged 3-event session once, got $afterGap")
+      // batch 4: advance watermark (other user) far enough that user 1's
+      // open session at ts(600) times out and flushes
+      mem.addData(SEv(2, ts(base + 2000)))
+      q.processAllAvailable()
+      mem.addData(SEv(2, ts(base + 2001)))
+      q.processAllAvailable()
+      val finals = spark.table("sess").as[SessionOut].collect().toSet
+      assert(finals.contains(SessionOut(1, us(600), us(600) + 1800000000L, 1)),
+        s"open session must flush on event-time timeout, got $finals")
+      assert(finals.count(_.user_id == 1) == 2, s"no double-emission, got $finals")
+    } finally q.stop()
   }
 }
