@@ -10,10 +10,12 @@ object Queries {
     rel.Relational.all ++
       rel.Relational2.all ++
       rel.Relational3.all ++
+      rel.Relational4.all ++
       fns.Scalars.all ++
       time.EventWindows.all ++
       agg.VectorMeanQuery.all ++
       llm.Dedup.all ++
+      llm.DedupCluster.all ++
       llm.Similarity.all ++
       llm.TextStats.all ++
       llm.Pipeline.all ++

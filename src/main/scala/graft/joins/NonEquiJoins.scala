@@ -123,6 +123,38 @@ object NonEquiJoins {
       extraKeys: Seq[(String, String)] = Nil): DataFrame =
     bandJoinLong(left, right, lStart, rStart, len, extraKeys, strict = true)
 
+  /** Point-in-interval join with VARIABLE-length intervals: each point row
+    * (pCol) matches interval rows with startCol <= p < endCol, under extra
+    * equi keys.
+    *
+    * Rewrite: intervals are replicated across every fixed-width bucket they
+    * span (`sequence` over exact long floor-div bucket ids); points keep
+    * their single bucket; equi join on (bucket, keys); exact predicate
+    * re-applied.  Replication is O(len / bucketWidth) per interval — pick
+    * bucketWidth near the median interval length so replication stays a
+    * small constant while each point probes exactly one bucket.  This is
+    * the general form of the fixed-length interval overlap join (which
+    * reduces to a band).
+    */
+  def pointInIntervalJoin(
+      points: DataFrame, intervals: DataFrame,
+      pCol: String, startCol: String, endCol: String,
+      bucketWidth: Long,
+      extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+    def bucketOf(c: Column): Column = {
+      val l = c.cast(LongType)
+      call_function("div", l - pmod(l, lit(bucketWidth)), lit(bucketWidth))
+    }
+    val ib = intervals.withColumn("__pb",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    val pb = points.withColumn("__pb", bucketOf(col(pCol)))
+    val keyCond = extraKeys.map { case (a, b) => pb(a) === ib(b) }
+      .foldLeft(pb("__pb") === ib("__pb"))(_ && _)
+    pb.join(ib, keyCond)
+      .filter(col(pCol) >= col(startCol) && col(pCol) < col(endCol))
+      .drop("__pb")
+  }
+
   /** As-of join: for each left row, the single latest right row with
     * right(ts) strictly before left(ts), per key.
     *

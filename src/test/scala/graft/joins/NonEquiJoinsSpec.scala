@@ -108,6 +108,24 @@ class NonEquiJoinsSpec extends AnyFunSuite {
     assertSameRows(fast, naive)
   }
 
+  test("pointInIntervalJoin == naive, variable lengths spanning many buckets") {
+    val r = new scala.util.Random(21)
+    // interval lengths 0..20000 vs bucketWidth 1000: spans up to 20 buckets;
+    // include zero-length and boundary-aligned intervals
+    val iv = (1 to 200).map { i =>
+      val s = r.nextInt(100000).toLong
+      val len = if (i % 7 == 0) 0L else (r.nextInt(20) * 1000 + r.nextInt(3) - 1).toLong.max(0L)
+      (i.toLong, i.toLong % 4, s, s + len)
+    }.toDF("ivid", "ki", "s", "e")
+    val pt = (1 to 300).map(i =>
+      (i.toLong, i.toLong % 4, (r.nextInt(110) * 1000 + r.nextInt(3) - 1).toLong))
+      .toDF("pid", "kp", "p")
+    val fast = pointInIntervalJoin(pt, iv, "p", "s", "e",
+      bucketWidth = 1000L, extraKeys = Seq("kp" -> "ki"))
+    val naive = pt.join(iv, $"kp" === $"ki" && $"p" >= $"s" && $"p" < $"e")
+    assertSameRows(fast, naive)
+  }
+
   test("asofJoin == naive window formulation (ties broken by max id)") {
     val r = new scala.util.Random(13)
     // duplicate timestamps on purpose: tie-break must be deterministic

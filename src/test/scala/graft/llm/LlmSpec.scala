@@ -66,6 +66,22 @@ class LlmSpec extends AnyFunSuite {
     assert(m.values.forall(j => j >= 0.0 && j <= 1.0))
   }
 
+  test("dedup clustering: components are consistent, transitive, min-labeled") {
+    val out = Queries.queries("q_llm_dedup_cluster")(spark, plantedDir).collect()
+    val comp = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    // planted chain: 100=101 exact, 102~103 near — each pair must share a
+    // component labeled by its min doc_id
+    assert(comp.get(100L).contains(100L) && comp.get(101L).contains(100L))
+    assert(comp.get(102L).contains(102L) && comp.get(103L).contains(102L))
+    // labels are closed: every component label is itself a member with that label
+    comp.values.toSet.foreach { c: Long => assert(comp(c) == c, s"label $c not closed") }
+    // csize agrees with the actual member count
+    val sizes = out.map(r => r.getAs[Long]("component") -> r.getAs[Long]("csize")).toMap
+    sizes.foreach { case (c, n) =>
+      assert(comp.values.count(_ == c).toLong == n, s"component $c size mismatch")
+    }
+  }
+
   test("similarity top-k: ranks are 1..5, no self-matches, sims descend") {
     val out = Queries.queries("q_llm_similarity_topk")(spark, TestSpark.sf)
       .select("qid", "nid", "rn", "sim").as[(Long, Long, Long, Double)].collect()
