@@ -51,12 +51,10 @@ object Dedup {
        |WHERE common / (x.n + y.n - common) >= $NGRAM_TAU""".stripMargin) { (spark, sfDir) =>
     // The inverted index carries 60-bit shingle hashes, not strings: ~3x
     // less shuffle volume through the sum(df^2)-sized join (collisions at
-    // 2^-60 are immaterial and the oracle hashes identically).
-    val t = documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
-    val sh = t.filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(shingles(col("t"))).as("s0"))
-      .select(col("doc_id"), md5Long(col("s0")).as("s"))
-      .localCheckpoint() // referenced three times (sz + both join sides)
+    // 2^-60 are immaterial and the oracle hashes identically).  The shingle
+    // table is the session-staged one shared with MinHash + clustering.
+    val sh = hashedShingles(spark, sfDir)
+      .select(col("doc_id"), col("h").as("s"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.select(col("doc_id").as("ia"), col("s"))
       .join(sh.select(col("doc_id").as("ib"), col("s").as("s2")),
@@ -107,8 +105,8 @@ object Dedup {
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |shing AS (SELECT doc_id, unnest($shinglesSql) AS s
          |          FROM toks WHERE len(t) >= 3),
-         |sh AS (SELECT doc_id, s, $baseSql AS hb FROM shing),
-         |sig AS (SELECT doc_id, $minsSql, list(s) AS sh FROM sh GROUP BY doc_id),
+         |sh AS (SELECT doc_id, ${md5LongSql("s")} AS hs, $baseSql AS hb FROM shing),
+         |sig AS (SELECT doc_id, $minsSql, list(hs) AS sh FROM sh GROUP BY doc_id),
          |bands AS (SELECT doc_id, sh, b, CASE b $bandCases END AS bs
          |          FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) tb(b)),
          |cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
@@ -125,16 +123,18 @@ object Dedup {
       // Shape note: explode + ONE hash aggregate (min x16 + collect_list in
       // the same groupBy) keeps everything in WholeStageCodegen (array
       // lambdas would be interpreted), and ONE md5 per shingle feeds the
-      // whole affine hash family.
-      val t = documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
-      val sh = t.filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(shingles(col("t"))).as("s"))
-        .withColumn("hb", pmod(md5Long(col("s")), lit(P)))
+      // whole affine hash family.  Shingles come from the session-staged
+      // shared table.
+      val sh = hashedShingles(spark, sfDir)
+        .select(col("doc_id"), col("h").as("hs"), pmod(col("h"), lit(P)).as("hb"))
+      // The Jaccard-verify arrays carry the 60-bit shingle hashes, not the
+      // raw strings: ~3x less signature shuffle and long-array intersects
+      // (collisions at 2^-60 are immaterial; the oracle hashes identically).
       val sig = sh.groupBy("doc_id")
         .agg(min(pmod(col("hb") * hashA(0) + hashB(0), lit(P))).as("m0"),
           (1 until K).map(j =>
             min(pmod(col("hb") * hashA(j) + hashB(j), lit(P))).as(s"m$j")) :+
-            collect_list(col("s")).as("sh"): _*)
+            collect_list(col("hs")).as("sh"): _*)
         // the band self-join references this subplan twice; materialize it
         // once (cluster analog: persist the signature table)
         .localCheckpoint()
@@ -257,9 +257,10 @@ object Dedup {
        |       list_dot_product(a.qv, b.qv) / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim
        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE list_dot_product(a.qv, b.qv) / (sqrt(a.nrm) * sqrt(b.nrm)) >= $EMB_TAU""".stripMargin) { (spark, sfDir) =>
-    val qv = transform(slice(col("embedding"), 1, PREFIX),
-      x => round(x.cast(DoubleType) * 1000000).cast(LongType))
-    val base = embeddings(spark, sfDir).select(col("vec_id"), col("label"), qv.as("qv"))
+    // prefix-16 sketch = slice of the session-staged full quantized base
+    // (per-component quantization commutes with slicing)
+    val base = Similarity.quantized(spark, sfDir)
+      .select(col("vec_id"), col("label"), slice(col("qv"), 1, PREFIX).as("qv"))
       .withColumn("nrm", vecDot(spark, col("qv"), col("qv")).cast(DoubleType))
     val a = base.select(col("vec_id").as("ia"), col("label"),
       col("qv").as("qa"), col("nrm").as("na"))

@@ -54,11 +54,8 @@ object DedupCluster {
        |FROM comp c JOIN (SELECT component, count(*) AS csize
        |                  FROM comp GROUP BY 1) s
        |  ON c.component = s.component""".stripMargin) { (spark, sfDir) =>
-    val t = documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
-    val sh = t.filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(shingles(col("t"))).as("s0"))
-      .select(col("doc_id"), md5Long(col("s0")).as("s"))
-      .localCheckpoint() // three consumers (sz + both join sides)
+    val sh = hashedShingles(spark, sfDir) // session-staged, shared with q_llm_dedup_{ngram,near}
+      .select(col("doc_id"), col("h").as("s"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val jacc = col("common") / (col("na") + col("nb") - col("common"))
     val pairs = sh.select(col("doc_id").as("ia"), col("s"))
@@ -70,29 +67,68 @@ object DedupCluster {
       .filter(jacc >= TAU)
       .select("ia", "ib")
       .localCheckpoint()
-    val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
-      .unionByName(pairs.select(col("ib").as("a"), col("ia").as("b")))
-      .localCheckpoint() // reused every propagation round
-    var comp = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges
-        .join(comp.select(col("id").as("nid"), col("comp").as("ncomp")),
-          col("b") === col("nid"))
-        .groupBy(col("a")).agg(min(col("ncomp")).as("nc"))
-      val next = comp.join(nbrMin, col("id") === col("a"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      changed = next.select(col("id").as("id2"), col("comp").as("comp2"))
-        .join(comp, col("id2") === col("id"))
-        .filter(col("comp2") =!= col("comp")).count()
-      comp = next
-    }
+    val comp = connectedComponents(pairs)
     val sizes = comp.groupBy(col("comp").as("component")).agg(count(lit(1)).as("csize"))
     comp.select(col("id").as("doc_id"), col("comp").as("component"))
       .join(sizes, "component")
       .select("doc_id", "component", "csize")
+  }
+
+  /** Edges already materialized -> above this size stay distributed. */
+  private val DRIVER_CC_MAX_EDGES = 1000000L
+
+  /** Connected components of an undirected pair list (ia, ib) -> (id, comp)
+    * with comp = min doc_id of the component.
+    *
+    * Hybrid: the pair list is the output of candidate generation and is
+    * normally orders of magnitude smaller than the corpus; when it fits the
+    * driver (<= [[DRIVER_CC_MAX_EDGES]]) a local union-find collapses it in
+    * one pass — no per-round Spark jobs.  Larger graphs take the
+    * distributed min-label-propagation loop (<= diameter rounds, one
+    * shuffle per round).  Both paths produce identical labels. */
+  private[llm] def connectedComponents(
+      pairs: org.apache.spark.sql.DataFrame,
+      maxDriverEdges: Long = DRIVER_CC_MAX_EDGES): org.apache.spark.sql.DataFrame = {
+    val spark = pairs.sparkSession
+    if (pairs.count() <= maxDriverEdges) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      import spark.implicits._
+      parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "comp")
+    } else {
+      val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
+        .unionByName(pairs.select(col("ib").as("a"), col("ia").as("b")))
+        .localCheckpoint() // reused every propagation round
+      var comp = edges.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = edges
+          .join(comp.select(col("id").as("nid"), col("comp").as("ncomp")),
+            col("b") === col("nid"))
+          .groupBy(col("a")).agg(min(col("ncomp")).as("nc"))
+        val next = comp.join(nbrMin, col("id") === col("a"), "left")
+          .select(col("id"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+          .localCheckpoint()
+        changed = next.select(col("id").as("id2"), col("comp").as("comp2"))
+          .join(comp, col("id2") === col("id"))
+          .filter(col("comp2") =!= col("comp")).count()
+        comp = next
+      }
+      comp
+    }
   }
 
   val all: Seq[GraftQuery] = Seq(dedupCluster)

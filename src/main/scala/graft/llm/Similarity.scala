@@ -25,12 +25,15 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  private def quantized(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
-    val qv = transform(col("embedding"), x => round(x.cast(DoubleType) * 1000000).cast(LongType))
-    val base = embeddings(spark, sfDir).select(col("vec_id"), col("label"), qv.as("qv"))
-    base.withColumn("nrm", vecDot(base.sparkSession, col("qv"), col("qv")).cast(DoubleType))
-      .localCheckpoint() // every consumer self-joins or re-reads this base
-  }
+  /** Quantized embedding base (vec_id, label, qv, nrm) — materialized once
+    * per session via [[graft.io.Staged]] and shared by every similarity /
+    * ANN / embedding-dedup consumer (each self-joins or re-reads it). */
+  private[llm] def quantized(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    graft.io.Staged(spark, s"quantized|$sfDir") {
+      val qv = transform(col("embedding"), x => round(x.cast(DoubleType) * 1000000).cast(LongType))
+      val base = embeddings(spark, sfDir).select(col("vec_id"), col("label"), qv.as("qv"))
+      base.withColumn("nrm", vecDot(base.sparkSession, col("qv"), col("qv")).cast(DoubleType))
+    }
 
   /** Exact cosine top-5 for query vectors vec_id < 10 over the full corpus. */
   val similarityTopk: GraftQuery = GraftQuery("q_llm_similarity_topk",
@@ -67,28 +70,32 @@ object Similarity {
     * At 100 TB the trainer runs on a sample; assignment stays a broadcast
     * join of k centroids against the full corpus — one map-side pass. */
   private def kmeans(base: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val spark = base.sparkSession
+    // All dots via the codegen'd NumVecDot — the zip_with/aggregate lambda
+    // formulation is interpreted and was the trainer's dominant cost.
     def toCent(assigned: DataFrame): DataFrame = assigned
       .select(col("cell"), posexplode(col("qv")).as(Seq("i", "v")))
       .groupBy("cell", "i").agg((sum(col("v")) / count(lit(1))).as("c"))
       .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
       .select(col("cell"), transform(col("ic"), s => s.getField("c")).as("cv"))
-      .withColumn("cnrm",
-        aggregate(zip_with(col("cv"), col("cv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+      .withColumn("cnrm", graft.fns.VecExpressions.numVecDot(spark, col("cv"), col("cv")))
     def assign(cent: DataFrame): DataFrame = {
-      val qdot = aggregate(zip_with(col("qv"), col("cv"), (x, y) => x.cast(DoubleType) * y),
-        lit(0.0), (acc, x) => acc + x)
-      val rankW = Window.partitionBy(col("vec_id"))
-        .orderBy((qdot / (sqrt(col("nrm")) * sqrt(col("cnrm")))).desc, col("cell"))
+      val qdot = graft.fns.VecExpressions.numVecDot(spark, col("qv"), col("cv"))
+      // argmax-by-cosine via one aggregate (map-side combining) instead of a
+      // row_number window: max of (cos, -cell) breaks ties toward the lower
+      // cell id, matching the previous ORDER BY cos DESC, cell ASC.
       base.crossJoin(broadcast(cent))
-        .withColumn("cr", row_number().over(rankW))
-        .filter(col("cr") === 1)
-        .select(col("vec_id"), col("qv"), col("cell"))
+        .withColumn("cos", qdot / (sqrt(col("nrm")) * sqrt(col("cnrm"))))
+        .groupBy(col("vec_id"))
+        .agg(first(col("qv")).as("qv"),
+          max(struct(col("cos"), (-col("cell")).as("negcell"))).as("best"))
+        .select(col("vec_id"), col("qv"), (-col("best.negcell")).as("cell"))
     }
     var cent = base.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cell"),
         transform(col("qv"), x => x.cast(DoubleType)).as("cv"))
-      .withColumn("cnrm",
-        aggregate(zip_with(col("cv"), col("cv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+    cent = cent.withColumn("cnrm",
+      graft.fns.VecExpressions.numVecDot(spark, col("cv"), col("cv")))
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
       assigned = assign(cent).localCheckpoint(eager = true)
@@ -110,8 +117,7 @@ object Similarity {
       col("vec_id") === col("vid2")).drop("vid2")
     val queries = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
-    val qdot = aggregate(zip_with(col("qq"), col("cv"), (x, y) => x.cast(DoubleType) * y),
-      lit(0.0), (acc, x) => acc + x)
+    val qdot = graft.fns.VecExpressions.numVecDot(spark, col("qq"), col("cv"))
     val cellRank = Window.partitionBy(col("qid"))
       .orderBy((qdot / (sqrt(col("qn")) * sqrt(col("cnrm")))).desc, col("cell"))
     val probed = queries.crossJoin(broadcast(cent))

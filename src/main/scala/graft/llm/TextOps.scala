@@ -1,7 +1,8 @@
 package graft.llm
 
 import graft.fns.Exact
-import org.apache.spark.sql.Column
+import graft.io.{Staged, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Shared text primitives for the LLM-pipeline operators, each with its
@@ -28,4 +29,19 @@ object TextOps {
     Exact.md5Long(concat(lit(s"$seed|"), s))
   def seededHashSql(seed: Int, expr: String): String =
     Exact.md5LongSql(s"'$seed|' || ($expr)")
+
+  /** The exploded hashed-shingle index — (doc_id, h: md5Long(shingle)) for
+    * every doc with >= 3 tokens — materialized once per session and shared
+    * by the ngram / MinHash / clustering dedup queries (each would
+    * otherwise re-tokenize, re-shingle and re-hash the whole corpus).
+    * Only the 60-bit hash is kept: every consumer pipeline is hash-based,
+    * and dropping the strings roughly halves the materialized size. */
+  def hashedShingles(spark: SparkSession, sfDir: String): DataFrame =
+    Staged(spark, s"shingles|$sfDir") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(shingles(col("t"))).as("sr"))
+        .select(col("doc_id"), Exact.md5Long(col("sr")).as("h"))
+    }
 }

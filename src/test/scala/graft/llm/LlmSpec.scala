@@ -82,6 +82,22 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: driver union-find == distributed propagation") {
+    // random graph incl. chains (transitivity across many hops) and isolates
+    val r = new scala.util.Random(3)
+    val chain = (0 until 30).map(i => (1000L + i, 1001L + i)) // 31-node path
+    val rand = (1 to 120).map(_ => (r.nextInt(80).toLong, r.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val pairs = (chain ++ rand).toDF("ia", "ib")
+    val local = DedupCluster.connectedComponents(pairs, maxDriverEdges = Long.MaxValue)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val dist = DedupCluster.connectedComponents(pairs, maxDriverEdges = -1L)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(local == dist, "hybrid paths must label identically")
+    assert(local(1030L) == 1000L, "30-hop chain must collapse to its min id")
+  }
+
   test("similarity top-k: ranks are 1..5, no self-matches, sims descend") {
     val out = Queries.queries("q_llm_similarity_topk")(spark, TestSpark.sf)
       .select("qid", "nid", "rn", "sim").as[(Long, Long, Long, Double)].collect()
