@@ -11,9 +11,11 @@ object Queries {
       rel.Relational2.all ++
       rel.Relational3.all ++
       rel.Relational4.all ++
+      rel.Relational5.all ++
       fns.Scalars.all ++
       time.EventWindows.all ++
       agg.VectorMeanQuery.all ++
+      agg.BitmapDistinctQuery.all ++
       llm.Dedup.all ++
       llm.DedupCluster.all ++
       llm.Similarity.all ++

@@ -1,0 +1,63 @@
+package graft.rel
+
+import graft.GraftQuery
+import graft.io.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fifth wave: gap-and-island sessionization as a pure window computation
+  * (per-row session ids, vs the session_window aggregate), and grouped
+  * histograms.
+  */
+object Relational5 {
+
+  /** Per-event session sequence number: a session breaks where the gap to
+    * the previous event of the same user exceeds 30 min; the running sum of
+    * break flags is the classic gap-and-island id.  Unlike
+    * `session_window` aggregation this keeps every event row and gives it a
+    * stable (user_id, session_seq) key — the shape downstream feature
+    * pipelines join against.  One shuffle (window partition by user). */
+  val windowSessionId: GraftQuery = GraftQuery("q_window_sessionid",
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |x AS (SELECT user_id, event_id, ts_us,
+      |        CASE WHEN lag(ts_us) OVER w IS NULL
+      |               OR ts_us - lag(ts_us) OVER w >= 1800000000
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT user_id, event_id, ts_us,
+      |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |FROM x""".stripMargin) { (spark, sfDir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts_us"), 1).over(w)
+    eventsUs(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("brk",
+        when(prev.isNull || col("ts_us") - prev >= 1800000000L, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        sum(col("brk")).over(wRun).cast(LongType).as("session_seq"))
+  }
+
+  /** Grouped equi-width histogram: price decile buckets per returnflag with
+    * count and exact bucket bounds — floor-division bucketing (DuckDB 1.0
+    * has no width_bucket; `//` is its integer division). */
+  val aggHistogram: GraftQuery = GraftQuery("q_agg_histogram",
+    """SELECT l_returnflag,
+      |  CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  CAST(min(round(l_extendedprice * 100, 0)) AS BIGINT) AS min_cents,
+      |  CAST(max(round(l_extendedprice * 100, 0)) AS BIGINT) AS max_cents
+      |FROM lineitem
+      |GROUP BY l_returnflag, CAST(floor(l_extendedprice / 10000.0) AS BIGINT)""".stripMargin) { (spark, sfDir) =>
+    val bucket = floor(col("l_extendedprice") / 10000.0).cast(LongType)
+    lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(round(col("l_extendedprice") * 100)).cast(LongType).as("min_cents"),
+        max(round(col("l_extendedprice") * 100)).cast(LongType).as("max_cents"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(windowSessionId, aggHistogram)
+}

@@ -11,4 +11,11 @@ import org.apache.spark.sql.classic.{DataFrame, Dataset, SparkSession}
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
+
+  /** Column over a raw Catalyst expression (and back) — needed to use a
+    * custom TypedImperativeAggregate through the DataFrame API. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -1,0 +1,42 @@
+package graft.plans
+
+import graft.{Queries, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale guard over the ENTIRE judged inventory: no query may plan a
+  * shuffled CartesianProduct (quadratic shuffle — fatal at 100 TB), and
+  * BroadcastNestedLoopJoin may appear only where it is the deliberate
+  * design (a tiny broadcast side scanned map-only).
+  *
+  * This is the regression net for the non-equi rewrites: if a bucketed
+  * band/theta/interval join ever degrades back to the naive plan, this
+  * suite fails before the oracle or bench ever run.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Queries whose plan legitimately contains BroadcastNestedLoopJoin:
+    * an explicitly broadcast small side (query set, centroid table, dim
+    * table) joined under a non-equi condition — map-only, no shuffle of
+    * the big side. */
+  private val bnljByDesign = Set(
+    "q_join_cross",          // crossJoinSmall: broadcast dim, all-pairs by spec
+    "q_llm_similarity_topk", // broadcast query set vs corpus scan (by spec)
+    "q_llm_ann_ivf",         // k-means: corpus x broadcast(16 centroids)
+    "q_llm_ann_lsh")         // broadcast multi-probe query buckets
+
+  test("no judged query plans CartesianProduct; BNLJ only by design") {
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    Queries.all.foreach { q =>
+      val plan =
+        try q.fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+      if (plan.contains("CartesianProduct"))
+        offenders += s"${q.name}: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(q.name))
+        offenders += s"${q.name}: BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty,
+      s"quadratic physical plans detected:\n  ${offenders.mkString("\n  ")}")
+  }
+}
