@@ -123,6 +123,38 @@ object NonEquiJoins {
       extraKeys: Seq[(String, String)] = Nil): DataFrame =
     bandJoinLong(left, right, lStart, rStart, len, extraKeys, strict = true)
 
+  /** Inequality join with DATA-DRIVEN bucket boundaries — the skew-proof
+    * form of [[lessThanJoin]] and the full Spark analog of M-Bucket-I's
+    * statistics-driven candidate cells [OR11 §5]: boundaries come from
+    * `approxQuantile` over the union of both value distributions, so every
+    * bucket holds ~|data|/buckets rows no matter how skewed the values
+    * (uniform [lo,hi] cells degrade to one hot bucket on zipfian data).
+    * Same join shape after planning: left replicated to its suffix of
+    * buckets, equi join on bucket id, exact predicate re-applied.
+    * The quantile scan is one extra pass (at 100 TB: run it on a sample or
+    * reuse table statistics); the join itself is unchanged.
+    */
+  def lessThanJoinQuantile(
+      left: DataFrame, right: DataFrame,
+      lVal: String, rVal: String, buckets: Int = 32): DataFrame = {
+    val vals = left.select(col(lVal).cast("double").as("v"))
+      .unionByName(right.select(col(rVal).cast("double").as("v")))
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    // distinct+sorted: duplicate quantiles on heavy hitters would create
+    // zero-width buckets
+    val bounds = vals.stat.approxQuantile("v", probes, 0.001).distinct.sorted
+    def bucketOf(c: Column): Column =
+      bounds.zipWithIndex.foldLeft(lit(0L)) { case (acc, (b, i)) =>
+        when(c > b, lit(i.toLong + 1)).otherwise(acc)
+      }
+    val n = bounds.length.toLong
+    val lb = left.withColumn("__tb", explode(sequence(bucketOf(col(lVal)), lit(n))))
+    val rb = right.withColumn("__tb", bucketOf(col(rVal)))
+    lb.join(rb, lb("__tb") === rb("__tb"))
+      .filter(col(lVal) < col(rVal))
+      .drop("__tb")
+  }
+
   /** Point-in-interval join with VARIABLE-length intervals: each point row
     * (pCol) matches interval rows with startCol <= p < endCol, under extra
     * equi keys.

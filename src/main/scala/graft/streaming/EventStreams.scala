@@ -69,6 +69,16 @@ object EventStreams {
         col("p_ts"), col("c_ts"))
   }
 
+  /** Stream-static enrichment join: each live event picks up its user's
+    * dimension row.  The static side is broadcast per micro-batch (no
+    * stream state at all), the canonical shape for joining a 100 TB/day
+    * stream against a dimension table — re-resolved every batch, so slowly
+    * changing dimensions are picked up without restarts. */
+  def enrichedEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(userDim),
+      Seq("user_id"), "left")
+
   // ---- custom stateful sessionization (flatMapGroupsWithState) ----------
 
   final case class Ev(user_id: Long, ts_us: Long)

@@ -82,6 +82,20 @@ class NonEquiJoinsSpec extends AnyFunSuite {
     assertSameRows(fast, naive)
   }
 
+  test("lessThanJoinQuantile == naive on a skewed (zipfian-ish) distribution") {
+    val r = new scala.util.Random(11)
+    // 80% of mass on a single hot value + a long tail: uniform buckets
+    // would put everything in one cell; quantile buckets must still agree
+    val skewed = (1 to 500).map { i =>
+      (i.toLong, if (r.nextInt(5) > 0) 42.0 else r.nextDouble() * 10000)
+    }.toDF("id", "v")
+    val a = skewed.select($"id".as("ida"), $"v".as("va"))
+    val b = skewed.select($"id".as("idb"), $"v".as("vb"))
+    val fast = lessThanJoinQuantile(a, b, "va", "vb", buckets = 8)
+    val naive = a.crossJoin(b).filter($"va" < $"vb")
+    assertSameRows(fast, naive)
+  }
+
   test("bandJoinLong exact buckets above 2^53 (double quotient would mis-bucket)") {
     // offsets near 2^62: double arithmetic has 512-ulp granularity here, so
     // a cast-to-double bucket would shift by more than the ±1 replication

@@ -80,6 +80,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches events with dimension rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[E]
+    val q = enrichedEvents(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData(E(1, ts(1), 1, "click"), E(2, ts(2), 2, "view"), E(3, ts(3), 9, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("event_id", "tier")
+        .as[(Long, Option[String])].collect().toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None), rows)
+    } finally q.stop()
+  }
+
   test("batch sessionizer matches session_window cuts") {
     import spark.implicits._
     val evs = Seq(
