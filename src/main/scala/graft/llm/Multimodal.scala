@@ -54,5 +54,49 @@ object Multimodal {
       .toDF()
   }
 
-  val all: Seq[GraftQuery] = Seq(mmFeatures)
+  /** Per-frame feature row produced by the frame sampler. */
+  final case class FrameFeature(doc_id: Long, frame_idx: Long, checksum: Long)
+
+  private val FRAME_BYTES = 16
+  private val STRIDE = 4
+
+  /** STUB frame sampler: treats the payload as fixed-size frames and emits
+    * every STRIDE-th frame's byte checksum — stands in for `video ->
+    * frame-sample -> per-frame feature` (a real decoder slots into the same
+    * iterator without touching the plan). */
+  private def sampleFrames(docId: Long, payload: Array[Byte]): Iterator[FrameFeature] = {
+    val nFrames = payload.length / FRAME_BYTES
+    (0L until nFrames.toLong by STRIDE.toLong).iterator.map { fi =>
+      var sum = 0L
+      var j = (fi * FRAME_BYTES).toInt
+      val end = j + FRAME_BYTES
+      while (j < end) { sum += (payload(j) & 0xff); j += 1 }
+      FrameFeature(docId, fi, sum)
+    }
+  }
+
+  /** Frame sampling over the binary payload: one output row per sampled
+    * frame via `mapPartitions` (row explosion inside the iterator — the
+    * frame-sample shape of a video pipeline, where one input row fans out
+    * to many feature rows).  Oracle recomputes the checksums with byte
+    * arithmetic on the ASCII corpus. */
+  val mmFrameSample: GraftQuery = GraftQuery("q_mm_frame_sample",
+    s"""WITH f AS (SELECT doc_id, text,
+       |             unnest(range(0, length(text) // $FRAME_BYTES, $STRIDE)) AS frame_idx
+       |           FROM documents WHERE length(text) >= $FRAME_BYTES)
+       |SELECT doc_id, frame_idx,
+       |  CAST(list_aggregate(list_transform(range(1, ${FRAME_BYTES + 1}),
+       |         j -> ascii(substr(text, CAST(frame_idx * $FRAME_BYTES + j AS INTEGER), 1))),
+       |       'sum') AS BIGINT) AS checksum
+       |FROM f""".stripMargin) { (spark, sfDir) =>
+    import spark.implicits._
+    documents(spark, sfDir)
+      .filter(length(col("text")) >= FRAME_BYTES)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) => sampleFrames(id, payload) })
+      .toDF()
+  }
+
+  val all: Seq[GraftQuery] = Seq(mmFeatures, mmFrameSample)
 }
