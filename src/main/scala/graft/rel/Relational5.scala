@@ -59,5 +59,24 @@ object Relational5 {
         max(round(col("l_extendedprice") * 100)).cast(LongType).as("max_cents"))
   }
 
-  val all: Seq[GraftQuery] = Seq(windowSessionId, aggHistogram)
+  /** The auto-rewrite rule as a judged end-to-end path: the query is the
+    * NAIVE band join syntax (no bucketing in user code); with
+    * BandJoinAutoRewrite installed the optimizer compiles it to the
+    * bucketed equi join — PlanGuardSpec proves no BNLJ/CartesianProduct
+    * appears, and the oracle proves the rewrite preserves results. */
+  val joinBandRule: GraftQuery = GraftQuery("q_join_band_rule",
+    """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+      |FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) <= 50.0""".stripMargin) { (spark, sfDir) =>
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.BandJoinAutoRewrite))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.BandJoinAutoRewrite
+    }
+    supplier(spark, sfDir).select("s_suppkey", "s_acctbal")
+      .join(customer(spark, sfDir).select("c_custkey", "c_acctbal"),
+        abs(col("s_acctbal") - col("c_acctbal")) <= 50.0)
+      .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+  }
+
+  val all: Seq[GraftQuery] = Seq(windowSessionId, aggHistogram, joinBandRule)
 }
