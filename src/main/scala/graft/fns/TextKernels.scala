@@ -1,0 +1,122 @@
+package graft.fns
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen-friendly text kernels for the dedup family's hot path.
+  *
+  * The composable formulation (`split` -> `filter` -> `transform(sequence,
+  * concat_ws...)` -> `array_distinct` -> `md5`) walks every document
+  * through FIVE interpreted higher-order array expressions before the
+  * hashes exist.  These expressions do the whole tokenize -> shingle ->
+  * md5-hash derivation in one tight JVM loop that whole-stage codegen
+  * calls directly — one pass over the text, no intermediate string
+  * arrays in the plan.
+  *
+  * Hash parity: emitted values are EXACTLY `Exact.md5Long` (first 15 hex
+  * chars of md5 as a 60-bit long), so the DuckDB oracle twins
+  * (`list_distinct`/`list_transform` over `md5`) are unchanged.
+  */
+object TextKernels {
+
+  /** First 15 hex chars of md5(s) as a long — bit-identical to
+    * [[Exact.md5Long]] / DuckDB `('0x'||substr(md5(s),1,15))::BIGINT`. */
+  def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  private def tokens(text: String): Array[String] =
+    text.split(" ").filter(_.nonEmpty)
+
+  /** Distinct word-3-gram shingle hashes (first-occurrence order); empty
+    * when the doc has < 3 tokens.  == md5Long over
+    * `array_distinct(transform(sequence..., concat_ws(" ", t_i..t_i+2)))`. */
+  def shingleHashes(text: UTF8String): ArrayData = {
+    val t = tokens(text.toString)
+    if (t.length < 3) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 2 < t.length) {
+      seen.add(t(i) + " " + t(i + 1) + " " + t(i + 2)); i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = md5Long60(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Hashes of the first `cap` DISTINCT tokens (first-occurrence order) —
+    * == md5Long over `slice(array_distinct(tokens), 1, cap)`. */
+  def distinctTokenHashes(text: UTF8String, cap: Int): ArrayData = {
+    val seen = new java.util.LinkedHashSet[String]()
+    val t = tokens(text.toString)
+    var i = 0
+    while (i < t.length && seen.size() < cap) { seen.add(t(i)); i += 1 }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = md5Long60(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.shingleHashes(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.fns.TextKernels.shingleHashes($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class DistinctTokenHashesExpr(child: Expression, cap: Int) extends UnaryExpression {
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_distinct_token_hashes"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.distinctTokenHashes(s.asInstanceOf[UTF8String], cap)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.fns.TextKernels.distinctTokenHashes($s, $cap)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextKernelCols {
+  /** Column handle for [[ShingleHashesExpr]]. */
+  def shingleHashes(spark: SparkSession, text: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hashes", exprs => ShingleHashesExpr(exprs(0)), "built-in")
+    call_function("graft_shingle_hashes", text)
+  }
+
+  /** Column handle for [[DistinctTokenHashesExpr]] at cap=127 (the SimHash
+    * lane-overflow bound). */
+  def distinctTokenHashes127(spark: SparkSession, text: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_distinct_token_hashes127",
+      exprs => DistinctTokenHashesExpr(exprs(0), 127), "built-in")
+    call_function("graft_distinct_token_hashes127", text)
+  }
+}

@@ -201,12 +201,11 @@ object Dedup {
          |FROM bands a JOIN bands b
          |  ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SH_MAXHAM""".stripMargin) { (spark, sfDir) =>
-      // Shape note: explode + codegen'd projection + one hash aggregate —
-      // array-lambda folds would leave WholeStageCodegen (interpreted).
-      val t = documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
-      val w = t.select(col("doc_id"),
-        explode(slice(array_distinct(col("t")), 1, 127)).as("w"))
-        .withColumn("h", md5Long(col("w")))
+      // Shape note: one codegen'd kernel (distinct tokens -> md5 hashes) +
+      // explode + one hash aggregate — array-lambda folds would leave
+      // WholeStageCodegen (interpreted).
+      val w = documents(spark, sfDir).select(col("doc_id"),
+        explode(graft.fns.TextKernelCols.distinctTokenHashes127(spark, col("text"))).as("h"))
       def spread(g: Int) = (0 until 8)
         .map(i => shiftleft(shiftright(col("h"), 8 * g + i).bitwiseAND(lit(1L)), 8 * i))
         .reduce(_ + _)

@@ -38,10 +38,11 @@ object TextOps {
     * and dropping the strings roughly halves the materialized size. */
   def hashedShingles(spark: SparkSession, sfDir: String): DataFrame =
     Staged(spark, s"shingles|$sfDir") {
+      // One codegen'd kernel call per doc (graft.fns.TextKernels) instead
+      // of five interpreted higher-order expressions; < 3-token docs yield
+      // an empty array, which explode drops (== the size filter).
       Tables.documents(spark, sfDir)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(shingles(col("t"))).as("sr"))
-        .select(col("doc_id"), Exact.md5Long(col("sr")).as("h"))
+        .select(col("doc_id"),
+          explode(graft.fns.TextKernelCols.shingleHashes(spark, col("text"))).as("h"))
     }
 }
