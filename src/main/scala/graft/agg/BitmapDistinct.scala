@@ -39,7 +39,13 @@ case class BitmapDistinct(
   override def update(buffer: java.util.BitSet, input: InternalRow): java.util.BitSet = {
     val v = child.eval(input)
     if (v != null) {
-      val k = v.asInstanceOf[Long]
+      val k = v match {
+        case l: java.lang.Long    => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case s: java.lang.Short   => s.longValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_bitmap_distinct requires an integral key, got $other")
+      }
       require(k >= 0 && k <= MaxKey,
         s"graft_bitmap_distinct key out of dense domain [0, $MaxKey]: $k")
       buffer.set(k.toInt)
