@@ -78,5 +78,19 @@ object Relational5 {
       .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
   }
 
-  val all: Seq[GraftQuery] = Seq(windowSessionId, aggHistogram, joinBandRule)
+  /** Approximate percentiles (Greenwald-Khanna sketch, like the engine's
+    * approx_count_distinct = HLL): mergeable partial sketches, so the
+    * shuffle carries one sketch per (group, partition) — the 100 TB
+    * alternative to exact percentile's full sort.  Approximate => no SQL
+    * oracle; the error bound vs exact interpolated percentiles is
+    * property-tested. */
+  val aggApproxPercentile: GraftQuery =
+    GraftQuery.noOracle("q_agg_approx_percentile") { (spark, sfDir) =>
+      lineitem(spark, sfDir).groupBy("l_returnflag").agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("p90_approx"))
+    }
+
+  val all: Seq[GraftQuery] =
+    Seq(windowSessionId, aggHistogram, joinBandRule, aggApproxPercentile)
 }

@@ -140,6 +140,12 @@ object EventStreams {
             state.remove()
             out
           } else {
+            // Lateness contract: events within the 1 h watermark merge into
+            // the open session when they fall within its gap-extended span;
+            // an event later than that (older than open.start - gap) cannot
+            // reopen an already-emitted session — it extends the open one
+            // downward instead (the standard streaming-sessionizer
+            // approximation; exactness would require retraction support).
             val ts = evs.map(e => micros(e.ts)).toArray
             java.util.Arrays.sort(ts)
             val closed = List.newBuilder[SessionOut]

@@ -141,6 +141,21 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles within 5% of exact interpolated percentiles") {
+    val approx = Queries.queries("q_agg_approx_percentile")(spark, TestSpark.sf)
+      .select("l_returnflag", "p50_approx", "p90_approx")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = Queries.queries("q_agg_percentiles")(spark, TestSpark.sf)
+      .select("l_returnflag", "p50", "p90")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 < 0.05, s"$k p50")
+      assert(math.abs(approx(k)._2 - p90) / p90 < 0.05, s"$k p90")
+    }
+  }
+
   test("fingerprint is order-sensitive (rolling, not bag-of-words)") {
     val dir = "/tmp/graft_test_fp"
     Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
