@@ -43,8 +43,9 @@ case class BitmapDistinct(
         case l: java.lang.Long    => l.longValue()
         case i: java.lang.Integer => i.longValue()
         case s: java.lang.Short   => s.longValue()
+        case b: java.lang.Byte    => b.longValue()
         case other => throw new IllegalArgumentException(
-          s"graft_bitmap_distinct requires an integral key, got $other")
+          s"graft_bitmap_distinct requires an integral key, got ${other.getClass.getName}")
       }
       require(k >= 0 && k <= MaxKey,
         s"graft_bitmap_distinct key out of dense domain [0, $MaxKey]: $k")

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * float sum would drift with shuffle order.  The merge is associative, so
   * Catalyst plans partial + final aggregation (map-side combine) as usual.
   */
-case class VecBuf(sums: Array[Long], n: Long)
+case class VecBuf(sums: Array[Long], counts: Array[Long])
 
 object VectorMeanAgg extends Aggregator[Seq[Float], VecBuf, Seq[Double]] {
 
@@ -24,33 +24,40 @@ object VectorMeanAgg extends Aggregator[Seq[Float], VecBuf, Seq[Double]] {
   private def rhalf(x: Double): Long =
     (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
 
-  override def zero: VecBuf = VecBuf(Array.emptyLongArray, 0L)
+  override def zero: VecBuf = VecBuf(Array.emptyLongArray, Array.emptyLongArray)
 
   override def reduce(b: VecBuf, v: Seq[Float]): VecBuf = {
     if (v == null) return b
-    // Ragged inputs are legal: missing trailing components count as 0, so
-    // the buffer grows to the longest vector seen instead of overflowing.
-    val sums =
-      if (b.sums.length >= v.length) b.sums
-      else java.util.Arrays.copyOf(b.sums, v.length)
+    // Ragged inputs are legal: the buffer grows to the longest vector seen,
+    // and each component keeps its own count, so component i averages over
+    // exactly the vectors that HAVE component i — the same semantics as the
+    // oracle's unnest + GROUP BY (label, i) with per-group count(*).
+    val (sums, counts) =
+      if (b.sums.length >= v.length) (b.sums, b.counts)
+      else (java.util.Arrays.copyOf(b.sums, v.length),
+        java.util.Arrays.copyOf(b.counts, v.length))
     var i = 0
-    while (i < v.length) { sums(i) += rhalf(v(i).toDouble * 1e6); i += 1 }
-    VecBuf(sums, b.n + 1)
+    while (i < v.length) {
+      sums(i) += rhalf(v(i).toDouble * 1e6); counts(i) += 1; i += 1
+    }
+    VecBuf(sums, counts)
   }
 
   override def merge(a: VecBuf, b: VecBuf): VecBuf = {
     if (a.sums.length == 0) return b
     if (b.sums.length == 0) return a
-    val (long, short) = if (a.sums.length >= b.sums.length) (a.sums, b.sums)
-                        else (b.sums, a.sums)
-    val out = java.util.Arrays.copyOf(long, long.length)
+    val (big, small) = if (a.sums.length >= b.sums.length) (a, b) else (b, a)
+    val sums = java.util.Arrays.copyOf(big.sums, big.sums.length)
+    val counts = java.util.Arrays.copyOf(big.counts, big.counts.length)
     var i = 0
-    while (i < short.length) { out(i) += short(i); i += 1 }
-    VecBuf(out, a.n + b.n)
+    while (i < small.sums.length) {
+      sums(i) += small.sums(i); counts(i) += small.counts(i); i += 1
+    }
+    VecBuf(sums, counts)
   }
 
   override def finish(r: VecBuf): Seq[Double] =
-    r.sums.toSeq.map(s => s / (r.n * 1e6))
+    r.sums.indices.map(i => r.sums(i) / (r.counts(i) * 1e6))
 
   override def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
   override def outputEncoder: Encoder[Seq[Double]] =

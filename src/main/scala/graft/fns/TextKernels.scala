@@ -24,11 +24,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 15 hex chars of md5(s) as a long — bit-identical to
-    * [[Exact.md5Long]] / DuckDB `('0x'||substr(md5(s),1,15))::BIGINT`. */
+    * [[Exact.md5Long]] / DuckDB `('0x'||substr(md5(s),1,15))::BIGINT`.
+    * One MessageDigest per thread (reset per call) — a per-hash
+    * getInstance would dominate this hot loop with provider lookups. */
   def md5Long60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val m = md5.get()
+    m.reset()
+    val d = m.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var acc = 0L
     var i = 0
     while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }

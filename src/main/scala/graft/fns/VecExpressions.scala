@@ -70,7 +70,13 @@ case class LongVecDot(left: Expression, right: Expression)
   * Same rationale as [[LongVecDot]]: the `aggregate(zip_with(...))`
   * formulation is interpreted; this one is a tight codegen'd loop.  Used in
   * the k-means trainer where quantized vectors (long) meet fractional
-  * centroids (double). */
+  * centroids (double).
+  *
+  * Preconditions (like [[LongVecDot]]): both arrays same length with
+  * non-null elements — mismatched lengths truncate to the shorter side
+  * rather than yielding NULL as zip_with would.  Callers (the similarity /
+  * k-means pipelines) construct both sides from fixed-dimension quantized
+  * embeddings, which guarantees both. */
 case class NumVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 

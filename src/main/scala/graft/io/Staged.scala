@@ -17,9 +17,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Staged {
   private val cache =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+    scala.collection.mutable.Map[(String, String), DataFrame]()
 
   def apply(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((spark.sparkContext.applicationId, tag),
-      build.localCheckpoint())
+    synchronized {
+      val appId = spark.sparkContext.applicationId
+      // entries of stopped contexts are dead weight (their checkpointed
+      // plans died with the context) — drop them before growing the cache
+      cache.filterInPlace { case ((app, _), _) => app == appId }
+      // build under the lock: a racy getOrElseUpdate would materialize the
+      // expensive checkpoint twice and leak one copy on the executors
+      cache.getOrElseUpdate((appId, tag), build.localCheckpoint())
+    }
 }

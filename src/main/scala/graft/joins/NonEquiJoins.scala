@@ -23,6 +23,15 @@ import org.apache.spark.sql.types.LongType
   */
 object NonEquiJoins {
 
+  /** `Math.floorDiv(c, d)` as Catalyst expressions: truncating integral
+    * `div`, minus 1 when the remainder is negative.  Exact over the whole
+    * long range (`%` and `div` cannot overflow for d > 0). */
+  private def floorDivLong(c: Column, d: Long): Column = {
+    val l = c.cast(LongType)
+    call_function("div", l, lit(d)) -
+      when(l % d < 0, lit(1L)).otherwise(lit(0L))
+  }
+
   /** Band join: pairs with |left(lVal) − right(rVal)| ≤ eps (< eps if
     * `strict`), optionally under extra equi keys.
     *
@@ -67,14 +76,13 @@ object NonEquiJoins {
       strict: Boolean = false): DataFrame = {
     // Time-style keys (e.g. user_id) are usually coarse, so the bucket is
     // kept even alongside equi keys — it prunes within each key group.
-    // Buckets use exact long floor-division: subtracting pmod makes the
-    // numerator an exact multiple of eps, so integral `div` equals the floor
-    // quotient.  A double quotient would mis-bucket values above 2^53 by
-    // more than the ±1 replication and silently drop qualifying pairs.
-    def bucketOf(c: Column): Column = {
-      val l = c.cast(LongType)
-      call_function("div", l - pmod(l, lit(eps)), lit(eps))
-    }
+    // Buckets use exact long floor-division: truncating `div` corrected by
+    // one when the remainder is negative (Math.floorDiv as expressions) —
+    // overflow-free over the whole long range, where a double quotient
+    // would mis-bucket values above 2^53 and a pmod-subtraction would wrap
+    // within eps of Long.MinValue, silently dropping qualifying pairs.
+    require(eps > 0, s"eps must be > 0, got $eps")
+    def bucketOf(c: Column): Column = floorDivLong(c, eps)
     val lb = left.withColumn("__gb",
       explode(array((-1 to 1).map(d => bucketOf(col(lVal)) + d): _*)))
     val rb = right.withColumn("__gb", bucketOf(col(rVal)))
@@ -173,10 +181,8 @@ object NonEquiJoins {
       pCol: String, startCol: String, endCol: String,
       bucketWidth: Long,
       extraKeys: Seq[(String, String)] = Nil): DataFrame = {
-    def bucketOf(c: Column): Column = {
-      val l = c.cast(LongType)
-      call_function("div", l - pmod(l, lit(bucketWidth)), lit(bucketWidth))
-    }
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    def bucketOf(c: Column): Column = floorDivLong(c, bucketWidth)
     val ib = intervals.withColumn("__pb",
       explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
     val pb = points.withColumn("__pb", bucketOf(col(pCol)))

@@ -28,16 +28,18 @@ class VectorMeanSpec extends AnyFunSuite {
     }
   }
 
-  test("ragged vectors: buffer grows, missing components count as zero") {
+  test("ragged vectors: buffer grows, per-component counts (oracle semantics)") {
     import spark.implicits._
-    // lengths 2, 3, 1 — whichever arrives first must not fix the buffer size
+    // lengths 2, 3, 1 — whichever arrives first must not fix the buffer
+    // size; component i averages over the vectors that HAVE component i,
+    // exactly like the oracle's unnest + GROUP BY (label, i)
     val data = Seq((0, Seq(1f, 2f)), (0, Seq(3f, 4f, 6f)), (0, Seq(5f)))
     val vecMean = udaf(VectorMeanAgg)
     for (parts <- Seq(1, 3)) {
       val got = data.toDF("label", "embedding").repartition(parts)
         .groupBy("label").agg(vecMean($"embedding").as("m"))
         .as[(Int, Seq[Double])].collect().head._2
-      assert(got == Seq(3.0, 2.0, 2.0), s"at $parts partitions got $got")
+      assert(got == Seq(3.0, 3.0, 6.0), s"at $parts partitions got $got")
     }
   }
 }

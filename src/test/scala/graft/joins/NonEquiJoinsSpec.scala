@@ -109,6 +109,18 @@ class NonEquiJoinsSpec extends AnyFunSuite {
     assertSameRows(fast, naive)
   }
 
+  test("bandJoinLong at the Long.MinValue edge (pmod-subtraction would wrap)") {
+    // all values clustered near MinValue so the naive |va-vb| never overflows
+    val vals = Seq(Long.MinValue + 800, Long.MinValue + 900, Long.MinValue + 2000,
+      Long.MinValue, Long.MinValue + 999, Long.MinValue + 1000)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val a = vals.toDF("ida", "va")
+    val b = vals.toDF("idb", "vb")
+    val fast = bandJoinLong(a, b, "va", "vb", 1000L)
+    val naive = a.crossJoin(b).filter(abs($"va" - $"vb") <= 1000L)
+    assertSameRows(fast, naive)
+  }
+
   test("intervalOverlapJoin == naive overlap predicate") {
     val r = new scala.util.Random(7)
     val ev = (1 to 300).map(i => (i.toLong, i.toLong % 5, r.nextInt(100000).toLong))
