@@ -91,6 +91,73 @@ object Relational5 {
         approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("p90_approx"))
     }
 
+  private def registerViews(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
+
+  /** TPC-H Q6 (forecasting revenue change): the pure scan-filter-aggregate
+    * hot path — every predicate must reach the parquet scan as a pushed
+    * filter.  One SQL text runs on both engines. */
+  val sqlTpchQ6: GraftQuery = {
+    val sql =
+      s"""SELECT ${graft.fns.Exact.exactSumSql("l_extendedprice * l_discount", 4)} AS revenue,
+         |       count(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |  AND l_shipdate < TIMESTAMP '1996-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin
+    GraftQuery("q_sql_tpch_q6", sql) { (spark, sfDir) =>
+      registerViews(spark, sfDir)
+      spark.sql(sql)
+    }
+  }
+
+  /** TPC-H Q18 (large-volume customers): aggregate-HAVING subquery feeding
+    * a join — the group-filter-join shape with an exact integer HAVING
+    * threshold. */
+  val sqlTpchQ18: GraftQuery = {
+    val sumQty = graft.fns.Exact.exactSumSql("l_quantity", 2)
+    val sql =
+      s"""WITH big AS (SELECT l_orderkey, $sumQty AS sum_qty
+         |             FROM lineitem GROUP BY l_orderkey
+         |             HAVING $sumQty > 200)
+         |SELECT c_custkey, c_name, o_orderkey,
+         |       CAST(o_orderdate AS DATE) AS odate, sum_qty
+         |FROM big
+         |JOIN orders   ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey""".stripMargin
+    GraftQuery("q_sql_tpch_q18", sql) { (spark, sfDir) =>
+      registerViews(spark, sfDir)
+      spark.sql(sql)
+    }
+  }
+
+  /** Conditional-expression family: searched + simple CASE, nullif/coalesce,
+    * greatest/least — values pass through untouched, so doubles stay
+    * bit-identical. */
+  val scalarConditional: GraftQuery = GraftQuery("q_scalar_conditional",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 200000 THEN 'big'
+      |       WHEN o_totalprice > 100000 THEN 'mid'
+      |       ELSE 'small' END AS size_band,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_adj,
+      |  greatest(o_totalprice, 150000.0) AS hi_clamp,
+      |  least(o_totalprice, 150000.0) AS lo_clamp,
+      |  CAST(CASE o_orderstatus WHEN 'F' THEN 1 ELSE 0 END AS BIGINT) AS is_f
+      |FROM orders""".stripMargin) { (spark, sfDir) =>
+    orders(spark, sfDir).select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 200000, "big")
+        .when(col("o_totalprice") > 100000, "mid")
+        .otherwise("small").as("size_band"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_adj"),
+      greatest(col("o_totalprice"), lit(150000.0)).as("hi_clamp"),
+      least(col("o_totalprice"), lit(150000.0)).as("lo_clamp"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("is_f"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(windowSessionId, aggHistogram, joinBandRule, aggApproxPercentile)
+    Seq(windowSessionId, aggHistogram, joinBandRule, aggApproxPercentile,
+      sqlTpchQ6, sqlTpchQ18, scalarConditional)
 }
