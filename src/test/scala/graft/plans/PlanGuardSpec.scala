@@ -39,4 +39,18 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"quadratic physical plans detected:\n  ${offenders.mkString("\n  ")}")
   }
+
+  test("partitionBy sink supports partition pruning on read") {
+    import org.apache.spark.sql.functions.col
+    // materialize the q_sink_partitioned output, then read it back with a
+    // partition-column predicate: the scan must prune via PartitionFilters
+    // (at 100 TB this is the difference between one directory and all of
+    // them), not read everything and post-filter
+    Queries.queries("q_sink_partitioned")(spark, TestSpark.sf).count()
+    val path = "/tmp/graft_part_sink_" + TestSpark.sf.replaceAll("[^A-Za-z0-9]", "_")
+    val pruned = spark.read.parquet(path).filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"), plan)
+    assert(pruned.count() > 0)
+  }
 }
