@@ -139,5 +139,37 @@ object TextStats {
     documents(spark, sfDir).select(col("doc_id"), fp.as("fp"))
   }
 
-  val all: Seq[GraftQuery] = Seq(textStats, tokens, langid, quality, fingerprint)
+  /** Statistical language-model quality score: per-doc unigram negative
+    * log-likelihood against the corpus's own unigram distribution —
+    * nll(doc) = Σ_w ln(N / count(w)) over the doc's token occurrences
+    * (high = surprising/rare vocabulary, low = stereotyped text).  The
+    * corpus-statistics pass is one hash aggregate; scoring is a broadcast
+    * join of the (small) vocabulary against the token stream — at 100 TB
+    * the vocab table is the only shuffled state.  Each ln is rounded to
+    * 1e-6 and summed as exact longs, so the sum is order-independent and
+    * the engines' last-ulp ln differences cannot reach the hash compare. */
+  val unigramNll: GraftQuery = GraftQuery("q_llm_unigram_nll",
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |v AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+       |tot AS (SELECT count(*) AS n FROM t)
+       |SELECT doc_id, count(*) AS n_toks,
+       |  CAST(CAST(sum(CAST(round(ln(CAST(tot.n AS DOUBLE) / v.c) * 1000000, 0) AS BIGINT)) AS BIGINT)
+       |       / 1000000.0 AS DOUBLE) AS nll
+       |FROM t JOIN v USING (w) CROSS JOIN tot
+       |GROUP BY doc_id""".stripMargin) { (spark, sfDir) =>
+    val t = documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .localCheckpoint() // three consumers: vocab, total, scoring stream
+    val v = t.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = t.agg(count(lit(1)).as("n"))
+    t.join(broadcast(v), "w")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(round(log(col("n").cast(DoubleType) / col("c")) * 1000000)
+          .cast(LongType)) / 1000000.0).as("nll"))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(textStats, tokens, langid, quality, fingerprint, unigramNll)
 }

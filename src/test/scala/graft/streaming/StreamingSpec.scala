@@ -96,6 +96,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming parquet file sink with checkpoint produces exactly-once output") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = "/tmp/graft_stream_sink_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val mem = MemoryStream[E]
+    val q = dedupedEvents(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/data")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      mem.addData(E(1, ts(10), 1, "click"), E(1, ts(10), 1, "click"), E(2, ts(11), 1, "view"))
+      q.processAllAvailable()
+      mem.addData(E(3, ts(12), 2, "view"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/data").select("event_id").as[Long].collect().sorted
+      assert(out.sameElements(Array(1L, 2L, 3L)),
+        s"file sink must contain each event exactly once, got ${out.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("batch sessionizer matches session_window cuts") {
     import spark.implicits._
     val evs = Seq(
