@@ -157,7 +157,26 @@ object Relational5 {
       when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("is_f"))
   }
 
+  /** Deterministic per-group mode: the built-in `mode()` breaks frequency
+    * ties arbitrarily in both engines, so compute it as count + rank with a
+    * total order (count DESC, value ASC) — reproducible on any cluster
+    * layout and in the oracle. */
+  val aggMode: GraftQuery = GraftQuery("q_agg_mode",
+    """WITH c AS (SELECT l_returnflag, l_linenumber, count(*) AS n
+      |           FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, CAST(l_linenumber AS BIGINT) AS mode_ln, n AS mode_count
+      |FROM c QUALIFY row_number() OVER (PARTITION BY l_returnflag
+      |                                  ORDER BY n DESC, l_linenumber) = 1""".stripMargin) { (spark, sfDir) =>
+    val c = lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linenumber").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_linenumber"))
+    c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_linenumber").cast(LongType).as("mode_ln"),
+        col("n").as("mode_count"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(windowSessionId, aggHistogram, joinBandRule, aggApproxPercentile,
-      sqlTpchQ6, sqlTpchQ18, scalarConditional)
+      sqlTpchQ6, sqlTpchQ18, scalarConditional, aggMode)
 }
