@@ -176,7 +176,48 @@ object Relational5 {
         col("n").as("mode_count"))
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): null keys
+    * MATCH each other instead of vanishing — the semantics plain equality
+    * joins silently drop.  Null group keys are labeled for the comparator. */
+  val joinNullSafe: GraftQuery = GraftQuery("q_join_null_safe",
+    """WITH a AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS k FROM orders),
+      |     b AS (SELECT DISTINCT k AS kb FROM a)
+      |SELECT coalesce(k, 'NULLGRP') AS grp, count(*) AS n
+      |FROM a JOIN b ON k IS NOT DISTINCT FROM kb
+      |GROUP BY coalesce(k, 'NULLGRP')""".stripMargin) { (spark, sfDir) =>
+    val a = orders(spark, sfDir)
+      .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("O")).as("k"))
+    val b = a.select(col("k").as("kb")).distinct()
+    a.join(b, col("k") <=> col("kb"))
+      .groupBy(coalesce(col("k"), lit("NULLGRP")).as("grp"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Upsert / latest-wins merge (the MERGE INTO shape without a table
+    * format): base rows unioned with an update set under a version tag,
+    * one window pass keeps the newest row per key.  One shuffle on the
+    * key; at 100 TB this is the standard pre-Delta compaction merge. */
+  val upsertMerge: GraftQuery = GraftQuery("q_upsert_merge",
+    """WITH base AS (SELECT o_orderkey, o_totalprice, 0 AS v FROM orders),
+      |     upd AS (SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, 1 AS v
+      |             FROM orders WHERE o_orderkey % 10 = 0),
+      |     u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+      |SELECT o_orderkey, o_totalprice, CAST(v AS BIGINT) AS v FROM u
+      |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) = 1""".stripMargin) { (spark, sfDir) =>
+    val base = orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), lit(0L).as("v"))
+    val upd = orders(spark, sfDir)
+      .filter(pmod(col("o_orderkey"), lit(10L)) === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
+        lit(1L).as("v"))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("v").desc)
+    base.unionByName(upd)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("o_orderkey", "o_totalprice", "v")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(windowSessionId, aggHistogram, joinBandRule, aggApproxPercentile,
-      sqlTpchQ6, sqlTpchQ18, scalarConditional, aggMode)
+      sqlTpchQ6, sqlTpchQ18, scalarConditional, aggMode, joinNullSafe,
+      upsertMerge)
 }
