@@ -23,20 +23,28 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * 100 TB posture: map-side partial buffers OR into |domain|/8-byte
   * bitmaps, so the shuffle carries one bitmap per (group, partition), not
   * per row — the same shape Spark's own count-distinct rewrite reaches
-  * only after a full extra shuffle.  For sparse/unbounded domains swap the
-  * BitSet for a roaring bitmap or HLL (same class skeleton).
+  * only after a full extra shuffle.
+  *
+  * Keys outside the dense window [0, 2^26) — negative keys, or surrogate
+  * keys that outgrow it (TPC-H l_orderkey around SF~350) — spill to a
+  * hash-set side buffer instead of failing, so the aggregate is total over
+  * the long domain and a single adversarial key can no longer force a
+  * ~256 MB bitmap allocation (the bitmap is capped at 8 MiB; outliers cost
+  * per-key hash-set entries, degrading gracefully toward Spark's own
+  * count-distinct).  The two stores partition the key space, so
+  * cardinality is their plain sum.
   */
 case class BitmapDistinct(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.BitSet] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[BitmapDistinct.Buf] with UnaryLike[Expression] {
+  import BitmapDistinct.{Buf, DenseLimit}
 
-  private val MaxKey = Int.MaxValue - 8 // BitSet addressing limit
+  override def createAggregationBuffer(): Buf =
+    new Buf(new java.util.BitSet(), new java.util.HashSet[java.lang.Long]())
 
-  override def createAggregationBuffer(): java.util.BitSet = new java.util.BitSet()
-
-  override def update(buffer: java.util.BitSet, input: InternalRow): java.util.BitSet = {
+  override def update(buffer: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
     if (v != null) {
       val k = v match {
@@ -47,22 +55,34 @@ case class BitmapDistinct(
         case other => throw new IllegalArgumentException(
           s"graft_bitmap_distinct requires an integral key, got ${other.getClass.getName}")
       }
-      require(k >= 0 && k <= MaxKey,
-        s"graft_bitmap_distinct key out of dense domain [0, $MaxKey]: $k")
-      buffer.set(k.toInt)
+      if (k >= 0 && k < DenseLimit) buffer.bits.set(k.toInt)
+      else buffer.sparse.add(k)
     }
     buffer
   }
 
-  override def merge(a: java.util.BitSet, b: java.util.BitSet): java.util.BitSet = {
-    a.or(b); a
+  override def merge(a: Buf, b: Buf): Buf = {
+    a.bits.or(b.bits); a.sparse.addAll(b.sparse); a
   }
 
-  override def eval(buffer: java.util.BitSet): Any = buffer.cardinality().toLong
+  override def eval(buffer: Buf): Any =
+    buffer.bits.cardinality().toLong + buffer.sparse.size().toLong
 
-  override def serialize(buffer: java.util.BitSet): Array[Byte] = buffer.toByteArray
-  override def deserialize(bytes: Array[Byte]): java.util.BitSet =
-    java.util.BitSet.valueOf(bytes)
+  override def serialize(buffer: Buf): Array[Byte] = {
+    val bits = buffer.bits.toByteArray
+    val bb = java.nio.ByteBuffer.allocate(4 + bits.length + 8 * buffer.sparse.size())
+    bb.putInt(bits.length).put(bits)
+    buffer.sparse.forEach(k => bb.putLong(k))
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val bits = new Array[Byte](bb.getInt())
+    bb.get(bits)
+    val sparse = new java.util.HashSet[java.lang.Long]()
+    while (bb.hasRemaining) sparse.add(bb.getLong())
+    new Buf(java.util.BitSet.valueOf(bits), sparse)
+  }
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
@@ -74,6 +94,16 @@ case class BitmapDistinct(
     copy(mutableAggBufferOffset = offset)
   override def withNewInputAggBufferOffset(offset: Int): BitmapDistinct =
     copy(inputAggBufferOffset = offset)
+}
+
+object BitmapDistinct {
+  /** Dense window bound: bitmap covers [0, 2^26) (<= 8 MiB); the rest of
+    * the long domain lives in the sparse set. */
+  val DenseLimit: Long = 1L << 26
+
+  /** Aggregation buffer: a bitmap over the dense window plus a hash set for
+    * everything else (disjoint key ranges). */
+  final class Buf(val bits: java.util.BitSet, val sparse: java.util.HashSet[java.lang.Long])
 }
 
 object BitmapDistinctQuery {

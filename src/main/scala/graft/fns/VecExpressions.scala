@@ -33,12 +33,16 @@ case class LongVecDot(left: Expression, right: Expression)
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
   override def dataType: DataType = LongType
+  // NULL on length mismatch (like zip_with), so the registered SQL function
+  // can never return a silently-partial dot product to an outside caller.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_vec_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
@@ -51,12 +55,16 @@ case class LongVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -72,11 +80,11 @@ case class LongVecDot(left: Expression, right: Expression)
   * the k-means trainer where quantized vectors (long) meet fractional
   * centroids (double).
   *
-  * Preconditions (like [[LongVecDot]]): both arrays same length with
-  * non-null elements — mismatched lengths truncate to the shorter side
-  * rather than yielding NULL as zip_with would.  Callers (the similarity /
-  * k-means pipelines) construct both sides from fixed-dimension quantized
-  * embeddings, which guarantees both. */
+  * Like [[LongVecDot]], mismatched array lengths yield NULL (zip_with
+  * semantics) — both expressions are registered session-wide, so a partial
+  * dot product must never escape to an outside caller.  Elements must be
+  * non-null; the similarity / k-means pipelines construct both sides from
+  * fixed-dimension quantized embeddings. */
 case class NumVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -91,6 +99,7 @@ case class NumVecDot(left: Expression, right: Expression)
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_num_vec_dot"
 
   private def isLong(e: Expression): Boolean =
@@ -100,7 +109,8 @@ case class NumVecDot(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (xl, yl) = (isLong(left), isLong(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -120,12 +130,16 @@ case class NumVecDot(left: Expression, right: Expression)
       def get(arr: String, long: Boolean) =
         if (long) s"(double) $arr.getLong($i)" else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, isLong(left))} * ${get(b, isLong(right))};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${get(a, isLong(left))} * ${get(b, isLong(right))};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -12,21 +12,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cluster, where recomputing a 100 TB derivation per consumer would be the
   * dominant cost.
   *
-  * Keyed by (applicationId, tag) so entries can never leak across Spark
-  * contexts (a checkpointed plan dies with its context).
+  * Keyed by (session, tag): a memoized DataFrame is only ever handed back
+  * to the exact SparkSession that built it — sibling sessions of the same
+  * context (`spark.newSession`) have their own session state (temp
+  * functions, confs) and get their own entry.  Eviction removes only
+  * entries whose owning context has actually stopped (their checkpointed
+  * plans died with it), so concurrently live contexts in one JVM never
+  * thrash each other's cache.
   */
 object Staged {
   private val cache =
-    scala.collection.mutable.Map[(String, String), DataFrame]()
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
 
   def apply(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
     synchronized {
-      val appId = spark.sparkContext.applicationId
-      // entries of stopped contexts are dead weight (their checkpointed
-      // plans died with the context) — drop them before growing the cache
-      cache.filterInPlace { case ((app, _), _) => app == appId }
+      // entries of stopped contexts are dead weight — drop them before
+      // growing the cache; live sibling contexts are left alone
+      cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
       // build under the lock: a racy getOrElseUpdate would materialize the
       // expensive checkpoint twice and leak one copy on the executors
-      cache.getOrElseUpdate((appId, tag), build.localCheckpoint())
+      cache.getOrElseUpdate((spark, tag), build.localCheckpoint())
     }
 }

@@ -31,41 +31,57 @@ object Dedup {
   }
 
   // ------------------------------------------- n-gram Jaccard (exact)
-  /** Exact near-dup pairs by 3-gram-shingle Jaccard >= tau, via an inverted
-    * shingle index (explode + self-equi-join on shingle) — shuffle-parallel,
-    * output-linear in sum(df^2), never |docs|^2. */
+  /** Exact near-dup pairs by 3-gram-shingle Jaccard >= tau, via a
+    * df-capped inverted shingle index (explode + self-equi-join on
+    * shingle) — shuffle-parallel.  The cap (TextOps.DF_CAP) bounds the
+    * self-join at DF_CAP · |postings| — linear in the corpus — where the
+    * uncapped index would cost sum(df²) and blow up quadratically on hot
+    * boilerplate shingles at 100 TB. */
   private val NGRAM_TAU = 0.3
 
-  val dedupNgram: GraftQuery = GraftQuery("q_llm_dedup_ngram",
-    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-       |sh AS (SELECT doc_id, ${md5LongSql("unnest")} AS s FROM (
+  /** Shared DuckDB CTE chain: capped index -> doc sizes -> pair counts.
+    * Expects a `toks(doc_id, t)` CTE upstream; yields `sh`, `sz`, `p`. */
+  private[llm] val pairCtesSql: String =
+    s"""sh0 AS (SELECT doc_id, ${md5LongSql("unnest")} AS s FROM (
        |         SELECT doc_id, unnest($shinglesSql) AS unnest
        |         FROM toks WHERE len(t) >= 3)),
+       |sh AS (${dfCappedSql(DF_CAP)}),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |      GROUP BY 1, 2)
+       |      GROUP BY 1, 2)""".stripMargin
+
+  /** Candidate pairs with exact Jaccard over a (doc_id, s) shingle index
+    * (normally the df-capped one).  Returns (ia, ib, common, na, nb, jacc)
+    * for every co-occurring pair; callers filter on jacc.  Sizes (na/nb)
+    * are measured over the same index the pairs come from, so the Jaccard
+    * is exactly the oracle's. */
+  private[llm] def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val jacc = col("common") / (col("na") + col("nb") - col("common"))
+    sh.select(col("doc_id").as("ia"), col("s"))
+      .join(sh.select(col("doc_id").as("ib"), col("s").as("s2")),
+        col("s") === col("s2") && col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("common"))
+      .join(sz.select(col("doc_id"), col("n").as("na")), col("ia") === col("doc_id")).drop("doc_id")
+      .join(sz.select(col("doc_id"), col("n").as("nb")), col("ib") === col("doc_id")).drop("doc_id")
+      .withColumn("jacc", jacc)
+  }
+
+  val dedupNgram: GraftQuery = GraftQuery("q_llm_dedup_ngram",
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |$pairCtesSql
        |SELECT ia, ib, common, x.n AS na, y.n AS nb,
        |       common / (x.n + y.n - common) AS jacc
        |FROM p JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
        |WHERE common / (x.n + y.n - common) >= $NGRAM_TAU""".stripMargin) { (spark, sfDir) =>
     // The inverted index carries 60-bit shingle hashes, not strings: ~3x
-    // less shuffle volume through the sum(df^2)-sized join (collisions at
-    // 2^-60 are immaterial and the oracle hashes identically).  The shingle
-    // table is the session-staged one shared with MinHash + clustering.
-    val sh = hashedShingles(spark, sfDir)
-      .select(col("doc_id"), col("h").as("s"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.select(col("doc_id").as("ia"), col("s"))
-      .join(sh.select(col("doc_id").as("ib"), col("s").as("s2")),
-        col("s") === col("s2") && col("ia") < col("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("common"))
-    val jacc = col("common") / (col("na") + col("nb") - col("common"))
-    pairs
-      .join(sz.select(col("doc_id"), col("n").as("na")), col("ia") === col("doc_id")).drop("doc_id")
-      .join(sz.select(col("doc_id"), col("n").as("nb")), col("ib") === col("doc_id")).drop("doc_id")
-      .filter(jacc >= NGRAM_TAU)
-      .select(col("ia"), col("ib"), col("common"), col("na"), col("nb"), jacc.as("jacc"))
+    // less shuffle volume through the candidate join (collisions at 2^-60
+    // are immaterial and the oracle hashes identically).  The capped index
+    // is the session-staged one shared with clustering.
+    jaccardPairs(cappedShingles(spark, sfDir))
+      .filter(col("jacc") >= NGRAM_TAU)
+      .select("ia", "ib", "common", "na", "nb", "jacc")
   }
 
   // ------------------------------------------------- MinHash + LSH

@@ -1,9 +1,8 @@
 package graft.llm
 
 import graft.GraftQuery
-import graft.fns.Exact._
-import graft.io.Tables._
 import graft.llm.TextOps._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Dedup CLUSTERING (B10 follow-on): near-dup pairs only say "a ~ b"; to
@@ -11,17 +10,17 @@ import org.apache.spark.sql.functions._
   * components of the similarity graph (a ~ b ~ c must collapse to one
   * cluster even when a ̸~ c directly).
   *
-  * Edges: 3-gram-shingle Jaccard >= 0.2 via the inverted-index equi join
-  * (same machinery as q_llm_dedup_ngram, looser threshold for a denser
-  * graph).  Components: iterative min-label propagation — each round every
-  * node takes the min of its own and its neighbors' labels; fixpoint =
-  * components labeled by their min doc_id.  Each round is one shuffle
-  * (join + groupBy); rounds ≤ graph diameter.  100 TB posture: this
-  * driver-paced loop with per-round materialization is the standard Spark
-  * connected-components shape (GraphFrames does the same); for adversarial
-  * long-chain graphs swap in alternating large-star/small-star, which
-  * converges in O(log n) rounds with identical per-round plans.  Dup
-  * clusters have tiny diameters, so plain propagation terminates fast.
+  * Edges: 3-gram-shingle Jaccard >= 0.2 via the df-capped inverted-index
+  * equi join (same machinery as q_llm_dedup_ngram, looser threshold for a
+  * denser graph; the cap bounds candidate generation at DF_CAP·|postings|
+  * instead of sum(df²)).  Components: a hybrid — driver union-find when the
+  * edge list is small, and alternating large-star/small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014) when it is not.  Large/small-star converges in O(log n)
+  * rounds even on adversarial long-chain graphs, where plain min-label
+  * propagation needs O(diameter) rounds; each round is a constant number of
+  * hash-partitioned shuffles, so the 100 TB cost is O(log n) passes over
+  * the edge list.
   *
   * The oracle computes the same components by transitive closure
   * (recursive CTE, min reachable id).
@@ -32,13 +31,7 @@ object DedupCluster {
 
   val dedupCluster: GraftQuery = GraftQuery("q_llm_dedup_cluster",
     s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-       |sh AS (SELECT doc_id, ${md5LongSql("unnest")} AS s FROM (
-       |         SELECT doc_id, unnest($shinglesSql) AS unnest
-       |         FROM toks WHERE len(t) >= 3)),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
-       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |      GROUP BY 1, 2),
+       |${Dedup.pairCtesSql},
        |pairs AS (SELECT ia, ib
        |          FROM p JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
        |          WHERE common / (x.n + y.n - common) >= $TAU),
@@ -54,17 +47,8 @@ object DedupCluster {
        |FROM comp c JOIN (SELECT component, count(*) AS csize
        |                  FROM comp GROUP BY 1) s
        |  ON c.component = s.component""".stripMargin) { (spark, sfDir) =>
-    val sh = hashedShingles(spark, sfDir) // session-staged, shared with q_llm_dedup_{ngram,near}
-      .select(col("doc_id"), col("h").as("s"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val jacc = col("common") / (col("na") + col("nb") - col("common"))
-    val pairs = sh.select(col("doc_id").as("ia"), col("s"))
-      .join(sh.select(col("doc_id").as("ib"), col("s").as("s2")),
-        col("s") === col("s2") && col("ia") < col("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("common"))
-      .join(sz.select(col("doc_id"), col("n").as("na")), col("ia") === col("doc_id")).drop("doc_id")
-      .join(sz.select(col("doc_id"), col("n").as("nb")), col("ib") === col("doc_id")).drop("doc_id")
-      .filter(jacc >= TAU)
+    val pairs = Dedup.jaccardPairs(cappedShingles(spark, sfDir))
+      .filter(col("jacc") >= TAU)
       .select("ia", "ib")
       .localCheckpoint()
     val comp = connectedComponents(pairs)
@@ -82,15 +66,19 @@ object DedupCluster {
     *
     * Hybrid: the pair list is the output of candidate generation and is
     * normally orders of magnitude smaller than the corpus; when it fits the
-    * driver (<= [[DRIVER_CC_MAX_EDGES]]) a local union-find collapses it in
-    * one pass — no per-round Spark jobs.  Larger graphs take the
-    * distributed min-label-propagation loop (<= diameter rounds, one
-    * shuffle per round).  Both paths produce identical labels. */
+    * driver (<= [[DRIVER_CC_MAX_EDGES]], established by a cheap limit-probe
+    * so an uncheckpointed input is not recomputed just to be counted) a
+    * local union-find collapses it in one pass — no per-round Spark jobs.
+    * Larger graphs take [[largeSmallStar]] (O(log n) rounds).  Both paths
+    * produce identical labels. */
   private[llm] def connectedComponents(
-      pairs: org.apache.spark.sql.DataFrame,
-      maxDriverEdges: Long = DRIVER_CC_MAX_EDGES): org.apache.spark.sql.DataFrame = {
+      pairs: DataFrame,
+      maxDriverEdges: Long = DRIVER_CC_MAX_EDGES): DataFrame = {
     val spark = pairs.sparkSession
-    if (pairs.count() <= maxDriverEdges) {
+    // limit-probe: scans only until maxDriverEdges+1 rows exist, and the
+    // collect below is then the single full computation of `pairs`
+    val small = pairs.limit(maxDriverEdges.toInt + 1).count() <= maxDriverEdges
+    if (small) {
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -107,28 +95,73 @@ object DedupCluster {
       }
       import spark.implicits._
       parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "comp")
-    } else {
-      val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
-        .unionByName(pairs.select(col("ib").as("a"), col("ia").as("b")))
-        .localCheckpoint() // reused every propagation round
-      var comp = edges.select(col("a").as("id")).distinct()
-        .select(col("id"), col("id").as("comp")).localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val nbrMin = edges
-          .join(comp.select(col("id").as("nid"), col("comp").as("ncomp")),
-            col("b") === col("nid"))
-          .groupBy(col("a")).agg(min(col("ncomp")).as("nc"))
-        val next = comp.join(nbrMin, col("id") === col("a"), "left")
-          .select(col("id"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-          .localCheckpoint()
-        changed = next.select(col("id").as("id2"), col("comp").as("comp2"))
-          .join(comp, col("id2") === col("id"))
-          .filter(col("comp2") =!= col("comp")).count()
-        comp = next
-      }
-      comp
+    } else largeSmallStar(pairs)._1
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., SoCC 2014) — the distributed path.
+    *
+    * Each round rewires the graph toward per-component stars:
+    *   - large-star: every node's strictly-larger neighbors are re-pointed
+    *     at the minimum of its closed neighborhood;
+    *   - small-star: every node's smaller-or-equal neighbors (edges
+    *     directed high -> low) are re-pointed at that minimum.
+    * Both steps preserve connectivity and never raise any node's minimum
+    * reachable label; the edge set converges in O(log n) rounds to stars
+    * (child -> component-min), even on chain graphs where min-label
+    * propagation needs O(diameter) rounds.  Each step is one groupBy-join
+    * pair (two shuffles) over the current edge list.
+    *
+    * Returns (labels, rounds): labels (id, comp) for every node appearing
+    * in `pairs`, comp = component minimum. */
+  private[llm] def largeSmallStar(pairs: DataFrame): (DataFrame, Int) = {
+    // Neighbor-minimum helper: for edges (u, v) grouped by u,
+    // m(u) = min(min(v), u).
+    def nbrMin(e: DataFrame): DataFrame =
+      e.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+
+    // large-star input: symmetric closure; emit (v, m(u)) for v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      sym.join(nbrMin(sym), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
     }
+
+    // small-star input: direct each edge high -> low; emit (v, m(u)) for
+    // every low neighbor v plus u itself, minus the self-loop on m
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      dir.join(nbrMin(dir), "u")
+        .select(explode(array(col("v"), col("u"))).as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = pairs.select(col("ia").as("u"), col("ib").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var done = edges.isEmpty
+    while (!done) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      rounds += 1
+      // converged when the (directed high->low) edge set is unchanged
+      val prev = edges.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+      done = next.unionByName(prev).distinct().count() == prev.count()
+      edges = next
+    }
+    // post-convergence the edges are stars child -> component-min; roots
+    // (the minima themselves) label themselves
+    val children = edges.select(col("u").as("id"), col("v").as("comp"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(children.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    (children.unionByName(roots), rounds)
   }
 
   val all: Seq[GraftQuery] = Seq(dedupCluster)

@@ -45,4 +45,42 @@ object TextOps {
         .select(col("doc_id"),
           explode(graft.fns.TextKernelCols.shingleHashes(spark, col("text"))).as("h"))
     }
+
+  /** Document-frequency cap for the exact-Jaccard inverted index.  The
+    * pair-generation self-join costs sum(df²) over shingles; on a 100 TB
+    * corpus boilerplate shingles ("all rights reserved …") reach df in the
+    * millions and a single hot key blows up quadratically — no AQE split
+    * saves a key whose *output* is df² pairs.  A shingle shared by more
+    * than DF_CAP documents carries no near-dup signal (it is corpus
+    * boilerplate by definition), so postings above the cap are dropped
+    * before the join, bounding the join cost by DF_CAP · |postings| —
+    * linear in the corpus.  At the test scale factors no shingle comes
+    * near the cap, so results are unchanged; the oracle applies the
+    * identical cap in SQL either way. */
+  val DF_CAP = 1000L
+
+  /** Drop postings of shingles with document frequency > cap.  One shuffle
+    * by shingle (window count); the output stays hash-partitioned by `s`,
+    * which the downstream self-join on `s` reuses — the cap adds no extra
+    * shuffle to the pair-generation pipeline. */
+  def dfCapped(sh: DataFrame, cap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sh.withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("__df") <= cap)
+      .drop("__df")
+  }
+
+  /** DuckDB twin of [[dfCapped]] over a CTE named `sh0(doc_id, s)`. */
+  def dfCappedSql(cap: Long): String =
+    s"""SELECT doc_id, s FROM (
+       |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+       |WHERE df <= $cap""".stripMargin
+
+  /** The df-capped hashed-shingle index — the candidate-generation input
+    * shared by the ngram and clustering dedup queries — materialized once
+    * per session like [[hashedShingles]]. */
+  def cappedShingles(spark: SparkSession, sfDir: String): DataFrame =
+    Staged(spark, s"shinglesCapped|$sfDir") {
+      dfCapped(hashedShingles(spark, sfDir).select(col("doc_id"), col("h").as("s")), DF_CAP)
+    }
 }

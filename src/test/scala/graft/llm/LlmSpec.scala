@@ -98,6 +98,39 @@ class LlmSpec extends AnyFunSuite {
     assert(local(1030L) == 1000L, "30-hop chain must collapse to its min id")
   }
 
+  test("df cap bounds candidate generation under a planted hot shingle") {
+    // 400 docs all share one boilerplate shingle (df=400); each doc also has
+    // 4 private shingles.  Uncapped, the hot key alone yields 400*399/2 =
+    // 79800 candidate pairs; with any cap < 400 it must contribute none.
+    val hot = 777L
+    val idx = (0L until 400L).flatMap(d =>
+      (hot, d) +: (1 to 4).map(j => (d * 10 + j + 10000L, d)))
+      .toDF("s", "doc_id").select("doc_id", "s")
+    val capped = TextOps.dfCapped(idx, cap = 100L)
+    assert(capped.filter($"s" === hot).count() == 0, "hot shingle must be dropped")
+    assert(capped.count() == 400L * 4, "private shingles must survive")
+    val candidates = Dedup.jaccardPairs(capped)
+    assert(candidates.count() == 0, "no candidates from private shingles")
+    val uncapped = Dedup.jaccardPairs(idx)
+    assert(uncapped.count() == 400L * 399 / 2, "uncapped index goes quadratic")
+    // the planted near-dup corpus is unaffected: no shingle there is hot
+    val fullIdx = TextOps.hashedShingles(spark, plantedDir)
+      .select($"doc_id", $"h".as("s"))
+    assert(TextOps.dfCapped(fullIdx, TextOps.DF_CAP).count() == fullIdx.count())
+  }
+
+  test("large/small-star: 10k-node chain converges in O(log n) rounds, labels == union-find") {
+    val n = 10000
+    val pairs = spark.range(0, n - 1)
+      .selectExpr("id AS ia", "id + 1 AS ib")
+    val (labels, rounds) = DedupCluster.largeSmallStar(pairs)
+    val maxRounds = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 5
+    assert(rounds <= maxRounds, s"$rounds rounds for a $n-chain (max $maxRounds)")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), "one chain component labeled by its min")
+  }
+
   test("similarity top-k: ranks are 1..5, no self-matches, sims descend") {
     val out = Queries.queries("q_llm_similarity_topk")(spark, TestSpark.sf)
       .select("qid", "nid", "rn", "sim").as[(Long, Long, Long, Double)].collect()
