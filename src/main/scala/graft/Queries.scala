@@ -12,6 +12,7 @@ object Queries {
       rel.Relational3.all ++
       rel.Relational4.all ++
       rel.Relational5.all ++
+      rel.Relational6.all ++
       fns.Scalars.all ++
       time.EventWindows.all ++
       agg.VectorMeanQuery.all ++

@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom sort-merge inequality join must (a) actually plan through
+  * LessThanJoinExec, and (b) return exactly the rows of the naive
+  * (nested-loop) inequality join on every data shape. */
+class IEJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("plans through LessThanJoinExec, no cartesian/BNLJ") {
+    val a = (1 to 50).map(i => (i.toLong, i * 3.0)).toDF("ida", "va")
+    val b = (1 to 50).map(i => (100L + i, i * 5.0)).toDF("idb", "vb")
+    val plan = IEJoin(a, b, "va", "vb").queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanJoin"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("matches the naive inequality join on random data (with duplicates)") {
+    val r = new scala.util.Random(31)
+    // duplicate values on both sides exercise the strict-< boundary
+    val a = (1 to 400).map(i => (i.toLong, (r.nextInt(80) * 2).toDouble)).toDF("ida", "va")
+    val b = (1 to 400).map(i => (1000L + i, (r.nextInt(80) * 2).toDouble)).toDF("idb", "vb")
+    val expected = pairsOf(a.join(b, $"va" < $"vb"))
+    val got = pairsOf(IEJoin(a, b, "va", "vb"))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("skewed distribution (zipf-ish): still exact") {
+    val r = new scala.util.Random(32)
+    def zipf(): Double = math.floor(math.pow(r.nextDouble(), 4) * 100)
+    val a = (1 to 300).map(i => (i.toLong, zipf())).toDF("ida", "va")
+    val b = (1 to 300).map(i => (1000L + i, zipf())).toDF("idb", "vb")
+    assert(pairsOf(IEJoin(a, b, "va", "vb")) == pairsOf(a.join(b, $"va" < $"vb")))
+  }
+
+  test("degenerate shapes: single value, empty side, long keys") {
+    val one = Seq((1L, 5.0), (2L, 5.0)).toDF("ida", "va")
+    val oneB = Seq((10L, 5.0)).toDF("idb", "vb")
+    assert(pairsOf(IEJoin(one, oneB, "va", "vb")).isEmpty) // strict <
+    val empty = Seq.empty[(Long, Double)].toDF("idb", "vb")
+    assert(pairsOf(IEJoin(one, empty, "va", "vb")).isEmpty)
+    // integral columns are cast to double for the merge keys
+    val la = Seq((1L, 10L), (2L, 20L)).toDF("ida", "va")
+    val lb = Seq((10L, 15L)).toDF("idb", "vb")
+    assert(pairsOf(IEJoin(la, lb, "va", "vb")) == Set((1L, 10L)))
+  }
+}
