@@ -110,7 +110,14 @@ object Similarity {
     * all-pairs).  Approximate by construction (recall < 1), so no SQL
     * oracle — the scalatest suite checks recall against the brute-force
     * baseline. */
-  val annIvf: GraftQuery = GraftQuery.noOracle("q_llm_ann_ivf") { (spark, sfDir) =>
+  val annIvf: GraftQuery = GraftQuery.noOracle("q_llm_ann_ivf") {
+    (spark, sfDir) => ivfTopk(spark, sfDir, nprobe = 2)
+  }
+
+  /** IVF top-5 with a tunable probe width (q_llm_ann_ivf uses nprobe=2;
+    * RecallSweep records the recall/cost curve across nprobe). */
+  private[graft] def ivfTopk(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nprobe: Int): DataFrame = {
     val base = quantized(spark, sfDir)
     val (cells, cent) = kmeans(base, k = 16, iters = 2)
     val indexed = base.join(cells.withColumnRenamed("vec_id", "vid2"),
@@ -122,7 +129,7 @@ object Similarity {
       .orderBy((qdot / (sqrt(col("qn")) * sqrt(col("cnrm")))).desc, col("cell"))
     val probed = queries.crossJoin(broadcast(cent))
       .withColumn("cr", row_number().over(cellRank))
-      .filter(col("cr") <= 2)
+      .filter(col("cr") <= nprobe)
       .select(col("qid"), col("qq"), col("qn"), col("cell").as("pcell"))
     val sim = vecDot(spark, col("qq"), col("qv")).cast(DoubleType) /
       (sqrt(col("qn")) * sqrt(col("nrm")))
@@ -140,7 +147,14 @@ object Similarity {
     * a query probes its own bucket plus every bucket within hamming
     * distance 2 (multi-probe) and re-ranks exactly inside them.
     * Approximate => no SQL oracle; recall is property-tested. */
-  val annLsh: GraftQuery = GraftQuery.noOracle("q_llm_ann_lsh") { (spark, sfDir) =>
+  val annLsh: GraftQuery = GraftQuery.noOracle("q_llm_ann_lsh") {
+    (spark, sfDir) => lshTopk(spark, sfDir, maxHam = 2)
+  }
+
+  /** LSH top-5 with a tunable multi-probe radius (q_llm_ann_lsh probes to
+    * hamming 2; RecallSweep records the recall/cost curve across radii). */
+  private[graft] def lshTopk(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      maxHam: Int): DataFrame = {
     val base = quantized(spark, sfDir)
     val planes = 6
     val dim = 64
@@ -156,10 +170,12 @@ object Similarity {
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val indexed = base.withColumn("bucket", bucketCol).localCheckpoint()
-    // multi-probe: own bucket + every bucket within hamming distance 2
+    // multi-probe: own bucket + every bucket within hamming distance maxHam
     val flips = Seq(0L) ++
-      (0 until planes).map(i => 1L << i) ++
-      (for (i <- 0 until planes; j <- i + 1 until planes) yield (1L << i) | (1L << j))
+      (if (maxHam >= 1) (0 until planes).map(i => 1L << i) else Nil) ++
+      (if (maxHam >= 2)
+        for (i <- 0 until planes; j <- i + 1 until planes) yield (1L << i) | (1L << j)
+      else Nil)
     val probes = flips.map(f => col("bucket").bitwiseXOR(lit(f)))
     val queries = indexed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nrm").as("qn"),

@@ -17,4 +17,7 @@ object TestSpark {
     s
   }
   val sf = "/root/testdata/sf0.001"
+  /** The bench-scale data — for tests whose claim is about error bounds or
+    * convergence at realistic cardinalities, not just smoke coverage. */
+  val sf01 = "/root/testdata/sf0.1"
 }

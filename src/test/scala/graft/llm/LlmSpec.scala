@@ -164,29 +164,73 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall") // multi-probe over 9 of 256 buckets
   }
 
-  test("approx distinct within 15% of exact") {
-    val approx = Queries.queries("q_agg_approx_distinct")(spark, TestSpark.sf)
+  /** Error-bound gates for the two approximate aggregates (the only judged
+    * queries without a SQL oracle besides the ANN pair).  Asserted at BOTH
+    * sf0.001 (smoke) and sf0.1 (the bench scale, ~600k lineitem rows /
+    * ~20k distinct parts — where a sketch-accuracy regression would
+    * actually show): HLL++ within 5% of exact count-distinct, and the
+    * Greenwald-Khanna percentile sketch within 2% of exact interpolated
+    * percentiles.  The bounds are deliberately tighter at sf0.1 than the
+    * documented sketch guarantees (HLL rsd default 5%, GK accuracy
+    * 1/1000) so silent parameter drift fails loudly. */
+  private def approxDistinctErr(sfDir: String): Double = {
+    val approx = Queries.queries("q_agg_approx_distinct")(spark, sfDir)
       .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
-    val exact = Queries.queries("q_agg_distinct")(spark, TestSpark.sf)
+    val exact = Queries.queries("q_agg_distinct")(spark, sfDir)
       .select("l_returnflag", "n_parts").as[(String, Long)].collect().toMap
-    exact.foreach { case (k, ex) =>
-      assert(math.abs(approx(k) - ex).toDouble / ex < 0.15)
-    }
+    exact.map { case (k, ex) => math.abs(approx(k) - ex).toDouble / ex }.max
   }
 
-  test("approx percentiles within 5% of exact interpolated percentiles") {
-    val approx = Queries.queries("q_agg_approx_percentile")(spark, TestSpark.sf)
+  private def approxPctErr(sfDir: String): Double = {
+    val approx = Queries.queries("q_agg_approx_percentile")(spark, sfDir)
       .select("l_returnflag", "p50_approx", "p90_approx")
       .as[(String, Double, Double)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
-    val exact = Queries.queries("q_agg_percentiles")(spark, TestSpark.sf)
+    val exact = Queries.queries("q_agg_percentiles")(spark, sfDir)
       .select("l_returnflag", "p50", "p90")
       .as[(String, Double, Double)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
-    exact.foreach { case (k, (p50, p90)) =>
-      assert(math.abs(approx(k)._1 - p50) / p50 < 0.05, s"$k p50")
-      assert(math.abs(approx(k)._2 - p90) / p90 < 0.05, s"$k p90")
-    }
+    exact.flatMap { case (k, (p50, p90)) =>
+      Seq(math.abs(approx(k)._1 - p50) / p50, math.abs(approx(k)._2 - p90) / p90)
+    }.max
+  }
+
+  test("approx distinct within 15% of exact at sf0.001") {
+    assert(approxDistinctErr(TestSpark.sf) < 0.15)
+  }
+
+  test("approx distinct within 5% of exact at sf0.1") {
+    val err = approxDistinctErr(TestSpark.sf01)
+    assert(err < 0.05, f"max relative error $err%.4f")
+  }
+
+  test("approx percentiles within 5% of exact at sf0.001") {
+    assert(approxPctErr(TestSpark.sf) < 0.05)
+  }
+
+  test("approx percentiles within 2% of exact at sf0.1") {
+    val err = approxPctErr(TestSpark.sf01)
+    assert(err < 0.02, f"max relative error $err%.4f")
+  }
+
+  test("WAV round-trip: synth -> parse recovers fields; walker skips chunks; corrupt fails") {
+    val w = Multimodal.wavBytes(7L, "hello world!")
+    val f = Multimodal.parseWav(7L, w)
+    assert(f.channels == 2 && f.sample_rate == 15000) // doc_id 7: 1+7%2, 8000+7%8*1000
+    assert(f.n_bytes == 44 + 12 && f.n_samples == 6) // 12 bytes / 2 channels
+    assert(f.pcm_sum == "hello world!".getBytes.map(_ & 0xff).sum)
+    // generic walker: splice an unknown odd-sized chunk between fmt and data
+    val junk = "LIST".getBytes ++ Array[Byte](3, 0, 0, 0) ++ Array[Byte](9, 9, 9, 0) // + pad
+    val spliced = w.take(36) ++ junk ++ w.drop(36)
+    val riffSize = spliced.length - 8
+    spliced(4) = (riffSize & 0xff).toByte; spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    spliced(6) = ((riffSize >> 16) & 0xff).toByte; spliced(7) = ((riffSize >> 24) & 0xff).toByte
+    val f2 = Multimodal.parseWav(7L, spliced)
+    assert(f2.channels == f.channels && f2.sample_rate == f.sample_rate &&
+      f2.n_samples == f.n_samples && f2.pcm_sum == f.pcm_sum)
+    // corrupt magic must throw, not return garbage
+    val bad = w.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.parseWav(7L, bad))
   }
 
   test("fingerprint is order-sensitive (rolling, not bag-of-words)") {
