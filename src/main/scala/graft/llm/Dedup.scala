@@ -56,7 +56,7 @@ object Dedup {
     * for every co-occurring pair; callers filter on jacc.  Sizes (na/nb)
     * are measured over the same index the pairs come from, so the Jaccard
     * is exactly the oracle's. */
-  private[llm] def jaccardPairs(sh: DataFrame): DataFrame = {
+  private[graft] def jaccardPairs(sh: DataFrame): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val jacc = col("common") / (col("na") + col("nb") - col("common"))
     sh.select(col("doc_id").as("ia"), col("s"))
