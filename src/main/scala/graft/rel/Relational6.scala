@@ -72,6 +72,45 @@ object Relational6 {
       .agg(count(lit(1)).as("n_richer"), max("c_acctbal").as("max_cbal"))
   }
 
+  /** Map column type end to end: construct (map), access ([key]), and
+    * introspect (size / map_keys) — the typed-dictionary surface a config/
+    * metadata column needs.  All map machinery runs Spark-side; the oracle
+    * recomputes the extracted scalars directly, so a map encoding bug
+    * breaks the hash. */
+  val scalarMap: GraftQuery = GraftQuery("q_scalar_map",
+    """SELECT o_orderkey, o_orderstatus AS status_via_map,
+      |       CAST(2 AS INTEGER) AS msize,
+      |       'status,key' AS mkeys,
+      |       CAST(o_orderkey AS VARCHAR) AS key_via_map
+      |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin) { (spark, sfDir) =>
+    val m = map(lit("status"), col("o_orderstatus"),
+      lit("key"), col("o_orderkey").cast("string"))
+    orders(spark, sfDir)
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .withColumn("m", m)
+      .select(col("o_orderkey"),
+        col("m")(lit("status")).as("status_via_map"),
+        size(col("m")).as("msize"),
+        concat_ws(",", map_keys(col("m"))).as("mkeys"),
+        element_at(col("m"), lit("key")).as("key_via_map"))
+  }
+
+  /** Lateral explode WITH ordinality (posexplode) — one row per token with
+    * its 0-based position, the LATERAL VIEW / UNNEST WITH ORDINALITY shape.
+    * DuckDB zips parallel unnests of equal length, which is exactly
+    * posexplode's contract. */
+  val lateralExplode: GraftQuery = GraftQuery("q_lateral_explode",
+    """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |              FROM documents WHERE doc_id % 20 = 0)
+      |SELECT doc_id, CAST(unnest(range(0, len(t))) AS INTEGER) AS pos, unnest(t) AS tok
+      |FROM toks""".stripMargin) { (spark, sfDir) =>
+    documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => w =!= "")).as(Seq("pos", "tok")))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(joinThetaIneqQuantile, joinBandRuleLong, joinThetaIneqSorted)
+    Seq(joinThetaIneqQuantile, joinBandRuleLong, joinThetaIneqSorted,
+      scalarMap, lateralExplode)
 }
