@@ -193,6 +193,41 @@ object NonEquiJoins {
       .drop("__pb")
   }
 
+  /** Interval-interval overlap join with VARIABLE lengths on BOTH sides:
+    * pairs whose half-open windows [lStart, lEnd) and [rStart, rEnd)
+    * overlap, under extra equi keys.  The general form of the theta-join
+    * family (fixed-length overlap reduces to a band; point-in-interval is
+    * the one-sided case).
+    *
+    * Rewrite: BOTH sides are replicated across every fixed-width bucket
+    * their interval spans; equi join on (bucket, keys); exact overlap
+    * predicate re-applied.  Exactly-once emission without a distinct: a
+    * qualifying pair is kept only in the bucket containing the overlap
+    * start `greatest(lStart, rStart)` — a point both intervals span, so
+    * both replicas exist there and nowhere else is the pair accepted.
+    * Replication is O(len / bucketWidth) per row; pick bucketWidth near
+    * the median interval length.
+    */
+  def intervalOverlapJoinVar(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long,
+      extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    def bucketOf(c: Column): Column = floorDivLong(c, bucketWidth)
+    // end is exclusive: an interval ending exactly on a bucket boundary
+    // does not occupy the next bucket
+    val lb = left.withColumn("__vb",
+      explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd) - 1))))
+    val rb = right.withColumn("__vb", explode(
+      sequence(bucketOf(col(rStart)), bucketOf(col(rEnd) - 1))))
+    val keyCond = extraKeys.map { case (a, b) => lb(a) === rb(b) }
+      .foldLeft(lb("__vb") === rb("__vb"))(_ && _)
+    val overlap = col(lStart) < col(rEnd) && col(rStart) < col(lEnd)
+    val once = lb("__vb") === bucketOf(greatest(col(lStart), col(rStart)))
+    lb.join(rb, keyCond).filter(overlap && once).drop("__vb")
+  }
+
   /** As-of join: for each left row, the single latest right row with
     * right(ts) strictly before left(ts), per key.
     *

@@ -110,7 +110,86 @@ object Relational6 {
         posexplode(filter(split(col("text"), " "), w => w =!= "")).as(Seq("pos", "tok")))
   }
 
+  /** Variable-length interval OVERLAP join on both sides — the general
+    * theta case (fixed-length overlap is a band; point-in-interval is one-
+    * sided).  Each event opens a window whose length depends on its user
+    * ((1 + user_id % 3) × 20 min), and same-user pairs with overlapping
+    * windows join.  Exactly-once bucket assignment (the overlap-start
+    * bucket), no DISTINCT needed — see
+    * [[graft.joins.NonEquiJoins.intervalOverlapJoinVar]]. */
+  val joinIntervalVar: GraftQuery = GraftQuery("q_join_interval_var",
+    """WITH w AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+      |                  epoch_us(ts) + (1 + user_id % 3) * 1200000000 AS e
+      |           FROM events)
+      |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+      |       b.s - a.s AS start_gap_us
+      |FROM w a JOIN w b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND a.s < b.e AND b.s < a.e""".stripMargin) { (spark, sfDir) =>
+    val w = eventsUs(spark, sfDir).select(col("user_id"), col("event_id"),
+      col("ts_us").as("s"),
+      (col("ts_us") + (lit(1) + pmod(col("user_id"), lit(3))) * 1200000000L).as("e"))
+    val a = w.select(col("user_id"), col("event_id").as("id_a"),
+      col("s").as("sa"), col("e").as("ea"))
+    val b = w.select(col("user_id").as("uid_b"), col("event_id").as("id_b"),
+      col("s").as("sb"), col("e").as("eb"))
+    intervalOverlapJoinVar(a, b, "sa", "ea", "sb", "eb",
+      bucketWidth = 1200000000L, extraKeys = Seq("user_id" -> "uid_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        (col("sb") - col("sa")).as("start_gap_us"))
+  }
+
+  /** Fuzzy (edit-distance ≤ 1) self-join on customer names via DELETION
+    * NEIGHBORHOODS (FastSS): each name is indexed under itself plus every
+    * single-character deletion; two strings within one substitution,
+    * insertion, or deletion share at least one index key, so candidate
+    * generation is an equi join on the key — O(len·n) index rows, never
+    * the O(n²) all-pairs levenshtein the oracle runs.  Exact verify
+    * (levenshtein ≤ 1) re-applied on candidates. */
+  val joinFuzzy: GraftQuery = GraftQuery("q_join_fuzzy",
+    """SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS d
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) { (spark, sfDir) =>
+    val n = length(col("c_name"))
+    val dels = transform(sequence(lit(1), n), i =>
+      concat(col("c_name").substr(lit(1), i - 1), col("c_name").substr(i + 1, n)))
+    val idx = customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"),
+        explode(concat(array(col("c_name")), dels)).as("key"))
+    val a = idx.select(col("c_custkey").as("ka"), col("c_name").as("na"), col("key"))
+    val b = idx.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
+      col("key").as("key_b"))
+    a.join(b, col("key") === col("key_b") && col("ka") < col("kb"))
+      .select("ka", "kb", "na", "nb").distinct()
+      .withColumn("d", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("d") <= 1)
+      .select("ka", "kb", "d")
+  }
+
+  /** Deterministic STRATIFIED sampling: per-stratum rates (10% of BUILDING,
+    * 50% of MACHINERY, 100% of FURNITURE customers) via an md5-derived hash
+    * threshold — reproducible across engines and runs, unlike rng-based
+    * `sample()`, and exactly the shape a training pipeline uses to rebalance
+    * sources.  Map-only (no shuffle); the oracle applies the identical hash
+    * arithmetic. */
+  val sampleStratified: GraftQuery = GraftQuery("q_sample_stratified",
+    s"""SELECT c_custkey, c_mktsegment
+       |FROM customer
+       |WHERE ${graft.fns.Exact.md5LongSql("CAST(c_custkey AS VARCHAR)")} % 100 <
+       |  CASE c_mktsegment WHEN 'BUILDING' THEN 10 WHEN 'MACHINERY' THEN 50
+       |       WHEN 'FURNITURE' THEN 100 ELSE 0 END""".stripMargin) { (spark, sfDir) =>
+    val rate = when(col("c_mktsegment") === "BUILDING", 10)
+      .when(col("c_mktsegment") === "MACHINERY", 50)
+      .when(col("c_mktsegment") === "FURNITURE", 100)
+      .otherwise(0)
+    customer(spark, sfDir)
+      .filter(pmod(graft.fns.Exact.md5Long(col("c_custkey").cast("string")), lit(100L)) < rate)
+      .select("c_custkey", "c_mktsegment")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(joinThetaIneqQuantile, joinBandRuleLong, joinThetaIneqSorted,
-      scalarMap, lateralExplode)
+      scalarMap, lateralExplode, joinIntervalVar, joinFuzzy, sampleStratified)
 }

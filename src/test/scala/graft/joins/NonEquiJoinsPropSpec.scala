@@ -43,6 +43,29 @@ class NonEquiJoinsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalOverlapJoinVar == naive on generated variable-length intervals (5 seeds)") {
+    for (seed <- 20L to 24L) {
+      // starts cluster near bucket boundaries; lengths from sub-bucket to
+      // multi-bucket, including empty (end == start) intervals
+      val W = 100L
+      val gen = Gen.listOfN(50, for {
+        s <- Gen.oneOf(Gen.chooseNum(-10L, 10L).map(_ * W),
+          Gen.chooseNum(-1000L, 1000L))
+        len <- Gen.oneOf(Gen.const(0L), Gen.chooseNum(1L, 30L),
+          Gen.chooseNum(1L, 350L))
+      } yield (s, s + len))
+      val iv = sample(gen, seed)
+      val df = iv.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("id", "s", "e")
+      val a = df.select($"id".as("ida"), $"s".as("sa"), $"e".as("ea"))
+      val b = df.select($"id".as("idb"), $"s".as("sb"), $"e".as("eb"))
+      val fast = intervalOverlapJoinVar(a, b, "sa", "ea", "sb", "eb", bucketWidth = W)
+      val naive = a.crossJoin(b).filter($"sa" < $"eb" && $"sb" < $"ea")
+      val diff = fast.exceptAll(naive).count() + naive.exceptAll(fast).count()
+      assert(diff == 0, s"seed=$seed: $diff rows differ")
+    }
+  }
+
   test("lessThanJoin == naive on generated frames with out-of-range clamps (5 seeds)") {
     for (seed <- 10L to 14L) {
       val vals = sample(Gen.listOfN(60, Gen.chooseNum(-500.0, 500.0)), seed)
