@@ -189,7 +189,57 @@ object Relational6 {
       .select("c_custkey", "c_mktsegment")
   }
 
+  private def registerViews(spark: SparkSession, sfDir: String): Unit =
+    Seq("customer", "orders", "lineitem", "part", "nation")
+      .foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
+
+  /** TPC-H Q10 shape (returned-item revenue): 4-table join, grouped exact
+    * revenue, deterministic top-20 (revenue DESC with a key tiebreak so the
+    * LIMIT set is engine-independent).  One SQL text runs on both engines;
+    * Catalyst broadcasts nation/customer and shuffles only lineitem. */
+  val sqlTpchQ10: GraftQuery = {
+    val sql =
+      s"""SELECT c_custkey, c_name,
+         |       ${graft.fns.Exact.exactSumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+         |       c_acctbal, n_name
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin
+    GraftQuery("q_sql_tpch_q10", sql) { (spark, sfDir) =>
+      registerViews(spark, sfDir)
+      spark.sql(sql)
+    }
+  }
+
+  /** TPC-H Q14 shape (promo revenue share): conditional aggregation ratio.
+    * Both sums are scaled-integer exact; the final ratio divides the two
+    * identical BIGINTs as doubles, so the percentage is bit-identical
+    * across engines. */
+  val sqlTpchQ14: GraftQuery = {
+    val scaledRev = graft.fns.Exact.scaledSql("l_extendedprice * (1 - l_discount)", 4)
+    val sql =
+      s"""SELECT CAST(100 AS DOUBLE)
+         |         * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $scaledRev ELSE 0 END) AS DOUBLE)
+         |         / CAST(sum($scaledRev) AS DOUBLE) AS promo_pct,
+         |       count(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin
+    GraftQuery("q_sql_tpch_q14", sql) { (spark, sfDir) =>
+      registerViews(spark, sfDir)
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(joinThetaIneqQuantile, joinBandRuleLong, joinThetaIneqSorted,
-      scalarMap, lateralExplode, joinIntervalVar, joinFuzzy, sampleStratified)
+      scalarMap, lateralExplode, joinIntervalVar, joinFuzzy, sampleStratified,
+      sqlTpchQ10, sqlTpchQ14)
 }
