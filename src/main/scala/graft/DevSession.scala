@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One local-session builder for the dev drivers (stress runs, sweeps,
+  * profilers) so their config can't drift apart.  `Bench` and `Verify`
+  * keep their own builders — they are the judged driver contract.
+  */
+object DevSession {
+  def local(defaultCpus: String = "4", logLevel: String = "WARN"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    spark
+  }
+}

@@ -16,13 +16,7 @@ import org.apache.spark.sql.functions._
 object IEJoinStress {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 20000L
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = DevSession.local()
     val df = spark.range(n)
       .select(col("id"), (pmod(col("id") * 2654435761L, lit(n))).cast("double").as("v"))
       .localCheckpoint()

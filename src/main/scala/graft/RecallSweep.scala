@@ -12,13 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object RecallSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = DevSession.local(defaultCpus = "8", logLevel = "ERROR")
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def candidates(df: DataFrame): Long = df.count()

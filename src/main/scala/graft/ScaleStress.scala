@@ -16,13 +16,7 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 5000000L
     val eps = if (args.length > 1) args(1).toDouble else 0.5
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = DevSession.local()
     // deterministic values spread over [0, n/100): ~100 rows per unit value,
     // so eps=0.5 keeps the output linear in n (bounded pairs per bucket)
     val df = spark.range(n)

@@ -21,14 +21,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * thrash each other's cache.
   */
 object Staged {
+  /** Upper bound on cached entries: per-session keying means a long-lived
+    * context spawning many sibling sessions would otherwise accumulate one
+    * checkpointed copy per (session, tag) forever.  FIFO eviction past the
+    * cap bounds executor block memory; an evicted entry is merely rebuilt
+    * on next use. */
+  private val MAX_ENTRIES = 64
+
   private val cache =
-    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+    scala.collection.mutable.LinkedHashMap[(SparkSession, String), DataFrame]()
 
   def apply(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
     synchronized {
       // entries of stopped contexts are dead weight — drop them before
       // growing the cache; live sibling contexts are left alone
       cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      while (cache.size >= MAX_ENTRIES && !cache.contains((spark, tag)))
+        cache.remove(cache.head._1)
       // build under the lock: a racy getOrElseUpdate would materialize the
       // expensive checkpoint twice and leak one copy on the executors
       cache.getOrElseUpdate((spark, tag), build.localCheckpoint())

@@ -71,6 +71,11 @@ object Multimodal {
     var off = 12
     while (off + 8 <= p.length) {
       val size = le32(off + 4)
+      // a corrupt size field must fail the parse, not hang it: sizes that
+      // overflow Int or run past the payload would step the walker by <= 0
+      // or index out of bounds
+      require(size >= 0 && off + 8 + size <= p.length,
+        s"doc $docId: chunk at $off has bad size $size")
       if (magic(off, "fmt ")) {
         require(size >= 16 && le16(off + 8) == 1, s"doc $docId: not integer PCM")
         channels = le16(off + 10)

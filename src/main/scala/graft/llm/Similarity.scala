@@ -175,6 +175,9 @@ object Similarity {
     * hamming 2; RecallSweep records the recall/cost curve across radii). */
   private[graft] def lshTopk(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       maxHam: Int): DataFrame = {
+    // only radii 0-2 have probe sets generated below; a larger radius must
+    // fail loudly, not silently return the radius-2 answer
+    require(maxHam >= 0 && maxHam <= 2, s"maxHam must be in [0, 2], got $maxHam")
     val base = quantized(spark, sfDir)
     val planes = 6
     val dim = 64

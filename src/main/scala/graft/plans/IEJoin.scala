@@ -5,11 +5,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Attribute, BindReferences, Cast, Expression, JoinedRow, UnsafeProjection, UnsafeRow}
+  Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.classic.SparkSession
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Sort-based inequality join (IEJoin-family, after Khayyat et al.,
   * "Lightning Fast and Space Efficient Inequality Joins", VLDB 2015) —
@@ -60,11 +61,21 @@ case class LessThanJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val bounds = boundaries.toArray
     val numCells = bounds.length + 1
-    // cell of v: first boundary >= v (values above the last boundary land
-    // in the final cell)
+    val keyType = lKey.dataType
+    // CELL ROUTING may use a lossy double view of the key: casting a
+    // numeric to double is monotonic (x < y => xd <= yd), so a qualifying
+    // pair still lands with the right row's cell in the left row's suffix
+    // even when two distinct longs collapse to one double.  The MERGE
+    // COMPARISON below never goes through double — it uses the native
+    // type's ordering, so keys past 2^53 stay exact.
     def cellOf(v: Double): Int = {
       val i = java.util.Arrays.binarySearch(bounds, v)
       if (i >= 0) i else -i - 1
+    }
+    def toDouble(k: Any): Double = k match {
+      case d: java.lang.Double  => d
+      case f: java.lang.Float   => f.toDouble
+      case n: java.lang.Number  => n.longValue().toDouble
     }
     val part = new Partitioner {
       override def numPartitions: Int = numCells
@@ -78,35 +89,34 @@ case class LessThanJoinExec(
     // left row with x in cell c can only match right rows in cells >= c
     // (right cell r holds y > bounds(r-1) >= any x of cells < r): replicate
     // left to its suffix of cells, right keeps its single cell
-    val lTagged: RDD[(Int, (Double, UnsafeRow))] = left.execute().mapPartitions { iter =>
+    val lTagged: RDD[(Int, UnsafeRow)] = left.execute().mapPartitions { iter =>
       val toUnsafe = UnsafeProjection.create(lOut.map(_.dataType).toArray)
       iter.flatMap { row =>
         val k = lk.eval(row)
         if (k == null) Iterator.empty
         else {
-          val x = k.asInstanceOf[Double]
           val u = toUnsafe(row).copy()
-          (cellOf(x) until numCells).iterator.map(c => (c, (x, u)))
+          (cellOf(toDouble(k)) until numCells).iterator.map(c => (c, u))
         }
       }
     }
-    val rTagged: RDD[(Int, (Double, UnsafeRow))] = right.execute().mapPartitions { iter =>
+    val rTagged: RDD[(Int, UnsafeRow)] = right.execute().mapPartitions { iter =>
       val toUnsafe = UnsafeProjection.create(rOut.map(_.dataType).toArray)
       iter.flatMap { row =>
         val k = rk.eval(row)
         if (k == null) Iterator.empty
-        else {
-          val y = k.asInstanceOf[Double]
-          Iterator.single((cellOf(y), (y, toUnsafe(row).copy())))
-        }
+        else Iterator.single((cellOf(toDouble(k)), toUnsafe(row).copy()))
       }
     }
     val lCells = lTagged.partitionBy(part).values
     val rCells = rTagged.partitionBy(part).values
     val outSchema = (lOut ++ rOut).map(_.dataType).toArray
     lCells.zipPartitions(rCells) { (lIter, rIter) =>
-      val ls = lIter.toArray.sortBy(_._1)
-      val rs = rIter.toArray.sortBy(_._1)
+      val ord = TypeUtils.getInterpretedOrdering(keyType)
+      val ls = lIter.map(r => (lk.eval(r), r)).toArray
+        .sortBy(_._1)(ord.asInstanceOf[Ordering[Any]])
+      val rs = rIter.map(r => (rk.eval(r), r)).toArray
+        .sortBy(_._1)(ord.asInstanceOf[Ordering[Any]])
       if (ls.isEmpty || rs.isEmpty) Iterator.empty
       else {
         val project = UnsafeProjection.create(outSchema)
@@ -116,7 +126,7 @@ case class LessThanJoinExec(
           // y ascends, so the split pointer only moves forward: total
           // pointer work is O(|ls|) per cell, and every emitted pair costs
           // no comparison at all
-          while (li < ls.length && ls(li)._1 < y) li += 1
+          while (li < ls.length && ord.asInstanceOf[Ordering[Any]].compare(ls(li)._1, y) < 0) li += 1
           val hi = li
           (0 until hi).iterator.map { j => project(joined(ls(j)._2, rRow)) }
         }
@@ -153,9 +163,14 @@ object IEJoin {
     def attr(plan: LogicalPlan, n: String): Attribute = plan.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(
         s"column '$n' not in ${plan.output.map(_.name).mkString(", ")}"))
+    val (la, ra) = (attr(lPlan, lVal), attr(rPlan, rVal))
+    // merge comparisons run in the NATIVE key type (exact past 2^53 for
+    // longs); only cell routing uses a double view.  Both sides must agree
+    // on that type — mixed-type joins should cast explicitly first.
+    val supported = Seq(LongType, IntegerType, ShortType, ByteType, DoubleType, FloatType)
+    require(la.dataType == ra.dataType && supported.contains(la.dataType),
+      s"IEJoin requires matching numeric key types, got ${la.dataType.sql} vs ${ra.dataType.sql}")
     GraftSqlBridge.ofRows(spark,
-      LessThanJoinNode(lPlan, rPlan,
-        Cast(attr(lPlan, lVal), DoubleType), Cast(attr(rPlan, rVal), DoubleType),
-        bounds))
+      LessThanJoinNode(lPlan, rPlan, la, ra, bounds))
   }
 }

@@ -47,9 +47,21 @@ class IEJoinSpec extends AnyFunSuite {
     assert(pairsOf(IEJoin(one, oneB, "va", "vb")).isEmpty) // strict <
     val empty = Seq.empty[(Long, Double)].toDF("idb", "vb")
     assert(pairsOf(IEJoin(one, empty, "va", "vb")).isEmpty)
-    // integral columns are cast to double for the merge keys
+    // integral keys merge in their native type
     val la = Seq((1L, 10L), (2L, 20L)).toDF("ida", "va")
     val lb = Seq((10L, 15L)).toDF("idb", "vb")
     assert(pairsOf(IEJoin(la, lb, "va", "vb")) == Set((1L, 10L)))
+  }
+
+  test("long keys past 2^53 compare exactly (double view is routing-only)") {
+    // adjacent longs above 2^53 collapse to one double; the merge must
+    // still see base < base+1 (and NOT base+1 < base+1)
+    val base = (1L << 55) + 1L
+    val xs = Seq((1L, base), (2L, base + 1L)).toDF("ida", "va")
+    val ys = Seq((10L, base + 1L)).toDF("idb", "vb")
+    assert(pairsOf(IEJoin(xs, ys, "va", "vb")) == Set((1L, 10L)))
+    // mixed-type keys are rejected, not silently double-cast
+    val ints = Seq((20L, 5)).toDF("idb", "vb")
+    intercept[IllegalArgumentException](IEJoin(xs, ints, "va", "vb"))
   }
 }
