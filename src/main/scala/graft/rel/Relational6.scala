@@ -140,32 +140,54 @@ object Relational6 {
         (col("sb") - col("sa")).as("start_gap_us"))
   }
 
-  /** Fuzzy (edit-distance ≤ 1) self-join on customer names via DELETION
-    * NEIGHBORHOODS (FastSS): each name is indexed under itself plus every
-    * single-character deletion; two strings within one substitution,
-    * insertion, or deletion share at least one index key, so candidate
-    * generation is an equi join on the key — O(len·n) index rows, never
-    * the O(n²) all-pairs levenshtein the oracle runs.  Exact verify
-    * (levenshtein ≤ 1) re-applied on candidates. */
+  /** Fuzzy (edit-distance ≤ 1) self-join on customer names via
+    * POSITION-KEYED deletion neighborhoods (the FastSS "Mod" variant):
+    * each name is indexed under itself (pos 0) and under every
+    * single-character deletion keyed by its position.  Two strings are
+    * within one edit iff they share a (variant, SAME position) key — a
+    * substitution — or one string equals a deletion variant of the other —
+    * an indel.  Both are plain equi joins whose every match is a TRUE
+    * d ≤ 1 pair by construction, so there is no per-candidate levenshtein
+    * verify at all: the position restriction eliminates the false
+    * candidates (share a variant from different positions => d = 2) that
+    * make unkeyed FastSS verify-bound.  O(len·n) index rows vs the
+    * oracle's O(n²) levenshtein scan. */
   val joinFuzzy: GraftQuery = GraftQuery("q_join_fuzzy",
     """SELECT a.c_custkey AS ka, b.c_custkey AS kb,
       |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS d
       |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
       |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) { (spark, sfDir) =>
     val n = length(col("c_name"))
-    val dels = transform(sequence(lit(1), n), i =>
-      concat(col("c_name").substr(lit(1), i - 1), col("c_name").substr(i + 1, n)))
-    val idx = customer(spark, sfDir)
+    val variants = transform(sequence(lit(1), n), i =>
+      struct(i.as("pos"),
+        concat(col("c_name").substr(lit(1), i - 1), col("c_name").substr(i + 1, n)).as("key")))
+    val self = struct(lit(0).as("pos"), col("c_name").as("key"))
+    val e = customer(spark, sfDir)
       .select(col("c_custkey"), col("c_name"),
-        explode(concat(array(col("c_name")), dels)).as("key"))
-    val a = idx.select(col("c_custkey").as("ka"), col("c_name").as("na"), col("key"))
-    val b = idx.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
-      col("key").as("key_b"))
-    a.join(b, col("key") === col("key_b") && col("ka") < col("kb"))
-      .select("ka", "kb", "na", "nb").distinct()
-      .withColumn("d", levenshtein(col("na"), col("nb")).cast("long"))
-      .filter(col("d") <= 1)
-      .select("ka", "kb", "d")
+        explode(concat(array(self), variants)).as("x"))
+      .select(col("c_custkey"), col("c_name"),
+        col("x.pos").as("pos"), col("x.key").as("key"))
+      .localCheckpoint() // referenced four times below
+    val va = e.filter(col("pos") >= 1)
+      .select(col("c_custkey").as("ka"), col("c_name").as("na"),
+        col("pos"), col("key"))
+    val vb = e.filter(col("pos") >= 1)
+      .select(col("c_custkey").as("kb"), col("c_name").as("nb"),
+        col("pos").as("pos_b"), col("key").as("key_b"))
+    // substitution (or identical): same variant at the SAME position
+    val sub = va.join(vb,
+        col("key") === col("key_b") && col("pos") === col("pos_b") && col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        when(col("na") === col("nb"), 0L).otherwise(1L).as("d"))
+    // indel: one full name equals the other's deletion variant
+    val s0 = e.filter(col("pos") === 0)
+      .select(col("c_custkey").as("ks"), col("key"))
+    val vv = e.filter(col("pos") >= 1)
+      .select(col("c_custkey").as("kv"), col("key").as("key_v"))
+    val indel = s0.join(vv, col("key") === col("key_v") && col("ks") =!= col("kv"))
+      .select(least(col("ks"), col("kv")).as("ka"),
+        greatest(col("ks"), col("kv")).as("kb"), lit(1L).as("d"))
+    sub.unionByName(indel).distinct()
   }
 
   /** Deterministic STRATIFIED sampling: per-stratum rates (10% of BUILDING,
