@@ -64,5 +64,57 @@ object Pipeline {
       regexp_count(col("text"), lit("[0-9]+")).cast(LongType).as("n_masked"))
   }
 
-  val all: Seq[GraftQuery] = Seq(split, pack, scrub)
+  /** Benchmark DECONTAMINATION: flag training documents sharing any
+    * 3-gram shingle with a held-out eval set (here: every 50th doc) — the
+    * standard train/test-overlap scrub before pretraining.  Candidate
+    * generation is an equi join on the shared 60-bit shingle hash between
+    * the corpus index and the (small) eval index — at 100 TB the eval side
+    * is broadcast and the corpus is scanned once; never all-pairs.
+    * Output: contaminated train doc + strength of the overlap. */
+  val decontaminate: GraftQuery = GraftQuery("q_llm_decontaminate",
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, ${md5LongSql("unnest")} AS s FROM (
+       |         SELECT doc_id, unnest($shinglesSql) AS unnest
+       |         FROM toks WHERE len(t) >= 3)),
+       |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0)
+       |SELECT t.doc_id, count(*) AS n_hits,
+       |       count(DISTINCT t.s) AS n_shingles_hit,
+       |       count(DISTINCT ev.eval_id) AS n_eval_docs
+       |FROM sh t JOIN ev ON t.s = ev.s AND t.doc_id % 50 <> 0
+       |GROUP BY t.doc_id""".stripMargin) { (spark, sfDir) =>
+    val sh = hashedShingles(spark, sfDir).select(col("doc_id"), col("h").as("s"))
+    val ev = sh.filter(pmod(col("doc_id"), lit(50L)) === 0)
+      .select(col("doc_id").as("eval_id"), col("s").as("s_ev"))
+    sh.filter(pmod(col("doc_id"), lit(50L)) =!= 0)
+      .join(broadcast(ev), col("s") === col("s_ev"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("s")).as("n_shingles_hit"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Repetition-ratio quality signal: fraction of a document's 3-grams
+    * that are duplicates (1 − distinct/total) — the cheap boilerplate/
+    * degenerate-text detector every pretraining filter stack carries.
+    * Row-local arithmetic on the token array; exact ratio of two small
+    * integers, so the doubles agree bit-for-bit across engines. */
+  val repetition: GraftQuery = GraftQuery("q_llm_repetition",
+    s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(t) - 2 AS BIGINT) AS n_grams,
+       |  CAST(len($shinglesSql) AS BIGINT) AS n_distinct,
+       |  CAST(1 AS DOUBLE) - CAST(len($shinglesSql) AS DOUBLE)
+       |    / CAST(len(t) - 2 AS DOUBLE) AS rep_ratio
+       |FROM t WHERE len(t) >= 3""".stripMargin) { (spark, sfDir) =>
+    val t = toks(col("text"))
+    val nGrams = (size(t) - 2).cast(LongType)
+    val nDistinct = size(shingles(t)).cast(LongType)
+    documents(spark, sfDir)
+      .filter(size(t) >= 3)
+      .select(col("doc_id"), nGrams.as("n_grams"), nDistinct.as("n_distinct"),
+        (lit(1).cast(DoubleType) -
+          nDistinct.cast(DoubleType) / nGrams.cast(DoubleType)).as("rep_ratio"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(split, pack, scrub, decontaminate, repetition)
 }
