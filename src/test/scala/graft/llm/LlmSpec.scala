@@ -131,6 +131,35 @@ class LlmSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 0L), "one chain component labeled by its min")
   }
 
+  test("large/small-star: forest with self-loops and duplicate edges labels like union-find") {
+    // three components (one a triangle with duplicate/self edges), isolates excluded
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L), // triangle + noise
+      (10L, 11L),                                        // pair
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)     // path
+    ).toDF("ia", "ib")
+    val (labels, _) = DedupCluster.largeSmallStar(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L)
+    assert(got == expect)
+  }
+
+  test("staged cache is FIFO-bounded: rebuilt entries stay correct") {
+    import graft.io.Staged
+    var builds = 0
+    def get(tag: String) = Staged(spark, s"cap-test|$tag") {
+      builds += 1
+      Seq((tag, builds)).toDF("tag", "build")
+    }
+    val first = get("a").collect()(0)
+    // churn well past the 64-entry cap so "a" is evicted
+    (1 to 70).foreach(i => get(s"churn$i"))
+    val again = get("a").collect()(0)
+    assert(again.getString(0) == "a", "rebuilt entry must be the right table")
+    assert(again.getInt(1) > first.getInt(1), "entry was rebuilt after eviction")
+  }
+
   test("similarity top-k: ranks are 1..5, no self-matches, sims descend") {
     val out = Queries.queries("q_llm_similarity_topk")(spark, TestSpark.sf)
       .select("qid", "nid", "rn", "sim").as[(Long, Long, Long, Double)].collect()
