@@ -211,6 +211,27 @@ object Relational6 {
       .select("c_custkey", "c_mktsegment")
   }
 
+  /** TWO-predicate theta join — both conjuncts inequalities, no equi key
+    * (the full IEJoin problem shape: s_acctbal < c_acctbal AND s_nationkey
+    * > c_nationkey).  Spark-first composition: the more selective
+    * inequality drives the suffix-bucket equi rewrite; the second is
+    * re-applied as a filter on the bucketed candidates.  Candidate count
+    * is the FIRST predicate's output — already sub-matrix — and the plan
+    * stays a hash equi join; a native 2D-grid operator would only pay off
+    * when both predicates are individually unselective. */
+  val joinTheta2pred: GraftQuery = GraftQuery("q_join_theta_2pred",
+    """SELECT s_suppkey, count(*) AS n_matches, max(c_custkey) AS max_cust
+      |FROM supplier JOIN customer
+      |  ON s_acctbal < c_acctbal AND s_nationkey > c_nationkey
+      |GROUP BY s_suppkey""".stripMargin) { (spark, sfDir) =>
+    val s = supplier(spark, sfDir).select("s_suppkey", "s_acctbal", "s_nationkey")
+    val c = customer(spark, sfDir).select("c_custkey", "c_acctbal", "c_nationkey")
+    lessThanJoinQuantile(s, c, "s_acctbal", "c_acctbal")
+      .filter(col("s_nationkey") > col("c_nationkey"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_matches"), max("c_custkey").as("max_cust"))
+  }
+
   private def registerViews(spark: SparkSession, sfDir: String): Unit =
     Seq("customer", "orders", "lineitem", "part", "nation")
       .foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
@@ -263,5 +284,5 @@ object Relational6 {
   val all: Seq[GraftQuery] =
     Seq(joinThetaIneqQuantile, joinBandRuleLong, joinThetaIneqSorted,
       scalarMap, lateralExplode, joinIntervalVar, joinFuzzy, sampleStratified,
-      sqlTpchQ10, sqlTpchQ14)
+      sqlTpchQ10, sqlTpchQ14, joinTheta2pred)
 }
