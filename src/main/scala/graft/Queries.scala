@@ -18,6 +18,7 @@ object Queries {
       time.EventWindows.all ++
       agg.VectorMeanQuery.all ++
       agg.BitmapDistinctQuery.all ++
+      agg.HeavyHittersQuery.all ++
       llm.Dedup.all ++
       llm.DedupCluster.all ++
       llm.Similarity.all ++
