@@ -13,6 +13,7 @@ object Queries {
       rel.Relational4.all ++
       rel.Relational5.all ++
       rel.Relational6.all ++
+      rel.Relational7.all ++
       joins.BloomPrune.all ++
       fns.Scalars.all ++
       time.EventWindows.all ++

@@ -116,5 +116,43 @@ object Pipeline {
           nDistinct.cast(DoubleType) / nGrams.cast(DoubleType)).as("rep_ratio"))
   }
 
-  val all: Seq[GraftQuery] = Seq(split, pack, scrub, decontaminate, repetition)
+  /** Weighted corpus mixing: resample each language to a target rate —
+    * above 1.0 means epoch-style upsampling (row replication), below 1.0
+    * deterministic downsampling.  Rates are percent-scaled integers
+    * (en 250% = 2.5 epochs, de 100%, es 50%, fr 25%, zh 10%): every row
+    * gets `rate div 100` full copies plus one more iff its md5 draw falls
+    * under `rate mod 100` — so expected multiplicity is exactly rate/100,
+    * per-row decisions are pure functions of the key (reproducible,
+    * append-stable, partitioning-independent), and the whole operator is
+    * map-side only: no shuffle, no RNG state, mirrored exactly by the
+    * oracle.  This is the domain-reweighting step of a pretraining data
+    * recipe, built to run at 100 TB as a single scan + generate.
+    */
+  val mix: GraftQuery = GraftQuery("q_llm_mix",
+    s"""WITH w AS (
+       |  SELECT doc_id, lang,
+       |    CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 100 WHEN 'es' THEN 50
+       |              WHEN 'fr' THEN 25 ELSE 10 END AS r
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, lang,
+       |    r // 100 + CASE WHEN ${md5LongSql("doc_id")} % 100 < r % 100
+       |                    THEN 1 ELSE 0 END AS copies
+       |  FROM w)
+       |SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy
+       |FROM k WHERE copies >= 1""".stripMargin) { (spark, sfDir) =>
+    val r = when(col("lang") === "en", 250L).when(col("lang") === "de", 100L)
+      .when(col("lang") === "es", 50L).when(col("lang") === "fr", 25L)
+      .otherwise(10L)
+    val copies = call_function("div", r, lit(100L)) +
+      when(pmod(md5Long(col("doc_id")), lit(100L)) < r % 100L, 1L).otherwise(0L)
+    documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), copies.as("copies"))
+      .filter(col("copies") >= 1L)
+      // sequence(1, 0) would silently step DOWN; the filter above guards it
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("copies"))).as("copy"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(split, pack, scrub, decontaminate, repetition, mix)
 }
