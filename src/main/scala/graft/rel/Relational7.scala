@@ -59,5 +59,130 @@ object Relational7 {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(layoutZorder)
+  private def registerViews(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    Seq("customer", "orders", "lineitem", "part", "supplier", "nation", "region")
+      .foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
+
+  /** TPC-H Q7 shape (volume shipping between two nations): 6-way join with
+    * the nation table aliased twice, grouped by shipping year.  One SQL
+    * text runs on both engines; year() is cast to BIGINT for type parity
+    * and revenue uses the scaled-integer exact sum. */
+  val sqlTpchQ7: GraftQuery = {
+    val sql =
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |       count(*) AS n_rows,
+         |       ${Exact.exactSumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM supplier
+         |JOIN lineitem ON s_suppkey = l_suppkey
+         |JOIN orders   ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+         |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+         |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)""".stripMargin
+    GraftQuery("q_sql_tpch_q7", sql) { (spark, sfDir) =>
+      registerViews(spark, sfDir)
+      spark.sql(sql)
+    }
+  }
+
+  /** TPC-H Q8 shape (national market share): 8-way join, ratio of two
+    * scaled-integer sums divided as doubles (the Q14 parity trick) so the
+    * share is bit-identical across engines. */
+  val sqlTpchQ8: GraftQuery = {
+    val sv = Exact.scaledSql("l_extendedprice * (1 - l_discount)", 4)
+    val sql =
+      s"""SELECT o_year,
+         |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN sv ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(sv) AS DOUBLE) AS mkt_share,
+         |  count(*) AS n_rows
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |         $sv AS sv,
+         |         n2.n_name AS nation
+         |  FROM part
+         |  JOIN lineitem ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region   ON n1.n_regionkey = r_regionkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |) t GROUP BY o_year""".stripMargin
+    GraftQuery("q_sql_tpch_q8", sql) { (spark, sfDir) =>
+      registerViews(spark, sfDir)
+      spark.sql(sql)
+    }
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT JOIN keeps
+    * zero-order customers, double aggregation.  Fixture has no o_comment,
+    * so the NOT LIKE filter of the spec is omitted. */
+  val sqlTpchQ13: GraftQuery = {
+    val sql =
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin
+    GraftQuery("q_sql_tpch_q13", sql) { (spark, sfDir) =>
+      registerViews(spark, sfDir)
+      spark.sql(sql)
+    }
+  }
+
+  /** TPC-H Q15 shape (top supplier by quarterly revenue): CTE referenced
+    * twice, scalar-subquery max; revenue doubles derive from the identical
+    * scaled-integer sums so the max-equality predicate agrees exactly. */
+  val sqlTpchQ15: GraftQuery = {
+    val rev = Exact.exactSumSql("l_extendedprice * (1 - l_discount)", 4)
+    val sql =
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no, $rev AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin
+    GraftQuery("q_sql_tpch_q15", sql) { (spark, sfDir) =>
+      registerViews(spark, sfDir)
+      spark.sql(sql)
+    }
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): the correlated
+    * 0.2·avg(l_quantity) subquery is decorrelated into a per-part
+    * aggregate join, and the fractional predicate is cross-multiplied into
+    * pure integral-double arithmetic (`qty · 5 · count < sum`) — exact in
+    * both engines, no float-division drift.  Fixture has no p_container,
+    * so selectivity comes from p_brand alone. */
+  val sqlTpchQ17: GraftQuery = {
+    val sql =
+      s"""WITH pq AS (
+         |  SELECT l_partkey AS pk, CAST(sum(l_quantity) AS DOUBLE) AS sq,
+         |         count(*) AS cq
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT count(*) AS n_small,
+         |       ${Exact.exactSumSql("l_extendedprice", 4)} AS total_price
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN pq ON pk = l_partkey
+         |WHERE p_brand = 'Brand#1' AND l_quantity * 5 * cq < sq""".stripMargin
+    GraftQuery("q_sql_tpch_q17", sql) { (spark, sfDir) =>
+      registerViews(spark, sfDir)
+      spark.sql(sql)
+    }
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(layoutZorder, sqlTpchQ7, sqlTpchQ8, sqlTpchQ13, sqlTpchQ15, sqlTpchQ17)
 }
