@@ -25,6 +25,7 @@ object Queries {
       llm.Similarity.all ++
       llm.TextStats.all ++
       llm.Pipeline.all ++
+      llm.Relevance.all ++
       llm.Multimodal.all
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
