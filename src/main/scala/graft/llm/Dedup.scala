@@ -212,11 +212,14 @@ object Dedup {
          |sim AS (SELECT doc_id, $simSql AS simhash FROM s),
          |bands AS (SELECT doc_id, simhash, k, (simhash >> (12 * k)) & 4095 AS bv
          |          FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) t(k))
-         |SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+         |SELECT a.doc_id AS ia, b.doc_id AS ib,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
          |FROM bands a JOIN bands b
          |  ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SH_MAXHAM""".stripMargin) { (spark, sfDir) =>
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SH_MAXHAM
+         |  AND NOT (${(0 until SH_BANDS - 1).map(j =>
+             s"(a.k > $j AND ((a.simhash >> ${12 * j}) & 4095) = ((b.simhash >> ${12 * j}) & 4095))")
+             .mkString(" OR ")})""".stripMargin) { (spark, sfDir) =>
       // Shape note: one codegen'd kernel (distinct tokens -> md5 hashes) +
       // explode + one hash aggregate — array-lambda folds would leave
       // WholeStageCodegen (interpreted).
@@ -243,13 +246,20 @@ object Dedup {
         explode(array(bandStructs: _*)).as("x"))
         .select(col("doc_id"), col("simhash"), col("x.k").as("k"), col("x.bv").as("bv"))
       val ham = bit_count(col("sha").bitwiseXOR(col("shb"))).cast(LongType)
+      // A qualifying pair is emitted only from its FIRST matching band —
+      // pairs are unique by construction, so no distinct() shuffle over
+      // the candidate set, and each pair's hamming check runs once.
+      def band(c: org.apache.spark.sql.Column, j: Int) =
+        shiftright(c, 12 * j).bitwiseAND(lit(4095L))
+      val firstMatch = (0 until SH_BANDS - 1).map { j =>
+        !(col("k") > j && band(col("sha"), j) === band(col("shb"), j))
+      }.reduce(_ && _)
       bands.select(col("doc_id").as("ia"), col("simhash").as("sha"), col("k"), col("bv"))
         .join(bands.select(col("doc_id").as("ib"), col("simhash").as("shb"),
           col("k").as("k2"), col("bv").as("bv2")),
           col("k") === col("k2") && col("bv") === col("bv2") && col("ia") < col("ib"))
-        .filter(ham <= SH_MAXHAM)
+        .filter(ham <= SH_MAXHAM && firstMatch)
         .select(col("ia"), col("ib"), ham.as("ham"))
-        .distinct()
     }
   }
 
