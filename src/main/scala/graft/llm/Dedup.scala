@@ -112,24 +112,23 @@ object Dedup {
     val baseSql = s"(${md5LongSql("s")} % $P)"
     def hSql(j: Int) = s"((${hashA(j)} * hb + ${hashB(j)}) % $P)"
     val minsSql = (0 until K).map(j => s"min(${hSql(j)}) AS m$j").mkString(", ")
-    val bandCases = (0 until BANDS).map { b =>
-      val cols = (b * ROWS until (b + 1) * ROWS)
-        .map(j => s"m$j::VARCHAR").mkString(" || ',' || ")
-      s"WHEN $b THEN $cols"
-    }.mkString(" ")
+    def bandStrSql(b: Int) = (b * ROWS until (b + 1) * ROWS)
+      .map(j => s"m$j::VARCHAR").mkString(" || ',' || ")
+    val bandCases = (0 until BANDS).map(b => s"WHEN $b THEN ${bandStrSql(b)}").mkString(" ")
     GraftQuery("q_llm_dedup_near",
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |shing AS (SELECT doc_id, unnest($shinglesSql) AS s
          |          FROM toks WHERE len(t) >= 3),
          |sh AS (SELECT doc_id, ${md5LongSql("s")} AS hs, $baseSql AS hb FROM shing),
          |sig AS (SELECT doc_id, $minsSql, list(hs) AS sh FROM sh GROUP BY doc_id),
-         |bands AS (SELECT doc_id, sh, b, CASE b $bandCases END AS bs
+         |bands AS (SELECT doc_id, sh, b, CASE b $bandCases END AS bs,
+         |          ${(0 until BANDS - 1).map(j => s"${bandStrSql(j)} AS bs$j").mkString(", ")}
          |          FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) tb(b)),
-         |cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-         |                first(a.sh) AS sha, first(b.sh) AS shb
+         |cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.sh AS sha, b.sh AS shb
          |         FROM bands a JOIN bands b
          |           ON a.b = b.b AND a.bs = b.bs AND a.doc_id < b.doc_id
-         |         GROUP BY 1, 2),
+         |         WHERE NOT (${(0 until BANDS - 1).map(j =>
+                     s"(a.b > $j AND a.bs$j = b.bs$j)").mkString(" OR ")})),
          |j AS (SELECT ia, ib,
          |        len(list_filter(sha, e -> list_contains(shb, e))) AS common,
          |        len(sha) AS na, len(shb) AS nb
@@ -154,19 +153,29 @@ object Dedup {
         // the band self-join references this subplan twice; materialize it
         // once (cluster analog: persist the signature table)
         .localCheckpoint()
-      val bandStructs = (0 until BANDS).map { b =>
-        val bs = concat_ws(",", (b * ROWS until (b + 1) * ROWS)
-          .map(j => col(s"m$j").cast(StringType)): _*)
-        struct(lit(b).as("b"), bs.as("bs"))
-      }
-      val bands = sig.select(col("doc_id"), col("sh"), explode(array(bandStructs: _*)).as("x"))
-        .select(col("doc_id"), col("sh"), col("x.b").as("b"), col("x.bs").as("bs"))
-      val cand = bands.select(col("doc_id").as("ia"), col("sh").as("sha0"), col("b"), col("bs"))
-        .join(bands.select(col("doc_id").as("ib"), col("sh").as("shb0"),
-          col("b").as("b2"), col("bs").as("bs2")),
+      def bandStr(b: Int) = concat_ws(",", (b * ROWS until (b + 1) * ROWS)
+        .map(j => col(s"m$j").cast(StringType)): _*)
+      val bandStructs = (0 until BANDS).map(b => struct(lit(b).as("b"), bandStr(b).as("bs")))
+      // Pairs are emitted from their FIRST matching band only (no earlier
+      // band equal), so the candidate set is duplicate-free by construction
+      // — the groupBy(ia,ib) dedup shuffle, which carried both signature
+      // arrays, disappears entirely.
+      val bands = sig.select(col("doc_id") +: col("sh") +:
+          (0 until BANDS - 1).map(j => bandStr(j).as(s"bs$j")) :+
+          explode(array(bandStructs: _*)).as("x"): _*)
+        .select(col("doc_id"), col("sh"), col("bs0"), col("bs1"), col("bs2"),
+          col("x.b").as("b"), col("x.bs").as("bs"))
+      val firstMatch = (0 until BANDS - 1).map { j =>
+        !(col("b") > j && col(s"abs$j") === col(s"bbs$j"))
+      }.reduce(_ && _)
+      val cand = bands.select(col("doc_id").as("ia"), col("sh").as("sha"), col("b"), col("bs"),
+          col("bs0").as("abs0"), col("bs1").as("abs1"), col("bs2").as("abs2"))
+        .join(bands.select(col("doc_id").as("ib"), col("sh").as("shb"),
+          col("b").as("b2"), col("bs").as("bs2"),
+          col("bs0").as("bbs0"), col("bs1").as("bbs1"), col("bs2").as("bbs2")),
           col("b") === col("b2") && col("bs") === col("bs2") && col("ia") < col("ib"))
-        .groupBy("ia", "ib")
-        .agg(first(col("sha0")).as("sha"), first(col("shb0")).as("shb"))
+        .filter(firstMatch)
+        .select(col("ia"), col("ib"), col("sha"), col("shb"))
       val common = size(array_intersect(col("sha"), col("shb")))
       val jacc = common / (size(col("sha")) + size(col("shb")) - common)
       cand.filter(jacc >= MH_TAU)
