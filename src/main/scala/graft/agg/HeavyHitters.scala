@@ -186,9 +186,10 @@ object HeavyHittersQuery {
       |FROM toks GROUP BY w
       |HAVING count(*) * 100 >= (SELECT count(*) FROM toks)""".stripMargin) {
     (spark, sfDir) =>
-      val toks = Tables.documents(spark, sfDir)
-        .select(explode(TextOps.toks(col("text"))).as("w"))
-      exactHeavyHitters(toks, "w", k = 200, denom = 100L)
+      // session-staged token table: tokenized once, scanned three times
+      // (sketch, candidate count, total)
+      exactHeavyHitters(TextOps.tokenTable(spark, sfDir).select("w"),
+        "w", k = 200, denom = 100L)
   }
 
   val all: Seq[GraftQuery] = Seq(aggHeavyHitters)

@@ -46,6 +46,16 @@ object TextOps {
           explode(graft.fns.TextKernelCols.shingleHashes(spark, col("text"))).as("h"))
     }
 
+  /** The exploded token table — (doc_id, w) for every whitespace token —
+    * materialized once per session and shared by the term-frequency
+    * consumers (BM25 relevance, vocabulary heavy hitters), each of which
+    * scans it several times (tf, df, doc-length, totals). */
+  def tokenTable(spark: SparkSession, sfDir: String): DataFrame =
+    Staged(spark, s"tokens|$sfDir") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    }
+
   /** Document-frequency cap for the exact-Jaccard inverted index.  The
     * pair-generation self-join costs sum(df²) over shingles; on a 100 TB
     * corpus boilerplate shingles ("all rights reserved …") reach df in the
