@@ -183,6 +183,29 @@ object Relational7 {
     }
   }
 
+  /** Recursive CTE surface (Spark 4 WITH RECURSIVE): a date spine unfolded
+    * by recursion, left-joined to orders for a zero-filled daily series.
+    * One SQL text runs on both engines; the recursion is bounded (31
+    * steps) and each step is a constant-size frame, so the plan is a
+    * chain of unions — at scale the spine stays driver-thin while the
+    * probe side remains one distributed join. */
+  val sqlRecursive: GraftQuery = {
+    val sql =
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT CAST('1996-01-01' AS DATE) AS d
+        |  UNION ALL
+        |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) AS d
+        |  FROM days WHERE d < CAST('1996-01-31' AS DATE))
+        |SELECT d, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+        |GROUP BY d""".stripMargin
+    GraftQuery("q_sql_recursive", sql) { (spark, sfDir) =>
+      registerViews(spark, sfDir)
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(layoutZorder, sqlTpchQ7, sqlTpchQ8, sqlTpchQ13, sqlTpchQ15, sqlTpchQ17)
+    Seq(layoutZorder, sqlTpchQ7, sqlTpchQ8, sqlTpchQ13, sqlTpchQ15, sqlTpchQ17,
+      sqlRecursive)
 }
