@@ -205,7 +205,45 @@ object Relational7 {
     }
   }
 
+  /** Exact statistical outlier detection: rows more than 1.5 population
+    * standard deviations from their group mean (the fixture prices are
+    * uniform per group, so max |z| ~ sqrt(3) and a 3-sigma cut is empty).  The z-score test is
+    * cross-multiplied into pure integer arithmetic on scaled values —
+    * `4·(n·x − s)² > 9·(n·ss − s²)` ⟺ `(x − mean)² > 2.25·var` — so there is no
+    * sqrt, no float division, and no order-dependent double summation:
+    * both engines agree bit-for-bit.  One window pass per group (at scale:
+    * one shuffle keyed by the group column); magnitudes are bounded by the
+    * price domain (≤3·10¹⁷, ×9 ≪ 2⁶³ — overflow-checked in ANSI mode). */
+  val qualityOutliers: GraftQuery = {
+    val xs = Exact.scaledSql("l_extendedprice", 2)
+    val sql =
+      s"""WITH st AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+         |         $xs AS xs,
+         |         CAST(sum($xs) OVER (PARTITION BY l_partkey) AS BIGINT) AS s,
+         |         CAST(sum($xs * $xs) OVER (PARTITION BY l_partkey) AS BIGINT) AS ss,
+         |         CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+         |FROM st
+         |WHERE 4 * (n * xs - s) * (n * xs - s) > 9 * (n * ss - s * s)""".stripMargin
+    GraftQuery("q_quality_outliers", sql) { (spark, sfDir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_partkey")
+      val xsc = Exact.scaled(col("l_extendedprice"), 2)
+      val st = lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"), xsc.as("xs"))
+        .withColumn("s", sum(col("xs")).over(w))
+        .withColumn("ss", sum(col("xs") * col("xs")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+      st.filter(lit(4L) * (col("n") * col("xs") - col("s")) * (col("n") * col("xs") - col("s")) >
+          lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(layoutZorder, sqlTpchQ7, sqlTpchQ8, sqlTpchQ13, sqlTpchQ15, sqlTpchQ17,
-      sqlRecursive)
+      sqlRecursive, qualityOutliers)
 }
