@@ -26,6 +26,7 @@ object Queries {
       llm.TextStats.all ++
       llm.Pipeline.all ++
       llm.Relevance.all ++
+      llm.SpanDedup.all ++
       llm.Multimodal.all
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
