@@ -64,6 +64,35 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct hashes of every `w`-token window (stride 1, first-occurrence
+    * order); empty when the doc has < w tokens.  == md5Long over
+    * `array_distinct(transform(sequence(1, len-w+1), concat_ws(" ",
+    * t_i..t_{i+w-1})))` — one pass, one StringBuilder, no intermediate
+    * window-string array in the plan. */
+  def windowHashes(text: UTF8String, w: Int): ArrayData = {
+    val t = tokens(text.toString)
+    if (t.length < w) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + w <= t.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(t(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = md5Long60(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Hashes of the first `cap` DISTINCT tokens (first-occurrence order) —
     * == md5Long over `slice(array_distinct(tokens), 1, cap)`. */
   def distinctTokenHashes(text: UTF8String, cap: Int): ArrayData = {
@@ -111,12 +140,36 @@ case class DistinctTokenHashesExpr(child: Expression, cap: Int) extends UnaryExp
     copy(child = newChild)
 }
 
+case class WindowHashesExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.windowHashes(s.asInstanceOf[UTF8String], w)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.fns.TextKernels.windowHashes($s, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextKernelCols {
   /** Column handle for [[ShingleHashesExpr]]. */
   def shingleHashes(spark: SparkSession, text: Column): Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes", exprs => ShingleHashesExpr(exprs(0)), "built-in")
     call_function("graft_shingle_hashes", text)
+  }
+
+  /** Column handle for [[WindowHashesExpr]] at w=16 (the span-dedup
+    * window). */
+  def windowHashes16(spark: SparkSession, text: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_window_hashes16", exprs => WindowHashesExpr(exprs(0), 16), "built-in")
+    call_function("graft_window_hashes16", text)
   }
 
   /** Column handle for [[DistinctTokenHashesExpr]] at cap=127 (the SimHash

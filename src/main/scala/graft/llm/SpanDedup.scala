@@ -39,12 +39,12 @@ object SpanDedup {
          |SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS n_shared
          |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin) { (spark, sfDir) =>
-      val t = toks(col("text"))
-      val winHashes = array_distinct(transform(sequence(lit(1), size(t) - (W - 1)), i =>
-        md5Long(concat_ws(" ", (0 until W).map(j => element_at(t, i + lit(j))): _*))))
+      // One codegen'd kernel call per doc (tokenize -> window -> md5) —
+      // the composable transform/concat_ws/md5 chain is interpreted; docs
+      // with < W tokens yield an empty array, which explode drops.
       val postings = documents(spark, sfDir)
-        .filter(size(t) >= W)
-        .select(col("doc_id"), explode(winHashes).as("s"))
+        .select(col("doc_id"),
+          explode(graft.fns.TextKernelCols.windowHashes16(spark, col("text"))).as("s"))
       val capped = dfCapped(postings, DF_CAP).localCheckpoint()
       capped.select(col("doc_id").as("ia"), col("s"))
         .join(capped.select(col("doc_id").as("ib"), col("s").as("s2")),

@@ -1,0 +1,36 @@
+package graft.fns
+
+import graft.TestSpark
+import graft.fns.Exact.md5Long
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen'd kernels must emit exactly the hashes of the composable
+  * (interpreted) formulations they replace. */
+class TextKernelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = {
+    val r = new scala.util.Random(31)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "gg", "hhh")
+    (1 to 60).map { i =>
+      // lengths straddle the W=16 boundary, incl. empty and repeated text
+      val n = r.nextInt(40)
+      (i.toLong, Seq.fill(n)(vocab(r.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("windowHashes(16) == distinct md5 of composable 16-token windows") {
+    val t = filter(split(col("text"), " "), w => w =!= "")
+    val composable = array_distinct(transform(sequence(lit(1), size(t) - 15), i =>
+      md5Long(concat_ws(" ", (0 until 16).map(j => element_at(t, i + lit(j))): _*))))
+    val got = docs
+      .select(col("doc_id"),
+        TextKernelCols.windowHashes16(spark, col("text")).as("k"),
+        when(size(t) >= 16, composable).otherwise(array().cast("array<bigint>")).as("c"))
+      .filter(not(col("k") <=> col("c")))
+      .count()
+    assert(got == 0, s"$got docs disagree with the composable formulation")
+  }
+}
