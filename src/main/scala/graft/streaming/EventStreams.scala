@@ -161,4 +161,27 @@ object EventStreams {
           }
       }
   }
+
+  final case class Change(key: Long, version: Long, payload: String, deleted: Boolean)
+
+  /** Streaming CDC apply — latest-wins materialization of a change stream
+    * (the streaming lift of the batch `q_upsert_merge` shape).  GroupState
+    * per key holds the highest-version change seen so far; each
+    * micro-batch emits the key's current row, so out-of-order and
+    * cross-batch stale updates (including updates arriving after a
+    * delete with a lower version) never regress the materialized value.
+    * State is one change struct per live key — O(keyspace), the same
+    * footprint a MERGE target table would occupy, and the natural spot
+    * for a TTL timeout when keys expire. */
+  def cdcLatest(changes: Dataset[Change]): Dataset[Change] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .mapGroupsWithState[Change, Change](GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Change], state: GroupState[Change]) =>
+          val best = (state.getOption.iterator ++ it).maxBy(c => (c.version, c.deleted))
+          state.update(best)
+          best
+      }
+  }
 }

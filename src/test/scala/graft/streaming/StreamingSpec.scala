@@ -165,4 +165,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(finals.count(_.user_id == 1) == 2, s"no double-emission, got $finals")
     } finally q.stop()
   }
+
+  test("streaming CDC latest-wins survives out-of-order and cross-batch stale updates") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import EventStreams.Change
+    val mem = MemoryStream[Change]
+    val q = cdcLatest(mem.toDS())
+      .writeStream.format("memory").queryName("cdc").outputMode("update").start()
+    def latest(): Map[Long, Change] = spark.table("cdc").as[Change].collect()
+      .groupBy(_.key).map { case (k, cs) => k -> cs.maxBy(c => (c.version, c.deleted)) }
+    try {
+      // batch 1: initial inserts
+      mem.addData(Change(1, 1, "a", false), Change(2, 1, "x", false))
+      q.processAllAvailable()
+      // batch 2: out-of-order WITHIN the batch (v3 then v2) — v3 must win
+      mem.addData(Change(1, 3, "c", false), Change(1, 2, "b", false))
+      q.processAllAvailable()
+      assert(latest()(1L) == Change(1, 3, "c", false), s"got ${latest()}")
+      // batch 3: delete key 2 at v2
+      mem.addData(Change(2, 2, "x", true))
+      q.processAllAvailable()
+      assert(latest()(2L).deleted, s"got ${latest()}")
+      // batch 4: stale cross-batch updates (lower versions) must not regress
+      mem.addData(Change(1, 2, "stale", false), Change(2, 1, "stale", false))
+      q.processAllAvailable()
+      assert(latest()(1L) == Change(1, 3, "c", false), s"got ${latest()}")
+      assert(latest()(2L).deleted, s"stale update revived a deleted key: ${latest()}")
+    } finally q.stop()
+  }
 }
