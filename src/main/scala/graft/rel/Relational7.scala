@@ -243,7 +243,53 @@ object Relational7 {
     }
   }
 
+  /** TPC-H Q19 shape (disjunctive brand/size/quantity predicates): one
+    * scan, three OR'd conjunct groups — the classic test that a planner
+    * pushes a disjunction into the join instead of a cross filter.
+    * Fixture has no p_container, so size bands stand in for containers. */
+  val sqlTpchQ19: GraftQuery = {
+    val sql =
+      s"""SELECT count(*) AS n_rows,
+         |       ${Exact.exactSumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity >= 1 AND l_quantity <= 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity >= 10 AND l_quantity <= 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+    GraftQuery("q_sql_tpch_q19", sql) { (spark, sfDir) =>
+      registerViews(spark, sfDir)
+      spark.sql(sql)
+    }
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): customers above the
+    * positive-balance average with no URGENT orders, grouped by
+    * country code (every fixture customer has orders, so the anti leg
+    * filters on priority to stay non-degenerate).
+    * Fixture has no c_phone, so cntrycode := c_nationkey % 5.  The scalar
+    * average is the exact scaled-integer form, so the `>` cut agrees
+    * bit-for-bit; the anti join is NOT EXISTS. */
+  val sqlTpchQ22: GraftQuery = {
+    val sql =
+      s"""SELECT cntrycode, count(*) AS numcust,
+         |       ${Exact.exactSumSql("c_acctbal", 2)} AS totacctbal
+         |FROM (
+         |  SELECT c_nationkey % 5 AS cntrycode, c_acctbal
+         |  FROM customer
+         |  WHERE c_acctbal > (SELECT ${Exact.exactAvgSql("c_acctbal", 2)}
+         |                     FROM customer WHERE c_acctbal > CAST(0 AS DOUBLE))
+         |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                    AND o_orderpriority = '1-URGENT')
+         |) t GROUP BY cntrycode""".stripMargin
+    GraftQuery("q_sql_tpch_q22", sql) { (spark, sfDir) =>
+      registerViews(spark, sfDir)
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(layoutZorder, sqlTpchQ7, sqlTpchQ8, sqlTpchQ13, sqlTpchQ15, sqlTpchQ17,
-      sqlRecursive, qualityOutliers)
+      sqlRecursive, qualityOutliers, sqlTpchQ19, sqlTpchQ22)
 }
