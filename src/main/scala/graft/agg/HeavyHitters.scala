@@ -165,11 +165,18 @@ object HeavyHittersQuery {
     */
   def exactHeavyHitters(keys: DataFrame, keyCol: String, k: Int, denom: Long): DataFrame = {
     require(k + 1 > denom, s"k=$k cannot guarantee capture at threshold n/$denom")
-    val n = keys.count()
-    val cands = keys
-      .agg(mgSketch(col(keyCol), k).as("s"))
-      .select(explode(col("s.word")).as(keyCol))
-    keys.join(broadcast(cands), keyCol)
+    // one pass: sketch + total count ride the same aggregation
+    val first = keys
+      .agg(mgSketch(col(keyCol), k).as("s"), count(lit(1)).as("n"))
+      .head()
+    val n = first.getLong(1)
+    val cands: Seq[String] =
+      first.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    // second pass: exact-count ONLY candidate rows (InSet filter at the
+    // scan — no join); ≤ k candidates live on the driver already
+    val hit =
+      if (cands.isEmpty) lit(false) else col(keyCol).isin(cands: _*)
+    keys.filter(hit)
       .groupBy(keyCol)
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * lit(denom) >= lit(n))
