@@ -120,6 +120,7 @@ object BandJoinAutoRewrite extends Rule[LogicalPlan] with PredicateHelper {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BandJoinAutoRewrite)
+    e.injectOptimizerRule(_ => IntervalOverlapAutoRewrite)
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectPlannerStrategy(_ => IEJoinStrategy)
   }

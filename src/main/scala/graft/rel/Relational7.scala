@@ -289,7 +289,47 @@ object Relational7 {
     }
   }
 
+  private def installIntervalRule(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.IntervalOverlapAutoRewrite))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.IntervalOverlapAutoRewrite
+    }
+
+  /** Planner-integrated interval-overlap rewrite, judged end to end: the
+    * query writes the NAIVE overlap join (`sa <= eb AND sb <= ea`, no equi
+    * key — Catalyst alone would plan BNLJ/CartesianProduct) and
+    * [[graft.plans.IntervalOverlapAutoRewrite]] compiles it to the
+    * bucket-replicated equi join with exactly-once overlap-start
+    * emission.  Purchase windows vs error windows over the event stream;
+    * variable interval lengths (600-900 s) against a 2³⁰ µs bucket. */
+  val joinIntervalRule: GraftQuery = GraftQuery("q_join_interval_rule",
+    """WITH w AS (SELECT event_id, event_type, epoch_us(ts) AS s,
+      |                  epoch_us(ts) + (600 + event_id % 300) * 1000000 AS e
+      |           FROM events),
+      |a AS (SELECT event_id AS ia, s AS sa, e AS ea FROM w WHERE event_type = 'purchase'),
+      |b AS (SELECT event_id AS ib, s AS sb, e AS eb FROM w WHERE event_type = 'error')
+      |SELECT ia, ib, greatest(sa, sb) AS ov_start,
+      |       least(ea, eb) - greatest(sa, sb) AS ov_us
+      |FROM a JOIN b ON sa <= eb AND sb <= ea""".stripMargin) { (spark, sfDir) =>
+    installIntervalRule(spark)
+    spark.conf.set(graft.plans.IntervalOverlapAutoRewrite.WidthConf,
+      (1L << 30).toString) // ~18 min buckets in µs
+    val w = eventsUs(spark, sfDir).select(col("event_id"), col("event_type"),
+      col("ts_us").as("s"),
+      (col("ts_us") + (lit(600L) + pmod(col("event_id"), lit(300L))) * 1000000L).as("e"))
+    val a = w.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("ia"), col("s").as("sa"), col("e").as("ea"))
+    val b = w.filter(col("event_type") === "error")
+      .select(col("event_id").as("ib"), col("s").as("sb"), col("e").as("eb"))
+    a.join(b, col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select(col("ia"), col("ib"),
+        greatest(col("sa"), col("sb")).as("ov_start"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("ov_us"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(layoutZorder, sqlTpchQ7, sqlTpchQ8, sqlTpchQ13, sqlTpchQ15, sqlTpchQ17,
-      sqlRecursive, qualityOutliers, sqlTpchQ19, sqlTpchQ22)
+      sqlRecursive, qualityOutliers, sqlTpchQ19, sqlTpchQ22, joinIntervalRule)
 }
