@@ -154,5 +154,41 @@ object Pipeline {
         explode(sequence(lit(1L), col("copies"))).as("copy"))
   }
 
-  val all: Seq[GraftQuery] = Seq(split, pack, scrub, decontaminate, repetition, mix)
+  /** Data selection under a token budget: rank documents by a quality
+    * signal (here: inverse repetition — milli-scaled distinct/total 3-gram
+    * ratio) and keep the best prefix whose cumulative token count fits the
+    * budget.  The greedy-prefix selection every "train on the best N
+    * tokens" recipe uses; deterministic (integer score, doc_id tiebreak)
+    * and exact in both engines.  At scale the ORDER BY is a range
+    * partition + per-partition cumulative sums — one pass, no collect. */
+  val selectBudget: GraftQuery = GraftQuery("q_llm_select_budget",
+    s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |q AS (SELECT doc_id,
+       |        CAST(len(t) AS BIGINT) AS n_tok,
+       |        CAST(round(CAST(1000 * len($shinglesSql) AS BIGINT)
+       |                   / CAST(len(t) - 2 AS DOUBLE), 0) AS BIGINT) AS score
+       |      FROM t WHERE len(t) >= 3),
+       |c AS (SELECT doc_id, n_tok, score,
+       |        CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+       |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |      FROM q)
+       |SELECT doc_id, n_tok, score, cum_tok FROM c WHERE cum_tok <= 50000""".stripMargin) {
+    (spark, sfDir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = toks(col("text"))
+      val q = documents(spark, sfDir)
+        .filter(size(t) >= 3)
+        .select(col("doc_id"),
+          size(t).cast(LongType).as("n_tok"),
+          round((lit(1000L) * size(shingles(t)).cast(LongType)).cast(DoubleType) /
+            (size(t) - 2).cast(DoubleType), 0).cast(LongType).as("score"))
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      q.withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= 50000L)
+        .select("doc_id", "n_tok", "score", "cum_tok")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(split, pack, scrub, decontaminate, repetition, mix, selectBudget)
 }
