@@ -329,7 +329,30 @@ object Relational7 {
         (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("ov_us"))
   }
 
+  /** Wide-to-long unpivot (the inverse of q_agg_pivot): per-flag exact
+    * sums melted into (flag, measure, value) rows via `Dataset.unpivot`;
+    * the oracle is the portable UNION ALL formulation. */
+  val aggUnpivot: GraftQuery = {
+    val qty = Exact.exactSumSql("l_quantity", 2)
+    val price = Exact.exactSumSql("l_extendedprice", 2)
+    GraftQuery("q_agg_unpivot",
+      s"""WITH w AS (SELECT l_returnflag, $qty AS qty, $price AS price
+         |           FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, 'qty' AS measure, qty AS val FROM w
+         |UNION ALL
+         |SELECT l_returnflag, 'price' AS measure, price AS val FROM w""".stripMargin) {
+      (spark, sfDir) =>
+        lineitem(spark, sfDir)
+          .groupBy("l_returnflag")
+          .agg(Exact.exactSum(col("l_quantity"), 2).as("qty"),
+            Exact.exactSum(col("l_extendedprice"), 2).as("price"))
+          .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
+            "measure", "val")
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(layoutZorder, sqlTpchQ7, sqlTpchQ8, sqlTpchQ13, sqlTpchQ15, sqlTpchQ17,
-      sqlRecursive, qualityOutliers, sqlTpchQ19, sqlTpchQ22, joinIntervalRule)
+      sqlRecursive, qualityOutliers, sqlTpchQ19, sqlTpchQ22, joinIntervalRule,
+      aggUnpivot)
 }
