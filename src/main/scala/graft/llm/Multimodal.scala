@@ -163,5 +163,99 @@ object Multimodal {
       .toDF()
   }
 
-  val all: Seq[GraftQuery] = Seq(mmFeatures, mmFrameSample)
+  /** Typed feature row produced by the BMP decode step.  `pix_wsum` is a
+    * POSITION-weighted checksum over the logical (top-down raster) pixel
+    * bytes: BMP stores rows bottom-up with 4-byte row padding, so an
+    * offset, pad, or row-order slip changes the weights and fails the
+    * oracle — a plain sum would be blind to all three. */
+  final case class BmpFeatures(
+      doc_id: Long, width: Long, height: Long, n_bytes: Long, pix_wsum: Long)
+
+  /** Synthesize a spec-conformant 24-bit uncompressed BMP
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER, little-endian, bottom-up rows,
+    * rows padded to 4 bytes): dimensions derive from doc_id, pixel bytes
+    * from the document's UTF-8 bytes in logical raster order. */
+  private[llm] def bmpBytes(docId: Long, text: String): Array[Byte] = {
+    val w = (1 + docId % 5).toInt
+    val h = (1 + docId % 3).toInt
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val rowSize = (3 * w + 3) & ~3
+    val fileSize = 54 + rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0.toShort).putShort(0.toShort).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+      .putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var r = h - 1
+    while (r >= 0) {
+      var i = 0
+      while (i < 3 * w) { bb.put(bytes((r * w * 3) + i)); i += 1 }
+      while (i < rowSize) { bb.put(0.toByte); i += 1 }
+      r -= 1
+    }
+    bb.array()
+  }
+
+  /** REAL BMP parser: validates the BM magic, file-size and pixel-offset
+    * fields, the 40-byte info header (uncompressed 24-bit, one plane),
+    * then walks the bottom-up padded rows reconstructing logical raster
+    * order for the weighted checksum.  Throws on anything malformed. */
+  private[llm] def parseBmp(docId: Long, p: Array[Byte]): BmpFeatures = {
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    require(p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte,
+      s"doc $docId: not a BMP payload")
+    require(le32(2) == p.length, s"doc $docId: BMP size field mismatch")
+    val pixOff = le32(10).toInt
+    require(le32(14) == 40, s"doc $docId: not a BITMAPINFOHEADER")
+    val w = le32(18).toInt
+    val h = le32(22).toInt
+    require(w > 0 && h > 0, s"doc $docId: top-down or empty bitmap unsupported")
+    require(le16(26) == 1 && le16(28) == 24 && le32(30) == 0L,
+      s"doc $docId: not uncompressed 24-bit single-plane")
+    val rowSize = (3 * w + 3) & ~3
+    require(pixOff >= 54 && pixOff + rowSize.toLong * h <= p.length,
+      s"doc $docId: pixel array out of bounds")
+    var wsum = 0L
+    var r = 0
+    while (r < h) {
+      val base = pixOff + (h - 1 - r) * rowSize // bottom-up storage
+      var i = 0
+      while (i < 3 * w) {
+        val logicalIdx = r * w * 3 + i
+        wsum += (logicalIdx + 1).toLong * (p(base + i) & 0xff)
+        i += 1
+      }
+      r += 1
+    }
+    BmpFeatures(docId, w.toLong, h.toLong, p.length.toLong, wsum)
+  }
+
+  /** BMP image column synthesized from each document, decoded per
+    * partition by the real header/raster parser — the image-modality twin
+    * of q_mm_features.  The oracle recomputes dimensions from doc_id and
+    * the weighted checksum from the source bytes directly. */
+  val mmImage: GraftQuery = GraftQuery("q_mm_image",
+    s"""SELECT doc_id,
+       |  CAST(1 + doc_id % 5 AS BIGINT) AS width,
+       |  CAST(1 + doc_id % 3 AS BIGINT) AS height,
+       |  CAST(54 + ((3 * (1 + doc_id % 5) + 3) // 4) * 4 * (1 + doc_id % 3) AS BIGINT) AS n_bytes,
+       |  CAST(list_aggregate(list_transform(
+       |         range(1, CAST((1 + doc_id % 5) * (1 + doc_id % 3) * 3 AS INTEGER) + 1),
+       |         j -> j * ascii(substr(text, CAST(j AS INTEGER), 1))), 'sum') AS BIGINT) AS pix_wsum
+       |FROM documents WHERE length(text) >= 45""".stripMargin) { (spark, sfDir) =>
+    import spark.implicits._
+    documents(spark, sfDir)
+      .filter(length(col("text")) >= 45)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, bmpBytes(id, t)) }) // media table: (id, binary)
+      .mapPartitions(_.map { case (id, payload) => parseBmp(id, payload) })
+      .toDF()
+  }
+
+  val all: Seq[GraftQuery] = Seq(mmFeatures, mmFrameSample, mmImage)
 }

@@ -262,6 +262,28 @@ class LlmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.parseWav(7L, bad))
   }
 
+  test("BMP round-trip: synth -> parse recovers fields; pad/row-order slips fail; corrupt fails") {
+    val text = "0123456789abcdefghijklmnopqrstuvwxyz0123456789ABCDEF"
+    val id = 7L // width 3, height 2 -> rowSize 12 (3 pad bytes per row)
+    val b = Multimodal.bmpBytes(id, text)
+    val f = Multimodal.parseBmp(id, b)
+    assert(f.width == 3 && f.height == 2)
+    assert(f.n_bytes == 54 + 12 * 2)
+    val expectedWsum = (0 until 18).map(j => (j + 1).toLong * text.charAt(j).toLong).sum
+    assert(f.pix_wsum == expectedWsum, "weighted checksum must reflect logical raster order")
+    // flipping the two stored rows changes logical order -> checksum must change
+    val flipped = b.clone()
+    for (i <- 0 until 12) {
+      flipped(54 + i) = b(54 + 12 + i); flipped(54 + 12 + i) = b(54 + i)
+    }
+    assert(Multimodal.parseBmp(id, flipped).pix_wsum != f.pix_wsum)
+    // corrupt magic / size field must throw, not return garbage
+    val bad = b.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.parseBmp(id, bad))
+    val badSize = b.clone(); badSize(2) = (badSize(2) + 1).toByte
+    intercept[IllegalArgumentException](Multimodal.parseBmp(id, badSize))
+  }
+
   test("fingerprint is order-sensitive (rolling, not bag-of-words)") {
     val dir = "/tmp/graft_test_fp"
     Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
