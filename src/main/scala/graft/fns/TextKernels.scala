@@ -93,6 +93,29 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** FastSS position-keyed deletion neighborhood of a string: struct rows
+    * (pos, key) — pos 0 is the string itself, pos i (1-based) the string
+    * with character i deleted.  == the composable
+    * `concat(array(struct(0, s)), transform(sequence(1, len), i ->
+    * struct(i, concat(substr(...), substr(...)))))` but one pass, one
+    * StringBuilder, inside codegen. */
+  def deletionVariants(name: UTF8String): ArrayData = {
+    val s = name.toString
+    val n = s.length
+    val out = new Array[Any](n + 1)
+    out(0) = org.apache.spark.sql.catalyst.InternalRow(0, name.copy())
+    val sb = new java.lang.StringBuilder(math.max(n - 1, 0))
+    var i = 1
+    while (i <= n) {
+      sb.setLength(0)
+      sb.append(s, 0, i - 1).append(s, i, n)
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        i, UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Hashes of the first `cap` DISTINCT tokens (first-occurrence order) —
     * == md5Long over `slice(array_distinct(tokens), 1, cap)`. */
   def distinctTokenHashes(text: UTF8String, cap: Int): ArrayData = {
@@ -140,6 +163,27 @@ case class DistinctTokenHashesExpr(child: Expression, cap: Int) extends UnaryExp
     copy(child = newChild)
 }
 
+case class DeletionVariantsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("key", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_deletion_variants"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.deletionVariants(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.fns.TextKernels.deletionVariants($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class WindowHashesExpr(child: Expression, w: Int) extends UnaryExpression {
   override def checkInputDataTypes() =
     if (child.dataType == StringType)
@@ -162,6 +206,14 @@ object TextKernelCols {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes", exprs => ShingleHashesExpr(exprs(0)), "built-in")
     call_function("graft_shingle_hashes", text)
+  }
+
+  /** Column handle for [[DeletionVariantsExpr]] (FastSS position-keyed
+    * deletion neighborhood). */
+  def deletionVariants(spark: SparkSession, name: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_deletion_variants", exprs => DeletionVariantsExpr(exprs(0)), "built-in")
+    call_function("graft_deletion_variants", name)
   }
 
   /** Column handle for [[WindowHashesExpr]] at w=16 (the span-dedup

@@ -157,14 +157,11 @@ object Relational6 {
       |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS d
       |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
       |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) { (spark, sfDir) =>
-    val n = length(col("c_name"))
-    val variants = transform(sequence(lit(1), n), i =>
-      struct(i.as("pos"),
-        concat(col("c_name").substr(lit(1), i - 1), col("c_name").substr(i + 1, n)).as("key")))
-    val self = struct(lit(0).as("pos"), col("c_name").as("key"))
+    // one codegen'd kernel call per name (self + every deletion variant)
+    // instead of an interpreted transform/substr/concat chain
     val e = customer(spark, sfDir)
       .select(col("c_custkey"), col("c_name"),
-        explode(concat(array(self), variants)).as("x"))
+        explode(graft.fns.TextKernelCols.deletionVariants(spark, col("c_name"))).as("x"))
       .select(col("c_custkey"), col("c_name"),
         col("x.pos").as("pos"), col("x.key").as("key"))
       .localCheckpoint() // referenced four times below

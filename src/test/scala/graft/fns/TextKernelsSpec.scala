@@ -21,6 +21,23 @@ class TextKernelsSpec extends AnyFunSuite {
     }.toDF("doc_id", "text")
   }
 
+  test("deletionVariants == composable self + per-position deletions") {
+    // no empty string: the composable twin itself is wrong there
+    // (sequence(1, 0) silently steps DOWN), while the kernel returns just
+    // the self variant; fixture names are never empty
+    val names = Seq("a", "ab", "Customer#000000042", "ααβ").toDF("s")
+    val kernel = TextKernelCols.deletionVariants(spark, col("s"))
+    val n = length(col("s"))
+    val composable = concat(
+      array(struct(lit(0).as("pos"), col("s").as("key"))),
+      transform(sequence(lit(1), n), i =>
+        struct(i.as("pos"),
+          concat(col("s").substr(lit(1), i - 1), col("s").substr(i + 1, n)).as("key"))))
+    val bad = names.select(kernel.as("k"), composable.as("c"))
+      .filter(not(col("k") <=> col("c"))).count()
+    assert(bad == 0)
+  }
+
   test("windowHashes(16) == distinct md5 of composable 16-token windows") {
     val t = filter(split(col("text"), " "), w => w =!= "")
     val composable = array_distinct(transform(sequence(lit(1), size(t) - 15), i =>
