@@ -12,7 +12,17 @@ class IntervalOverlapAutoRewriteSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def withRule[A](width: Long)(f: => A): A = {
+  /** Other suites (the judged q_join_interval_rule) install the rule and
+    * width conf on the SHARED test session — strip both so each test
+    * states its own preconditions. */
+  private def bare[A](f: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == IntervalOverlapAutoRewrite)
+    spark.conf.unset(IntervalOverlapAutoRewrite.WidthConf)
+    f
+  }
+
+  private def withRule[A](width: Long)(f: => A): A = bare {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ IntervalOverlapAutoRewrite
     spark.conf.set(IntervalOverlapAutoRewrite.WidthConf, width.toString)
@@ -45,7 +55,7 @@ class IntervalOverlapAutoRewriteSpec extends AnyFunSuite {
 
   test("naive overlap join is rewritten to a bucketed equi join") {
     val cond = $"sa" <= $"eb" && $"sb" <= $"ea"
-    val before = a.join(b, cond).queryExecution.executedPlan.toString
+    val before = bare { a.join(b, cond).queryExecution.executedPlan.toString }
     assert(before.contains("BroadcastNestedLoop") || before.contains("CartesianProduct"))
     withRule(1024L) {
       val plan = a.join(b, cond).queryExecution.executedPlan.toString
@@ -56,7 +66,7 @@ class IntervalOverlapAutoRewriteSpec extends AnyFunSuite {
 
   test("rewritten overlap join returns exactly the naive rows (incl. degenerate/null)") {
     val cond = $"sa" <= $"eb" && $"sb" <= $"ea"
-    val expected = pairs(a.join(b, cond))
+    val expected = bare { pairs(a.join(b, cond)) }
     assert(expected.nonEmpty)
     for (w <- Seq(64L, 1024L, 1000000L)) {
       val got = withRule(w) { pairs(a.join(b, cond)) }
@@ -66,7 +76,7 @@ class IntervalOverlapAutoRewriteSpec extends AnyFunSuite {
 
   test("strict and flipped comparison forms are rewritten and exact") {
     val cond = $"eb" >= $"sa" && $"sb" < $"ea"
-    val expected = pairs(a.join(b, cond))
+    val expected = bare { pairs(a.join(b, cond)) }
     val got = withRule(512L) {
       val df = a.join(b, cond)
       val plan = df.queryExecution.executedPlan.toString
@@ -83,19 +93,21 @@ class IntervalOverlapAutoRewriteSpec extends AnyFunSuite {
       assert(!plan.contains("__graft_iv"))
     }
     // rule installed but conf unset -> no rewrite
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ IntervalOverlapAutoRewrite
-    try {
-      val plan = a.join(b, $"sa" <= $"eb" && $"sb" <= $"ea")
-        .queryExecution.optimizedPlan.toString
-      assert(!plan.contains("__graft_iv"))
-    } finally spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == IntervalOverlapAutoRewrite)
+    bare {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntervalOverlapAutoRewrite
+      try {
+        val plan = a.join(b, $"sa" <= $"eb" && $"sb" <= $"ea")
+          .queryExecution.optimizedPlan.toString
+        assert(!plan.contains("__graft_iv"))
+      } finally spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == IntervalOverlapAutoRewrite)
+    }
   }
 
   test("extra conjuncts ride along unchanged") {
     val cond = $"sa" <= $"eb" && $"sb" <= $"ea" && $"ia" =!= $"ib"
-    val expected = pairs(a.join(b, cond))
+    val expected = bare { pairs(a.join(b, cond)) }
     val got = withRule(2048L) { pairs(a.join(b, cond)) }
     assert(got == expected)
   }
