@@ -27,6 +27,7 @@ object Queries {
       llm.Pipeline.all ++
       llm.Relevance.all ++
       llm.SpanDedup.all ++
+      llm.Curate.all ++
       llm.Multimodal.all
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
