@@ -257,5 +257,44 @@ object Multimodal {
       .toDF()
   }
 
-  val all: Seq[GraftQuery] = Seq(mmFeatures, mmFrameSample, mmImage)
+  /** Media-lake ingest through the `binaryFile` SOURCE: a sampled subset
+    * of documents is materialized as real .bmp FILES on disk, read back
+    * with `spark.read.format("binaryFile")` (the path/length/content
+    * schema a 100 TB media lake exposes), and decoded by the same
+    * validating parser — so the judged path covers file-system ingest, not
+    * just in-table payloads.  doc_id rides in the file name; the oracle
+    * recomputes every field from the source rows. */
+  val mmScanBinary: GraftQuery = GraftQuery("q_scan_binary",
+    s"""SELECT doc_id,
+       |  CAST(1 + doc_id % 5 AS BIGINT) AS width,
+       |  CAST(1 + doc_id % 3 AS BIGINT) AS height,
+       |  CAST(54 + ((3 * (1 + doc_id % 5) + 3) // 4) * 4 * (1 + doc_id % 3) AS BIGINT) AS n_bytes,
+       |  CAST(list_aggregate(list_transform(
+       |         range(1, CAST((1 + doc_id % 5) * (1 + doc_id % 3) * 3 AS INTEGER) + 1),
+       |         j -> j * ascii(substr(text, CAST(j AS INTEGER), 1))), 'sum') AS BIGINT) AS pix_wsum
+       |FROM documents WHERE length(text) >= 45 AND doc_id % 50 = 0""".stripMargin) {
+    (spark, sfDir) =>
+      import spark.implicits._
+      val dir = s"/tmp/graft_media_${new java.io.File(sfDir).getName}"
+      val root = new java.io.File(dir)
+      if (root.exists()) root.listFiles().foreach(_.delete()) else root.mkdirs()
+      documents(spark, sfDir)
+        .filter(length(col("text")) >= 45 && col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (id, t) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"doc_$id.bmp"), bmpBytes(id, t))
+          }
+        }
+      spark.read.format("binaryFile").load(dir)
+        .select(element_at(split(element_at(split(col("path"), "/"), -1), "[_.]"), 2)
+          .cast("long").as("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) => parseBmp(id, payload) })
+        .toDF()
+  }
+
+  val all: Seq[GraftQuery] = Seq(mmFeatures, mmFrameSample, mmImage, mmScanBinary)
 }
