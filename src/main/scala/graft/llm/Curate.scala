@@ -65,10 +65,11 @@ object Curate {
       .filter(col("jacc") >= TAU)
       .select(col("ib").as("doc_id"))
       .distinct()
-    // stage 1: exact-dup keepers
+    // stage 1: exact-dup keepers — groupBy on the hash, so the shuffle
+    // carries (hash, id) pairs, never the document text
     val exactKeep = docs
-      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     // stage 3: quality stats — distinct-shingle counts via the codegen'd
     // kernel (the interpreted shingle lambda is ~5x slower per doc)

@@ -236,5 +236,34 @@ object Similarity {
       .select("doc_id", "lang", "source", "n_chars", "label", "dim", "norm2")
   }
 
-  val all: Seq[GraftQuery] = Seq(similarityTopk, annIvf, annLsh, multimodalJoin)
+  /** Per-vector int8 quantization — the vector-database compression step:
+    * each embedding is scaled by its own max-abs to the [-127, 127] range
+    * (amax emitted as a scaled integer, codes as a CSV string per the
+    * array-output convention).  Every step is IEEE basic arithmetic on
+    * identical inputs plus a positive-value round, so both engines agree
+    * bit-for-bit; at 100 TB this is a map-only pass that cuts vector
+    * storage 4× ahead of the ANN index build. */
+  val embedQuantize: GraftQuery = GraftQuery("q_llm_quantize",
+    """WITH a AS (
+      |  SELECT vec_id, embedding,
+      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(round(amax * 1000000, 0) AS BIGINT) AS amax_micro,
+      |  array_to_string(list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 127 / amax, 0) AS BIGINT)), ',') AS q8
+      |FROM a WHERE amax > 0""".stripMargin) { (spark, sfDir) =>
+    embeddings(spark, sfDir)
+      .withColumn("amax",
+        array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))))
+      .filter(col("amax") > 0)
+      .select(col("vec_id"),
+        round(col("amax") * 1000000, 0).cast(LongType).as("amax_micro"),
+        concat_ws(",", transform(col("embedding"),
+          x => round(x.cast(DoubleType) * 127 / col("amax"), 0).cast(LongType)
+            .cast(StringType))).as("q8"))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(similarityTopk, annIvf, annLsh, multimodalJoin, embedQuantize)
 }
