@@ -351,8 +351,25 @@ object Relational7 {
     }
   }
 
+  /** Salted equi join, judged end to end: the left side is scattered
+    * across `factor` salt values and the right side replicated to all of
+    * them, so a single hot key spreads over `factor` reducers instead of
+    * one — the manual skew remedy when AQE's split sizes don't fit.
+    * Salting is performance-only: each qualifying pair still meets exactly
+    * once, so the oracle is the PLAIN join. */
+  val joinSalted: GraftQuery = GraftQuery("q_join_salted",
+    """SELECT l_orderkey, l_linenumber, o_totalprice, o_orderstatus
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin) {
+    (spark, sfDir) =>
+      graft.joins.NonEquiJoins.saltedEquiJoin(
+        lineitem(spark, sfDir).select("l_orderkey", "l_linenumber"),
+        orders(spark, sfDir).select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        "l_orderkey", "o_orderkey", factor = 8)
+        .select("l_orderkey", "l_linenumber", "o_totalprice", "o_orderstatus")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(layoutZorder, sqlTpchQ7, sqlTpchQ8, sqlTpchQ13, sqlTpchQ15, sqlTpchQ17,
       sqlRecursive, qualityOutliers, sqlTpchQ19, sqlTpchQ22, joinIntervalRule,
-      aggUnpivot)
+      aggUnpivot, joinSalted)
 }
