@@ -14,6 +14,8 @@ object Queries {
       rel.Relational5.all ++
       rel.Relational6.all ++
       rel.Relational7.all ++
+      rel.Relational8.all ++
+      graph.Graphs.all ++
       joins.BloomPrune.all ++
       fns.Scalars.all ++
       time.EventWindows.all ++
@@ -28,6 +30,7 @@ object Queries {
       llm.Relevance.all ++
       llm.SpanDedup.all ++
       llm.Curate.all ++
+      llm.Importance.all ++
       llm.Multimodal.all
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,130 @@
+package graft.graph
+
+import graft.GraftQuery
+import graft.io.Tables
+import graft.joins.NonEquiJoins
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relations — PageRank and triangle counting, the two
+  * canonical "many rounds of self-join" distributed-graph operators.
+  *
+  * Both are expressed as plain DataFrame joins/aggregations so Catalyst
+  * plans every round (shuffle on the edge key, partial aggregation
+  * map-side), and both are *all-integer* end to end so the DuckDB oracle
+  * hash-matches bit for bit: PageRank ranks are fixed-point longs with
+  * floor division at every step (no float sum anywhere), triangle counting
+  * is pure counting over an integer-cents band graph.
+  *
+  * Scale posture:
+  *  - PageRank edges are materialized once (`localCheckpoint`) and re-read
+  *    by all five rounds; each round is one shuffle-join on `src` plus one
+  *    partial-agg shuffle on `dst` — the same structure Pregel/GraphX use,
+  *    with AQE free to coalesce. Rank rows are O(|V|), far smaller than
+  *    edges, so on a cluster every round's join would broadcast or
+  *    co-partition with the (reused) edge partitioning.
+  *  - Triangle counting orients edges (u < v), which bounds the wedge join
+  *    by the *oriented* out-degree; candidate wedges then close with one
+  *    hash semi-join against the edge set. The edge set itself comes from
+  *    the bucketed band join (graft.joins.NonEquiJoins.bandJoinLong), never
+  *    a cross product.
+  */
+object Graphs {
+
+  private val Scale = 1000000000000L // fixed-point 1e12 rank units
+  private val Rounds = 5
+
+  /** 5 rounds of damped PageRank (d = 0.85) over the symmetric
+    * supplier<->part bipartite graph from lineitem. All arithmetic is long
+    * floor division on positive values, so Spark `div` == DuckDB `//` ==
+    * exact, and the final ranks hash-match the chained-CTE oracle. */
+  val pagerank: GraftQuery = GraftQuery("q_graph_pagerank", pagerankSql) {
+    (spark, sfDir) =>
+      val bi = Tables.lineitem(spark, sfDir)
+        .select(col("l_suppkey").cast("long").as("s"),
+          (lit(1000000000L) + col("l_partkey")).as("p"))
+        .distinct()
+      val edges = bi.select(col("s").as("src"), col("p").as("dst"))
+        .unionByName(bi.select(col("p").as("src"), col("s").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      // (src, dst, d) materialized once; every round re-reads it instead of
+      // recomputing the distinct + union + degree aggregation five times.
+      val ed = edges.join(deg, "src").localCheckpoint()
+      val n = deg.count()
+      val teleport = (Scale * 15L / 100L) / n // 0.15/n in rank units
+
+      var r = deg.select(col("src").as("node"), lit(Scale / n).as("r"))
+      for (_ <- 1 to Rounds) {
+        r = ed.join(r, col("src") === col("node"))
+          .groupBy("dst")
+          .agg(sum(expr("r div d")).as("inflow"))
+          .select(col("dst").as("node"),
+            (lit(teleport) + expr("(85 * inflow) div 100")).as("r"))
+          .localCheckpoint() // truncate the 5-round lineage; O(|V|) rows
+      }
+      r.orderBy(desc("r"), asc("node")).limit(20)
+        .select(col("node"), col("r").as("rank_scaled"))
+  }
+
+  private lazy val pagerankSql: String = {
+    def iter(prev: String, i: Int): String =
+      s"""it$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST((SELECT 150000000000 // n FROM nn)
+         |              + (85 * CAST(sum(r.r // d.d) AS BIGINT)) // 100 AS BIGINT) AS r
+         |  FROM edges e JOIN ${prev} r ON r.node = e.src
+         |               JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    val chain = (1 to Rounds)
+      .map(i => iter(if (i == 1) "r0" else s"it${i - 1}", i)).mkString(",\n")
+    s"""WITH bi AS (SELECT DISTINCT l_suppkey AS s, 1000000000 + l_partkey AS p FROM lineitem),
+       |edges AS (SELECT s AS src, p AS dst FROM bi UNION ALL SELECT p AS src, s AS dst FROM bi),
+       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, CAST((SELECT 1000000000000 // n FROM nn) AS BIGINT) AS r FROM deg),
+       |$chain
+       |SELECT node, r AS rank_scaled FROM it$Rounds
+       |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin
+  }
+
+  private val TriEps = 2000L // band width in acctbal cents ($20)
+
+  /** Triangle count per nation over the customer similarity graph: an edge
+    * joins two customers whose account balances differ by <= $20 (exact
+    * integer cents through the bucketed band join). Edges are oriented
+    * low-key -> high-key, wedges (a->b->c) close against the edge set with
+    * an equi join, and each triangle is counted once at its lowest vertex.
+    */
+  val triangles: GraftQuery = GraftQuery("q_graph_triangles",
+    s"""WITH c AS (SELECT c_custkey k, CAST(round(c_acctbal*100, 0) AS BIGINT) v, c_nationkey nk
+       |           FROM customer),
+       |e AS (SELECT a.k u, b.k v FROM c a JOIN c b
+       |      ON a.k < b.k AND b.v BETWEEN a.v - $TriEps AND a.v + $TriEps),
+       |t AS (SELECT e1.u a FROM e e1
+       |      JOIN e e2 ON e2.u = e1.v
+       |      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+       |SELECT n.n_name, count(*) AS n_triangles
+       |FROM t JOIN c ON c.k = t.a JOIN nation n ON n.n_nationkey = c.nk
+       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (spark, sfDir) =>
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("v"),
+        col("c_nationkey").as("nk"))
+    val a = cust.select(col("k").as("u"), col("v").as("uv"))
+    val b = cust.select(col("k").as("w"), col("v").as("wv"))
+    // Oriented edge set, built once and reused by both sides of the wedge
+    // join and by the closing semi join (three scans of one checkpoint).
+    val e = NonEquiJoins.bandJoinLong(a, b, "uv", "wv", TriEps)
+      .filter(col("u") < col("w"))
+      .select(col("u"), col("w").as("v"))
+      .localCheckpoint()
+    val wedges = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+    val tri = wedges.join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+    tri.join(cust, tri("a") === cust("k"))
+      .join(Tables.nation(spark, sfDir), col("nk") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("n_name")
+  }
+
+  val all: Seq[GraftQuery] = Seq(pagerank, triangles)
+}

@@ -1,0 +1,116 @@
+package graft.rel
+
+import graft.GraftQuery
+import graft.fns.Exact
+import graft.io.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-4 continuation: event-sequence analytics (conversion funnel, SCD2
+  * interval materialization) and the built-in XML source round-trip.
+  */
+object Relational8 {
+
+  private def tmpDir(sfDir: String, tag: String): String =
+    s"/tmp/graft_${tag}_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Conversion-funnel analysis: per user, the first signup, the first view
+    * AFTER that signup, and the first purchase AFTER that view.  Each stage
+    * is one filtered min-aggregation joined to the previous stage — three
+    * shuffles on `user_id` that AQE will plan as co-partitioned (same key
+    * throughout), never a per-user sort of the whole event log.  The
+    * sequential "after the previous stage" dependency is what windowed
+    * funnels get wrong when expressed as independent mins. */
+  val eventsFunnel: GraftQuery = GraftQuery("q_events_funnel",
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |s1 AS (SELECT user_id, min(ts_us) AS t_signup FROM ev
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(ts_us) AS t_view FROM ev e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND ts_us > t_signup GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(ts_us) AS t_purchase FROM ev e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts_us > t_view GROUP BY e.user_id)
+      |SELECT s1.user_id, t_signup, t_view, t_purchase,
+      |       1 + CASE WHEN t_view IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS stage
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin) {
+    (spark, sfDir) =>
+      val ev = eventsUs(spark, sfDir).select("user_id", "event_type", "ts_us")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("t_signup"))
+      val s2 = ev.filter(col("event_type") === "view")
+        .join(s1, "user_id").filter(col("ts_us") > col("t_signup"))
+        .groupBy("user_id").agg(min("ts_us").as("t_view"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts_us") > col("t_view"))
+        .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_signup"), col("t_view"), col("t_purchase"),
+          (lit(1) + when(col("t_view").isNull, 0).otherwise(1)
+            + when(col("t_purchase").isNull, 0).otherwise(1)).as("stage"))
+  }
+
+  /** SCD2 (slowly-changing-dimension type 2) interval materialization:
+    * collapse each user's event-type stream into runs of consecutive equal
+    * values and emit [valid_from, valid_to) intervals — the
+    * gaps-and-islands change-capture pattern (lag to flag changes, running
+    * sum to number islands, lead for the closing timestamp; the last run
+    * stays open with a NULL valid_to).  One shuffle on user_id serves all
+    * three window passes and the aggregation. */
+  val scd2Intervals: GraftQuery = GraftQuery("q_scd2_intervals",
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |m AS (SELECT user_id, event_type, ts_us,
+      |             CASE WHEN lag(event_type) OVER w IS NULL
+      |                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |i AS (SELECT user_id, event_type, ts_us,
+      |             sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                            ROWS UNBOUNDED PRECEDING) AS island
+      |      FROM m),
+      |g AS (SELECT user_id, island, min(event_type) AS event_type,
+      |             min(ts_us) AS valid_from, count(*) AS n_events
+      |      FROM i GROUP BY user_id, island)
+      |SELECT user_id, event_type, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+      |       n_events
+      |FROM g""".stripMargin) { (spark, sfDir) =>
+    val ev = eventsUs(spark, sfDir).select("user_id", "event_id", "event_type", "ts_us")
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val chg = when(lag("event_type", 1).over(w).isNull
+      || lag("event_type", 1).over(w) =!= col("event_type"), 1).otherwise(0)
+    val islands = ev.withColumn("island",
+      sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min("event_type").as("event_type"),
+        min("ts_us").as("valid_from"), count(lit(1)).as("n_events"))
+    islands.select(col("user_id"), col("event_type"), col("valid_from"),
+      lead("valid_from", 1)
+        .over(Window.partitionBy("user_id").orderBy("valid_from")).as("valid_to"),
+      col("n_events"))
+  }
+
+  /** XML round-trip through Spark 4's built-in XML source: parquet ->
+    * rowTag-per-record XML sink -> schema'd XML scan -> aggregate.  The
+    * aggregate makes the result oracle-checkable from the original parquet;
+    * acctbal survives the text round-trip because Java double formatting is
+    * shortest-round-trip, and the exact-sum guard would catch any drift. */
+  val scanXmlRoundtrip: GraftQuery = GraftQuery("q_scan_xml_roundtrip",
+    s"""SELECT s_nationkey, count(*) AS n, ${Exact.exactSumSql("s_acctbal", 2)} AS sum_bal
+       |FROM supplier GROUP BY s_nationkey""".stripMargin) { (spark, sfDir) =>
+    val path = tmpDir(sfDir, "xml_supplier")
+    supplier(spark, sfDir).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").option("rowTag", "supplier").format("xml").save(path)
+    // key types mirror the parquet schema so the group key's type matches
+    // the oracle's (the gate audits column types, not just values)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType)))
+    spark.read.schema(schema).option("rowTag", "supplier").format("xml").load(path)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), Exact.exactSum(col("s_acctbal"), 2).as("sum_bal"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(eventsFunnel, scd2Intervals, scanXmlRoundtrip)
+}
