@@ -39,27 +39,37 @@ object Graphs {
     * exact, and the final ranks hash-match the chained-CTE oracle. */
   val pagerank: GraftQuery = GraftQuery("q_graph_pagerank", pagerankSql) {
     (spark, sfDir) =>
+      // Materialize the distinct bipartite pairs once (the only full-data
+      // shuffle); edges/degrees/rounds all derive from this checkpoint.
       val bi = Tables.lineitem(spark, sfDir)
         .select(col("l_suppkey").cast("long").as("s"),
           (lit(1000000000L) + col("l_partkey")).as("p"))
-        .distinct()
+        .distinct().localCheckpoint()
       val edges = bi.select(col("s").as("src"), col("p").as("dst"))
         .unionByName(bi.select(col("p").as("src"), col("s").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-      // (src, dst, d) materialized once; every round re-reads it instead of
-      // recomputing the distinct + union + degree aggregation five times.
-      val ed = edges.join(deg, "src").localCheckpoint()
+      // Degrees are O(|V|): checkpoint them (so n is a cheap count) and
+      // BROADCAST them onto the edge scan — the edge table never shuffles.
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
       val n = deg.count()
+      val ed = edges.join(broadcast(deg), "src")
       val teleport = (Scale * 15L / 100L) / n // 0.15/n in rank units
 
       var r = deg.select(col("src").as("node"), lit(Scale / n).as("r"))
       for (_ <- 1 to Rounds) {
-        r = ed.join(r, col("src") === col("node"))
+        // Ranks are O(|V|) — orders of magnitude smaller than edges — so
+        // each round broadcasts them and the big edge table never moves:
+        // one map-side join + partial agg, then a shuffle of |V| groups.
+        // (On a 1000-executor cluster the same holds until |V| outgrows
+        // the broadcast threshold, where co-partitioning ed and r on the
+        // reused hash partitioning takes over.)
+        // No checkpoint between rounds: round k's ranks exist only inside
+        // round k+1's broadcast exchange, which executes once, so the
+        // whole 5-round chain is one linear execution (5 scans of ed).
+        r = ed.join(broadcast(r), col("src") === col("node"))
           .groupBy("dst")
           .agg(sum(expr("r div d")).as("inflow"))
           .select(col("dst").as("node"),
             (lit(teleport) + expr("(85 * inflow) div 100")).as("r"))
-          .localCheckpoint() // truncate the 5-round lineage; O(|V|) rows
       }
       r.orderBy(desc("r"), asc("node")).limit(20)
         .select(col("node"), col("r").as("rank_scaled"))
@@ -119,7 +129,13 @@ object Graphs {
       .localCheckpoint()
     val wedges = e.select(col("u").as("a"), col("v").as("b"))
       .join(e.select(col("u").as("b"), col("v").as("c")), "b")
-    val tri = wedges.join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+    // The wedge stream is the biggest intermediate (sum of in*out degree
+    // products); closing it against the broadcast edge set keeps it
+    // map-side, so it is produced and consumed without ever shuffling.
+    // (At cluster scale a too-large edge set falls back to a shuffled hash
+    // join on (a,c) — still linear in wedges.)
+    val tri = wedges.join(broadcast(e.select(col("u").as("a"), col("v").as("c"))),
+      Seq("a", "c"))
     tri.join(cust, tri("a") === cust("k"))
       .join(Tables.nation(spark, sfDir), col("nk") === col("n_nationkey"))
       .groupBy("n_name").agg(count(lit(1)).as("n_triangles"))
