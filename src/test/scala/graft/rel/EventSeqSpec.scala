@@ -44,6 +44,34 @@ class EventSeqSpec extends AnyFunSuite {
     }
   }
 
+  test("column profile never rescans the table; distinct scans are narrow") {
+    // the unpivot union reads the checkpointed 1-row aggregate + literals
+    val plan = Queries.queries("q_profile_columns")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), s"profile unpivot rescans the table:\n$plan")
+    // each per-column distinct pass prunes the scan to that one column
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+    val aggPlan = li.agg(countDistinct(col("l_returnflag")))
+      .queryExecution.executedPlan.toString
+    assert(aggPlan.contains("ReadSchema: struct<l_returnflag:string>"), aggPlan)
+  }
+
+  test("table checksum is invariant under repartitioning and row order") {
+    val base = Queries.queries("q_table_checksum")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // same fingerprint computed from a shuffled, re-partitioned scan
+    import graft.fns.Exact
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+      .repartition(17).sortWithinPartitions("l_extendedprice")
+    val alt = li.agg(
+      count(lit(1)),
+      bit_xor(Exact.md5Long(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+        Exact.scaled(col("l_quantity"), 2), Exact.scaled(col("l_extendedprice"), 2),
+        col("l_returnflag"), col("l_linestatus"),
+        unix_micros(col("l_shipdate").cast("timestamp")))))).head()
+    assert((alt.getLong(0), alt.getLong(1)) == base("lineitem"))
+  }
+
   test("dsir selects English-enriched documents") {
     val top = Queries.queries("q_llm_dsir")(spark, TestSpark.sf)
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
