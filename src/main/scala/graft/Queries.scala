@@ -15,6 +15,7 @@ object Queries {
       rel.Relational6.all ++
       rel.Relational7.all ++
       rel.Relational8.all ++
+      rel.Relational9.all ++
       graph.Graphs.all ++
       joins.BloomPrune.all ++
       fns.Scalars.all ++

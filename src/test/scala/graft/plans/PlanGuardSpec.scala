@@ -25,7 +25,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_llm_ann_ivf",         // k-means: corpus x broadcast(16 centroids)
     "q_llm_ann_lsh",         // broadcast multi-probe query buckets
     "q_llm_unigram_nll",     // crossJoin(broadcast(1-row corpus total))
-    "q_llm_dsir")            // crossJoin(broadcast(1-row bucket totals))
+    "q_llm_dsir",            // crossJoin(broadcast(1-row bucket totals))
+    // derived-partsupp TPC-H shapes: part CROSS JOIN (4-row constant
+    // relation) — a broadcast of a literal, map-only on the scan side
+    "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q11",
+    "q_sql_tpch_q16", "q_sql_tpch_q20")
 
   test("no judged query plans CartesianProduct; BNLJ only by design") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
