@@ -26,6 +26,7 @@ object Queries {
       llm.Dedup.all ++
       llm.DedupCluster.all ++
       llm.Similarity.all ++
+      llm.KnnJoin.all ++
       llm.TextStats.all ++
       llm.Pipeline.all ++
       llm.Relevance.all ++

@@ -170,6 +170,31 @@ object TextStats {
           .cast(LongType)) / 1000000.0).as("nll"))
   }
 
+  /** BPE-style merge-candidate scoring (B10): global counts of ADJACENT
+    * token pairs — the statistic byte-pair-encoding maximizes at each merge
+    * step (tokenizer vocabulary induction over a training corpus).  One
+    * codegen'd map (adjacent-pair array per doc, exploded) + one hash
+    * aggregate + TakeOrderedAndProject: at 100 TB this is a single
+    * map-side-combined shuffle of pair counts, no joins.  Top-200 is
+    * deterministic (count desc, then pair text). */
+  val bpeMerges: GraftQuery = GraftQuery("q_llm_bpe_merges",
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |prs AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+       |        FROM toks WHERE len(t) >= 2)
+       |SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM prs GROUP BY pair
+       |ORDER BY cnt DESC, pair LIMIT 200""".stripMargin) { (spark, sfDir) =>
+    val t = toks(col("text"))
+    val pairs = transform(sequence(lit(1), size(col("t")) - 1),
+      i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1)))
+    documents(spark, sfDir)
+      .select(t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(200)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(textStats, tokens, langid, quality, fingerprint, unigramNll)
+    Seq(textStats, tokens, langid, quality, fingerprint, unigramNll, bpeMerges)
 }
