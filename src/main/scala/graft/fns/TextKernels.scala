@@ -129,6 +129,46 @@ object TextKernels {
     while (it.hasNext) { out(j) = md5Long60(it.next()); j += 1 }
     new GenericArrayData(out)
   }
+
+  /** (token count, distinct word-3-gram shingle count) in one pass with no
+    * hashing and no intermediate shingle array in the plan — the repetition
+    * / budget-selection scoring kernel.  == struct(len(t),
+    * len(list_distinct(3-gram shingles))); n_shingles is 0 for < 3 tokens. */
+  def shingleStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val t = tokens(text.toString)
+    if (t.length < 3)
+      return org.apache.spark.sql.catalyst.InternalRow(t.length.toLong, 0L)
+    val seen = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + 2 < t.length) {
+      sb.setLength(0)
+      sb.append(t(i)).append(' ').append(t(i + 1)).append(' ').append(t(i + 2))
+      seen.add(sb.toString)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(t.length.toLong, seen.size().toLong)
+  }
+}
+
+case class ShingleStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tok",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_shingles",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "graft_shingle_stats"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.shingleStats(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.fns.TextKernels.shingleStats($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
@@ -222,6 +262,14 @@ object TextKernelCols {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_window_hashes16", exprs => WindowHashesExpr(exprs(0), 16), "built-in")
     call_function("graft_window_hashes16", text)
+  }
+
+  /** Column handle for [[ShingleStatsExpr]] — struct(n_tok, n_shingles)
+    * without hashing or intermediate arrays. */
+  def shingleStats(spark: SparkSession, text: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_stats", exprs => ShingleStatsExpr(exprs(0)), "built-in")
+    call_function("graft_shingle_stats", text)
   }
 
   /** Column handle for [[DistinctTokenHashesExpr]] at cap=127 (the SimHash

@@ -175,13 +175,18 @@ object Pipeline {
        |SELECT doc_id, n_tok, score, cum_tok FROM c WHERE cum_tok <= 50000""".stripMargin) {
     (spark, sfDir) =>
       import org.apache.spark.sql.expressions.Window
-      val t = toks(col("text"))
+      // one codegen'd kernel call per doc (tokenize + count distinct
+      // shingles in a single pass); the composable toks/shingles column
+      // formulation re-split the text once per reference and built the
+      // full shingle-string array only to take its size — 5x slower
       val q = documents(spark, sfDir)
-        .filter(size(t) >= 3)
         .select(col("doc_id"),
-          size(t).cast(LongType).as("n_tok"),
-          round((lit(1000L) * size(shingles(t)).cast(LongType)).cast(DoubleType) /
-            (size(t) - 2).cast(DoubleType), 0).cast(LongType).as("score"))
+          graft.fns.TextKernelCols.shingleStats(spark, col("text")).as("st"))
+        .filter(col("st.n_tok") >= 3L)
+        .select(col("doc_id"),
+          col("st.n_tok").as("n_tok"),
+          round((lit(1000L) * col("st.n_shingles")).cast(DoubleType) /
+            (col("st.n_tok") - 2L).cast(DoubleType), 0).cast(LongType).as("score"))
       val w = Window.orderBy(col("score").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       q.withColumn("cum_tok", sum(col("n_tok")).over(w))
