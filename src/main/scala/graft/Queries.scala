@@ -16,6 +16,7 @@ object Queries {
       rel.Relational7.all ++
       rel.Relational8.all ++
       rel.Relational9.all ++
+      rel.Relational10.all ++
       graph.Graphs.all ++
       joins.BloomPrune.all ++
       fns.Scalars.all ++

@@ -1,0 +1,84 @@
+package graft.rel
+
+import graft.GraftQuery
+import graft.fns.Exact
+import graft.io.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Round-4 continuation II: exact grouped correlation and fixed-size
+  * deterministic per-group sampling.
+  */
+object Relational10 {
+
+  /** Pearson correlation per group with bit-exact results: Spark's built-in
+    * `corr` accumulates floating-point co-moments in shuffle order, so its
+    * low bits differ run to run and engine to engine.  Here the five
+    * sufficient statistics (sum x, sum y, sum x², sum y², sum xy over
+    * integer-rounded values) are exact BIGINT sums — associative, order
+    * independent — and the co-moment formula combines them in DOUBLE at the
+    * very end (identical IEEE ops both engines).  One map-side-combined
+    * aggregate, no second pass for the means.
+    *
+    * Domain bound (documented, not silent): each partial sum must stay
+    * under 2^63 — with values rounded to ≤10^5 units that holds to ~10^8
+    * rows per group per stat; beyond that, scale down the rounding units
+    * (the co-moment formula is scale-invariant). */
+  val aggCorr: GraftQuery = GraftQuery("q_agg_corr",
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(round(l_extendedprice, 0) AS BIGINT)) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT) * CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sxx,
+      |    CAST(sum(CAST(round(l_extendedprice, 0) AS BIGINT) * CAST(round(l_extendedprice, 0) AS BIGINT)) AS BIGINT) AS syy,
+      |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT) * CAST(round(l_extendedprice, 0) AS BIGINT)) AS BIGINT) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+      |FROM s""".stripMargin) { (spark, sfDir) =>
+    val x = round(col("l_quantity"), 0).cast(LongType)
+    val y = round(col("l_extendedprice"), 0).cast(LongType)
+    val s = lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    def d(c: String) = col(c).cast(DoubleType)
+    s.select(col("l_returnflag"), col("n"),
+      ((d("n") * d("sxy") - d("sx") * d("sy")) /
+        (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+          sqrt(d("n") * d("syy") - d("sy") * d("sy")))).as("corr_qty_price"))
+  }
+
+  /** Exactly-R-per-group deterministic sampling: rank rows inside each
+    * group by a 60-bit md5 of the row key and keep the first 20 — a
+    * uniform fixed-size sample per group that is reproducible across runs,
+    * engines and appends-at-the-tail (complementing `q_llm_mix`'s
+    * rate-based resampling with exact-count semantics, the per-source
+    * balancing primitive in training-mix construction).  One shuffle on
+    * the group key; at 100 TB the window never globally sorts — each
+    * group's partition ranks independently, and a heavy group can first be
+    * pre-pruned with a per-partition top-R (the TopKPerGroup physical
+    * operator in this repo) since hash ranks are order-stable. */
+  val sampleGroupFixed: GraftQuery = GraftQuery("q_sample_group_fixed",
+    s"""SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
+       |  SELECT l_returnflag, l_orderkey, l_linenumber,
+       |    row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY ${Exact.md5LongSql("l_orderkey * 10 + l_linenumber")},
+       |               l_orderkey, l_linenumber) AS rn
+       |  FROM lineitem)
+       |WHERE rn <= 20""".stripMargin) { (spark, sfDir) =>
+    val key = Exact.md5Long(col("l_orderkey") * 10 + col("l_linenumber"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(key.asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 20)
+  }
+
+  val all: Seq[GraftQuery] = Seq(aggCorr, sampleGroupFixed)
+}
