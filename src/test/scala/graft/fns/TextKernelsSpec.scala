@@ -38,6 +38,19 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("shingleStats == (token count, distinct composable 3-gram shingle count)") {
+    val t = filter(split(col("text"), " "), w => w =!= "")
+    val sh = array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+    val got = docs
+      .select(TextKernelCols.shingleStats(spark, col("text")).as("k"),
+        struct(size(t).cast("long").as("n_tok"),
+          when(size(t) >= 3, size(sh)).otherwise(0).cast("long").as("n_shingles")).as("c"))
+      .filter(not(col("k") <=> col("c")))
+      .count()
+    assert(got == 0, s"$got docs disagree with the composable formulation")
+  }
+
   test("windowHashes(16) == distinct md5 of composable 16-token windows") {
     val t = filter(split(col("text"), " "), w => w =!= "")
     val composable = array_distinct(transform(sequence(lit(1), size(t) - 15), i =>
