@@ -46,6 +46,19 @@ class PlanGuardSpec extends AnyFunSuite {
       s"quadratic physical plans detected:\n  ${offenders.mkString("\n  ")}")
   }
 
+  test("correlated subqueries decorrelate to semi/anti hash joins") {
+    def plan(name: String): String =
+      Queries.queries(name)(spark, TestSpark.sf).queryExecution.executedPlan.toString
+    // Q4's EXISTS must become a LeftSemi join on the fact key, Q21's
+    // EXISTS/NOT EXISTS pair a LeftSemi + LeftAnti, and Q16's NOT IN a
+    // null-aware hash anti join — never a per-row re-execution and never
+    // a nested loop over lineitem
+    assert(plan("q_sql_tpch_q4").contains("LeftSemi"))
+    val p21 = plan("q_sql_tpch_q21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"))
+    assert(plan("q_sql_tpch_q16").contains("LeftAnti"))
+  }
+
   test("partitionBy sink supports partition pruning on read") {
     import org.apache.spark.sql.functions.col
     // materialize the q_sink_partitioned output, then read it back with a
