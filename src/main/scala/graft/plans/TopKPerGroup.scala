@@ -26,7 +26,8 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * row ordering.  `TopKPerGroup.apply` is the user-facing API.
   */
 case class TopKPerGroupNode(
-    group: Seq[Expression], order: Seq[SortOrder], k: Int, child: LogicalPlan)
+    group: Seq[Expression], order: Seq[SortOrder], k: Int, child: LogicalPlan,
+    partial: Boolean = false)
     extends UnaryNode {
   require(k >= 1, s"k must be >= 1, got $k")
   override def output: Seq[Attribute] = child.output
@@ -35,12 +36,21 @@ case class TopKPerGroupNode(
 }
 
 case class TopKPerGroupExec(
-    group: Seq[Expression], order: Seq[SortOrder], k: Int, child: SparkPlan)
+    group: Seq[Expression], order: Seq[SortOrder], k: Int, child: SparkPlan,
+    partial: Boolean = false)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
+  // partial = map-side pre-prune: heaps run inside whatever partitioning
+  // the child already has (NO exchange) and emit each partition's k best
+  // per group; the final (non-partial) pass then clusters on the group
+  // keys and sees only partitions*k rows per group instead of the whole
+  // group.  Min-k of partition-wise min-ks == global min-k, so results
+  // are identical — this is the partial/final aggregate pattern applied
+  // to top-k.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(group) :: Nil
+    if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(group) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
@@ -78,8 +88,8 @@ case class TopKPerGroupExec(
 
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case TopKPerGroupNode(g, o, k, child, partial) =>
+      TopKPerGroupExec(g, o, k, planLater(child), partial) :: Nil
     case _ => Nil
   }
 }
@@ -109,7 +119,11 @@ object TopKPerGroup {
       SortOrder(attr(n), if (asc) org.apache.spark.sql.catalyst.expressions.Ascending
       else org.apache.spark.sql.catalyst.expressions.Descending)
     }
+    // two-level: a partial (exchange-free, map-side) prune feeds the
+    // clustered final pass — the shuffle carries partitions*k rows per
+    // group instead of every row
     GraftSqlBridge.ofRows(spark,
-      TopKPerGroupNode(groupCols.map(attr), sortOrders, k, plan))
+      TopKPerGroupNode(groupCols.map(attr), sortOrders, k,
+        TopKPerGroupNode(groupCols.map(attr), sortOrders, k, plan, partial = true)))
   }
 }

@@ -58,11 +58,15 @@ object Relational10 {
     * uniform fixed-size sample per group that is reproducible across runs,
     * engines and appends-at-the-tail (complementing `q_llm_mix`'s
     * rate-based resampling with exact-count semantics, the per-source
-    * balancing primitive in training-mix construction).  One shuffle on
-    * the group key; at 100 TB the window never globally sorts — each
-    * group's partition ranks independently, and a heavy group can first be
-    * pre-pruned with a per-partition top-R (the TopKPerGroup physical
-    * operator in this repo) since hash ranks are order-stable. */
+    * balancing primitive in training-mix construction).
+    *
+    * The naive formulation — one window PARTITION BY the group — caps
+    * parallelism at the number of groups (3 here!), sorts every row of
+    * every group, and shuffles the whole table.  TopKPerGroup (this
+    * repo's heap-based physical operator) now plans a partial map-side
+    * prune before its clustered final pass, so the shuffle carries only
+    * partitions×20 rows per group and nothing ever sorts; the window
+    * then ranks ≤ 60 rows. */
   val sampleGroupFixed: GraftQuery = GraftQuery("q_sample_group_fixed",
     s"""SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
        |  SELECT l_returnflag, l_orderkey, l_linenumber,
@@ -72,12 +76,16 @@ object Relational10 {
        |  FROM lineitem)
        |WHERE rn <= 20""".stripMargin) { (spark, sfDir) =>
     val key = Exact.md5Long(col("l_orderkey") * 10 + col("l_linenumber"))
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(key.asc, col("l_orderkey").asc, col("l_linenumber").asc)
-    lineitem(spark, sfDir)
+    val base = lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("hk", key)
+    val order = Seq(("hk", true), ("l_orderkey", true), ("l_linenumber", true))
+    val pruned = graft.plans.TopKPerGroup(base, Seq("l_returnflag"), order, 20)
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("hk").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    pruned.withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= 20)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "rn")
   }
 
   val all: Seq[GraftQuery] = Seq(aggCorr, sampleGroupFixed)
