@@ -265,6 +265,36 @@ object NonEquiJoins {
         col("__match.id").as(quoteId), col("__match.t").as(s"${quoteId}_ts"))
   }
 
+  /** Forward as-of join: the single EARLIEST right row with right(ts)
+    * strictly after left(ts), per key — the "next event" resolution
+    * (e.g. next fill after an order, next click after an impression).
+    * Identical one-shuffle union+window shape as [[asofJoin]], with the
+    * frame reflected (`min(struct) OVER (... RANGE BETWEEN 1 FOLLOWING
+    * AND UNBOUNDED FOLLOWING)`); ties on ts break to the smallest id. */
+  def asofJoinFwd(
+      probe: DataFrame, quote: DataFrame,
+      key: String, ts: String, probeId: String, quoteId: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = probe.select(col(key).as("__k"), col(ts).as("__t"),
+      col(probeId).as("__pid"), lit(true).as("__isProbe"))
+    val q = quote.select(col(key).as("__k"), col(ts).as("__t"),
+      col(quoteId).as("__qid"))
+      .withColumn("__pid", lit(null).cast(p.schema("__pid").dataType))
+      .withColumn("__isProbe", lit(false))
+      .select("__k", "__t", "__pid", "__isProbe", "__qid")
+    val u = p.withColumn("__qid", lit(null).cast(q.schema("__qid").dataType))
+      .select("__k", "__t", "__pid", "__isProbe", "__qid")
+      .unionByName(q)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rangeBetween(1, Window.unboundedFollowing)
+    u.withColumn("__match",
+        min(when(!col("__isProbe"), struct(col("__t").as("t"), col("__qid").as("id")))).over(w))
+      .filter(col("__isProbe"))
+      .select(
+        col("__k").as(key), col("__pid").as(probeId), col("__t").as(ts),
+        col("__match.id").as(quoteId), col("__match.t").as(s"${quoteId}_ts"))
+  }
+
   /** Guarded cross join (the degenerate all-pairs theta join). Broadcast the
     * smaller side explicitly so the plan is BroadcastNestedLoopJoin, not a
     * shuffled CartesianProduct. */

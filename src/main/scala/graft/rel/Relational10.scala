@@ -88,5 +88,24 @@ object Relational10 {
       .select("l_returnflag", "l_orderkey", "l_linenumber", "rn")
   }
 
-  val all: Seq[GraftQuery] = Seq(aggCorr, sampleGroupFixed)
+  /** Forward as-of join (B3g mirror of `q_join_asof`): each purchase
+    * matched to the EARLIEST strictly-later click of the same user — the
+    * "next event after" resolution, one window pass, no join matrix. */
+  val joinAsofFwd: GraftQuery = GraftQuery("q_join_asof_fwd",
+    """SELECT p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
+      |       (SELECT c.event_id FROM events c
+      |         WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts > p.ts
+      |         ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS click_id
+      |FROM events p WHERE p.event_type = 'purchase'""".stripMargin) { (spark, sfDir) =>
+    val ev = eventsUs(spark, sfDir)
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"))
+    val quote = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+    graft.joins.NonEquiJoins.asofJoinFwd(probe, quote, key = "user_id",
+      ts = "ts_us", probeId = "purchase_id", quoteId = "click_id")
+      .select(col("purchase_id"), col("ts_us").as("purchase_ts_us"), col("click_id"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(aggCorr, sampleGroupFixed, joinAsofFwd)
 }
