@@ -122,6 +122,27 @@ object Scalars {
         .cast(LongType).as("n_keys"))
   }
 
+  /** Regex scalar family (B8): search (`regexp_like`/`regexp_matches`),
+    * global replace, and group extract.  Patterns are restricted to
+    * character classes + literals — the dialect subset where Java regex
+    * (Spark) and RE2 (DuckDB) agree; DuckDB's replace needs the explicit
+    * 'g' flag to match Spark's replace-all semantics. */
+  val scalarRegex: GraftQuery = GraftQuery("q_scalar_regex",
+    """SELECT lang,
+      |  CAST(count(CASE WHEN regexp_matches(text, 'key [a-z]+ value') THEN 1 END) AS BIGINT) AS n_kv,
+      |  CAST(sum(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS chars_novowel,
+      |  min(regexp_extract(text, '^([a-z]+)', 1)) AS first_word_min
+      |FROM documents GROUP BY lang""".stripMargin) { (spark, sfDir) =>
+    graft.io.Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(
+        count(when(col("text").rlike("key [a-z]+ value"), 1)).as("n_kv"),
+        sum(length(regexp_replace(col("text"), "[aeiou]", "")))
+          .cast(LongType).as("chars_novowel"),
+        min(regexp_extract(col("text"), "^([a-z]+)", 1)).as("first_word_min"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(scalarString, scalarDatetime, scalarMath, scalarArray, scalarJson)
+    Seq(scalarString, scalarDatetime, scalarMath, scalarArray, scalarJson,
+      scalarRegex)
 }
