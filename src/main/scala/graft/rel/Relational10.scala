@@ -107,5 +107,63 @@ object Relational10 {
       .select(col("purchase_id"), col("ts_us").as("purchase_ts_us"), col("click_id"))
   }
 
-  val all: Seq[GraftQuery] = Seq(aggCorr, sampleGroupFixed, joinAsofFwd)
+  /** Equi-depth histogram (optimizer-statistics primitive, complementing
+    * `q_agg_histogram`'s equi-width buckets): exact interpolated quartiles
+    * of the scaled-integer values in ONE ungrouped aggregate, broadcast
+    * back onto the scan to assign buckets (ties at a boundary go low), then
+    * one count/min/max aggregate.  At 100 TB the boundary row is a 1-row
+    * broadcast — the table is scanned twice and shuffled never (bucket agg
+    * is 4 groups, map-side combined).  Exact quartiles over longs
+    * interpolate to identical doubles in both engines (q_agg_percentiles
+    * establishes this). */
+  val aggHistogramEqdepth: GraftQuery = GraftQuery("q_agg_histogram_eqdepth",
+    """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders),
+      |b AS (SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.50) AS q2,
+      |             quantile_cont(v, 0.75) AS q3 FROM c)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi
+      |FROM (SELECT v, CAST(1 + CASE WHEN v > q1 THEN 1 ELSE 0 END
+      |                  + CASE WHEN v > q2 THEN 1 ELSE 0 END
+      |                  + CASE WHEN v > q3 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+      |      FROM c CROSS JOIN b)
+      |GROUP BY bucket""".stripMargin) { (spark, sfDir) =>
+    val c = orders(spark, sfDir).select(Exact.scaled(col("o_totalprice"), 2).as("v"))
+    val b = c.agg(percentile(col("v"), lit(0.25)).as("q1"),
+      percentile(col("v"), lit(0.50)).as("q2"),
+      percentile(col("v"), lit(0.75)).as("q3"))
+    val bucket = (lit(1L) + when(col("v") > col("q1"), 1L).otherwise(0L)
+      + when(col("v") > col("q2"), 1L).otherwise(0L)
+      + when(col("v") > col("q3"), 1L).otherwise(0L))
+    c.crossJoin(broadcast(b))
+      .select(col("v"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+  }
+
+  /** Cohort retention matrix (growth-accounting primitive): users bucketed
+    * by first-seen week, activity counted per (cohort, week offset) —
+    * distinct users so repeat events within a week collapse.  Two shuffles
+    * (min per user, then the distinct-count aggregate), both on keys that
+    * scale with users, never with raw events. */
+  val eventsCohort: GraftQuery = GraftQuery("q_events_cohort",
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      |f AS (SELECT user_id, min(ts_us) AS first_us FROM ev GROUP BY user_id),
+      |a AS (SELECT e.user_id,
+      |        CAST(first_us // 604800000000 AS BIGINT) AS cohort_week,
+      |        CAST((ts_us - first_us) // 604800000000 AS BIGINT) AS week_offset
+      |      FROM ev e JOIN f ON e.user_id = f.user_id)
+      |SELECT cohort_week, week_offset,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      |FROM a GROUP BY cohort_week, week_offset""".stripMargin) { (spark, sfDir) =>
+    val ev = eventsUs(spark, sfDir).select("user_id", "ts_us")
+    val f = ev.groupBy("user_id").agg(min("ts_us").as("first_us"))
+    ev.join(f, "user_id")
+      .select(expr("first_us div 604800000000").as("cohort_week"),
+        expr("(ts_us - first_us) div 604800000000").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("active_users"))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(aggCorr, sampleGroupFixed, joinAsofFwd, aggHistogramEqdepth, eventsCohort)
 }
