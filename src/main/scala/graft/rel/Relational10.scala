@@ -108,14 +108,17 @@ object Relational10 {
   }
 
   /** Equi-depth histogram (optimizer-statistics primitive, complementing
-    * `q_agg_histogram`'s equi-width buckets): exact interpolated quartiles
-    * of the scaled-integer values in ONE ungrouped aggregate, broadcast
-    * back onto the scan to assign buckets (ties at a boundary go low), then
-    * one count/min/max aggregate.  At 100 TB the boundary row is a 1-row
-    * broadcast — the table is scanned twice and shuffled never (bucket agg
-    * is 4 groups, map-side combined).  Exact quartiles over longs
-    * interpolate to identical doubles in both engines (q_agg_percentiles
-    * establishes this). */
+    * `q_agg_histogram`'s equi-width buckets): interpolated quartiles of
+    * the scaled-integer values in one ungrouped aggregate, broadcast back
+    * onto the scan to assign buckets (ties at a boundary go low), then one
+    * count/min/max aggregate.  The bucket-assignment side is the scale
+    * story: a 1-row broadcast, two scans, zero row shuffles.  The
+    * boundary computation here is EXACT `percentile` — a value gather,
+    * kept because the oracle must hash-match (exact quartiles over longs
+    * interpolate to identical doubles in both engines, per
+    * q_agg_percentiles); at 100 TB the drop-in boundary source is
+    * `approx_percentile` (mergeable sketch, no gather), changing nothing
+    * downstream of the 1-row broadcast. */
   val aggHistogramEqdepth: GraftQuery = GraftQuery("q_agg_histogram_eqdepth",
     """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders),
       |b AS (SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.50) AS q2,
