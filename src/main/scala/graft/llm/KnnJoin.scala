@@ -73,5 +73,50 @@ object KnnJoin {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(knnJoin)
+  /** Hard-negative mining (contrastive-training pair construction): for
+    * each vector, the top-2 most-similar vectors with a DIFFERENT label —
+    * "close in embedding space, different class" is exactly what a
+    * contrastive or reranker objective wants as negatives.  Same
+    * cell-blocked join as [[knnJoin]] (the label predicate rides the
+    * equi join as a residual filter), same scale knob. */
+  val hardNegatives: GraftQuery = {
+    val blkSql = (0 until BITS)
+      .map(d => s"(CASE WHEN embedding[${d + 1}] >= 0 THEN ${1 << d} ELSE 0 END)")
+      .mkString(" + ")
+    GraftQuery("q_llm_hard_negatives",
+      s"""WITH q AS (SELECT vec_id, label, embedding,
+         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm,
+         |             $blkSql AS blk FROM q)
+         |SELECT qid, nid, nlabel, rn, sim FROM (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid, b.label AS nlabel,
+         |    list_dot_product(a.qv, b.qv) / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_dot_product(a.qv, b.qv) / (sqrt(a.nrm) * sqrt(b.nrm)) DESC,
+         |               b.vec_id) AS rn
+         |  FROM n a JOIN n b ON a.blk = b.blk AND a.label <> b.label)
+         |WHERE rn <= 2""".stripMargin) { (spark, sfDir) =>
+      val blk = (0 until BITS)
+        .map(d => when(element_at(col("embedding"), d + 1) >= 0, lit(1L << d)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val base = embeddings(spark, sfDir).select(col("vec_id"), blk.as("blk"))
+        .join(Similarity.quantized(spark, sfDir), "vec_id")
+        .select(col("vec_id"), col("label"), col("blk"), col("qv"), col("nrm"))
+      val a = base.select(col("vec_id").as("qid"), col("label").as("la"),
+        col("blk"), col("qv").as("qa"), col("nrm").as("na"))
+      val b = base.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("blk").as("blk2"), col("qv").as("qb"), col("nrm").as("nb"))
+      val sim = vecDot(spark, col("qa"), col("qb")).cast(DoubleType) /
+        (sqrt(col("na")) * sqrt(col("nb")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      a.join(b, col("blk") === col("blk2") && col("la") =!= col("nlabel"))
+        .withColumn("sim", sim)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select("qid", "nid", "nlabel", "rn", "sim")
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(knnJoin, hardNegatives)
 }
