@@ -118,5 +118,52 @@ object KnnJoin {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(knnJoin, hardNegatives)
+  /** Embedding QA — per-label centroid outliers: the 2 vectors least
+    * similar to their own label's centroid (mislabel / contamination
+    * candidates).  Cosine is scale-invariant, so the centroid is the
+    * per-dimension mean QUANTIZED back to longs: every dot product stays
+    * an exact integer < 2^53 and both engines compute bit-identical
+    * similarities (a raw sum-vector centroid would push double
+    * accumulation past 2^53 where DuckDB's float fold and the exact long
+    * fold can round differently).  Plan: one posexplode aggregate for the
+    * centroids (64·|labels| rows), broadcast back, one window. */
+  val centroidOutliers: GraftQuery = GraftQuery("q_llm_centroid_outliers",
+    """WITH q0 AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q0),
+      |ex AS (SELECT label, generate_subscripts(qv, 1) AS d, unnest(qv) AS v FROM q),
+      |s AS (SELECT label, d, CAST(sum(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
+      |      FROM ex GROUP BY label, d),
+      |c AS (SELECT label, list(CAST(round(CAST(sv AS DOUBLE) / n, 0) AS BIGINT) ORDER BY d) AS cq
+      |      FROM s GROUP BY label),
+      |cn AS (SELECT label, cq, list_dot_product(cq, cq) AS cqn FROM c),
+      |j AS (SELECT q.vec_id, q.label,
+      |        list_dot_product(q.qv, cq) / (sqrt(q.nrm) * sqrt(cqn)) AS sim
+      |      FROM q JOIN cn ON q.label = cn.label)
+      |SELECT vec_id, label, sim, rn FROM (
+      |  SELECT vec_id, label, sim,
+      |    row_number() OVER (PARTITION BY label ORDER BY sim ASC, vec_id) AS rn FROM j)
+      |WHERE rn <= 2""".stripMargin) { (spark, sfDir) =>
+    val base = Similarity.quantized(spark, sfDir)
+    val cent = base.select(col("label"), posexplode(col("qv")).as(Seq("d", "v")))
+      .groupBy("label", "d")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .select(col("label"), col("d"),
+        round(col("sv").cast(DoubleType) / col("n"), 0).cast("long").as("cq"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
+        x => x("cq")).as("cq"))
+    val cn = cent.withColumn("cqn", vecDot(spark, col("cq"), col("cq")).cast(DoubleType))
+    val sim = vecDot(spark, col("qv"), col("cq")).cast(DoubleType) /
+      (sqrt(col("nrm")) * sqrt(col("cqn")))
+    val w = Window.partitionBy(col("label")).orderBy(col("sim").asc, col("vec_id"))
+    base.join(broadcast(cn), "label")
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .select("vec_id", "label", "sim", "rn")
+  }
+
+  val all: Seq[GraftQuery] = Seq(knnJoin, hardNegatives, centroidOutliers)
 }
