@@ -142,5 +142,45 @@ object Graphs {
       .orderBy("n_name")
   }
 
-  val all: Seq[GraftQuery] = Seq(pagerank, triangles)
+  private val CcEps = 200L // band width in acctbal cents ($2)
+
+  /** Connected components of the customer acctbal band graph, forced down
+    * the DISTRIBUTED large-star/small-star path (O(log n) rounds of
+    * hash-partitioned shuffles — the driver union-find shortcut is
+    * disabled), labels = component-minimum custkey.  The judged output is
+    * one row per component (label, size).
+    *
+    * The oracle exploits that a band graph on a line is an interval graph:
+    * components are exactly the maximal runs of sorted distinct values
+    * with consecutive gaps <= eps (gaps-and-islands, no recursion) — so
+    * the generic distributed algorithm is checked against an analytically
+    * independent formulation, not a re-implementation of itself.
+    * Isolated nodes (no edge) appear in neither. */
+  val components: GraftQuery = GraftQuery("q_graph_components",
+    s"""WITH c AS (SELECT c_custkey AS k, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+       |           FROM customer),
+       |vals AS (SELECT DISTINCT v FROM c),
+       |m AS (SELECT v, CASE WHEN v - lag(v) OVER (ORDER BY v) <= $CcEps
+       |                     THEN 0 ELSE 1 END AS brk FROM vals),
+       |isl AS (SELECT v, sum(brk) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS island
+       |        FROM m),
+       |n AS (SELECT c.k, isl.island FROM c JOIN isl ON c.v = isl.v)
+       |SELECT CAST(min(k) AS BIGINT) AS component, CAST(count(*) AS BIGINT) AS csize
+       |FROM n GROUP BY island HAVING count(*) >= 2""".stripMargin) { (spark, sfDir) =>
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+    val a = cust.select(col("k").as("u"), col("v").as("uv"))
+    val b = cust.select(col("k").as("w"), col("v").as("wv"))
+    val edges = NonEquiJoins.bandJoinLong(a, b, "uv", "wv", CcEps)
+      .filter(col("u") < col("w"))
+      .select(col("u").as("ia"), col("w").as("ib"))
+      .localCheckpoint()
+    graft.llm.DedupCluster.connectedComponents(edges, maxDriverEdges = 0L)
+      .groupBy("comp")
+      .agg(count(lit(1)).as("csize"))
+      .select(col("comp").as("component"), col("csize"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(pagerank, triangles, components)
 }

@@ -71,7 +71,7 @@ object DedupCluster {
     * local union-find collapses it in one pass — no per-round Spark jobs.
     * Larger graphs take [[largeSmallStar]] (O(log n) rounds).  Both paths
     * produce identical labels. */
-  private[llm] def connectedComponents(
+  private[graft] def connectedComponents(
       pairs: DataFrame,
       maxDriverEdges: Long = DRIVER_CC_MAX_EDGES): DataFrame = {
     val spark = pairs.sparkSession
@@ -114,7 +114,7 @@ object DedupCluster {
     *
     * Returns (labels, rounds): labels (id, comp) for every node appearing
     * in `pairs`, comp = component minimum. */
-  private[llm] def largeSmallStar(pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def largeSmallStar(pairs: DataFrame): (DataFrame, Int) = {
     // Neighbor-minimum helper: for edges (u, v) grouped by u,
     // m(u) = min(min(v), u).
     def nbrMin(e: DataFrame): DataFrame =
