@@ -169,6 +169,22 @@ class NonEquiJoinsSpec extends AnyFunSuite {
     assertSameRows(fast, naive)
   }
 
+  test("asofJoinFwd == naive window formulation (ties broken by min id)") {
+    val r = new scala.util.Random(17)
+    val probe = (1 to 200).map(i => (i.toLong % 7, (r.nextInt(50) * 10).toLong, i.toLong))
+      .toDF("k", "t", "pid")
+    val quote = (1 to 200).map(i => (i.toLong % 7, (r.nextInt(50) * 10).toLong, (1000 + i).toLong))
+      .toDF("k", "t", "qid")
+    val fast = asofJoinFwd(probe, quote, "k", "t", "pid", "qid")
+      .select($"pid", $"qid")
+    val naive = probe.as("p").join(quote.as("q"),
+        $"p.k" === $"q.k" && $"q.t" > $"p.t", "left")
+      .groupBy($"p.pid".as("pid"))
+      .agg(min(when($"q.qid".isNotNull, struct($"q.t", $"q.qid"))).as("m"))
+      .select($"pid", $"m.qid".as("qid"))
+    assertSameRows(fast, naive)
+  }
+
   test("saltedEquiJoin == plain equi join on a skewed key distribution") {
     val r = new scala.util.Random(31)
     // 80% of left rows share one hot key
