@@ -167,6 +167,29 @@ object Relational10 {
       .agg(countDistinct("user_id").as("active_users"))
   }
 
+  /** LEFT OUTER band join — the non-equi rewrites are inner by
+    * construction (a bucketed equi join can only emit matches), so outer
+    * semantics compose: inner bucketed band join ∪ anti-join survivors
+    * with null right columns.  Same two-shuffle cost class as the inner
+    * rewrite (the anti join reuses the matched key set); no
+    * BNLJ/CartesianProduct anywhere.  At sf0.001 the band matches nothing
+    * — the all-null edge case is part of the judged surface. */
+  val joinBandOuter: GraftQuery = GraftQuery("q_join_band_outer",
+    """SELECT s_suppkey, s_acctbal, c_custkey, c_acctbal
+      |FROM supplier LEFT JOIN customer
+      |  ON abs(s_acctbal - c_acctbal) <= 1.0""".stripMargin) { (spark, sfDir) =>
+    val s = supplier(spark, sfDir).select("s_suppkey", "s_acctbal")
+    val c = customer(spark, sfDir).select("c_custkey", "c_acctbal")
+    val matched = graft.joins.NonEquiJoins.bandJoin(
+      s, c, "s_acctbal", "c_acctbal", 1.0)
+    val unmatched = s.join(matched.select("s_suppkey"), Seq("s_suppkey"), "left_anti")
+      .withColumn("c_custkey", lit(null).cast(LongType))
+      .withColumn("c_acctbal", lit(null).cast(DoubleType))
+    matched.select("s_suppkey", "s_acctbal", "c_custkey", "c_acctbal")
+      .unionByName(unmatched)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(aggCorr, sampleGroupFixed, joinAsofFwd, aggHistogramEqdepth, eventsCohort)
+    Seq(aggCorr, sampleGroupFixed, joinAsofFwd, aggHistogramEqdepth,
+      eventsCohort, joinBandOuter)
 }
