@@ -5,7 +5,7 @@ import graft.fns.Exact
 import graft.io.Tables._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Round-4 continuation II: exact grouped correlation and fixed-size
   * deterministic per-group sampling.
@@ -189,7 +189,55 @@ object Relational10 {
       .unionByName(unmatched)
   }
 
+  private def tmpDir(sfDir: String, tag: String): String =
+    s"/tmp/graft_${tag}_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Malformed-record ingestion (B1 robustness): JSONL with deliberately
+    * corrupted lines (every doc_id ≡ 0 mod 37 is truncated mid-object)
+    * read back in PERMISSIVE mode with a corrupt-record column — the
+    * 100 TB posture for dirty lakes: bad rows are counted and quarantined
+    * per source, never thrown, and never abort the scan (FAILFAST) or
+    * silently vanish (DROPMALFORMED).  The oracle derives the same
+    * good/bad split analytically from the clean table, so the judged
+    * check is that corruption is detected EXACTLY — no false positives on
+    * good lines, no parse of bad ones. */
+  val scanJsonMalformed: GraftQuery = GraftQuery("q_scan_json_malformed",
+    """SELECT source,
+      |  CAST(count(CASE WHEN doc_id % 37 <> 0 THEN 1 END) AS BIGINT) AS n_good,
+      |  CAST(count(CASE WHEN doc_id % 37 = 0 THEN 1 END) AS BIGINT) AS n_bad,
+      |  CAST(sum(CASE WHEN doc_id % 37 <> 0 THEN n_chars ELSE 0 END) AS BIGINT) AS good_chars
+      |FROM documents GROUP BY source""".stripMargin) { (spark, sfDir) =>
+    val path = tmpDir(sfDir, "jsonl_malformed")
+    // corruption truncates AFTER the source field, the common torn-write
+    // shape — the parser rejects the line, but quarantine attribution can
+    // still regex the source out of the raw record
+    documents(spark, sfDir)
+      .select(when(col("doc_id") % 37 === 0,
+          concat(lit("{\"doc_id\":"), col("doc_id"),
+            lit(",\"source\":\""), col("source"), lit("\",\"n_chars\":")))
+        .otherwise(to_json(struct(col("doc_id"), col("source"), col("n_chars"))))
+        .as("value"))
+      .write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", LongType), StructField("_bad", StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(path)
+    // corrupt lines surface with _bad = the raw record and data columns
+    // null; recover the source so bad counts land on the right group
+    val src = when(col("_bad").isNull, col("source"))
+      .otherwise(regexp_extract(col("_bad"), "\"source\":\"([a-z0-9]+)\"", 1))
+    parsed
+      .select(src.as("source"), col("_bad"), col("n_chars"))
+      .groupBy("source")
+      .agg(count(when(col("_bad").isNull, 1)).as("n_good"),
+        count(when(col("_bad").isNotNull, 1)).as("n_bad"),
+        coalesce(sum(when(col("_bad").isNull, col("n_chars"))), lit(0L)).as("good_chars"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(aggCorr, sampleGroupFixed, joinAsofFwd, aggHistogramEqdepth,
-      eventsCohort, joinBandOuter)
+      eventsCohort, joinBandOuter, scanJsonMalformed)
 }
