@@ -237,7 +237,62 @@ object Relational10 {
         coalesce(sum(when(col("_bad").isNull, col("n_chars"))), lit(0L)).as("good_chars"))
   }
 
+  /** Exact grouped skewness: same sufficient-statistics pattern as
+    * [[aggCorr]] (integer power sums, DOUBLE combine at the end), with the
+    * m2^(3/2) denominator computed as m2·sqrt(m2) — `pow(x, 1.5)` is NOT
+    * correctly rounded and differs between libm and the JVM by ulps on
+    * some arguments (the BM25 lesson), while sqrt is IEEE-exact.  Domain
+    * bound: cube sums of ≤5·10^3-unit values stay under 2^63 to ~7·10^7
+    * rows per group. */
+  val aggSkewness: GraftQuery = {
+    val x = "CAST(round(l_quantity, 0) AS BIGINT)"
+    GraftQuery("q_agg_skewness",
+      s"""WITH s AS (
+         |  SELECT l_returnflag,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum($x) AS BIGINT) AS s1,
+         |    CAST(sum($x * $x) AS BIGINT) AS s2,
+         |    CAST(sum($x * $x * $x) AS BIGINT) AS s3
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+         |   - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+         |   + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         |  / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         |     * sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS skew_qty
+         |FROM s""".stripMargin) { (spark, sfDir) =>
+      val xc = round(col("l_quantity"), 0).cast(LongType)
+      val s = lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(xc).as("s1"),
+          sum(xc * xc).as("s2"), sum(xc * xc * xc).as("s3"))
+      def d(c: String) = col(c).cast(DoubleType)
+      val m2t = d("n") * d("s2") - d("s1") * d("s1")
+      s.select(col("l_returnflag"), col("n"),
+        ((d("n") * d("n") * d("s3") - lit(3.0) * d("n") * d("s1") * d("s2")
+          + lit(2.0) * d("s1") * d("s1") * d("s1")) / (m2t * sqrt(m2t))).as("skew_qty"))
+    }
+  }
+
+  /** LATERAL correlated subquery (SQL surface): top-2 customers per nation
+    * via a correlated ORDER BY ... LIMIT derived table — one SQL text in
+    * both engines; Catalyst decorrelates the LATERAL into a window-ranked
+    * join rather than re-running the subquery per outer row. */
+  val joinLateral: GraftQuery = {
+    val sql =
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
+    GraftQuery("q_join_lateral", sql) { (spark, sfDir) =>
+      nation(spark, sfDir).createOrReplaceTempView("nation")
+      customer(spark, sfDir).createOrReplaceTempView("customer")
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(aggCorr, sampleGroupFixed, joinAsofFwd, aggHistogramEqdepth,
-      eventsCohort, joinBandOuter, scanJsonMalformed)
+      eventsCohort, joinBandOuter, scanJsonMalformed, aggSkewness, joinLateral)
 }
