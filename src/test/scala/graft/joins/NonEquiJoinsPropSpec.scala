@@ -43,6 +43,33 @@ class NonEquiJoinsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("bandJoin with NULL values == naive (nulls never match, inner and outer)") {
+    for (seed <- 1L to 3L) {
+      val eps = 10.0
+      val vals = sample(valuesGen(eps), seed)
+      // every 5th value null on each side, offset so null meets non-null,
+      // null meets null, and both directions
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, if (i % 5 == 0) None else Some(v))
+      }
+      val df = rows.toDF("id", "v")
+      val a = df.select($"id".as("ida"), $"v".as("va"))
+      val b = df.select($"id".as("idb"), $"v".as("vb"))
+      val fast = bandJoin(a, b, "va", "vb", eps)
+      val naive = a.crossJoin(b).filter(abs($"va" - $"vb") <= eps)
+      assert(fast.exceptAll(naive).count() + naive.exceptAll(fast).count() == 0)
+      // outer composition: inner matches ∪ anti survivors (incl. null-valued
+      // left rows) must equal the naive LEFT JOIN exactly
+      val outer = fast
+        .unionByName(a.join(fast.select("ida"), Seq("ida"), "left_anti")
+          .withColumn("idb", lit(null).cast("long"))
+          .withColumn("vb", lit(null).cast("double")))
+      val naiveOuter = a.join(b, abs($"va" - $"vb") <= eps, "left")
+      assert(outer.exceptAll(naiveOuter).count() + naiveOuter.exceptAll(outer).count() == 0,
+        s"seed=$seed: outer band composition diverges from naive LEFT JOIN")
+    }
+  }
+
   test("intervalOverlapJoinVar == naive on generated variable-length intervals (5 seeds)") {
     for (seed <- 20L to 24L) {
       // starts cluster near bucket boundaries; lengths from sub-bucket to
