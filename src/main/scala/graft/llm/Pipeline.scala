@@ -194,6 +194,36 @@ object Pipeline {
         .select("doc_id", "n_tok", "score", "cum_tok")
   }
 
+  /** Overlapping sliding-window chunking (the RAG / long-context
+    * pretraining primitive `q_llm_split` does NOT cover — that one
+    * assigns whole docs to train/val/test): windows of 32 tokens at
+    * stride 24 (8-token overlap so no boundary context is lost), emitted
+    * with exact offsets and the chunk text itself hash-checked.
+    * Row-local: one tokenize + one explode per doc — map-only, linear,
+    * no shuffle at any corpus size. */
+  val chunk: GraftQuery = GraftQuery("q_llm_chunk",
+    s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |t AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM t0 WHERE len(t) >= 1),
+       |ch AS (SELECT doc_id, t, n, unnest(range(0, (n + 23) // 24)) AS cid FROM t)
+       |SELECT doc_id, CAST(cid AS BIGINT) AS cid, CAST(cid * 24 AS BIGINT) AS start_tok,
+       |  CAST(least(cid * 24 + 32, n) - cid * 24 AS BIGINT) AS n_tok,
+       |  array_to_string(t[cid * 24 + 1 : least(cid * 24 + 32, n)], ' ') AS chunk
+       |FROM ch""".stripMargin) { (spark, sfDir) =>
+    val base = documents(spark, sfDir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .withColumn("n", size(col("t")).cast(LongType))
+    base
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L), expr("(n + 23) div 24") - 1L)).as("cid"))
+      .select(col("doc_id"), col("cid"),
+        (col("cid") * 24L).as("start_tok"),
+        (least(col("cid") * 24L + 32L, col("n")) - col("cid") * 24L).as("n_tok"),
+        concat_ws(" ", slice(col("t"), (col("cid") * 24L + 1L).cast("int"),
+          (least(col("cid") * 24L + 32L, col("n")) - col("cid") * 24L).cast("int")))
+          .as("chunk"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(split, pack, scrub, decontaminate, repetition, mix, selectBudget)
+    Seq(split, pack, scrub, decontaminate, repetition, mix, selectBudget, chunk)
 }
