@@ -292,7 +292,43 @@ object Relational10 {
     }
   }
 
+  /** Chi-square independence test over the returnflag × linestatus
+    * contingency table (categorical-drift diagnostics): observed counts
+    * are exact integers; each cell's O²/E contribution is quantized to
+    * micro-units BEFORE the cross-cell sum (per-cell double arithmetic is
+    * identical in both engines, but the cross-cell float sum would be
+    * order-dependent — the BM25 lesson), using χ² = Σ O²/E − n.  One
+    * aggregate over the fact table + broadcast-sized marginals. */
+  val aggChi2: GraftQuery = GraftQuery("q_agg_chi2",
+    """WITH o AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |                  CAST(count(*) AS BIGINT) AS obs
+      |           FROM lineitem GROUP BY rf, ls),
+      |r AS (SELECT rf, CAST(sum(obs) AS BIGINT) AS rn FROM o GROUP BY rf),
+      |c AS (SELECT ls, CAST(sum(obs) AS BIGINT) AS cn FROM o GROUP BY ls),
+      |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o)
+      |SELECT CAST(sum(CAST(round(CAST(obs AS DOUBLE) * CAST(obs AS DOUBLE)
+      |         / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * 1000000, 0) AS BIGINT)) AS BIGINT) / 1000000.0
+      |       - CAST(min(n) AS DOUBLE) AS chi2,
+      |       CAST(count(*) AS BIGINT) AS n_cells
+      |FROM o JOIN r USING (rf) JOIN c USING (ls) CROSS JOIN t""".stripMargin) {
+    (spark, sfDir) =>
+      val o = lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).as("obs"))
+      val r = o.groupBy("rf").agg(sum("obs").as("rn"))
+      val c = o.groupBy("ls").agg(sum("obs").as("cn"))
+      val t = o.agg(sum("obs").as("n"))
+      def d(c0: String) = col(c0).cast(DoubleType)
+      val contribMicro = round(d("obs") * d("obs")
+        / (d("rn") * d("cn") / d("n")) * 1000000, 0).cast(LongType)
+      o.join(r, "rf").join(c, "ls").crossJoin(broadcast(t))
+        .agg((sum(contribMicro) / 1000000.0 - min(col("n")).cast(DoubleType)).as("chi2"),
+          count(lit(1)).as("n_cells"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(aggCorr, sampleGroupFixed, joinAsofFwd, aggHistogramEqdepth,
-      eventsCohort, joinBandOuter, scanJsonMalformed, aggSkewness, joinLateral)
+      eventsCohort, joinBandOuter, scanJsonMalformed, aggSkewness, joinLateral,
+      aggChi2)
 }

@@ -30,7 +30,8 @@ class PlanGuardSpec extends AnyFunSuite {
     // relation) — a broadcast of a literal, map-only on the scan side
     "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q11",
     "q_sql_tpch_q16", "q_sql_tpch_q20",
-    "q_agg_histogram_eqdepth") // crossJoin(broadcast(1-row quartile bounds))
+    "q_agg_histogram_eqdepth", // crossJoin(broadcast(1-row quartile bounds))
+    "q_agg_chi2")              // crossJoin(broadcast(1-row grand total))
 
   test("no judged query plans CartesianProduct; BNLJ only by design") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
