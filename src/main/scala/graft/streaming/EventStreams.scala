@@ -69,6 +69,31 @@ object EventStreams {
         col("p_ts"), col("c_ts"))
   }
 
+  /** LEFT OUTER stream-stream join: like [[purchaseClickJoin]], but a
+    * purchase with NO prior-hour click is still emitted (null click
+    * columns) once BOTH watermarks pass its join horizon — the state store
+    * can only prove "no match will ever arrive" after late data is ruled
+    * out on both sides.  This is the shape that turns a streaming join
+    * into a coverage monitor: unmatched rows surface instead of silently
+    * vanishing. */
+  def purchaseClickJoinOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val c = clicks
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Stream-static enrichment join: each live event picks up its user's
     * dimension row.  The static side is broadcast per micro-batch (no
     * stream state at all), the canonical shape for joining a 100 TB/day

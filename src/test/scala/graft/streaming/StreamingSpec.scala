@@ -80,6 +80,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer stream-stream join emits unmatched purchases after watermark expiry") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[E]
+    val purchases = MemoryStream[E]
+    val q = purchaseClickJoinOuter(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssjoin_outer").outputMode("append").start()
+    try {
+      clicks.addData(E(11, ts(30), 1, "click"))     // matches user 1's purchase
+      purchases.addData(
+        E(20, ts(70), 1, "purchase"),               // matched
+        E(21, ts(75), 2, "purchase"))               // never matched
+      q.processAllAvailable()
+      // the unmatched row may not finalize until both watermarks pass its
+      // horizon — push them far forward
+      clicks.addData(E(12, ts(600), 9, "click"))
+      purchases.addData(E(22, ts(600), 9, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_outer")
+        .select("purchase_id", "click_id").as[(Long, Option[Long])].collect().toMap
+      assert(rows.get(20L).contains(Some(11L)), s"matched row wrong: $rows")
+      assert(rows.get(21L).contains(None),
+        s"unmatched purchase must surface with null click after expiry: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches events with dimension rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
