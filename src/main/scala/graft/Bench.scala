@@ -40,10 +40,13 @@ object Bench {
         else reps.sorted.apply(REPS / 2)
       name -> med
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the line compact, and the headline total
+    // goes LAST: the driver tail-captures ~2 KB of stdout, so anything at
+    // the head of a long line is what gets truncated away.
+    val qs = results.map { case (k, v) => f"""\"$k\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$REPS,"agg":"median"}""")
+    println(f"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$REPS,"agg":"median","queries":$qs,"value":$total%.3f}""")
     spark.stop()
   }
 }

@@ -3,11 +3,15 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Dev-only scale stress for the graph operators: synthesizes a random
-  * regular directed graph with N edges and runs (a) 5 broadcast-rank
-  * PageRank rounds and (b) oriented-wedge triangle counting, printing the
+  * regular directed graph with N edges and runs (a) 5 PageRank rounds and
+  * (b) oriented-wedge triangle counting THROUGH THE SHARED HYBRID HELPERS
+  * (graft.graph.Graphs.pageRankRanks / closeWedges) with the broadcast
+  * threshold forced to 0 — i.e. the big-graph co-partitioned/shuffled
+  * paths the 100 TB cluster would take.  Asserts no BroadcastExchange (and
+  * no nested loop) appears anywhere in either loop's plan, then prints the
   * wall-clock scaling curve.  PageRank must stay linear in |E| per round
-  * (one broadcast map-join + one |V|-sized shuffle); triangles must stay
-  * linear in wedges (bounded out-degree — no nested loop anywhere).
+  * (one O(|V|) rank shuffle + one partial-agg shuffle); triangles must
+  * stay linear in wedges.
   *
   * `sbt "runMain graft.GraphStress <nEdges> [nNodes]"`
   */
@@ -26,37 +30,30 @@ object GraphStress {
       .select(col("src"), pmod(col("src") + col("off") + 1, lit(nNodes)).as("dst"))
       .localCheckpoint()
 
-    // --- PageRank: 5 broadcast rounds ---
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
-    val n = deg.count()
-    val scale = 1000000000000L
-    val tel = (scale * 15L / 100L) / n
-    val ed = edges.join(broadcast(deg), "src")
+    // --- PageRank: 5 rounds, broadcast disabled -> co-partitioned path ---
     var t0 = System.nanoTime()
-    var r = deg.select(col("src").as("node"), lit(scale / n).as("r"))
-    for (_ <- 1 to 5)
-      r = ed.join(broadcast(r), col("src") === col("node"))
-        .groupBy("dst").agg(sum(expr("r div d")).as("inflow"))
-        .select(col("dst").as("node"),
-          (lit(tel) + expr("(85 * inflow) div 100")).as("r"))
+    val r = graft.graph.Graphs.pageRankRanks(edges, rounds = 5, maxBroadcastNodes = 0L)
+    val prPlan = r.queryExecution.executedPlan.toString
+    assert(!prPlan.contains("BroadcastExchange"),
+      "big-graph pagerank loop must not broadcast")
     val ranked = r.count()
     val prSec = (System.nanoTime() - t0) / 1e9
 
-    // --- Triangles: orient low->high, wedge join, close against edges ---
+    // --- Triangles: orient low->high, wedge join, shuffled closure ---
     val e = edges.filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
       .distinct().localCheckpoint()
     t0 = System.nanoTime()
-    val wedges = e.select(col("u").as("a"), col("v").as("b"))
-      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
-    val tri = wedges.join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+    val tri = graft.graph.Graphs.closeWedges(e, maxBroadcastEdges = 0L)
     val plan = tri.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      "big-graph wedge closure must not broadcast")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       "triangle plan degraded to a nested loop")
     val nTri = tri.count()
     val triSec = (System.nanoTime() - t0) / 1e9
 
-    println(f"""{"stress":"graph","edges":$nEdges,"nodes":$n,"rankedNodes":$ranked,"pagerank5Sec":$prSec%.1f,"triangles":$nTri,"triangleSec":$triSec%.1f}""")
+    println(f"""{"stress":"graph","edges":$nEdges,"nodes":$nNodes,"rankedNodes":$ranked,"pagerank5Sec":$prSec%.1f,"triangles":$nTri,"triangleSec":$triSec%.1f,"broadcast":false}""")
     spark.stop()
   }
 }

@@ -15,23 +15,87 @@ import org.apache.spark.sql.functions._
   * floor division at every step (no float sum anywhere), triangle counting
   * is pure counting over an integer-cents band graph.
   *
-  * Scale posture:
-  *  - PageRank edges are materialized once (`localCheckpoint`) and re-read
-  *    by all five rounds; each round is one shuffle-join on `src` plus one
-  *    partial-agg shuffle on `dst` — the same structure Pregel/GraphX use,
-  *    with AQE free to coalesce. Rank rows are O(|V|), far smaller than
-  *    edges, so on a cluster every round's join would broadcast or
-  *    co-partition with the (reused) edge partitioning.
+  * Scale posture — BOTH iterative operators are size-thresholded hybrids
+  * (the DedupCluster.connectedComponents pattern), so no step broadcasts
+  * an O(|V|)/O(|E|) table once the graph outgrows the threshold:
+  *  - PageRank ([[pageRankRanks]]): below MaxBroadcastNodes the per-round
+  *    rank join broadcasts (map-side, edges never move); above it edges
+  *    co-partition on `src` once (checkpoint pins the partitioning) and
+  *    each round shuffles only the O(|V|) rank rows into a SHUFFLE_HASH
+  *    join — the same structure Pregel/GraphX use.
   *  - Triangle counting orients edges (u < v), which bounds the wedge join
-  *    by the *oriented* out-degree; candidate wedges then close with one
-  *    hash semi-join against the edge set. The edge set itself comes from
-  *    the bucketed band join (graft.joins.NonEquiJoins.bandJoinLong), never
-  *    a cross product.
+  *    by the *oriented* out-degree; candidate wedges close against the
+  *    edge set via [[closeWedges]] — broadcast below MaxBroadcastEdges,
+  *    shuffled hash join on (a, c) above (linear in wedges either way).
+  *    The edge set itself comes from the bucketed band join
+  *    (graft.joins.NonEquiJoins.bandJoinLong), never a cross product.
   */
 object Graphs {
 
   private val Scale = 1000000000000L // fixed-point 1e12 rank units
   private val Rounds = 5
+
+  /** Above this many vertices the per-round rank join stops broadcasting:
+    * a 2M-node rank table is ~32 MB serialized per round per executor —
+    * past that the loop switches to co-partitioned shuffle joins where the
+    * edge table never moves and only the O(|V|) rank rows shuffle. */
+  private[graft] val MaxBroadcastNodes = 2000000L
+
+  /** `rounds` of damped PageRank (d = 0.85) as a SIZE-THRESHOLDED hybrid
+    * (same shape as DedupCluster.connectedComponents' driver/distributed
+    * split):
+    *
+    *  - |V| <= maxBroadcastNodes: degrees and per-round ranks broadcast
+    *    onto the edge scan — each round is one map-side join + partial
+    *    agg; the edge table never shuffles.
+    *  - |V| >  maxBroadcastNodes (the 100 TB graph): edges are hash-
+    *    partitioned on `src` ONCE and checkpointed — the checkpoint pins
+    *    the partitioning, so every round's rank join reuses it and only
+    *    the O(|V|) rank table moves.  The SHUFFLE_HASH hint on the rank
+    *    side outranks broadcast selection (Catalyst tries the broadcast
+    *    HINT first, then shuffle-hash hint, and only falls back to
+    *    size-based broadcast when nothing is hinted), so no
+    *    BroadcastExchange appears anywhere in the loop at any size
+    *    estimate — asserted by GraphsSpec and exercised at 100M+ edges by
+    *    graft.GraphStress.
+    *
+    * Both paths run identical integer arithmetic and return identical
+    * ranks (GraphsSpec proves equality on the judged graph).
+    * Input: directed `edges(src, dst)`.  Output: `(node, r)` fixed-point
+    * ranks after `rounds` iterations. */
+  private[graft] def pageRankRanks(edges: org.apache.spark.sql.DataFrame,
+      rounds: Int = Rounds,
+      maxBroadcastNodes: Long = MaxBroadcastNodes): org.apache.spark.sql.DataFrame = {
+    // Degrees are O(|V|): checkpoint them so n is a cheap count and the
+    // loop below re-reads materialized rows, not the edge aggregation.
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
+    val n = deg.count()
+    val teleport = (Scale * 15L / 100L) / n // 0.15/n in rank units
+    val useBroadcast = n <= maxBroadcastNodes
+    val ed =
+      if (useBroadcast) edges.join(broadcast(deg), "src")
+      else
+        // Co-partition edges with degrees on src (deg is already hash-
+        // partitioned on src by its groupBy, so only edges shuffle — once);
+        // the checkpoint preserves the output partitioning for every round.
+        edges.repartition(col("src"))
+          .join(deg.hint("shuffle_hash"), "src")
+          .localCheckpoint()
+
+    var r = deg.select(col("src").as("node"), lit(Scale / n).as("r"))
+    for (_ <- 1 to rounds) {
+      // No checkpoint between rounds: round k's ranks exist only inside
+      // round k+1's join, which executes once, so the whole chain is one
+      // linear execution (`rounds` scans of ed).
+      val rSide = if (useBroadcast) broadcast(r) else r.hint("shuffle_hash")
+      r = ed.join(rSide, col("src") === col("node"))
+        .groupBy("dst")
+        .agg(sum(expr("r div d")).as("inflow"))
+        .select(col("dst").as("node"),
+          (lit(teleport) + expr("(85 * inflow) div 100")).as("r"))
+    }
+    r
+  }
 
   /** 5 rounds of damped PageRank (d = 0.85) over the symmetric
     * supplier<->part bipartite graph from lineitem. All arithmetic is long
@@ -47,31 +111,8 @@ object Graphs {
         .distinct().localCheckpoint()
       val edges = bi.select(col("s").as("src"), col("p").as("dst"))
         .unionByName(bi.select(col("p").as("src"), col("s").as("dst")))
-      // Degrees are O(|V|): checkpoint them (so n is a cheap count) and
-      // BROADCAST them onto the edge scan — the edge table never shuffles.
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
-      val n = deg.count()
-      val ed = edges.join(broadcast(deg), "src")
-      val teleport = (Scale * 15L / 100L) / n // 0.15/n in rank units
-
-      var r = deg.select(col("src").as("node"), lit(Scale / n).as("r"))
-      for (_ <- 1 to Rounds) {
-        // Ranks are O(|V|) — orders of magnitude smaller than edges — so
-        // each round broadcasts them and the big edge table never moves:
-        // one map-side join + partial agg, then a shuffle of |V| groups.
-        // (On a 1000-executor cluster the same holds until |V| outgrows
-        // the broadcast threshold, where co-partitioning ed and r on the
-        // reused hash partitioning takes over.)
-        // No checkpoint between rounds: round k's ranks exist only inside
-        // round k+1's broadcast exchange, which executes once, so the
-        // whole 5-round chain is one linear execution (5 scans of ed).
-        r = ed.join(broadcast(r), col("src") === col("node"))
-          .groupBy("dst")
-          .agg(sum(expr("r div d")).as("inflow"))
-          .select(col("dst").as("node"),
-            (lit(teleport) + expr("(85 * inflow) div 100")).as("r"))
-      }
-      r.orderBy(desc("r"), asc("node")).limit(20)
+      pageRankRanks(edges, Rounds)
+        .orderBy(desc("r"), asc("node")).limit(20)
         .select(col("node"), col("r").as("rank_scaled"))
   }
 
@@ -97,6 +138,41 @@ object Graphs {
   }
 
   private val TriEps = 2000L // band width in acctbal cents ($20)
+
+  /** Above this many oriented edges the wedge-closing join stops
+    * broadcasting the edge set and shuffles instead. */
+  private[graft] val MaxBroadcastEdges = 2000000L
+
+  /** Close wedges (a->b->c) of the oriented edge set `e(u, v)` against the
+    * edges themselves, yielding one row per triangle keyed at its lowest
+    * vertex `a` — as a size-thresholded hybrid:
+    *
+    *  - |E| <= maxBroadcastEdges: the closer side broadcasts, so the wedge
+    *    stream (the biggest intermediate, sum of in*out degree products) is
+    *    produced and consumed map-side without ever shuffling.
+    *  - |E| >  maxBroadcastEdges (the 100 TB graph): the wedge stream
+    *    shuffles on (a, c) into a SHUFFLE_HASH join against the edge set —
+    *    still linear in wedges, one partition-local probe per wedge, and
+    *    no BroadcastExchange at any size estimate (the hint outranks
+    *    size-based broadcast selection).  Asserted by GraphsSpec and
+    *    exercised at 100M+ edges by graft.GraphStress.
+    *
+    * `e` must be materialized (checkpointed) by the caller — it is scanned
+    * by both wedge sides, the closer, and the size probe.  The probe is a
+    * limit-count, so it scans only until the threshold is exceeded. */
+  private[graft] def closeWedges(e: org.apache.spark.sql.DataFrame,
+      maxBroadcastEdges: Long = MaxBroadcastEdges): org.apache.spark.sql.DataFrame = {
+    val out = e.select(col("u").as("a"), col("v").as("b"))
+    val in = e.select(col("u").as("b"), col("v").as("c"))
+    val closer = e.select(col("u").as("a"), col("v").as("c"))
+    val small = e.limit(maxBroadcastEdges.toInt + 1).count() <= maxBroadcastEdges
+    if (small) out.join(in, "b").join(broadcast(closer), Seq("a", "c"))
+    else
+      // Both wedge sides are O(|E|) too — the wedge-building join must
+      // also shuffle (hash-partition both sides on b), not broadcast.
+      out.join(in.hint("shuffle_hash"), "b")
+        .join(closer.hint("shuffle_hash"), Seq("a", "c"))
+  }
 
   /** Triangle count per nation over the customer similarity graph: an edge
     * joins two customers whose account balances differ by <= $20 (exact
@@ -127,15 +203,10 @@ object Graphs {
       .filter(col("u") < col("w"))
       .select(col("u"), col("w").as("v"))
       .localCheckpoint()
-    val wedges = e.select(col("u").as("a"), col("v").as("b"))
-      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
-    // The wedge stream is the biggest intermediate (sum of in*out degree
-    // products); closing it against the broadcast edge set keeps it
-    // map-side, so it is produced and consumed without ever shuffling.
-    // (At cluster scale a too-large edge set falls back to a shuffled hash
-    // join on (a,c) — still linear in wedges.)
-    val tri = wedges.join(broadcast(e.select(col("u").as("a"), col("v").as("c"))),
-      Seq("a", "c"))
+    // Wedge closure is the hybrid: broadcast closer below the edge-count
+    // threshold (map-side, wedge stream never shuffles), shuffled hash join
+    // on (a, c) above it — see closeWedges.
+    val tri = closeWedges(e)
     tri.join(cust, tri("a") === cust("k"))
       .join(Tables.nation(spark, sfDir), col("nk") === col("n_nationkey"))
       .groupBy("n_name").agg(count(lit(1)).as("n_triangles"))

@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   * (TextOps.DF_CAP): a window shared by >1000 docs is boilerplate, carries
   * no pair signal, and would otherwise cost df² join rows.  At 100 TB the
   * postings table is |tokens| rows of (doc_id, hash) — one shuffle keyed
-  * by hash; the interpreted window-concat lambda would move into a codegen
-  * kernel next to TextKernels.shingleHashes.
+  * by hash; the tokenize->window->hash chain is a single codegen'd kernel
+  * (TextKernelCols.windowHashes16, next to TextKernels.shingleHashes).
   */
 object SpanDedup {
 

@@ -69,4 +69,45 @@ class GraphsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
+
+  // --- big-graph hybrid paths: identical results, no broadcast in the loop ---
+
+  private def syntheticEdges() = {
+    import org.apache.spark.sql.functions._
+    // ring lattice: local structure guarantees wedges that actually close
+    spark.range(5000).select(
+      pmod(xxhash64(col("id")), lit(400L)).as("src"),
+      pmod(xxhash64(col("id") + 7L), lit(20L)).as("off"))
+      .select(col("src"), pmod(col("src") + col("off") + 1, lit(400L)).as("dst"))
+      .localCheckpoint()
+  }
+
+  test("pagerank co-partitioned path == broadcast path, no BroadcastExchange in loop") {
+    val edges = syntheticEdges()
+    val viaBroadcast = Graphs.pageRankRanks(edges, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val viaShuffle = Graphs.pageRankRanks(edges, rounds = 5, maxBroadcastNodes = 0L)
+    val plan = viaShuffle.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"big-graph pagerank loop must not broadcast:\n$plan")
+    assert(viaShuffle.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .sameElements(viaBroadcast))
+  }
+
+  test("triangle shuffled wedge closure == broadcast closure, no BroadcastExchange") {
+    import org.apache.spark.sql.functions._
+    val e = syntheticEdges().filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .distinct().localCheckpoint()
+    val viaBroadcast = Graphs.closeWedges(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(viaBroadcast.nonEmpty, "synthetic lattice must contain triangles")
+    val viaShuffle = Graphs.closeWedges(e, maxBroadcastEdges = 0L)
+    val plan = viaShuffle.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"big-graph wedge closure must not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    assert(viaShuffle.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      .sameElements(viaBroadcast))
+  }
 }
