@@ -108,17 +108,17 @@ object Relational10 {
   }
 
   /** Equi-depth histogram (optimizer-statistics primitive, complementing
-    * `q_agg_histogram`'s equi-width buckets): interpolated quartiles of
-    * the scaled-integer values in one ungrouped aggregate, broadcast back
-    * onto the scan to assign buckets (ties at a boundary go low), then one
-    * count/min/max aggregate.  The bucket-assignment side is the scale
-    * story: a 1-row broadcast, two scans, zero row shuffles.  The
-    * boundary computation here is EXACT `percentile` — a value gather,
-    * kept because the oracle must hash-match (exact quartiles over longs
-    * interpolate to identical doubles in both engines, per
-    * q_agg_percentiles); at 100 TB the drop-in boundary source is
-    * `approx_percentile` (mergeable sketch, no gather), changing nothing
-    * downstream of the 1-row broadcast. */
+    * `q_agg_histogram`'s equi-width buckets): exact interpolated quartiles
+    * of the scaled-integer values, broadcast back onto the scan to assign
+    * buckets (ties at a boundary go low), then one count/min/max
+    * aggregate.  The bucket-assignment side is the scale story: a 1-row
+    * broadcast, two scans, zero row shuffles.  The boundaries come from
+    * graft.fns.ExactQuantiles — a memory-bounded histogram-refinement
+    * order-statistic search (two counting passes over the cents domain,
+    * flat executor memory), NOT a buffer-all `percentile` gather — so the
+    * exact path itself survives 100 TB; `approx_percentile` remains the
+    * cheaper-still alternative when 3 extra scans matter more than
+    * exactness. */
   val aggHistogramEqdepth: GraftQuery = GraftQuery("q_agg_histogram_eqdepth",
     """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders),
       |b AS (SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.50) AS q2,
@@ -130,9 +130,10 @@ object Relational10 {
       |      FROM c CROSS JOIN b)
       |GROUP BY bucket""".stripMargin) { (spark, sfDir) =>
     val c = orders(spark, sfDir).select(Exact.scaled(col("o_totalprice"), 2).as("v"))
-    val b = c.agg(percentile(col("v"), lit(0.25)).as("q1"),
-      percentile(col("v"), lit(0.50)).as("q2"),
-      percentile(col("v"), lit(0.75)).as("q3"))
+    val Seq(q1, q2, q3) =
+      graft.fns.ExactQuantiles.quantiles(c, "v", Seq(0.25, 0.50, 0.75))
+    import spark.implicits._
+    val b = Seq((q1, q2, q3)).toDF("q1", "q2", "q3")
     val bucket = (lit(1L) + when(col("v") > col("q1"), 1L).otherwise(0L)
       + when(col("v") > col("q2"), 1L).otherwise(0L)
       + when(col("v") > col("q3"), 1L).otherwise(0L))

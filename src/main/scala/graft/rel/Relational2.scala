@@ -119,7 +119,11 @@ object Relational2 {
   }
 
   /** Exact interpolated percentiles over scaled integers: both engines
-    * interpolate linearly between identical longs => identical doubles. */
+    * interpolate linearly between identical longs => identical doubles.
+    * Computed MEMORY-BOUNDED via graft.fns.ExactQuantiles (histogram-
+    * refinement order-statistic search, two counting passes for the cents
+    * domain) — never Spark's buffer-all `percentile`, which holds every
+    * value of a group in one executor map and dies on 100 TB hot groups. */
   val aggPercentiles: GraftQuery = GraftQuery("q_agg_percentiles",
     """SELECT l_returnflag,
       |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.25) / 100.0 AS p25,
@@ -127,10 +131,11 @@ object Relational2 {
       |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.90) / 100.0 AS p90
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, sfDir) =>
     val cents = scaled(col("l_extendedprice"), 2)
-    lineitem(spark, sfDir).groupBy("l_returnflag")
-      .agg((percentile(cents, lit(0.25)) / 100.0).as("p25"),
-        (percentile(cents, lit(0.50)) / 100.0).as("p50"),
-        (percentile(cents, lit(0.90)) / 100.0).as("p90"))
+    val raw = graft.fns.ExactQuantiles.groupQuantiles(
+      lineitem(spark, sfDir).select(col("l_returnflag"), cents.as("__v")),
+      "l_returnflag", "__v", Seq("p25" -> 0.25, "p50" -> 0.50, "p90" -> 0.90))
+    raw.select(col("l_returnflag"), (col("p25") / 100.0).as("p25"),
+      (col("p50") / 100.0).as("p50"), (col("p90") / 100.0).as("p90"))
   }
 
   /** The reference's native input format: delimited text lines parsed
