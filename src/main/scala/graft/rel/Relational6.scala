@@ -187,6 +187,60 @@ object Relational6 {
     sub.unionByName(indel).distinct()
   }
 
+  /** Fuzzy join at edit distance ≤ 2 — FastSS extended to 2-DELETION
+    * neighborhoods.  Each name is indexed under every string reachable by
+    * deleting ≤ 2 characters (the same codegen'd 1-deletion kernel applied
+    * twice; requiring the second deletion index >= the first enumerates
+    * each unordered deletion pair exactly once).  If ed(a,b) <= 2, deleting
+    * the <= 2 edited characters from each side leaves a common string, so
+    * every true pair shares a variant key and candidate generation is a
+    * plain equi join; unlike the position-keyed d<=1 index, sharing a
+    * variant is NOT sufficient at d = 2, so candidates verify with one
+    * codegen'd `levenshtein` call per DISTINCT pair.
+    *
+    * Index size: 1 + L + L(L-1)/2 variants per name (~172 rows for the
+    * 18-char customer names) — O(n·L²) total, vs the oracle's O(n²·L²)
+    * full levenshtein matrix.  The index stores 64-BIT VARIANT HASHES, not
+    * strings (16-byte rows; a hash collision only adds a candidate, which
+    * the verify removes), and a close pair shares MANY variants (~2L at
+    * ed = 1), so candidates dedup to narrow (ka, kb) longs BEFORE names
+    * re-attach via two broadcast joins — the wide-string shuffle this
+    * avoids is ~30x the bytes.  Verification is one codegen'd
+    * `levenshtein` per distinct pair. */
+  val joinFuzzy2: GraftQuery = GraftQuery("q_join_fuzzy2",
+    """SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS d
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin) { (spark, sfDir) =>
+    val cust = customer(spark, sfDir).select("c_custkey", "c_name")
+    val base = cust
+      .select(col("c_custkey"),
+        explode(graft.fns.TextKernelCols.deletionVariants(spark, col("c_name"))).as("x"))
+      .select(col("c_custkey"), col("x.pos").as("p1"), col("x.key").as("v1"))
+    val d01 = base.select(col("c_custkey"), xxhash64(col("v1")).as("v"))
+    val d2 = base.filter(col("p1") >= 1)
+      .select(col("c_custkey"), col("p1"),
+        explode(graft.fns.TextKernelCols.deletionVariants(spark, col("v1"))).as("y"))
+      .filter(col("y.pos") >= col("p1")) // second deletion at/after the first
+      .select(col("c_custkey"), xxhash64(col("y.key")).as("v"))
+    val idx = d01.unionByName(d2)
+      .distinct() // equal variants from different deletion pairs collapse
+      .localCheckpoint() // probed by both sides of the candidate join
+    val cand = idx.select(col("c_custkey").as("ka"), col("v"))
+      .join(idx.select(col("c_custkey").as("kb"), col("v")), "v")
+      .filter(col("ka") < col("kb"))
+      .select("ka", "kb")
+      .distinct() // verify once per pair, not once per shared variant
+    // no broadcast hint: Catalyst broadcasts the name table while it fits
+    // and degrades to shuffle joins keyed on ka/kb when it doesn't
+    cand
+      .join(cust.select(col("c_custkey").as("ka"), col("c_name").as("na")), "ka")
+      .join(cust.select(col("c_custkey").as("kb"), col("c_name").as("nb")), "kb")
+      .select(col("ka"), col("kb"),
+        levenshtein(col("na"), col("nb")).cast("long").as("d"))
+      .filter(col("d") <= 2)
+  }
+
   /** Deterministic STRATIFIED sampling: per-stratum rates (10% of BUILDING,
     * 50% of MACHINERY, 100% of FURNITURE customers) via an md5-derived hash
     * threshold — reproducible across engines and runs, unlike rng-based
@@ -280,6 +334,7 @@ object Relational6 {
 
   val all: Seq[GraftQuery] =
     Seq(joinThetaIneqQuantile, joinBandRuleLong, joinThetaIneqSorted,
-      scalarMap, lateralExplode, joinIntervalVar, joinFuzzy, sampleStratified,
+      scalarMap, lateralExplode, joinIntervalVar, joinFuzzy, joinFuzzy2,
+      sampleStratified,
       sqlTpchQ10, sqlTpchQ14, joinTheta2pred)
 }

@@ -15,7 +15,7 @@ object Relational7 {
   /** Bit-interleave two `bits`-wide non-negative keys into a Morton
     * (z-order) value — pure shift/mask/or arithmetic, identical in both
     * engines. */
-  private def zInterleave(x: Column, y: Column, bits: Int): Column =
+  private[graft] def zInterleave(x: Column, y: Column, bits: Int): Column =
     (0 until bits).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))

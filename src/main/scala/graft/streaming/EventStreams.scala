@@ -94,6 +94,33 @@ object EventStreams {
         col("p_ts"), col("c_ts"))
   }
 
+  /** FULL OUTER stream-stream join: both unmatched sides surface — a
+    * purchase with no prior-hour click emits with null click columns, AND
+    * a click that never preceded a purchase emits with null purchase
+    * columns, each once its side's state can prove no match will arrive
+    * (both watermarks past the join horizon).  This is the
+    * reconciliation shape: neither stream's orphans silently vanish, so
+    * the output is a complete account of both inputs.  State cost is the
+    * same as the inner join — rows held only within the watermark-bounded
+    * time-range horizon. */
+  def purchaseClickJoinFull(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val c = clicks
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "full_outer")
+      .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("click_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** Stream-static enrichment join: each live event picks up its user's
     * dimension row.  The static side is broadcast per micro-batch (no
     * stream state at all), the canonical shape for joining a 100 TB/day

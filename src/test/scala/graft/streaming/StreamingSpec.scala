@@ -106,6 +106,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join surfaces orphans of BOTH sides") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[E]
+    val purchases = MemoryStream[E]
+    val q = purchaseClickJoinFull(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssjoin_full").outputMode("append").start()
+    try {
+      clicks.addData(
+        E(11, ts(30), 1, "click"),                  // matches user 1's purchase
+        E(12, ts(35), 3, "click"))                  // never followed by a purchase
+      purchases.addData(
+        E(20, ts(70), 1, "purchase"),               // matched
+        E(21, ts(75), 2, "purchase"))               // never preceded by a click
+      q.processAllAvailable()
+      // orphans finalize only once both watermarks pass their horizons
+      clicks.addData(E(13, ts(600), 9, "click"))
+      purchases.addData(E(22, ts(600), 9, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_full")
+        .select("purchase_id", "click_id")
+        .as[(Option[Long], Option[Long])].collect().toSet
+      assert(rows.contains((Some(20L), Some(11L))), s"matched row missing: $rows")
+      assert(rows.contains((Some(21L), None)),
+        s"unmatched purchase must surface with null click: $rows")
+      assert(rows.contains((None, Some(12L))),
+        s"unmatched click must surface with null purchase: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches events with dimension rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
