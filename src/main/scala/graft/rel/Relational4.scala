@@ -34,6 +34,29 @@ object Relational4 {
       .agg(count(lit(1)).as("n"), exactSum(col("s_acctbal"), 2).as("bal"))
   }
 
+  /** Avro round-trip: parquet -> Avro sink -> Avro scan -> aggregate — the
+    * row-oriented interchange format (Kafka/ingest pipelines), closing the
+    * mainstream-format matrix next to parquet/ORC/CSV/JSON/text/XML.
+    * Spark 4 ships the complete V1 avro stack inside spark-sql itself
+    * (AvroFileFormat + serializer/deserializer/SchemaConverters); only the
+    * `avro` SHORTNAME registration lives in the separate spark-avro
+    * connector jar, so the format is addressed by provider class — the
+    * documented fallback `DataSource.lookupDataSource` supports.
+    * Longs/strings/doubles map to native Avro types, so the trip is
+    * lossless and the oracle reads the original parquet. */
+  val scanAvroRoundtrip: GraftQuery = GraftQuery("q_scan_avro_roundtrip",
+    """SELECT p_brand, count(*) AS n,
+      |  CAST(CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS price
+      |FROM part GROUP BY p_brand""".stripMargin) { (spark, sfDir) =>
+    val avroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+    val path = tmpDir(sfDir, "avro_part")
+    part(spark, sfDir).select("p_partkey", "p_brand", "p_retailprice")
+      .write.mode("overwrite").format(avroProvider).save(path)
+    spark.read.format(avroProvider).load(path)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), exactSum(col("p_retailprice"), 2).as("price"))
+  }
+
   /** Multiset set operations (ALL variants): UNION ALL keeps duplicates,
     * INTERSECT ALL / EXCEPT ALL match occurrence counts — the bag semantics
     * the distinct-flavored q_setops doesn't cover. */
@@ -198,6 +221,6 @@ object Relational4 {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(scanOrcRoundtrip, setopsAll, aggBitwise, scalarStruct, tsGapfill,
-      windowRangeTime, sqlTpchQ3, joinPointInterval)
+    Seq(scanOrcRoundtrip, scanAvroRoundtrip, setopsAll, aggBitwise,
+      scalarStruct, tsGapfill, windowRangeTime, sqlTpchQ3, joinPointInterval)
 }
