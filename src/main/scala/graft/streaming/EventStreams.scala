@@ -94,6 +94,29 @@ object EventStreams {
         col("p_ts"), col("c_ts"))
   }
 
+  /** RIGHT OUTER stream-stream join — the mirror of
+    * [[purchaseClickJoinOuter]], preserving the CLICK side: a click that
+    * never preceded a purchase is emitted with null purchase columns once
+    * both watermarks pass its horizon.  With inner/left/right/full all
+    * demonstrated, the stream-stream join-type matrix is closed. */
+  def purchaseClickJoinRight(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val c = clicks
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "right_outer")
+      .select(col("c_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** FULL OUTER stream-stream join: both unmatched sides surface — a
     * purchase with no prior-hour click emits with null click columns, AND
     * a click that never preceded a purchase emits with null purchase

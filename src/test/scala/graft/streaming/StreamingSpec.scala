@@ -106,6 +106,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("right-outer stream-stream join preserves unmatched clicks") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[E]
+    val purchases = MemoryStream[E]
+    val q = purchaseClickJoinRight(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssjoin_right").outputMode("append").start()
+    try {
+      clicks.addData(
+        E(11, ts(30), 1, "click"),                  // matches user 1's purchase
+        E(12, ts(35), 3, "click"))                  // never followed by a purchase
+      purchases.addData(E(20, ts(70), 1, "purchase"))
+      q.processAllAvailable()
+      clicks.addData(E(13, ts(600), 9, "click"))
+      purchases.addData(E(22, ts(600), 9, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_right")
+        .select("purchase_id", "click_id")
+        .as[(Option[Long], Option[Long])].collect().toSet
+      assert(rows.contains((Some(20L), Some(11L))), s"matched row missing: $rows")
+      assert(rows.contains((None, Some(12L))),
+        s"unmatched click must surface with null purchase: $rows")
+      assert(!rows.exists(r => r._1.isDefined && r._2.isEmpty),
+        s"right-outer must not emit purchase-side orphans: $rows")
+    } finally q.stop()
+  }
+
   test("full-outer stream-stream join surfaces orphans of BOTH sides") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
