@@ -1,13 +1,13 @@
 package graft.fns
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Memory-bounded EXACT interpolated quantiles (quantile_cont semantics)
-  * over long-valued columns.
+  * over long-valued columns — fully distributed, including the search
+  * state.
   *
   * Spark's built-in `percentile` buffers every value of a group in one
   * executor-side map — exact, but O(rows-per-group) memory, which is the
@@ -16,17 +16,27 @@ import org.apache.spark.sql.types._
   * refinement over the integer value domain:
   *
   *   - pass 0: per-group count/min/max (one aggregate);
-  *   - each refinement pass: bucket the values of every unresolved search
-  *     window into `buckets` equal-width cells (one scan + one hash
-  *     aggregate of <= searches x buckets cells), walk the cumulative
-  *     counts driver-side, and shrink each window to the cell holding its
-  *     target rank.
+  *   - each refinement pass: join the frontier of unresolved search
+  *     windows onto the data (broadcast when the frontier is small,
+  *     shuffle-hash otherwise), bucket each window's values into
+  *     `buckets` equal-width cells (one scan + one hash aggregate of
+  *     <= searches x buckets cells), walk the cumulative counts with a
+  *     window function partitioned by search, and shrink each window to
+  *     the cell holding its target rank.
   *
   * Passes = ceil(log_buckets(domain span)): with the default 8192 buckets
   * any 26-bit domain (e.g. price cents) resolves in TWO counting passes,
   * and a full 52-bit domain in four.  Executor memory is flat in
-  * rows-per-group; driver state is O(groups x quantiles) — the same order
-  * as the result itself.
+  * rows-per-group; the search state (O(groups x quantiles) rows — the same
+  * order as the result itself) lives in a checkpointed DataFrame, never on
+  * the driver, so group cardinality scales with the cluster: the driver
+  * does O(passes) control actions regardless of how many groups exist.
+  *
+  * NULL group keys form their own group (groupBy / `<=>` / window
+  * partitioning all treat NULL as one key).  Groups whose VALUES are all
+  * null are omitted (no order statistics exist).  Value domains spanning
+  * more than half the Long range fail fast (the equal-width bucket
+  * arithmetic computes hi - lo, which would wrap) rather than mis-bucket.
   *
   * Interpolation is `lo*(1-frac) + hi*frac` with `frac = pos - floor(pos)`,
   * `pos = (n-1)*q` — measured bit-identical to DuckDB's `quantile_cont` on
@@ -38,107 +48,115 @@ object ExactQuantiles {
 
   private val DefaultBuckets = 8192
 
-  /** One in-flight order-statistic search: the k-th (0-based) smallest
-    * value of group `g` is known to lie in [lo, hi] with `rank` values of
-    * the window strictly ranked below it inside the window. */
-  private final class Search(val g: Any, val k: Long,
-      var lo: Long, var hi: Long, var rank: Long) {
-    def width(buckets: Int): Long = (hi - lo) / buckets + 1
-  }
+  /** Frontiers at or below this many in-flight searches ride the data
+    * join as a broadcast (a few MB); above it the join shuffle-hashes on
+    * the group key — the same size-thresholded hybrid as graft.graph. */
+  private val BroadcastSearchLimit = 1000000L
 
   /** Per-group exact interpolated quantiles.
     *
     * `data` must expose `groupCol` and a LongType `valueCol`; returns one
     * row per group with schema (groupCol, qs.map(_._1): double), quantile
-    * columns named by the caller.  Groups whose values are all null are
-    * omitted (no order statistics exist). */
+    * columns named by the caller. */
   def groupQuantiles(data: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[(String, Double)], buckets: Int = DefaultBuckets): DataFrame = {
-    val spark = data.sparkSession
     require(data.schema(valueCol).dataType == LongType,
       s"$valueCol must be LongType (scale doubles first — graft.fns.Exact.scaled)")
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 })
-    val gField = data.schema(groupCol)
 
-    // pass 0: one aggregate for n / min / max per group
-    val base = data.groupBy(col(groupCol))
-      .agg(count(col(valueCol)).as("n"), min(col(valueCol)).as("mn"),
-        max(col(valueCol)).as("mx"))
-      .collect()
-      .filter(_.getLong(1) > 0L)
+    // pass 0: one aggregate for n / min / max per group.  Checkpointed:
+    // both the search seed and the final assembly read it, and the
+    // refinement joins below must not be self-joins against `data`'s plan.
+    val base = data.groupBy(col(groupCol).as("__eq_g"))
+      .agg(count(col(valueCol)).as("__eq_n"), min(col(valueCol)).as("__eq_mn"),
+        max(col(valueCol)).as("__eq_mx"))
+      .where(col("__eq_n") > 0)
+      .localCheckpoint()
 
-    // Distinct order statistics needed per group: floor and ceil ranks of
-    // every requested quantile position.
-    val searches: Seq[Search] = base.toSeq.flatMap { r =>
-      val (g, n, mn, mx) = (r.get(0), r.getLong(1), r.getLong(2), r.getLong(3))
-      qs.flatMap { case (_, q) =>
-        val pos = (n - 1) * q
-        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
-      }.distinct.map(k => new Search(g, k, mn, mx, k))
+    // Search seed: the distinct floor/ceil order-statistic ranks of every
+    // requested quantile position, one row per (group, rank).
+    val n1 = (col("__eq_n") - 1).cast(DoubleType)
+    val ranks = array_distinct(array(qs.flatMap { case (_, q) =>
+      Seq(floor(n1 * lit(q)), ceil(n1 * lit(q)))
+    }: _*))
+    var frontier = base.select(col("__eq_g"), explode(ranks).as("__eq_k"),
+        col("__eq_mn").as("__eq_lo"), col("__eq_mx").as("__eq_hi"))
+      .withColumn("__eq_rank", col("__eq_k"))
+      .localCheckpoint()
+
+    // Equal-width cell size for a window.  hi - lo on a true span above
+    // Long.MaxValue wraps NEGATIVE (span < 2^64), so the guard is total.
+    val widthC: Column = {
+      val span = col("__eq_hi") - col("__eq_lo")
+      when(span < 0, raise_error(concat(lit(s"ExactQuantiles: domain of "),
+        lit(valueCol), lit(" spans more than half the Long range"))).cast(LongType))
+        .otherwise(expr(s"(__eq_hi - __eq_lo) div $buckets") + 1)
     }
 
-    // refinement passes: one scan each, until every window is a point
-    val stSchema = StructType(Seq(
-      StructField("__eq_g", gField.dataType), StructField("__eq_sid", LongType),
-      StructField("__eq_lo", LongType), StructField("__eq_hi", LongType),
-      StructField("__eq_w", LongType)))
-    val indexed = searches.zipWithIndex
-    var active = indexed.filter { case (s, _) => s.lo < s.hi }
-    while (active.nonEmpty) {
-      val stRows: java.util.List[Row] = active.map { case (s, sid) =>
-        Row(s.g, sid.toLong, s.lo, s.hi, s.width(buckets))
-      }.asJava
-      val st = spark.createDataFrame(stRows, stSchema)
-      val counts = data
-        .join(broadcast(st), data(groupCol) === st("__eq_g"))
-        .where(col(valueCol) >= col("__eq_lo") && col(valueCol) <= col("__eq_hi"))
-        .groupBy(col("__eq_sid"),
-          expr(s"(`$valueCol` - __eq_lo) div __eq_w").as("__eq_b"))
-        .agg(count(lit(1)).as("__eq_c"))
-        .collect()
-        .groupBy(_.getLong(0))
-      active.foreach { case (s, sid) =>
-        val cells = counts(sid.toLong)
-          .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
-        val w = s.width(buckets)
-        // walk cumulative counts to the cell holding the target rank
-        var rem = s.rank
-        var i = 0
-        while (rem >= cells(i)._2) { rem -= cells(i)._2; i += 1 }
-        s.lo = s.lo + cells(i)._1 * w
-        s.hi = math.min(s.hi, s.lo + w - 1)
-        s.rank = rem
+    // Refinement: each pass shrinks every open window to the bucket cell
+    // holding its target rank.  The cumulative-count walk is a window
+    // function partitioned by search — no per-group driver state.
+    val resolvedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var going = true
+    while (going) {
+      resolvedParts += frontier.where(col("__eq_lo") === col("__eq_hi"))
+      val open = frontier.where(col("__eq_lo") < col("__eq_hi"))
+      val nOpen = open.count()
+      if (nOpen == 0L) going = false
+      else {
+        val stPlain = open.withColumn("__eq_w", widthC)
+        val st = if (nOpen <= BroadcastSearchLimit) broadcast(stPlain) else stPlain
+        val cells = data
+          .join(st, data(groupCol) <=> st("__eq_g"))
+          .where(col(valueCol) >= col("__eq_lo") && col(valueCol) <= col("__eq_hi"))
+          .groupBy(st("__eq_g"), col("__eq_k"), col("__eq_lo"), col("__eq_hi"),
+            col("__eq_w"), col("__eq_rank"),
+            expr(s"(`$valueCol` - __eq_lo) div __eq_w").as("__eq_b"))
+          .agg(count(lit(1)).as("__eq_c"))
+        val win = Window.partitionBy(col("__eq_g"), col("__eq_k")).orderBy(col("__eq_b"))
+        val newLo = col("__eq_lo") + col("__eq_b") * col("__eq_w")
+        // overflow-safe min(hi, newLo + w - 1): hi - (w-1) >= lo, so the
+        // comparison form never wraps where newLo + w - 1 near Long.Max would
+        val newHi = when(newLo > col("__eq_hi") - (col("__eq_w") - 1), col("__eq_hi"))
+          .otherwise(newLo + col("__eq_w") - 1)
+        frontier = cells
+          .withColumn("__eq_cum", sum(col("__eq_c")).over(win))
+          .withColumn("__eq_pre", col("__eq_cum") - col("__eq_c"))
+          .where(col("__eq_rank") >= col("__eq_pre") && col("__eq_rank") < col("__eq_cum"))
+          .select(col("__eq_g"), col("__eq_k"), newLo.as("__eq_lo"),
+            newHi.as("__eq_hi"), (col("__eq_rank") - col("__eq_pre")).as("__eq_rank"))
+          .localCheckpoint()
       }
-      active = active.filter { case (s, _) => s.lo < s.hi }
     }
 
-    val resolved: Map[(Any, Long), Long] =
-      searches.map(s => (s.g, s.k) -> s.lo).toMap
-    val outRows: java.util.List[Row] = base.map { r =>
-      val (g, n) = (r.get(0), r.getLong(1))
-      val vals = qs.map { case (_, q) =>
-        val pos = (n - 1) * q
-        val (kLo, kHi) = (math.floor(pos).toLong, math.ceil(pos).toLong)
-        val frac = pos - math.floor(pos)
-        resolved((g, kLo)) * (1 - frac) + resolved((g, kHi)) * frac
-      }
-      Row.fromSeq(g +: vals)
-    }.toList.asJava
-    val outSchema = StructType(gField +:
-      qs.map { case (name, _) => StructField(name, DoubleType, nullable = false) })
-    spark.createDataFrame(outRows, outSchema)
+    // Assembly: per group, a small (<= 2 x |qs| entries) rank -> value map,
+    // then the interpolation expression per requested quantile.  Null-safe
+    // join so a NULL group key keeps its row.
+    val resolved = resolvedParts.reduce(_ union _)
+    val kv = resolved.groupBy(col("__eq_g").as("__eq_g2"))
+      .agg(map_from_entries(collect_list(struct(col("__eq_k"), col("__eq_lo")))).as("__eq_kv"))
+    val outCols = qs.map { case (name, q) =>
+      val pos = n1 * lit(q)
+      val frac = pos - floor(pos).cast(DoubleType)
+      (element_at(col("__eq_kv"), floor(pos)).cast(DoubleType) * (lit(1.0) - frac)
+        + element_at(col("__eq_kv"), ceil(pos)).cast(DoubleType) * frac).as(name)
+    }
+    base.join(kv, col("__eq_g") <=> col("__eq_g2"))
+      .select(col("__eq_g").as(groupCol) +: outCols: _*)
   }
 
   /** Ungrouped convenience: the quantiles of one long column, returned
     * driver-side (the natural shape for "compute boundaries, broadcast
-    * them back onto the scan" consumers like q_agg_histogram_eqdepth). */
+    * them back onto the scan" consumers like q_agg_histogram_eqdepth).
+    * Empty / all-null input yields an empty Seq (there are no order
+    * statistics), mirroring the grouped path's omission of such groups. */
   def quantiles(data: DataFrame, valueCol: String, qs: Seq[Double],
       buckets: Int = DefaultBuckets): Seq[Double] = {
     val named = qs.zipWithIndex.map { case (q, i) => (s"__eq_q$i", q) }
     val out = groupQuantiles(
       data.select(lit(0L).as("__eq_grp"), col(valueCol)),
       "__eq_grp", valueCol, named, buckets).collect()
-    require(out.length == 1, s"expected one row, got ${out.length}")
-    qs.indices.map(i => out(0).getDouble(i + 1))
+    if (out.isEmpty) Seq.empty
+    else qs.indices.map(i => out(0).getDouble(i + 1))
   }
 }

@@ -165,7 +165,10 @@ object Graphs {
     val out = e.select(col("u").as("a"), col("v").as("b"))
     val in = e.select(col("u").as("b"), col("v").as("c"))
     val closer = e.select(col("u").as("a"), col("v").as("c"))
-    val small = e.limit(maxBroadcastEdges.toInt + 1).count() <= maxBroadcastEdges
+    // probe size clamped so thresholds above Int.MaxValue cannot wrap the
+    // limit negative (they just degrade to an Int.MaxValue-row probe)
+    val probeRows = (math.min(maxBroadcastEdges, Int.MaxValue - 1L).max(-1L) + 1L).toInt
+    val small = e.limit(probeRows).count() <= maxBroadcastEdges
     if (small) out.join(in, "b").join(broadcast(closer), Seq("a", "c"))
     else
       // Both wedge sides are O(|E|) too — the wedge-building join must

@@ -50,7 +50,6 @@ object DedupCluster {
     val pairs = Dedup.jaccardPairs(cappedShingles(spark, sfDir))
       .filter(col("jacc") >= TAU)
       .select("ia", "ib")
-      .localCheckpoint()
     val comp = connectedComponents(pairs)
     val sizes = comp.groupBy(col("comp").as("component")).agg(count(lit(1)).as("csize"))
     comp.select(col("id").as("doc_id"), col("comp").as("component"))
@@ -66,18 +65,24 @@ object DedupCluster {
     *
     * Hybrid: the pair list is the output of candidate generation and is
     * normally orders of magnitude smaller than the corpus; when it fits the
-    * driver (<= [[DRIVER_CC_MAX_EDGES]], established by a cheap limit-probe
-    * so an uncheckpointed input is not recomputed just to be counted) a
-    * local union-find collapses it in one pass — no per-round Spark jobs.
-    * Larger graphs take [[largeSmallStar]] (O(log n) rounds).  Both paths
-    * produce identical labels. */
+    * driver (<= [[DRIVER_CC_MAX_EDGES]]) a local union-find collapses it in
+    * one pass — no per-round Spark jobs.  Larger graphs take
+    * [[largeSmallStar]] (O(log n) rounds).  Both paths produce identical
+    * labels.
+    *
+    * The input pipeline runs EXACTLY ONCE: it is checkpointed up front, and
+    * the size probe, the driver collect, and the star rounds all read the
+    * materialized copy (a plain limit-probe on the raw plan would compute
+    * the candidate-generation join twice — once to be counted, once for
+    * real). */
   private[graft] def connectedComponents(
       pairs: DataFrame,
       maxDriverEdges: Long = DRIVER_CC_MAX_EDGES): DataFrame = {
-    val spark = pairs.sparkSession
-    // limit-probe: scans only until maxDriverEdges+1 rows exist, and the
-    // collect below is then the single full computation of `pairs`
-    val small = pairs.limit(maxDriverEdges.toInt + 1).count() <= maxDriverEdges
+    val p = pairs.localCheckpoint()
+    val spark = p.sparkSession
+    // probe reads the checkpoint, and only until maxDriverEdges+1 rows exist
+    val probeRows = (math.min(maxDriverEdges, Int.MaxValue - 1L).max(-1L) + 1L).toInt
+    val small = p.limit(probeRows).count() <= maxDriverEdges
     if (small) {
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
@@ -87,7 +92,7 @@ object DedupCluster {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      pairs.collect().foreach { row =>
+      p.collect().foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
@@ -95,7 +100,7 @@ object DedupCluster {
       }
       import spark.implicits._
       parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "comp")
-    } else largeSmallStar(pairs)._1
+    } else largeSmallStar(p)._1
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et

@@ -54,6 +54,19 @@ class ExactQuantilesSpec extends AnyFunSuite {
       "y" -> (0L until 101L)), buckets = 4)
   }
 
+  test("NULL group key forms its own group; empty input yields empty result") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 10L), (Some("a"), 20L), (None, 1L), (None, 3L), (None, 5L))
+      .toDF("g", "v")
+    val out = ExactQuantiles.groupQuantiles(df, "g", "v", Seq("p50" -> 0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(out == Map(Some("a") -> 15.0, None -> 3.0))
+    assert(ExactQuantiles.quantiles(Seq.empty[Long].toDF("v"), "v", Seq(0.5)).isEmpty)
+    // all-null values: no order statistics -> empty, not a crash
+    assert(ExactQuantiles.quantiles(
+      Seq[Option[Long]](None, None).toDF("v"), "v", Seq(0.5)).isEmpty)
+  }
+
   test("ungrouped quantiles helper matches the grouped path") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

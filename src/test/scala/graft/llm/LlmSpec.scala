@@ -98,6 +98,20 @@ class LlmSpec extends AnyFunSuite {
     assert(local(1030L) == 1000L, "30-hop chain must collapse to its min id")
   }
 
+  test("connected components computes its input pipeline exactly once") {
+    // the candidate-generation join feeding the component search is the
+    // expensive part — the size probe must not re-run it.  An accumulator
+    // in the input pipeline counts actual row computations.
+    val acc = spark.sparkContext.longAccumulator("cc-input-rows")
+    def counted = (0L until 50L).map(i => (i, i + 1)).toDF("ia", "ib")
+      .as[(Long, Long)].map { p => acc.add(1); p }.toDF("ia", "ib")
+    DedupCluster.connectedComponents(counted, maxDriverEdges = Long.MaxValue).collect()
+    assert(acc.value == 50L, s"driver path: input ran ${acc.value} row-reads, want 50")
+    acc.reset()
+    DedupCluster.connectedComponents(counted, maxDriverEdges = -1L).collect()
+    assert(acc.value == 50L, s"distributed path: input ran ${acc.value} row-reads, want 50")
+  }
+
   test("df cap bounds candidate generation under a planted hot shingle") {
     // 400 docs all share one boilerplate shingle (df=400); each doc also has
     // 4 private shingles.  Uncapped, the hot key alone yields 400*399/2 =
@@ -190,7 +204,9 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     assert(lsh.forall { case (q, n, _) => q != n })
     val recall = (brute & lsh.map(t => (t._1, t._2)).toSet).size.toDouble / brute.size
-    assert(recall >= 0.2, s"recall=$recall") // multi-probe over 9 of 256 buckets
+    // 16-table OR-construction + query-directed multi-probe: 0.86 measured
+    // at sf0.01 (BASELINE.md sweep); 0.8 gate leaves noise margin
+    assert(recall >= 0.8, s"recall=$recall")
   }
 
   /** Error-bound gates for the two approximate aggregates (the only judged
