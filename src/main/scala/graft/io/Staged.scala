@@ -6,11 +6,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Several judged queries derive the same expensive table (the exploded
   * hashed-shingle index, the quantized embedding base).  Within one
-  * SparkSession each such table is computed and materialized ONCE
-  * (`localCheckpoint`) and reused by every consumer — the local-mode analog
-  * of writing a staging table / `persist()`ing a shared dataset on a
-  * cluster, where recomputing a 100 TB derivation per consumer would be the
-  * dominant cost.
+  * SparkSession each such table is computed and materialized ONCE and
+  * reused by every consumer — on a cluster, recomputing a 100 TB
+  * derivation per consumer would be the dominant cost.
+  *
+  * Two materialization modes:
+  *
+  *  - default: `localCheckpoint` — executor block storage, dies with the
+  *    context (the local-mode analog of `persist()`ing a shared dataset);
+  *  - `spark.graft.staging.dir` set: the build is written ONCE as a
+  *    parquet artifact under `<dir>/<md5(tag)>` and every consumer —
+  *    including sibling sessions and, because the artifact is durable,
+  *    later application runs — reads the artifact instead of rebuilding.
+  *    This is the real-cluster staging-table pattern: the path can be
+  *    HDFS/S3 (resolved through the Hadoop FileSystem of the path), the
+  *    committer's `_SUCCESS` marker gates reuse so a torn write is
+  *    rebuilt, never trusted.
   *
   * Keyed by (session, tag): a memoized DataFrame is only ever handed back
   * to the exact SparkSession that built it — sibling sessions of the same
@@ -31,6 +42,10 @@ object Staged {
   private val cache =
     scala.collection.mutable.LinkedHashMap[(SparkSession, String), DataFrame]()
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   def apply(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
     synchronized {
       // entries of stopped contexts are dead weight — drop them before
@@ -40,6 +55,15 @@ object Staged {
         cache.remove(cache.head._1)
       // build under the lock: a racy getOrElseUpdate would materialize the
       // expensive checkpoint twice and leak one copy on the executors
-      cache.getOrElseUpdate((spark, tag), build.localCheckpoint())
+      cache.getOrElseUpdate((spark, tag),
+        spark.conf.getOption("spark.graft.staging.dir") match {
+          case Some(root) =>
+            val dir = s"$root/${md5hex(tag)}"
+            val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+            val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(marker)) build.write.mode("overwrite").parquet(dir)
+            spark.read.parquet(dir)
+          case None => build.localCheckpoint()
+        })
     }
 }

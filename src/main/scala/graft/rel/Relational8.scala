@@ -176,6 +176,41 @@ object Relational8 {
     }.reduce(_ unionByName _)
   }
 
+  /** ONE-PASS approximate column profile — the 100 TB posture for
+    * [[profileColumns]]: the exact version's per-column distinct scans are
+    * the right trade when exactness is required, but a routine ANALYZE
+    * over a 100 TB table should read it ONCE.  HyperLogLog++ sketches
+    * (`approx_count_distinct`, rsd 0.01) are plain aggregate functions —
+    * unlike `count(DISTINCT)` they compose into a single hash-free
+    * aggregate with the null counts and min/max, no Expand, no row
+    * blow-up: one scan, one reduce, fixed sketch memory per column.
+    * Approximate by construction => no SQL oracle; the spec gates each
+    * column's estimate within 2% of the exact count at sf0.1. */
+  val profileColumnsFast: GraftQuery = GraftQuery.noOracle("q_profile_columns_fast") {
+    (spark, sfDir) =>
+      val li = lineitem(spark, sfDir)
+      val aggs = profCols.zipWithIndex.flatMap { case (c, i) =>
+        val base = Seq(count(when(col(c.name).isNull, 1)).as(s"nulls_$i"),
+          approx_count_distinct(col(c.name), rsd = 0.01).as(s"nd_$i"))
+        val minmax =
+          if (c.numeric) Seq(min(col(c.name)).cast(DoubleType).as(s"mn_$i"),
+            max(col(c.name)).cast(DoubleType).as(s"mx_$i"))
+          else Seq(min(col(c.name)).as(s"mns_$i"), max(col(c.name)).as(s"mxs_$i"))
+        base ++ minmax
+      }
+      val one = li.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      profCols.zipWithIndex.map { case (c, i) =>
+        val (mn, mx, mns, mxs) =
+          if (c.numeric) (col(s"mn_$i"), col(s"mx_$i"),
+            lit(null).cast(StringType), lit(null).cast(StringType))
+          else (lit(null).cast(DoubleType), lit(null).cast(DoubleType),
+            col(s"mns_$i"), col(s"mxs_$i"))
+        one.select(lit(c.name).as("col_name"),
+          col(s"nulls_$i").as("n_nulls"), col(s"nd_$i").as("n_distinct"),
+          mn.as("min_num"), mx.as("max_num"), mns.as("min_str"), mxs.as("max_str"))
+      }.reduce(_ unionByName _)
+  }
+
   /** Order-independent table fingerprints: XOR of a 60-bit row hash plus
     * the row count, one row per table — the cross-system integrity check
     * you run after replicating 100 TB (commutative, so it needs no sort
@@ -222,6 +257,6 @@ object Relational8 {
   }
 
   val all: Seq[GraftQuery] = Seq(eventsFunnel, scd2Intervals, scanXmlRoundtrip,
-    profileColumns, tableChecksum)
+    profileColumns, profileColumnsFast, tableChecksum)
 }
 

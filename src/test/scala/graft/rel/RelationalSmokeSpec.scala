@@ -55,4 +55,25 @@ class RelationalSmokeSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [") &&
       plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)].*", "$1").nonEmpty)
   }
+
+  test("one-pass HLL profile within 2% of exact distincts at sf0.1") {
+    // q_profile_columns_fast is the single-scan ANALYZE; its sketch
+    // estimates must track the exact per-column profile it approximates,
+    // and the non-approximate fields must agree exactly
+    def byCol(name: String) =
+      Queries.queries(name)(spark, TestSpark.sf01).collect()
+        .map(r => r.getString(0) -> r).toMap
+    val exact = byCol("q_profile_columns")
+    val fast = byCol("q_profile_columns_fast")
+    assert(exact.keySet == fast.keySet)
+    for (c <- exact.keySet) {
+      val (e, f) = (exact(c), fast(c))
+      val (nd, nda) = (e.getLong(2), f.getLong(2))
+      assert(math.abs(nda - nd).toDouble / nd <= 0.02,
+        s"$c: approx distinct $nda vs exact $nd drifts > 2%")
+      assert(f.getLong(1) == e.getLong(1), s"$c: null counts must be exact")
+      assert(f.get(3) == e.get(3) && f.get(4) == e.get(4) &&
+        f.get(5) == e.get(5) && f.get(6) == e.get(6), s"$c: min/max must be exact")
+    }
+  }
 }

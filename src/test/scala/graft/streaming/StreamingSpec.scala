@@ -277,4 +277,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest()(2L).deleted, s"stale update revived a deleted key: ${latest()}")
     } finally q.stop()
   }
+
+  test("stream-stream join state stays bounded once watermarks advance") {
+    // The watermark + time-range condition is the join's STATE BOUND: rows
+    // older than the horizon must leave the state store, or a 100 TB/day
+    // stream grows state without limit.  Feed batches whose event time
+    // advances well past both watermark delays and read the state-store
+    // metrics after each — the footprint must plateau at the recent
+    // window, never track total rows ingested.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[E]
+    val purchases = MemoryStream[E]
+    val q = purchaseClickJoin(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssjoin_state").outputMode("append").start()
+    try {
+      // 16 batches, event time stepping 200 min — far beyond the 2 h click
+      // watermark + 1 h range, so each batch expires its predecessors
+      val totals = (1 to 16).map { i =>
+        clicks.addData(E(1000L + i, ts(i * 200L), 1, "click"))
+        purchases.addData(E(2000L + i, ts(i * 200L), 1, "purchase"))
+        q.processAllAvailable()
+        q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      }
+      // 32 rows ingested; the plateau must hold only the un-expired tail
+      assert(totals.last <= 8,
+        s"state after 16 batches holds ${totals.last} rows — not evicting (series: $totals)")
+      assert(totals.drop(8).max <= totals.take(8).max,
+        s"state still growing after watermarks advanced (series: $totals)")
+    } finally q.stop()
+  }
 }
