@@ -26,6 +26,7 @@ object Queries {
       agg.HeavyHittersQuery.all ++
       llm.Dedup.all ++
       llm.DedupCluster.all ++
+      llm.DedupIncr.all ++
       llm.Similarity.all ++
       llm.KnnJoin.all ++
       llm.TextStats.all ++

@@ -98,6 +98,47 @@ class LlmSpec extends AnyFunSuite {
     assert(local(1030L) == 1000L, "30-hop chain must collapse to its min id")
   }
 
+  test("sorted-neighborhood dedup surfaces the planted exact pair with jacc 1") {
+    val out = Queries.queries("q_llm_dedup_sorted")(spark, plantedDir).collect()
+    val pairs = out.map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib")) ->
+      r.getAs[Double]("jacc")).toMap
+    // identical docs have identical min-shingle sort keys and unique-id
+    // tie-break -> adjacent ranks -> inside any window >= 1
+    assert(pairs.get((100L, 101L)).contains(1.0), s"got $pairs")
+    assert(pairs.values.forall(j => j >= 0.3 && j <= 1.0))
+    // SNM candidate bound: every emitted pair sits within the rank window,
+    // so pair count can never exceed n * WINDOW
+    assert(out.length <= 44 * 10)
+  }
+
+  test("incremental dedup drops batch docs duplicating the corpus, keeps the rest") {
+    val dir = "/tmp/graft_test_incr"
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val r = new scala.util.Random(7)
+    def soup(n: Int) = Seq.fill(n)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    val corpus5 = soup(60)
+    val corpus7toks = Seq.fill(60)(vocab(r.nextInt(vocab.size)))
+    val docs = Seq(
+      (0L, soup(60)), (1L, soup(60)), (2L, soup(60)),     // corpus filler
+      (5L, corpus5), (7L, corpus7toks.mkString(" ")),     // corpus targets
+      (18L, corpus5),                                     // batch: exact dup of 5
+      (19L, soup(60)),                                    // batch: unique
+      (28L, corpus7toks.updated(20, "xxx").mkString(" ")) // batch: near-dup of 7
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Queries.queries("q_llm_dedup_incremental")(spark, dir).collect()
+      .map(row => row.getAs[Long]("doc_id") ->
+        (Option(row.getAs[java.lang.Long]("dup_of")), row.getAs[String]("action"))).toMap
+    assert(out.keySet == Set(18L, 19L, 28L), "verdicts exactly for the batch slice")
+    assert(out(18L) == (Some(5L), "drop"), s"exact cross-split dup: ${out(18L)}")
+    assert(out(28L)._2 == "drop" && out(28L)._1.contains(7L),
+      s"near cross-split dup: ${out(28L)}")
+    assert(out(19L) == (None, "keep"), s"unique batch doc: ${out(19L)}")
+  }
+
   test("connected components computes its input pipeline exactly once") {
     // the candidate-generation join feeding the component search is the
     // expensive part — the size probe must not re-run it.  An accumulator
