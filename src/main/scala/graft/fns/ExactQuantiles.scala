@@ -7,13 +7,17 @@ import org.apache.spark.sql.types._
 
 /** Memory-bounded EXACT interpolated quantiles (quantile_cont semantics)
   * over long-valued columns — fully distributed, including the search
-  * state.
+  * state, and size-hybrid PER GROUP: pass 0's exact counts route each
+  * group to the right algorithm.  Groups that fit a bounded buffer
+  * (<= bufferThreshold values) sort-gather in one aggregate — a
+  * 1 M-group corpus resolves in a single pass; only the hot groups above
+  * the threshold pay the multi-pass histogram search below.
   *
   * Spark's built-in `percentile` buffers every value of a group in one
   * executor-side map — exact, but O(rows-per-group) memory, which is the
-  * operator that dies first when a 100 TB table has a hot group.  This
-  * implementation locates the exact ORDER STATISTICS instead, by histogram
-  * refinement over the integer value domain:
+  * operator that dies first when a 100 TB table has a hot group.  For
+  * those groups this implementation locates the exact ORDER STATISTICS
+  * instead, by histogram refinement over the integer value domain:
   *
   *   - pass 0: per-group count/min/max (one aggregate);
   *   - each refinement pass: join the frontier of unresolved search
@@ -53,13 +57,23 @@ object ExactQuantiles {
     * the group key — the same size-thresholded hybrid as graft.graph. */
   private val BroadcastSearchLimit = 1000000L
 
+  /** Groups at or below this many values take the buffered sort-gather
+    * path (~8 bytes x threshold peak per group in one aggregation buffer);
+    * only groups ABOVE it — the hot groups that kill buffer-all
+    * `percentile` — pay the multi-pass histogram search.  At 100 TB the
+    * usual shape is millions of small groups plus a few giants: the small
+    * ones resolve in ONE aggregate, the giants stay memory-bounded. */
+  private val DefaultBufferThreshold = 100000L
+
   /** Per-group exact interpolated quantiles.
     *
     * `data` must expose `groupCol` and a LongType `valueCol`; returns one
     * row per group with schema (groupCol, qs.map(_._1): double), quantile
-    * columns named by the caller. */
+    * columns named by the caller.  Size-hybrid per GROUP (decided from
+    * pass 0's exact counts): see [[DefaultBufferThreshold]]. */
   def groupQuantiles(data: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[(String, Double)], buckets: Int = DefaultBuckets): DataFrame = {
+      qs: Seq[(String, Double)], buckets: Int = DefaultBuckets,
+      bufferThreshold: Long = DefaultBufferThreshold): DataFrame = {
     require(data.schema(valueCol).dataType == LongType,
       s"$valueCol must be LongType (scale doubles first — graft.fns.Exact.scaled)")
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 })
@@ -67,11 +81,15 @@ object ExactQuantiles {
     // pass 0: one aggregate for n / min / max per group.  Checkpointed:
     // both the search seed and the final assembly read it, and the
     // refinement joins below must not be self-joins against `data`'s plan.
-    val base = data.groupBy(col(groupCol).as("__eq_g"))
+    val base0 = data.groupBy(col(groupCol).as("__eq_g"))
       .agg(count(col(valueCol)).as("__eq_n"), min(col(valueCol)).as("__eq_mn"),
         max(col(valueCol)).as("__eq_mx"))
       .where(col("__eq_n") > 0)
       .localCheckpoint()
+
+    val smallKeys = base0.where(col("__eq_n") <= bufferThreshold).select("__eq_g")
+    val small = quantilesBuffered(data, groupCol, valueCol, qs, smallKeys)
+    val base = base0.where(col("__eq_n") > bufferThreshold)
 
     // Search seed: the distinct floor/ceil order-statistic ranks of every
     // requested quantile position, one row per (group, rank).
@@ -141,8 +159,31 @@ object ExactQuantiles {
       (element_at(col("__eq_kv"), floor(pos)).cast(DoubleType) * (lit(1.0) - frac)
         + element_at(col("__eq_kv"), ceil(pos)).cast(DoubleType) * frac).as(name)
     }
-    base.join(kv, col("__eq_g") <=> col("__eq_g2"))
+    val big = base.join(kv, col("__eq_g") <=> col("__eq_g2"))
       .select(col("__eq_g").as(groupCol) +: outCols: _*)
+    small.unionByName(big)
+  }
+
+  /** Buffered path for below-threshold groups: semi-join to their keys,
+    * sort-gather each group's values in ONE aggregate, interpolate
+    * positionally — the same floor/ceil + lo*(1-frac)+hi*frac arithmetic
+    * as the refinement assembly, bit for bit. */
+  private def quantilesBuffered(data: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(String, Double)], keys: DataFrame): DataFrame = {
+    val rows = data.join(keys, data(groupCol) <=> keys("__eq_g"), "left_semi")
+    val vs = rows.groupBy(col(groupCol).as("__eq_g"))
+      .agg(sort_array(collect_list(col(valueCol))).as("__eq_vs"))
+      .where(size(col("__eq_vs")) > 0)
+    val n1 = (size(col("__eq_vs")) - 1).cast(DoubleType)
+    val outCols = qs.map { case (name, q) =>
+      val pos = n1 * lit(q)
+      val frac = pos - floor(pos).cast(DoubleType)
+      (element_at(col("__eq_vs"), (floor(pos) + 1).cast(IntegerType)).cast(DoubleType)
+        * (lit(1.0) - frac)
+        + element_at(col("__eq_vs"), (ceil(pos) + 1).cast(IntegerType)).cast(DoubleType)
+        * frac).as(name)
+    }
+    vs.select(col("__eq_g").as(groupCol) +: outCols: _*)
   }
 
   /** Ungrouped convenience: the quantiles of one long column, returned
@@ -151,11 +192,12 @@ object ExactQuantiles {
     * Empty / all-null input yields an empty Seq (there are no order
     * statistics), mirroring the grouped path's omission of such groups. */
   def quantiles(data: DataFrame, valueCol: String, qs: Seq[Double],
-      buckets: Int = DefaultBuckets): Seq[Double] = {
+      buckets: Int = DefaultBuckets,
+      bufferThreshold: Long = DefaultBufferThreshold): Seq[Double] = {
     val named = qs.zipWithIndex.map { case (q, i) => (s"__eq_q$i", q) }
     val out = groupQuantiles(
       data.select(lit(0L).as("__eq_grp"), col(valueCol)),
-      "__eq_grp", valueCol, named, buckets).collect()
+      "__eq_grp", valueCol, named, buckets, bufferThreshold).collect()
     if (out.isEmpty) Seq.empty
     else qs.indices.map(i => out(0).getDouble(i + 1))
   }

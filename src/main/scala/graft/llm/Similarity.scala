@@ -206,11 +206,23 @@ object Similarity {
     * index's true scan cost, reported by RecallSweep as a corpus fraction. */
   private[graft] def lshCandidates(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       nprobe: Int, tables: Int = LshTables): DataFrame =
-    lshParts(spark, sfDir, nprobe, tables)._1
+    lshPartsOn(spark, sfDir, quantized(spark, sfDir), nprobe, tables)
+
+  /** Candidate set over an arbitrary base — LshStress's scan-cost probe. */
+  private[graft] def lshCandidatesOn(spark: org.apache.spark.sql.SparkSession, tag: String,
+      base: DataFrame, nprobe: Int, tables: Int): DataFrame =
+    lshPartsOn(spark, tag, base, nprobe, tables)
 
   private[graft] def lshTopk(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      nprobe: Int, tables: Int = LshTables): DataFrame = {
-    val (cand, base) = lshParts(spark, sfDir, nprobe, tables)
+      nprobe: Int, tables: Int = LshTables): DataFrame =
+    lshTopkOn(spark, sfDir, quantized(spark, sfDir), nprobe, tables)
+
+  /** The full LSH pipeline over an arbitrary quantized base (vec_id, qv,
+    * nrm) — `tag` keys the staged postings index.  LshStress drives this
+    * with synthetic million-vector corpora. */
+  private[graft] def lshTopkOn(spark: org.apache.spark.sql.SparkSession, tag: String,
+      base: DataFrame, nprobe: Int, tables: Int): DataFrame = {
+    val cand = lshPartsOn(spark, tag, base, nprobe, tables)
     // exact re-rank: one vector fetch per distinct candidate + per query
     val qvecs = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid2"), col("qv").as("qq"), col("nrm").as("qn"))
@@ -225,13 +237,12 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("sim"))
   }
 
-  private def lshParts(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      nprobe: Int, tables: Int): (DataFrame, DataFrame) = {
+  private def lshPartsOn(spark: org.apache.spark.sql.SparkSession, tag: String,
+      base: DataFrame, nprobe: Int, tables: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= (1 << LshPlanes),
       s"nprobe must be in [1, ${1 << LshPlanes}], got $nprobe")
     require(tables >= 1 && tables <= LshTables,
       s"tables must be in [1, $LshTables], got $tables")
-    val base = quantized(spark, sfDir)
     // hyperplane component p_ij of table t in {-1, +1} from md5
     def planeSign(t: Int, p: Int, i: Int): Int = {
       val hex = java.security.MessageDigest.getInstance("MD5")
@@ -248,7 +259,7 @@ object Similarity {
     }.reduce(_ + _)
     // postings index: (t, bucket, vec_id) for every table — built once per
     // session; 3 longs per vector per table, no embeddings inside
-    val postings = graft.io.Staged(spark, s"lshPostings$LshPlanes/$LshTables|$sfDir") {
+    val postings = graft.io.Staged(spark, s"lshPostings$LshPlanes/$LshTables|$tag") {
       base.select(col("vec_id"), explode(array((0 until LshTables).map(t =>
         struct(lit(t.toLong).as("t"), bucketCol(t).as("bucket"))): _*)).as("tb"))
         .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
@@ -279,7 +290,7 @@ object Similarity {
         postings("t") === bProbes("t") && col("bucket") === col("pbucket")
           && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id")).distinct()
-    (cand, base)
+    cand
   }
 
   /** Multimodal join: text + embedding modalities co-located by id; the

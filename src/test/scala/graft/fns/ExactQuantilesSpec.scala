@@ -26,13 +26,19 @@ class ExactQuantilesSpec extends AnyFunSuite {
     import spark.implicits._
     val df = data.toSeq.flatMap { case (g, vs) => vs.map(g -> _) }
       .toDF("g", "v").repartition(7)
-    val out = ExactQuantiles.groupQuantiles(df, "g", "v", QS, buckets)
-      .collect().map(r => r.getString(0) -> r).toMap
-    assert(out.keySet == data.keySet)
-    for ((g, vs) <- data; ((_, q), i) <- QS.zipWithIndex) {
-      val got = out(g).getDouble(i + 1)
-      val want = reference(vs, q)
-      assert(got == want, s"group $g q=$q: got $got want $want")
+    // BOTH per-group paths of the size hybrid must match the reference:
+    // bufferThreshold=0 forces every group down the histogram-refinement
+    // search; the default routes these small groups to the sort-gather
+    // buffer.  (And a mid threshold mixes paths in one call.)
+    for (thr <- Seq(0L, data.values.map(_.size).max / 2L, Long.MaxValue)) {
+      val out = ExactQuantiles.groupQuantiles(df, "g", "v", QS, buckets, thr)
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(out.keySet == data.keySet, s"threshold $thr")
+      for ((g, vs) <- data; ((_, q), i) <- QS.zipWithIndex) {
+        val got = out(g).getDouble(i + 1)
+        val want = reference(vs, q)
+        assert(got == want, s"threshold $thr group $g q=$q: got $got want $want")
+      }
     }
   }
 
