@@ -70,10 +70,16 @@ object ExactQuantiles {
     * `data` must expose `groupCol` and a LongType `valueCol`; returns one
     * row per group with schema (groupCol, qs.map(_._1): double), quantile
     * columns named by the caller.  Size-hybrid per GROUP (decided from
-    * pass 0's exact counts): see [[DefaultBufferThreshold]]. */
+    * pass 0's exact counts): see [[DefaultBufferThreshold]].
+    *
+    * `disc = true` switches to DISCRETE quantiles (quantile_disc
+    * semantics: the smallest value whose CDF reaches q — the order
+    * statistic at 0-based rank max(ceil(q*n)-1, 0), never interpolated);
+    * quantile columns are then LongType actual data values. */
   def groupQuantiles(data: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[(String, Double)], buckets: Int = DefaultBuckets,
-      bufferThreshold: Long = DefaultBufferThreshold): DataFrame = {
+      bufferThreshold: Long = DefaultBufferThreshold,
+      disc: Boolean = false): DataFrame = {
     require(data.schema(valueCol).dataType == LongType,
       s"$valueCol must be LongType (scale doubles first — graft.fns.Exact.scaled)")
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 })
@@ -88,14 +94,17 @@ object ExactQuantiles {
       .localCheckpoint()
 
     val smallKeys = base0.where(col("__eq_n") <= bufferThreshold).select("__eq_g")
-    val small = quantilesBuffered(data, groupCol, valueCol, qs, smallKeys)
+    val small = quantilesBuffered(data, groupCol, valueCol, qs, smallKeys, disc)
     val base = base0.where(col("__eq_n") > bufferThreshold)
 
     // Search seed: the distinct floor/ceil order-statistic ranks of every
     // requested quantile position, one row per (group, rank).
     val n1 = (col("__eq_n") - 1).cast(DoubleType)
+    def discRank(q: Double) =
+      greatest(ceil(col("__eq_n").cast(DoubleType) * lit(q)) - 1, lit(0L))
     val ranks = array_distinct(array(qs.flatMap { case (_, q) =>
-      Seq(floor(n1 * lit(q)), ceil(n1 * lit(q)))
+      if (disc) Seq(discRank(q))
+      else Seq(floor(n1 * lit(q)), ceil(n1 * lit(q)))
     }: _*))
     var frontier = base.select(col("__eq_g"), explode(ranks).as("__eq_k"),
         col("__eq_mn").as("__eq_lo"), col("__eq_mx").as("__eq_hi"))
@@ -154,10 +163,13 @@ object ExactQuantiles {
     val kv = resolved.groupBy(col("__eq_g").as("__eq_g2"))
       .agg(map_from_entries(collect_list(struct(col("__eq_k"), col("__eq_lo")))).as("__eq_kv"))
     val outCols = qs.map { case (name, q) =>
-      val pos = n1 * lit(q)
-      val frac = pos - floor(pos).cast(DoubleType)
-      (element_at(col("__eq_kv"), floor(pos)).cast(DoubleType) * (lit(1.0) - frac)
-        + element_at(col("__eq_kv"), ceil(pos)).cast(DoubleType) * frac).as(name)
+      if (disc) element_at(col("__eq_kv"), discRank(q)).as(name)
+      else {
+        val pos = n1 * lit(q)
+        val frac = pos - floor(pos).cast(DoubleType)
+        (element_at(col("__eq_kv"), floor(pos)).cast(DoubleType) * (lit(1.0) - frac)
+          + element_at(col("__eq_kv"), ceil(pos)).cast(DoubleType) * frac).as(name)
+      }
     }
     val big = base.join(kv, col("__eq_g") <=> col("__eq_g2"))
       .select(col("__eq_g").as(groupCol) +: outCols: _*)
@@ -169,19 +181,24 @@ object ExactQuantiles {
     * positionally — the same floor/ceil + lo*(1-frac)+hi*frac arithmetic
     * as the refinement assembly, bit for bit. */
   private def quantilesBuffered(data: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[(String, Double)], keys: DataFrame): DataFrame = {
+      qs: Seq[(String, Double)], keys: DataFrame, disc: Boolean): DataFrame = {
     val rows = data.join(keys, data(groupCol) <=> keys("__eq_g"), "left_semi")
     val vs = rows.groupBy(col(groupCol).as("__eq_g"))
       .agg(sort_array(collect_list(col(valueCol))).as("__eq_vs"))
       .where(size(col("__eq_vs")) > 0)
     val n1 = (size(col("__eq_vs")) - 1).cast(DoubleType)
     val outCols = qs.map { case (name, q) =>
-      val pos = n1 * lit(q)
-      val frac = pos - floor(pos).cast(DoubleType)
-      (element_at(col("__eq_vs"), (floor(pos) + 1).cast(IntegerType)).cast(DoubleType)
-        * (lit(1.0) - frac)
-        + element_at(col("__eq_vs"), (ceil(pos) + 1).cast(IntegerType)).cast(DoubleType)
-        * frac).as(name)
+      if (disc) {
+        val k1 = greatest(ceil(size(col("__eq_vs")).cast(DoubleType) * lit(q)), lit(1L))
+        element_at(col("__eq_vs"), k1.cast(IntegerType)).as(name)
+      } else {
+        val pos = n1 * lit(q)
+        val frac = pos - floor(pos).cast(DoubleType)
+        (element_at(col("__eq_vs"), (floor(pos) + 1).cast(IntegerType)).cast(DoubleType)
+          * (lit(1.0) - frac)
+          + element_at(col("__eq_vs"), (ceil(pos) + 1).cast(IntegerType)).cast(DoubleType)
+          * frac).as(name)
+      }
     }
     vs.select(col("__eq_g").as(groupCol) +: outCols: _*)
   }

@@ -138,6 +138,24 @@ object Relational2 {
       (col("p50") / 100.0).as("p50"), (col("p90") / 100.0).as("p90"))
   }
 
+  /** DISCRETE percentiles (quantile_disc): the smallest value whose CDF
+    * reaches q — an actual data value, never interpolated (the form that
+    * stays meaningful for codes/ids and integer domains).  Same size-
+    * hybrid order-statistic machinery as [[aggPercentiles]], disc mode. */
+  val aggPercentilesDisc: GraftQuery = GraftQuery("q_agg_percentiles_disc",
+    """SELECT l_returnflag,
+      |  quantile_disc(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.25) AS p25_cents,
+      |  quantile_disc(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.50) AS p50_cents,
+      |  quantile_disc(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.90) AS p90_cents
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, sfDir) =>
+    val cents = scaled(col("l_extendedprice"), 2)
+    graft.fns.ExactQuantiles.groupQuantiles(
+      lineitem(spark, sfDir).select(col("l_returnflag"), cents.as("__v")),
+      "l_returnflag", "__v",
+      Seq("p25_cents" -> 0.25, "p50_cents" -> 0.50, "p90_cents" -> 0.90),
+      disc = true)
+  }
+
   /** The reference's native input format: delimited text lines parsed
     * positionally (HDFS TextInputFormat + String.split in the mapper).
     * Round-trip: write "key|name|regionkey" lines, read with spark.read.text,
@@ -175,5 +193,6 @@ object Relational2 {
 
   val all: Seq[GraftQuery] =
     Seq(scanJsonRoundtrip, aggPivot, aggMedian, aggStringAgg, windowDistribution,
-      windowNavigation, aggPercentiles, scanTextParse, aggGroupingSets)
+      windowNavigation, aggPercentiles, aggPercentilesDisc, scanTextParse,
+      aggGroupingSets)
 }

@@ -60,6 +60,31 @@ class ExactQuantilesSpec extends AnyFunSuite {
       "y" -> (0L until 101L)), buckets = 4)
   }
 
+  test("disc mode returns the exact order statistic on both hybrid paths") {
+    import spark.implicits._
+    // quantile_disc reference: smallest v with CDF(v) >= q, i.e. the
+    // 0-based rank max(ceil(q*n)-1, 0)
+    def discRef(vals: Seq[Long], q: Double): Long = {
+      val s = vals.sorted
+      s(math.max(math.ceil(q * s.length).toLong - 1, 0L).toInt)
+    }
+    val rnd = new scala.util.Random(21)
+    val data = Map(
+      "a" -> Seq.fill(777)(rnd.nextInt(100000).toLong),
+      "b" -> Seq.fill(50)(rnd.nextInt(7).toLong), // heavy ties
+      "c" -> Seq(42L))
+    val df = data.toSeq.flatMap { case (g, vs) => vs.map(g -> _) }
+      .toDF("g", "v").repartition(5)
+    for (thr <- Seq(0L, Long.MaxValue)) {
+      val out = ExactQuantiles.groupQuantiles(df, "g", "v", QS,
+        bufferThreshold = thr, disc = true)
+        .collect().map(r => r.getString(0) -> r).toMap
+      for ((g, vs) <- data; ((_, q), i) <- QS.zipWithIndex)
+        assert(out(g).getLong(i + 1) == discRef(vs, q),
+          s"threshold $thr group $g q=$q")
+    }
+  }
+
   test("NULL group key forms its own group; empty input yields empty result") {
     import spark.implicits._
     val df = Seq((Some("a"), 10L), (Some("a"), 20L), (None, 1L), (None, 3L), (None, 5L))
