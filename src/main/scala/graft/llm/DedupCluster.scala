@@ -150,14 +150,29 @@ object DedupCluster {
       .distinct()
       .localCheckpoint()
     var rounds = 0
+    // Convergence check: the (directed high->low) edge SET is unchanged.
+    // Compared by commutative signature — (count, xor of 64-bit edge
+    // hashes), the q_table_checksum trick: one map-side-combined aggregate
+    // per round instead of a union+distinct over both edge sets (which
+    // re-shuffled ~2|E| rows per round just to answer yes/no).  A false
+    // "converged" needs an exact xor collision between different
+    // equal-count sets (~2^-64); the closed-form/union-find equality specs
+    // pin the labels themselves.
+    def sig(e: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // initial edges are undirected; rounds emit high->low directed sets,
+    // so normalize once for the first comparison
+    var prevSig = sig(edges.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v")).distinct())
     var done = edges.isEmpty
     while (!done) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       rounds += 1
-      // converged when the (directed high->low) edge set is unchanged
-      val prev = edges.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v")).distinct()
-      done = next.unionByName(prev).distinct().count() == prev.count()
+      val nextSig = sig(next) // next is directed high->low + distinct already
+      done = nextSig == prevSig
+      prevSig = nextSig
       edges = next
     }
     // post-convergence the edges are stars child -> component-min; roots
