@@ -224,6 +224,46 @@ object Pipeline {
           .as("chunk"))
   }
 
+  /** CONTENT-DEFINED chunking (the rsync / storage-dedup boundary trick,
+    * complementing [[chunk]]'s fixed windows): a chunk ends after any
+    * token whose 60-bit hash ≡ 0 (mod 16), so boundaries are a pure
+    * function of LOCAL CONTENT — insert a paragraph and only the chunks
+    * touching it change identity, where fixed-stride windows all shift.
+    * That stability is what makes chunk-level dedup/caching work across
+    * corpus versions.  Expected chunk ≈ 16 tokens; the boundary decision
+    * is the shared md5 arithmetic, so both engines cut identically.  One
+    * doc-partitioned window pass + one aggregate — scales by doc, no
+    * global order anywhere. */
+  val chunkCdc: GraftQuery = GraftQuery("q_llm_chunk_cdc",
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |w AS (SELECT doc_id, t[i] AS w, CAST(i AS BIGINT) AS pos
+       |      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+       |b AS (SELECT doc_id, w, pos,
+       |        CASE WHEN ${md5LongSql("w")} % 16 = 0 THEN 1 ELSE 0 END AS cut
+       |      FROM w),
+       |c AS (SELECT doc_id, w, pos,
+       |        CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS UNBOUNDED PRECEDING) - cut AS BIGINT) AS cid
+       |      FROM b)
+       |SELECT doc_id, cid, CAST(count(*) AS BIGINT) AS n_tok,
+       |       min(pos) AS start_pos, string_agg(w, ' ' ORDER BY pos) AS chunk
+       |FROM c GROUP BY doc_id, cid""".stripMargin) { (spark, sfDir) =>
+    val w = documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p0", "w")))
+      .select(col("doc_id"), col("w"), (col("p0") + 1L).as("pos"))
+    val cut = when(pmod(md5Long(col("w")), lit(16L)) === 0, 1L).otherwise(0L)
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w.withColumn("cut", cut)
+      .withColumn("cid", sum(col("cut")).over(win) - col("cut"))
+      .groupBy("doc_id", "cid")
+      .agg(count(lit(1)).as("n_tok"), min(col("pos")).as("start_pos"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w"))).as("chunk"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(split, pack, scrub, decontaminate, repetition, mix, selectBudget, chunk)
+    Seq(split, pack, scrub, decontaminate, repetition, mix, selectBudget, chunk,
+      chunkCdc)
 }

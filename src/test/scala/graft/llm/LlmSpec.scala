@@ -139,6 +139,36 @@ class LlmSpec extends AnyFunSuite {
     assert(out(19L) == (None, "keep"), s"unique batch doc: ${out(19L)}")
   }
 
+  test("CDC chunk identities are stable under a local edit") {
+    // the reason content-defined beats fixed-stride: inserting tokens
+    // mid-doc must only change the chunks TOUCHING the edit — every other
+    // chunk keeps its exact text (boundaries depend on local content, not
+    // global offsets), which is what makes chunk-level dedup/caching
+    // survive corpus revisions
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val r = new scala.util.Random(31)
+    val base = Seq.fill(300)(vocab(r.nextInt(vocab.size)))
+    val edited = base.take(150) ++ Seq("INS1", "INS2", "INS3") ++ base.drop(150)
+    def chunksOf(toks: Seq[String], dir: String): Seq[String] = {
+      Seq((0L, toks.mkString(" "))).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Queries.queries("q_llm_chunk_cdc")(spark, dir)
+        .select("chunk").as[String].collect().toSeq
+    }
+    val a = chunksOf(base, "/tmp/graft_test_cdc_a")
+    val b = chunksOf(edited, "/tmp/graft_test_cdc_b")
+    assert(a.size >= 10, s"expected many ~16-token chunks, got ${a.size}")
+    // multiset symmetric difference: at most the removed pre-edit chunk
+    // plus its <= 2 replacements (+1 margin for an edit landing on a cut)
+    def bag(s: Seq[String]) = s.groupBy(identity).view.mapValues(_.size).toMap
+    val (ba, bb) = (bag(a), bag(b))
+    val diff = (ba.keySet ++ bb.keySet).toSeq
+      .map(k => math.abs(ba.getOrElse(k, 0) - bb.getOrElse(k, 0))).sum
+    assert(diff <= 4, s"local edit changed $diff chunk identities of ${a.size}")
+  }
+
   test("connected components computes its input pipeline exactly once") {
     // the candidate-generation join feeding the component search is the
     // expensive part — the size probe must not re-run it.  An accumulator
