@@ -1,0 +1,59 @@
+package graft.fns
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed computations over a TOTAL ORDER without the
+  * single-partition window Spark plans for `Window.orderBy(...)` with no
+  * partition key (an `Exchange SinglePartition` — the one-machine
+  * bottleneck that breaks first on a 100 TB sort-dependent pipeline).
+  *
+  * Shape: range-repartition by the order columns (Spark's distributed
+  * sort), compute the per-partition running aggregate with a window
+  * PARTITIONED by partition id, then add back each partition's exact
+  * prefix offset.  RangePartitioning guarantees partition p's keys all
+  * precede partition p+1's, so local result + offset IS the global
+  * result.  The offsets are O(partitions) driver rows — never O(rows).
+  *
+  * `ord` must be a total order (append a unique id); the input is
+  * materialized once (`localCheckpoint`) so the offsets probe and the
+  * ranked read share one computation.
+  */
+object TotalOrder {
+
+  /** Adds `rn`: the 1-based global rank by `ord`. */
+  def globalRank(df: DataFrame, numParts: Int, ord: Column*): DataFrame = {
+    val (parts, offCol) = withOffsets(df, numParts, count(lit(1)), ord: _*)
+    val w = Window.partitionBy(col("__to_pid")).orderBy(ord: _*)
+    parts.withColumn("rn", row_number().over(w).cast(LongType) + offCol)
+      .drop("__to_pid")
+  }
+
+  /** Adds `cum`: the INCLUSIVE global running sum of `valueCol` by `ord`
+    * (nulls contribute nothing, as with any Spark sum). */
+  def runningSum(df: DataFrame, valueCol: String, numParts: Int, ord: Column*): DataFrame = {
+    val (parts, offCol) = withOffsets(df, numParts, sum(col(valueCol)), ord: _*)
+    val w = Window.partitionBy(col("__to_pid")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.withColumn("cum", sum(col(valueCol)).over(w) + offCol)
+      .drop("__to_pid")
+  }
+
+  /** Range-repartition + pin, then the exact prefix offset of each
+    * partition under `perPartition` (a LongType aggregate). */
+  private def withOffsets(df: DataFrame, numParts: Int, perPartition: Column,
+      ord: Column*): (DataFrame, Column) = {
+    val parts = df.repartitionByRange(numParts, ord: _*)
+      .withColumn("__to_pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = parts.groupBy("__to_pid").agg(perPartition.cast(LongType).as("__to_t"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+    val offsets = (0 until numParts).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    val offCol = (0 until numParts).foldLeft(lit(0L)) { (acc, p) =>
+      when(col("__to_pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    (parts, offCol)
+  }
+}

@@ -4,10 +4,8 @@ import graft.GraftQuery
 import graft.fns.Exact._
 import graft.io.Tables._
 import graft.llm.TextOps._
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Dedup family round-out (B10): the two PRODUCTION shapes the self-join
   * variants don't cover.
@@ -41,28 +39,9 @@ object DedupIncr {
        |         FROM toks WHERE len(t) >= 3)),
        |sh AS (${dfCappedSql(DF_CAP)})""".stripMargin
 
-  /** Distributed total rank by `ord` WITHOUT a single-partition window:
-    * range-repartition + per-partition row_number + exact partition-offset
-    * add-back (offsets are O(partitions) driver rows, never O(rows)).
-    * RangePartitioning guarantees partition p's keys all precede partition
-    * p+1's, so local rank + offset IS the global rank; `ord` must be a
-    * total order (callers append a unique id). */
-  private[graft] def globalRank(df: DataFrame, numParts: Int, ord: Column*): DataFrame = {
-    val parts = df.repartitionByRange(numParts, ord: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // offsets probe + ranked read share one materialization
-    val counts = parts.groupBy("__pid").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until numParts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val offCol = (0 until numParts).foldLeft(lit(0L)) { (acc, p) =>
-      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
-    }
-    val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
-    parts.withColumn("rn", row_number().over(w).cast(LongType) + offCol)
-      .drop("__pid")
-  }
-
-  /** Sorted-neighborhood near-dedup: rank by (min shingle hash, doc_id),
+  /** Sorted-neighborhood near-dedup: rank by (min shingle hash, doc_id)
+    * via the distributed [[graft.fns.TotalOrder.globalRank]] (no
+    * single-partition window anywhere — see that object's scaladoc),
     * pair each doc with its W nearest successors via the repo's own
     * bucketed band join ON THE RANK (|rank diff| <= W is a band predicate
     * — no self-join on content at all), then verify candidates with exact
@@ -87,7 +66,7 @@ object DedupIncr {
        |FROM cm WHERE common / (na + nb - common) >= $TAU""".stripMargin) { (spark, sfDir) =>
     val sh = cappedShingles(spark, sfDir)
     val mins = sh.groupBy("doc_id").agg(min(col("s")).as("mk"), count(lit(1)).as("n"))
-    val ranked = globalRank(mins, 32, col("mk"), col("doc_id"))
+    val ranked = graft.fns.TotalOrder.globalRank(mins, 32, col("mk"), col("doc_id"))
     val cand = graft.joins.NonEquiJoins.bandJoinLong(
       ranked.select(col("doc_id").as("ia"), col("n").as("na"), col("rn").as("rna")),
       ranked.select(col("doc_id").as("ib"), col("n").as("nb"), col("rn").as("rnb")),

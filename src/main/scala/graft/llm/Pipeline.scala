@@ -32,8 +32,9 @@ object Pipeline {
     * consecutive bins of <= 4096 tokens by cumulative token count — the
     * chunking step that batches documents into training sequences.  A
     * running integer sum over a total order, so both engines agree
-    * exactly.  At scale the ORDER BY becomes a range partition; the window
-    * itself is one pass. */
+    * exactly — computed by the distributed graft.fns.TotalOrder
+    * range-partition + offset scheme, NOT a single-partition window
+    * (plan-guarded: no Exchange SinglePartition). */
   val pack: GraftQuery = GraftQuery("q_llm_pack",
     s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok
        |           FROM documents),
@@ -43,10 +44,10 @@ object Pipeline {
        |      FROM t)
        |SELECT doc_id, n_tok, before // 4096 AS bin, before % 4096 AS bin_offset
        |FROM c""".stripMargin) { (spark, sfDir) =>
-    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(spark, sfDir)
+    val t = documents(spark, sfDir)
       .select(col("doc_id"), size(toks(col("text"))).cast(LongType).as("n_tok"))
-      .withColumn("before", sum(col("n_tok")).over(w) - col("n_tok"))
+    graft.fns.TotalOrder.runningSum(t, "n_tok", 32, col("doc_id"))
+      .withColumn("before", col("cum") - col("n_tok"))
       .select(col("doc_id"), col("n_tok"),
         floor(col("before").cast(DoubleType) / 4096).cast(LongType).as("bin"),
         pmod(col("before"), lit(4096L)).as("bin_offset"))
@@ -159,8 +160,9 @@ object Pipeline {
     * ratio) and keep the best prefix whose cumulative token count fits the
     * budget.  The greedy-prefix selection every "train on the best N
     * tokens" recipe uses; deterministic (integer score, doc_id tiebreak)
-    * and exact in both engines.  At scale the ORDER BY is a range
-    * partition + per-partition cumulative sums — one pass, no collect. */
+    * and exact in both engines.  The running sum is the distributed
+    * graft.fns.TotalOrder range-partition + offset scheme — no
+    * single-partition window (plan-guarded). */
   val selectBudget: GraftQuery = GraftQuery("q_llm_select_budget",
     s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
        |q AS (SELECT doc_id,
@@ -187,9 +189,8 @@ object Pipeline {
           col("st.n_tok").as("n_tok"),
           round((lit(1000L) * col("st.n_shingles")).cast(DoubleType) /
             (col("st.n_tok") - 2L).cast(DoubleType), 0).cast(LongType).as("score"))
-      val w = Window.orderBy(col("score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      q.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      graft.fns.TotalOrder.runningSum(q, "n_tok", 32, col("score").desc, col("doc_id"))
+        .withColumnRenamed("cum", "cum_tok")
         .filter(col("cum_tok") <= 50000L)
         .select("doc_id", "n_tok", "score", "cum_tok")
   }
