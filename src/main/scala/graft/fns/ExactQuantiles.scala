@@ -53,9 +53,12 @@ object ExactQuantiles {
   private val DefaultBuckets = 8192
 
   /** Frontiers at or below this many in-flight searches ride the data
-    * join as a broadcast (a few MB); above it the join shuffle-hashes on
-    * the group key — the same size-thresholded hybrid as graft.graph. */
-  private val BroadcastSearchLimit = 1000000L
+    * join as a broadcast (~100k rows of five longs ≈ 4 MB serialized —
+    * comfortably inside Spark's default 10 MB auto-broadcast budget, plus
+    * per-executor hash-relation overhead); above it the join
+    * shuffle-hashes on the group key — the same size-thresholded hybrid
+    * as graft.graph. */
+  private val BroadcastSearchLimit = 100000L
 
   /** Groups at or below this many values take the buffered sort-gather
     * path (~8 bytes x threshold peak per group in one aggregation buffer);

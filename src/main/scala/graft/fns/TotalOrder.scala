@@ -34,6 +34,12 @@ object TotalOrder {
   /** Adds `cum`: the INCLUSIVE global running sum of `valueCol` by `ord`
     * (nulls contribute nothing, as with any Spark sum). */
   def runningSum(df: DataFrame, valueCol: String, numParts: Int, ord: Column*): DataFrame = {
+    // the offsets probe casts its per-partition aggregate to Long; on a
+    // fractional valueCol that would silently truncate the cross-partition
+    // offsets while the within-partition window sum stayed exact — fail
+    // fast instead (mirrors ExactQuantiles' LongType guard)
+    require(df.schema(valueCol).dataType == LongType,
+      s"runningSum requires a LongType valueCol; '$valueCol' is ${df.schema(valueCol).dataType}")
     val (parts, offCol) = withOffsets(df, numParts, sum(col(valueCol)), ord: _*)
     val w = Window.partitionBy(col("__to_pid")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -19,17 +19,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    including sibling sessions and, because the artifact is durable,
   *    later application runs — reads the artifact instead of rebuilding.
   *    This is the real-cluster staging-table pattern: the path can be
-  *    HDFS/S3 (resolved through the Hadoop FileSystem of the path), the
-  *    committer's `_SUCCESS` marker gates reuse so a torn write is
-  *    rebuilt, never trusted.
+  *    HDFS/S3 (resolved through the Hadoop FileSystem of the path).
   *
-  * Keyed by (session, tag): a memoized DataFrame is only ever handed back
-  * to the exact SparkSession that built it — sibling sessions of the same
-  * context (`spark.newSession`) have their own session state (temp
-  * functions, confs) and get their own entry.  Eviction removes only
-  * entries whose owning context has actually stopped (their checkpointed
-  * plans died with it), so concurrently live contexts in one JVM never
-  * thrash each other's cache.
+  * Publication is atomic at the directory level: the build is written to
+  * a unique `.tmp-<uuid>` sibling and `rename`d into place.  Concurrent
+  * writers each build their own temp dir; exactly one rename wins (on
+  * HDFS/local, rename-onto-existing fails; the loser deletes its temp and
+  * reads the winner's artifact).  A reader therefore never observes a
+  * half-written target, and a crashed writer leaves only an orphaned temp
+  * dir — the target is either absent (rebuilt) or complete.  The
+  * committer's `_SUCCESS` marker additionally gates reuse, so even a torn
+  * target (e.g. manual tampering) is rebuilt, never trusted.  NOTE: on
+  * object stores whose rename is copy-based (raw S3 without a committer),
+  * the window shrinks but is not zero — front a real atomic-commit layer
+  * there.
+  *
+  * Keyed by (session, staging-root, tag): a memoized DataFrame is only
+  * ever handed back to the exact SparkSession that built it — sibling
+  * sessions of the same context (`spark.newSession`) have their own
+  * session state (temp functions, confs) and get their own entry — and
+  * re-pointing `spark.graft.staging.dir` (or unsetting it) mid-session
+  * gets a fresh entry instead of a stale plan over a possibly-deleted
+  * path.  Eviction removes only entries whose owning context has actually
+  * stopped (their checkpointed plans died with it), so concurrently live
+  * contexts in one JVM never thrash each other's cache.
   */
 object Staged {
   /** Upper bound on cached entries: per-session keying means a long-lived
@@ -40,7 +53,7 @@ object Staged {
   private val MAX_ENTRIES = 64
 
   private val cache =
-    scala.collection.mutable.LinkedHashMap[(SparkSession, String), DataFrame]()
+    scala.collection.mutable.LinkedHashMap[(SparkSession, Option[String], String), DataFrame]()
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -50,19 +63,28 @@ object Staged {
     synchronized {
       // entries of stopped contexts are dead weight — drop them before
       // growing the cache; live sibling contexts are left alone
-      cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-      while (cache.size >= MAX_ENTRIES && !cache.contains((spark, tag)))
+      cache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+      val root = spark.conf.getOption("spark.graft.staging.dir")
+      val key = (spark, root, tag)
+      while (cache.size >= MAX_ENTRIES && !cache.contains(key))
         cache.remove(cache.head._1)
       // build under the lock: a racy getOrElseUpdate would materialize the
       // expensive checkpoint twice and leak one copy on the executors
-      cache.getOrElseUpdate((spark, tag),
-        spark.conf.getOption("spark.graft.staging.dir") match {
-          case Some(root) =>
-            val dir = s"$root/${md5hex(tag)}"
+      cache.getOrElseUpdate(key,
+        root match {
+          case Some(r) =>
+            val dir = new org.apache.hadoop.fs.Path(s"$r/${md5hex(tag)}")
+            val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
             val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-            val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (!fs.exists(marker)) build.write.mode("overwrite").parquet(dir)
-            spark.read.parquet(dir)
+            if (!fs.exists(marker)) {
+              val tmp = new org.apache.hadoop.fs.Path(
+                dir.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+              build.write.mode("overwrite").parquet(tmp.toString)
+              // atomic publish: exactly one rename wins; a loser (target
+              // appeared since the marker check) discards its temp copy
+              if (!fs.rename(tmp, dir)) fs.delete(tmp, true)
+            }
+            spark.read.parquet(dir.toString)
           case None => build.localCheckpoint()
         })
     }

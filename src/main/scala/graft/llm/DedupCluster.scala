@@ -152,15 +152,22 @@ object DedupCluster {
     var rounds = 0
     // Convergence check: the (directed high->low) edge SET is unchanged.
     // Compared by commutative signature — (count, xor of 64-bit edge
-    // hashes), the q_table_checksum trick: one map-side-combined aggregate
-    // per round instead of a union+distinct over both edge sets (which
-    // re-shuffled ~2|E| rows per round just to answer yes/no).  A false
-    // "converged" needs an exact xor collision between different
-    // equal-count sets (~2^-64); the closed-form/union-find equality specs
-    // pin the labels themselves.
-    def sig(e: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // hashes, xor of an INDEPENDENTLY seeded second hash), the
+    // q_table_checksum trick: one map-side-combined aggregate per round
+    // instead of a union+distinct over both edge sets (which re-shuffled
+    // ~2|E| rows per round just to answer yes/no).  A false "converged"
+    // needs different equal-count sets to collide in BOTH xor folds
+    // simultaneously (~2^-128; the salted tuple makes the second hash
+    // independent of the first) — same shuffle cost, both ride one
+    // aggregate.  (A wrapping-sum second fold would be equally good but
+    // long-sum overflow throws under ANSI mode.)  The closed-form/
+    // union-find equality specs pin the labels themselves.
+    def sig(e: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))),
+        bit_xor(xxhash64(lit(0x9E3779B97F4A7C15L), col("u"), col("v")))).head
+      (r.getLong(0),
+       if (r.isNullAt(1)) 0L else r.getLong(1),
+       if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     // initial edges are undirected; rounds emit high->low directed sets,
     // so normalize once for the first comparison
