@@ -145,6 +145,32 @@ object Relational {
       .agg(count(lit(1)).as("n_richer"), max("c_acctbal").as("max_cbal"))
   }
 
+  /** 1-Bucket-Theta join (the reference's core algorithm) on an
+    * ARBITRARY theta predicate with no exploitable structure — a
+    * congruence match neither the band nor the inequality rewrites
+    * accept, payload-guarded by an acctbal comparison to keep output
+    * selective.  The physical plan is the random-grid replication
+    * equi join on (__row, __col): every |S|x|T| pair meets in exactly
+    * one grid cell, cells hash-shuffle across the cluster — no
+    * CartesianProduct, no BroadcastNestedLoopJoin (plan-guarded in
+    * NonEquiJoinsSpec). */
+  val joinTheta1Bucket: GraftQuery = GraftQuery("q_join_theta_1bucket",
+    """SELECT s_nationkey AS nationkey, count(*) AS n_pairs,
+      |       CAST(sum(s_suppkey + c_custkey) AS BIGINT) AS key_sum
+      |FROM supplier JOIN customer
+      |  ON (s_suppkey * 13) % 97 = (c_custkey * 29) % 97
+      | AND s_acctbal < c_acctbal
+      |GROUP BY 1""".stripMargin) { (spark, sfDir) =>
+    val s = supplier(spark, sfDir).select("s_suppkey", "s_nationkey", "s_acctbal")
+    val c = customer(spark, sfDir).select("c_custkey", "c_acctbal")
+    oneBucketThetaJoin(s, c, "s_suppkey", "c_custkey", rS = 8, rT = 8,
+      theta = pmod(col("s_suppkey") * 13, lit(97L)) === pmod(col("c_custkey") * 29, lit(97L))
+        && col("s_acctbal") < col("c_acctbal"))
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("s_suppkey") + col("c_custkey")).as("key_sum"))
+  }
+
   val joinCross: GraftQuery = GraftQuery("q_join_cross",
     """SELECT r_regionkey, r_name, n_nationkey, n_name
       |FROM region CROSS JOIN nation""".stripMargin) { (spark, sfDir) =>
@@ -354,7 +380,7 @@ object Relational {
   val all: Seq[GraftQuery] = Seq(
     scanCsvRoundtrip, sinkPartitioned,
     projectRename, filterPred,
-    joinEquiStar, joinBroadcast, joinBand, joinThetaIneq, joinCross,
+    joinEquiStar, joinBroadcast, joinBand, joinThetaIneq, joinTheta1Bucket, joinCross,
     joinInterval, joinAsof, joinOuter, joinSemiAnti,
     aggPricingSummary, aggDistinct, aggApproxDistinct, aggRollup,
     windowRank, windowRunning, topkPerGroup,

@@ -206,4 +206,24 @@ class NonEquiJoinsSpec extends AnyFunSuite {
     val naive = a.crossJoin(b).filter(theta).select("ida", "idb", "va", "vb")
     assertSameRows(fast, naive)
   }
+
+  test("oneBucketThetaJoin plans the grid equi join — never CartesianProduct/BNLJ") {
+    // force the shuffle path (no auto-broadcast of the tiny test side):
+    // the judged q_join_theta_1bucket must survive at a scale where
+    // NEITHER side broadcasts — the grid replication equi join on
+    // (__row, __col) is the only shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = rnd.limit(80).select($"id".as("ida"), $"v".as("va"))
+      val b = rnd.limit(80).select($"id".as("idb"), $"v".as("vb"))
+      val theta = pmod($"ida" * 13, lit(97)) === pmod($"idb" * 29, lit(97))
+      val plan = oneBucketThetaJoin(a, b, "ida", "idb", rS = 4, rT = 4, theta = theta)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"quadratic shuffle:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected the grid equi join to shuffle-hash or sort-merge:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
