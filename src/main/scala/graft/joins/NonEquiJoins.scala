@@ -328,6 +328,40 @@ object NonEquiJoins {
     * Cost is |S|·rT + |T|·rS replicated rows — use only when no bucketed
     * rewrite applies.
     */
+  /** Edit-distance ≤ 2 self-join via the position-keyed FastSS 2-deletion
+    * index: rows (ka, kb, d) with ka < kb and d = levenshtein ≤ 2.  One
+    * map-only index build ([[graft.fns.TextKernels.deletionVariantPos2]]),
+    * one shuffle-hash bucket join whose residual
+    * [[graft.fns.TextKernels.fastssCompat]] prunes the ed > 2 variant
+    * collisions with integer compares (sound + complete over true variant
+    * equality — see the kernel's proof sketch), a banded levenshtein as
+    * the hash-collision guard, and one distinct over true memberships.
+    * See `q_join_fuzzy2`'s scaladoc for the measured stage costs. */
+  def fuzzySelfJoin2(df: DataFrame, keyCol: String, strCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idx = df
+      .select(col(keyCol), col(strCol),
+        explode(graft.fns.TextKernelCols.deletionVariantPos2(spark, col(strCol)))
+          .as("x")) // map-only: the kernel groups positions per variant
+      .select(col(keyCol), col(strCol), col("x.v").as("v"), col("x.pc").as("pc"))
+    val a = idx.select(col(keyCol).as("ka"), col(strCol).as("na"),
+      col("v"), col("pc").as("pca"))
+    val b = idx.select(col(keyCol).as("kb"), col(strCol).as("nb"),
+      col("v"), col("pc").as("pcb"))
+    // shuffle_hash, explicitly: Catalyst can't see through the explode's
+    // ~L²/2 fan-out, estimates the index at the BASE table's size, and
+    // broadcasts millions of index rows (measured 20x slower).  A hash
+    // join beats sort-merge here because variant buckets are
+    // duplicate-heavy — SMJ would buffer each equal-key group anyway.
+    a.join(b.hint("shuffle_hash"), Seq("v"))
+      .filter(col("ka") < col("kb") &&
+        graft.fns.TextKernelCols.fastssCompat(spark, col("pca"), col("pcb")))
+      .select(col("ka"), col("kb"),
+        levenshtein(col("na"), col("nb"), 2).cast("long").as("d"))
+      .filter(col("d") >= 0) // hash-collision guard; banded O(L·k) form
+      .distinct() // one row per true pair (d is determined by the pair)
+  }
+
   def oneBucketThetaJoin(
       s: DataFrame, t: DataFrame, sKey: String, tKey: String,
       rS: Int, rT: Int, theta: Column): DataFrame = {

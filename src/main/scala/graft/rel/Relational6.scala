@@ -198,47 +198,32 @@ object Relational6 {
     * variant is NOT sufficient at d = 2, so candidates verify with one
     * codegen'd `levenshtein` call per DISTINCT pair.
     *
-    * Index size: 1 + L + L(L-1)/2 variants per name (~172 rows for the
-    * 18-char customer names) — O(n·L²) total, vs the oracle's O(n²·L²)
-    * full levenshtein matrix.  The index stores 64-BIT VARIANT HASHES, not
-    * strings (16-byte rows; a hash collision only adds a candidate, which
-    * the verify removes), and a close pair shares MANY variants (~2L at
-    * ed = 1), so candidates dedup to narrow (ka, kb) longs BEFORE names
-    * re-attach via two broadcast joins — the wide-string shuffle this
-    * avoids is ~30x the bytes.  Verification is one codegen'd
-    * `levenshtein` per distinct pair. */
+    * Index size: 1 + L + L(L-1)/2 variants per name (~172 before per-row
+    * hash-grouping) — O(n·L²) total, vs the oracle's O(n²·L²) full
+    * levenshtein matrix.  One codegen'd kernel
+    * ([[graft.fns.TextKernels.deletionVariantPos2]]) emits the whole
+    * neighborhood map-only as 64-bit hashes WITH their deletion-position
+    * codes — no global distinct, no checkpoint — and the bucket join's
+    * residual condition is [[graft.fns.TextKernels.fastssCompat]]: a few
+    * integer compares that are SOUND AND COMPLETE for ed ≤ 2 over true
+    * variant equality (d1×d1 any position = delete+insert; d2×d2 same
+    * position pair = ≤2 substitutions; d2×d1 aligned p ∈ {x, y−1} =
+    * delete+substitute; d2×d0 = two deletions).  Unkeyed FastSS at d = 2
+    * is verify-bound — at sf0.1 the bucket join matches 31.7 M candidate
+    * memberships of which 55 % are false — but the position predicate
+    * prunes them DURING the join at ~ns each, so the banded
+    * `levenshtein(na, nb, 2)` (the collision guard and the output's d
+    * value) runs only on the ~4.6 M surviving true memberships and the
+    * only post-join shuffle is the final (ka, kb, d) distinct over those
+    * survivors — the 31.7 M-row candidate-pair dedup of the unkeyed
+    * formulation never exists. */
   val joinFuzzy2: GraftQuery = GraftQuery("q_join_fuzzy2",
     """SELECT a.c_custkey AS ka, b.c_custkey AS kb,
       |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS d
       |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
       |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin) { (spark, sfDir) =>
-    val cust = customer(spark, sfDir).select("c_custkey", "c_name")
-    val base = cust
-      .select(col("c_custkey"),
-        explode(graft.fns.TextKernelCols.deletionVariants(spark, col("c_name"))).as("x"))
-      .select(col("c_custkey"), col("x.pos").as("p1"), col("x.key").as("v1"))
-    val d01 = base.select(col("c_custkey"), xxhash64(col("v1")).as("v"))
-    val d2 = base.filter(col("p1") >= 1)
-      .select(col("c_custkey"), col("p1"),
-        explode(graft.fns.TextKernelCols.deletionVariants(spark, col("v1"))).as("y"))
-      .filter(col("y.pos") >= col("p1")) // second deletion at/after the first
-      .select(col("c_custkey"), xxhash64(col("y.key")).as("v"))
-    val idx = d01.unionByName(d2)
-      .distinct() // equal variants from different deletion pairs collapse
-      .localCheckpoint() // probed by both sides of the candidate join
-    val cand = idx.select(col("c_custkey").as("ka"), col("v"))
-      .join(idx.select(col("c_custkey").as("kb"), col("v")), "v")
-      .filter(col("ka") < col("kb"))
-      .select("ka", "kb")
-      .distinct() // verify once per pair, not once per shared variant
-    // no broadcast hint: Catalyst broadcasts the name table while it fits
-    // and degrades to shuffle joins keyed on ka/kb when it doesn't
-    cand
-      .join(cust.select(col("c_custkey").as("ka"), col("c_name").as("na")), "ka")
-      .join(cust.select(col("c_custkey").as("kb"), col("c_name").as("nb")), "kb")
-      .select(col("ka"), col("kb"),
-        levenshtein(col("na"), col("nb")).cast("long").as("d"))
-      .filter(col("d") <= 2)
+    graft.joins.NonEquiJoins.fuzzySelfJoin2(
+      customer(spark, sfDir).select("c_custkey", "c_name"), "c_custkey", "c_name")
   }
 
   /** Deterministic STRATIFIED sampling: per-stratum rates (10% of BUILDING,
