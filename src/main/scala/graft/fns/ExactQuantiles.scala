@@ -82,19 +82,27 @@ object ExactQuantiles {
   def groupQuantiles(data: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[(String, Double)], buckets: Int = DefaultBuckets,
       bufferThreshold: Long = DefaultBufferThreshold,
-      disc: Boolean = false): DataFrame = {
+      disc: Boolean = false, stageTag: Option[String] = None): DataFrame = {
     require(data.schema(valueCol).dataType == LongType,
       s"$valueCol must be LongType (scale doubles first — graft.fns.Exact.scaled)")
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 })
 
-    // pass 0: one aggregate for n / min / max per group.  Checkpointed:
+    // pass 0: one aggregate for n / min / max per group.  Materialized:
     // both the search seed and the final assembly read it, and the
     // refinement joins below must not be self-joins against `data`'s plan.
-    val base0 = data.groupBy(col(groupCol).as("__eq_g"))
+    // `stageTag` routes the materialization through io.Staged — pass 0 is
+    // a pure function of (table, group key, value expression), so every
+    // consumer naming the same tag (e.g. quantile_cont and quantile_disc
+    // over the same column, or repeated runs in one session) reuses ONE
+    // artifact instead of re-scanning the source.
+    def pass0 = data.groupBy(col(groupCol).as("__eq_g"))
       .agg(count(col(valueCol)).as("__eq_n"), min(col(valueCol)).as("__eq_mn"),
         max(col(valueCol)).as("__eq_mx"))
       .where(col("__eq_n") > 0)
-      .localCheckpoint()
+    val base0 = stageTag match {
+      case Some(tag) => graft.io.Staged(data.sparkSession, s"eq_pass0:$tag")(pass0)
+      case None => pass0.localCheckpoint()
+    }
 
     val smallKeys = base0.where(col("__eq_n") <= bufferThreshold).select("__eq_g")
     val small = quantilesBuffered(data, groupCol, valueCol, qs, smallKeys, disc)
@@ -213,11 +221,13 @@ object ExactQuantiles {
     * statistics), mirroring the grouped path's omission of such groups. */
   def quantiles(data: DataFrame, valueCol: String, qs: Seq[Double],
       buckets: Int = DefaultBuckets,
-      bufferThreshold: Long = DefaultBufferThreshold): Seq[Double] = {
+      bufferThreshold: Long = DefaultBufferThreshold,
+      stageTag: Option[String] = None): Seq[Double] = {
     val named = qs.zipWithIndex.map { case (q, i) => (s"__eq_q$i", q) }
     val out = groupQuantiles(
       data.select(lit(0L).as("__eq_grp"), col(valueCol)),
-      "__eq_grp", valueCol, named, buckets, bufferThreshold).collect()
+      "__eq_grp", valueCol, named, buckets, bufferThreshold,
+      stageTag = stageTag).collect()
     if (out.isEmpty) Seq.empty
     else qs.indices.map(i => out(0).getDouble(i + 1))
   }

@@ -131,7 +131,8 @@ object Relational10 {
       |GROUP BY bucket""".stripMargin) { (spark, sfDir) =>
     val c = orders(spark, sfDir).select(Exact.scaled(col("o_totalprice"), 2).as("v"))
     val Seq(q1, q2, q3) =
-      graft.fns.ExactQuantiles.quantiles(c, "v", Seq(0.25, 0.50, 0.75))
+      graft.fns.ExactQuantiles.quantiles(c, "v", Seq(0.25, 0.50, 0.75),
+        stageTag = Some(s"$sfDir:orders:all:totalprice_cents"))
     import spark.implicits._
     val b = Seq((q1, q2, q3)).toDF("q1", "q2", "q3")
     val bucket = (lit(1L) + when(col("v") > col("q1"), 1L).otherwise(0L)

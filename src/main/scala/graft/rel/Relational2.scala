@@ -131,9 +131,12 @@ object Relational2 {
       |  quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.90) / 100.0 AS p90
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, sfDir) =>
     val cents = scaled(col("l_extendedprice"), 2)
+    // pass 0 staged under a (table, group, value) tag shared with the
+    // quantile_disc twin below: whichever runs first materializes it once
     val raw = graft.fns.ExactQuantiles.groupQuantiles(
       lineitem(spark, sfDir).select(col("l_returnflag"), cents.as("__v")),
-      "l_returnflag", "__v", Seq("p25" -> 0.25, "p50" -> 0.50, "p90" -> 0.90))
+      "l_returnflag", "__v", Seq("p25" -> 0.25, "p50" -> 0.50, "p90" -> 0.90),
+      stageTag = Some(s"$sfDir:lineitem:l_returnflag:extprice_cents"))
     raw.select(col("l_returnflag"), (col("p25") / 100.0).as("p25"),
       (col("p50") / 100.0).as("p50"), (col("p90") / 100.0).as("p90"))
   }
@@ -153,7 +156,8 @@ object Relational2 {
       lineitem(spark, sfDir).select(col("l_returnflag"), cents.as("__v")),
       "l_returnflag", "__v",
       Seq("p25_cents" -> 0.25, "p50_cents" -> 0.50, "p90_cents" -> 0.90),
-      disc = true)
+      disc = true,
+      stageTag = Some(s"$sfDir:lineitem:l_returnflag:extprice_cents"))
   }
 
   /** The reference's native input format: delimited text lines parsed
