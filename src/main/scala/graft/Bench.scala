@@ -1,19 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query MEDIAN-of-N seconds.
+/** Benchmark main: one JSON line with per-query MEDIAN-of-N seconds,
+  * plus two machine-readable artifacts in the CWD.
   *
   * Single-shot timings on a shared VM carry ±40 % noise (BASELINE.md
   * documents the same query swinging 1.2↔14.5 s across byte-identical
-  * jars); the per-query median of 3 in-process reps makes the judged
-  * artifact reproducible to ~10 %.  The first rep also pays one-time costs
-  * (session-staged shared tables, codegen cache), which the median
-  * naturally discards — reported numbers are steady-state throughput.
+  * jars); two protocol features make the judged artifact reproducible:
+  *
+  *   - INTERLEAVED passes: pass k runs every query once before pass k+1
+  *     starts, so a transient VM stall lands on different queries in
+  *     different reps instead of poisoning all reps of one query.  The
+  *     per-query median is taken across passes.  Pass 1 also pays the
+  *     one-time costs (session-staged shared tables, codegen cache),
+  *     which the median naturally discards.
+  *   - A full per-query record survives independently of the driver's
+  *     ~2 KB stdout tail-capture: `BENCH_FULL.json` (all reps + median
+  *     per query) is rewritten each run, and `BENCH_DELTA.json` compares
+  *     this run's medians against the previous `BENCH_FULL.json`
+  *     (per-query prev/cur/ratio, worst regressions first) so a reviewer
+  *     reads regressions directly instead of re-deriving them from two
+  *     truncated stdout lines.
+  *
+  * Reps default to 3 and come from SPARK_GRAFT_BENCH_REPS.
   */
 object Bench {
-  private val REPS = 3
 
   def main(args: Array[String]): Unit = {
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -33,20 +47,58 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val reps = Seq.fill(REPS)(timeOnce(fn))
-      val med =
-        if (reps.exists(_ < 0)) -1.0
-        else reps.sorted.apply(REPS / 2)
-      name -> med
+    val names = SparkEntry.queries.keys.toSeq
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; name <- names)
+      times(name) = times(name) :+ timeOnce(SparkEntry.queries(name))
+    val results: Seq[(String, Double)] = names.map { name =>
+      val r = times(name)
+      name -> (if (r.exists(_ < 0)) -1.0 else r.sorted.apply(reps / 2))
     }
+    val medians = results.toMap
+
+    // ---- full per-query artifact (survives the driver's stdout truncation)
+    def jnum(d: Double) = f"$d%.3f"
+    val prev: Map[String, Double] = try {
+      val txt = scala.io.Source.fromFile("BENCH_FULL.json").mkString
+      """"([^"]+)":\{"median":([-0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val fullEntries = results.map { case (name, med) =>
+      s""""$name":{"median":${jnum(med)},"reps":[${times(name).map(jnum).mkString(",")}]}"""
+    }.mkString(",")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    writeFile("BENCH_FULL.json",
+      s"""{"sf":"$sfDir","n_reps":$reps,"agg":"median","total":${jnum(total)},"queries":{$fullEntries}}""")
+    if (prev.nonEmpty) {
+      val deltas = results.flatMap { case (name, cur) =>
+        prev.get(name).map { p =>
+          val ratio = if (p > 0) cur / p else -1.0
+          (name, p, cur, ratio)
+        }
+      }.sortBy(-_._4)
+      val dEntries = deltas.map { case (n, p, c, r) =>
+        s""""$n":{"prev":${jnum(p)},"cur":${jnum(c)},"ratio":${jnum(r)}}"""
+      }.mkString(",")
+      val added = results.collect { case (n, _) if !prev.contains(n) => s""""$n"""" }
+      writeFile("BENCH_DELTA.json",
+        s"""{"total_prev":${jnum(prev.values.filter(_ >= 0).sum)},"total_cur":${jnum(total)},"added":[${added.mkString(",")}],"queries":{$dEntries}}""")
+    }
+
+    // ---- the driver-contract stdout line (unchanged format).
     // Millisecond precision keeps the line compact, and the headline total
     // goes LAST: the driver tail-captures ~2 KB of stdout, so anything at
     // the head of a long line is what gets truncated away.
     val qs = results.map { case (k, v) => f"""\"$k\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$REPS,"agg":"median","queries":$qs,"value":$total%.3f}""")
+    println(f"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","queries":$qs,"value":$total%.3f}""")
     spark.stop()
   }
+
+  private def writeFile(path: String, content: String): Unit =
+    try {
+      val w = new java.io.PrintWriter(path)
+      try w.println(content) finally w.close()
+    } catch { case _: Throwable => () }
 }
