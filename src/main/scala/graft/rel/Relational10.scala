@@ -194,6 +194,33 @@ object Relational10 {
   private def tmpDir(sfDir: String, tag: String): String =
     s"/tmp/graft_${tag}_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Dynamic partition pruning on the partitioned-sink layout (B1): the
+    * fact side is customer REWRITTEN partitioned by nation key (the
+    * dim-key-partitioned 100 TB layout), the dim side a filtered nation.
+    * Nothing in the fact scan's static predicates selects partitions —
+    * the nation filter is on `n_regionkey`, a column the fact table does
+    * not have — so reading only the matching five of 25 directories
+    * requires Catalyst to inject `dynamicpruningexpression(c_nationkey IN
+    * broadcast-result)` into the scan's PartitionFilters at runtime,
+    * reusing the join's own BroadcastExchange.  At 100 TB this is the
+    * difference between scanning the full fact table and 20 % of it.
+    * PlanGuardSpec asserts the pruning subquery is present in the plan;
+    * the oracle checks the join result itself. */
+  val joinDpp: GraftQuery = GraftQuery("q_join_dpp",
+    s"""SELECT n_name, count(*) AS n, ${Exact.exactSumSql("c_acctbal", 2)} AS bal_cents
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |WHERE n_regionkey = 2
+       |GROUP BY n_name""".stripMargin) { (spark, sfDir) =>
+    val path = tmpDir(sfDir, "dpp_fact")
+    customer(spark, sfDir).select("c_custkey", "c_acctbal", "c_nationkey")
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(path)
+    spark.read.parquet(path)
+      .join(nation(spark, sfDir).filter(col("n_regionkey") === 2),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"), Exact.exactSum(col("c_acctbal"), 2).as("bal_cents"))
+  }
+
   /** Malformed-record ingestion (B1 robustness): JSONL with deliberately
     * corrupted lines (every doc_id ≡ 0 mod 37 is truncated mid-object)
     * read back in PERMISSIVE mode with a corrupt-record column — the
@@ -332,5 +359,5 @@ object Relational10 {
   val all: Seq[GraftQuery] =
     Seq(aggCorr, sampleGroupFixed, joinAsofFwd, aggHistogramEqdepth,
       eventsCohort, joinBandOuter, scanJsonMalformed, aggSkewness, joinLateral,
-      aggChi2)
+      aggChi2, joinDpp)
 }

@@ -74,4 +74,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"), plan)
     assert(pruned.count() > 0)
   }
+
+  test("q_join_dpp's fact scan carries a dynamic pruning PartitionFilter") {
+    // the dim filter (n_regionkey) is not a fact column, so pruning the
+    // fact directories can only happen via a runtime DPP subquery — a
+    // static PushedFilters entry cannot express it
+    val df = Queries.queries("q_join_dpp")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected runtime partition pruning on the fact scan:\n$plan")
+    assert(df.count() > 0)
+  }
 }
