@@ -49,7 +49,11 @@ object DedupIncr {
     * replication band join over n·W candidate pairs, one postings join to
     * verify — linear in the corpus for fixed W.  Recall is heuristic (the
     * price of SNM): pairs sharing no minimum stay unseen; the oracle
-    * applies the identical window so results still hash-match. */
+    * applies the identical window so results still hash-match.  Measured
+    * (SnmRecallSpec, 150 planted pairs at 1-3 token edits): 0.86, vs 0.90
+    * for MinHash-LSH on the same corpus — the limiter is the single sort
+    * key, not W; BASELINE.md records the full table and the R-pass
+    * multi-seed recipe for recall-critical deployments. */
   val dedupSorted: GraftQuery = GraftQuery("q_llm_dedup_sorted",
     s"""WITH $shCtesSql,
        |mins AS (SELECT doc_id, min(s) AS mk, count(*) AS n FROM sh GROUP BY doc_id),

@@ -1,0 +1,73 @@
+package graft.llm
+
+import graft.{Queries, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measures the RECALL of the two scale-first near-dedup shapes on the
+  * same corpus with planted ground truth — the number the
+  * `q_llm_dedup_sorted` scaladoc's "recall is heuristic" caveat owes.
+  *
+  * 150 planted near-dup pairs (60-token docs, 1 / 2 / 3 unique-token
+  * substitutions → true shingle Jaccard ≈ 0.90 / 0.81 / 0.73, all above
+  * both pipelines' thresholds) + 450 unrelated fillers.  Deterministic
+  * seed, so the measured recalls are exact reproducible numbers, recorded
+  * in BASELINE.md next to the W=10 window choice:
+  *
+  *  - SNM misses a pair iff an edit destroyed the pair's shared MINIMUM
+  *    shingle hash (probability ≈ 3k/58 for k substitutions — the price
+  *    of one sort key per doc);
+  *  - MinHash-LSH (16 perms, 4 bands of 4) misses when no band of the
+  *    signature survives (probability (1−j⁴)⁴ — the price of a bounded
+  *    signature).
+  */
+class SnmRecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("SNM and MinHash-LSH recall on 150 planted near-dup pairs") {
+    val dir = "/tmp/graft_test_snm_recall"
+    val r = new scala.util.Random(42)
+    val vocab = (0 until 2000).map(i => f"w$i%04d")
+    def soup() = Seq.fill(60)(vocab(r.nextInt(vocab.size)))
+    val planted = (0 until 150).map { i =>
+      val base = soup()
+      val k = 1 + i % 3 // 50 pairs each at 1, 2, 3 substitutions
+      val dup = (0 until k).foldLeft(base) { (d, j) =>
+        d.updated(r.nextInt(60), s"sub${i}x$j")
+      }
+      (10000L + 2 * i, base, 10001L + 2 * i, dup, k)
+    }
+    val docs = ((0 until 450).map(i => (i.toLong, soup().mkString(" "))) ++
+      planted.flatMap(p => Seq((p._1, p._2.mkString(" ")), (p._3, p._4.mkString(" ")))))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val truth = planted.map(p => (p._1, p._3)).toSet
+    def raw(q: String): Set[(Long, Long)] =
+      Queries.queries(q)(spark, dir)
+        .select("ia", "ib").as[(Long, Long)].collect().toSet
+    val (snmRaw, lshRaw) = (raw("q_llm_dedup_sorted"), raw("q_llm_dedup_near"))
+    val (snm, lsh) = (snmRaw.intersect(truth), lshRaw.intersect(truth))
+    def byK(s: Set[(Long, Long)]) = planted.filter(p => s((p._1, p._3)))
+      .groupBy(_._5).map { case (k, ps) => k -> ps.size }.toMap.withDefaultValue(0)
+    val (sk, lk) = (byK(snm), byK(lsh))
+    info(f"SNM recall ${snm.size}/150 = ${snm.size / 150.0}%.3f " +
+      f"(k=1: ${sk(1)}/50, k=2: ${sk(2)}/50, k=3: ${sk(3)}/50)")
+    info(f"LSH recall ${lsh.size}/150 = ${lsh.size / 150.0}%.3f " +
+      f"(k=1: ${lk(1)}/50, k=2: ${lk(2)}/50, k=3: ${lk(3)}/50)")
+    // floors sit just below the deterministic measured values (recorded in
+    // BASELINE.md) — they fail loudly if either pipeline's candidate
+    // generation regresses, while leaving slack for benign reorderings
+    // (e.g. a changed hash seed) rather than pinning exact counts
+    assert(snm.size >= 120, s"SNM recall collapsed: ${snm.size}/150")
+    assert(lsh.size >= 110, s"LSH recall collapsed: ${lsh.size}/150")
+    // precision side: any emitted pair inside the planted id range must BE
+    // a planted pair — both pipelines verify exact Jaccard, and unrelated
+    // docs (fillers or cross-pair) share no shingles by construction
+    assert(snmRaw.filter(p => p._1 >= 10000L).subsetOf(truth))
+    assert(lshRaw.filter(p => p._1 >= 10000L).subsetOf(truth))
+  }
+}
