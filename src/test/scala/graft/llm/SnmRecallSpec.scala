@@ -49,8 +49,10 @@ class SnmRecallSpec extends AnyFunSuite {
     def raw(q: String): Set[(Long, Long)] =
       Queries.queries(q)(spark, dir)
         .select("ia", "ib").as[(Long, Long)].collect().toSet
-    val (snmRaw, lshRaw) = (raw("q_llm_dedup_sorted"), raw("q_llm_dedup_near"))
-    val (snm, lsh) = (snmRaw.intersect(truth), lshRaw.intersect(truth))
+    val (snmRaw, lshRaw, snm2Raw) = (raw("q_llm_dedup_sorted"),
+      raw("q_llm_dedup_near"), raw("q_llm_dedup_sorted_r2"))
+    val (snm, lsh, snm2) =
+      (snmRaw.intersect(truth), lshRaw.intersect(truth), snm2Raw.intersect(truth))
     def byK(s: Set[(Long, Long)]) = planted.filter(p => s((p._1, p._3)))
       .groupBy(_._5).map { case (k, ps) => k -> ps.size }.toMap.withDefaultValue(0)
     val (sk, lk) = (byK(snm), byK(lsh))
@@ -58,6 +60,14 @@ class SnmRecallSpec extends AnyFunSuite {
       f"(k=1: ${sk(1)}/50, k=2: ${sk(2)}/50, k=3: ${sk(3)}/50)")
     info(f"LSH recall ${lsh.size}/150 = ${lsh.size / 150.0}%.3f " +
       f"(k=1: ${lk(1)}/50, k=2: ${lk(2)}/50, k=3: ${lk(3)}/50)")
+    val s2k = byK(snm2)
+    info(f"SNM-r2 recall ${snm2.size}/150 = ${snm2.size / 150.0}%.3f " +
+      f"(k=1: ${s2k(1)}/50, k=2: ${s2k(2)}/50, k=3: ${s2k(3)}/50)")
+    // the multi-seed variant exists to repair single-key misses: it must
+    // dominate the single-seed run (its candidates are a superset) and
+    // push recall past both single-shape pipelines
+    assert(snm.subsetOf(snm2), "r2 candidates must be a superset of r1's")
+    assert(snm2.size >= 140, s"multi-seed recall collapsed: ${snm2.size}/150")
     // floors sit just below the deterministic measured values (recorded in
     // BASELINE.md) — they fail loudly if either pipeline's candidate
     // generation regresses, while leaving slack for benign reorderings
