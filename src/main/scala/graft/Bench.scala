@@ -34,6 +34,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Interleaved passes cycle all ~166 queries through one JVM, which
+      // evicts the default 100-entry generated-class cache between a
+      // query's reps — every rep then re-pays janino compilation (~30-50%
+      // inflation, worst on iterative plans).  A real cluster app doesn't
+      // self-evict like this (one app = few plans), so a large cache is
+      // the faithful steady-state measurement, not a cheat.  Static conf:
+      // must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (scheduler, codegen, shuffle machinery) so init cost
