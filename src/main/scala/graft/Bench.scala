@@ -64,10 +64,10 @@ object Bench {
       val r = times(name)
       name -> (if (r.exists(_ < 0)) -1.0 else r.sorted.apply(reps / 2))
     }
-    val medians = results.toMap
-
     // ---- full per-query artifact (survives the driver's stdout truncation)
-    def jnum(d: Double) = f"$d%.3f"
+    // Locale.ROOT: a comma-decimal default locale would render invalid JSON
+    def jnum(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val prev: Map[String, Double] = try {
       val txt = scala.io.Source.fromFile("BENCH_FULL.json").mkString
       """"([^"]+)":\{"median":([-0-9.]+)""".r.findAllMatchIn(txt)
@@ -85,22 +85,28 @@ object Bench {
           val ratio = if (p > 0) cur / p else -1.0
           (name, p, cur, ratio)
         }
-      }.sortBy(-_._4)
+      }.sortBy { case (_, _, cur, ratio) =>
+        // NEWLY-FAILING queries (cur < 0) outrank every slowdown — a hard
+        // failure must not hide at the list's tail while the shrunken
+        // total reads as a speedup
+        (if (cur < 0) 0 else 1, -ratio)
+      }
       val dEntries = deltas.map { case (n, p, c, r) =>
         s""""$n":{"prev":${jnum(p)},"cur":${jnum(c)},"ratio":${jnum(r)}}"""
       }.mkString(",")
       val added = results.collect { case (n, _) if !prev.contains(n) => s""""$n"""" }
+      val nFailed = deltas.count(_._3 < 0)
       writeFile("BENCH_DELTA.json",
-        s"""{"total_prev":${jnum(prev.values.filter(_ >= 0).sum)},"total_cur":${jnum(total)},"added":[${added.mkString(",")}],"queries":{$dEntries}}""")
+        s"""{"total_prev":${jnum(prev.values.filter(_ >= 0).sum)},"total_cur":${jnum(total)},"n_failed":$nFailed,"added":[${added.mkString(",")}],"queries":{$dEntries}}""")
     }
 
     // ---- the driver-contract stdout line (unchanged format).
     // Millisecond precision keeps the line compact, and the headline total
     // goes LAST: the driver tail-captures ~2 KB of stdout, so anything at
     // the head of a long line is what gets truncated away.
-    val qs = results.map { case (k, v) => f"""\"$k\":$v%.3f""" }
+    val qs = results.map { case (k, v) => s""""$k":${jnum(v)}""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","queries":$qs,"value":$total%.3f}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","queries":$qs,"value":${jnum(total)}}""")
     spark.stop()
   }
 

@@ -153,6 +153,12 @@ object TextKernels {
   def deletionVariantPos2(name: UTF8String): ArrayData = {
     val s = name.toString
     val n = s.length
+    // the 12-bit position fields of posCode hold p+1 <= 4095; longer
+    // strings would silently corrupt codes and DROP true matches — this
+    // kernel is for key/name-length strings (document-scale dedup goes
+    // through the shingle pipelines), so fail fast instead
+    require(n <= 4094,
+      s"deletionVariantPos2 supports strings up to 4094 chars, got $n")
     // prefix(i) = poly hash of s[0,i); pow(i) = B^i.  B odd 64-bit mix.
     val B = 0x100000001b3L // FNV-64 prime
     val prefix = new Array[Long](n + 1)

@@ -22,17 +22,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    HDFS/S3 (resolved through the Hadoop FileSystem of the path).
   *
   * Publication is atomic at the directory level: the build is written to
-  * a unique `.tmp-<uuid>` sibling and `rename`d into place.  Concurrent
-  * writers each build their own temp dir; exactly one rename wins (on
-  * HDFS/local, rename-onto-existing fails; the loser deletes its temp and
-  * reads the winner's artifact).  A reader therefore never observes a
+  * a unique `.tmp-<uuid>` sibling and renamed into place through
+  * `FileContext` — the POSIX-strict API whose no-OVERWRITE rename THROWS
+  * if the destination exists.  (`FileSystem.rename` would instead "help"
+  * by moving the temp INSIDE an existing target directory — a leaked
+  * nested copy, not arbitration.)  Concurrent writers each build their
+  * own temp dir; exactly one rename lands, the loser deletes its temp and
+  * reads the winner's artifact.  A reader therefore never observes a
   * half-written target, and a crashed writer leaves only an orphaned temp
   * dir — the target is either absent (rebuilt) or complete.  The
-  * committer's `_SUCCESS` marker additionally gates reuse, so even a torn
-  * target (e.g. manual tampering) is rebuilt, never trusted.  NOTE: on
-  * object stores whose rename is copy-based (raw S3 without a committer),
-  * the window shrinks but is not zero — front a real atomic-commit layer
-  * there.
+  * committer's `_SUCCESS` marker additionally gates reuse: a torn,
+  * marker-less target (e.g. manual tampering) is deleted and rebuilt,
+  * never trusted.  NOTE: on object stores whose rename is copy-based (raw
+  * S3 without a committer), the window shrinks but is not zero — front a
+  * real atomic-commit layer there.
   *
   * Keyed by (session, staging-root, tag): a memoized DataFrame is only
   * ever handed back to the exact SparkSession that built it — sibling
@@ -77,12 +80,27 @@ object Staged {
             val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
             val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
             if (!fs.exists(marker)) {
+              // a torn, MARKER-LESS target (crashed writer of a
+              // pre-rename version, manual tampering) must not survive:
+              // remove it so the publish below can land at `dir` itself —
+              // otherwise rebuilds would nest inside the torn directory
+              // forever and readers would keep seeing the torn part files
+              if (fs.exists(dir)) fs.delete(dir, true)
               val tmp = new org.apache.hadoop.fs.Path(
                 dir.getParent, s".tmp-${java.util.UUID.randomUUID()}")
               build.write.mode("overwrite").parquet(tmp.toString)
-              // atomic publish: exactly one rename wins; a loser (target
-              // appeared since the marker check) discards its temp copy
-              if (!fs.rename(tmp, dir)) fs.delete(tmp, true)
+              // POSIX-strict publish via FileContext: FileSystem.rename on
+              // HDFS/LocalFileSystem "succeeds" against an existing target
+              // directory by moving the source INSIDE it (leaking a nested
+              // copy that never carries a dir-level _SUCCESS), so it can't
+              // arbitrate concurrent writers.  FileContext.rename without
+              // OVERWRITE throws if dst exists: exactly one writer lands,
+              // the loser discards its temp and reads the winner's
+              // artifact.
+              val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+                dir.toUri, spark.sparkContext.hadoopConfiguration)
+              try fc.rename(tmp, dir)
+              catch { case _: java.io.IOException => fs.delete(tmp, true) }
             }
             spark.read.parquet(dir.toString)
           case None => build.localCheckpoint()

@@ -49,10 +49,14 @@ class SnmRecallSpec extends AnyFunSuite {
     def raw(q: String): Set[(Long, Long)] =
       Queries.queries(q)(spark, dir)
         .select("ia", "ib").as[(Long, Long)].collect().toSet
+    // orientation-insensitive matching: SNM orders pairs by RANK (sort
+    // position under the seed key), so a pair can emit as (larger, smaller)
+    def norm(s: Set[(Long, Long)]) =
+      s.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
     val (snmRaw, lshRaw, snm2Raw) = (raw("q_llm_dedup_sorted"),
       raw("q_llm_dedup_near"), raw("q_llm_dedup_sorted_r2"))
-    val (snm, lsh, snm2) =
-      (snmRaw.intersect(truth), lshRaw.intersect(truth), snm2Raw.intersect(truth))
+    val (snm, lsh, snm2) = (norm(snmRaw).intersect(truth),
+      norm(lshRaw).intersect(truth), norm(snm2Raw).intersect(truth))
     def byK(s: Set[(Long, Long)]) = planted.filter(p => s((p._1, p._3)))
       .groupBy(_._5).map { case (k, ps) => k -> ps.size }.toMap.withDefaultValue(0)
     val (sk, lk) = (byK(snm), byK(lsh))
@@ -76,8 +80,8 @@ class SnmRecallSpec extends AnyFunSuite {
     assert(lsh.size >= 110, s"LSH recall collapsed: ${lsh.size}/150")
     // precision side: any emitted pair inside the planted id range must BE
     // a planted pair — both pipelines verify exact Jaccard, and unrelated
-    // docs (fillers or cross-pair) share no shingles by construction
-    assert(snmRaw.filter(p => p._1 >= 10000L).subsetOf(truth))
-    assert(lshRaw.filter(p => p._1 >= 10000L).subsetOf(truth))
+    // docs (fillers or cross-pair) share no shingles by construction.
+    assert(norm(snmRaw.filter(p => p._1 >= 10000L && p._2 >= 10000L)).subsetOf(truth))
+    assert(norm(lshRaw.filter(p => p._1 >= 10000L && p._2 >= 10000L)).subsetOf(truth))
   }
 }
