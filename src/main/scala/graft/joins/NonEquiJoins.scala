@@ -295,6 +295,49 @@ object NonEquiJoins {
         col("__match.id").as(quoteId), col("__match.t").as(s"${quoteId}_ts"))
   }
 
+  /** Nearest as-of join: the single right row CLOSEST in time to each
+    * probe row, in EITHER direction (strictly earlier or strictly later —
+    * equal timestamps are excluded, like both directional variants) —
+    * the sensor/series alignment resolution.  One union + ONE window
+    * shuffle computes both directional candidates ([[asofJoin]]'s
+    * backward frame and [[asofJoinFwd]]'s forward frame over the same
+    * sorted partition), then a row-local comparison keeps the nearer.
+    * Ties: equal distance prefers the BACKWARD match; equal timestamps
+    * within a direction keep that direction's deterministic id
+    * (backward: largest; forward: smallest).  Output adds the matched
+    * timestamp and the absolute gap. */
+  def asofJoinNearest(
+      probe: DataFrame, quote: DataFrame,
+      key: String, ts: String, probeId: String, quoteId: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = probe.select(col(key).as("__k"), col(ts).as("__t"),
+      col(probeId).as("__pid"), lit(true).as("__isProbe"))
+    val q = quote.select(col(key).as("__k"), col(ts).as("__t"),
+      col(quoteId).as("__qid"))
+      .withColumn("__pid", lit(null).cast(p.schema("__pid").dataType))
+      .withColumn("__isProbe", lit(false))
+      .select("__k", "__t", "__pid", "__isProbe", "__qid")
+    val u = p.withColumn("__qid", lit(null).cast(q.schema("__qid").dataType))
+      .select("__k", "__t", "__pid", "__isProbe", "__qid")
+      .unionByName(q)
+    val base = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val wb = base.rangeBetween(Window.unboundedPreceding, -1)
+    val wf = base.rangeBetween(1, Window.unboundedFollowing)
+    val qStruct = when(!col("__isProbe"), struct(col("__t").as("t"), col("__qid").as("id")))
+    val withBoth = u
+      .withColumn("__bwd", max(qStruct).over(wb))
+      .withColumn("__fwd", min(qStruct).over(wf))
+      .filter(col("__isProbe"))
+    val pickBwd = col("__fwd").isNull || (col("__bwd").isNotNull &&
+      (col("__t") - col("__bwd.t")) <= (col("__fwd.t") - col("__t")))
+    val chosen = when(pickBwd, col("__bwd")).otherwise(col("__fwd"))
+    withBoth.select(
+      col("__k").as(key), col("__pid").as(probeId), col("__t").as(ts),
+      chosen.getField("id").as(quoteId),
+      chosen.getField("t").as(s"${quoteId}_ts"),
+      abs(chosen.getField("t") - col("__t")).as("gap"))
+  }
+
   /** Guarded cross join (the degenerate all-pairs theta join). Broadcast the
     * smaller side explicitly so the plan is BroadcastNestedLoopJoin, not a
     * shuffled CartesianProduct. */

@@ -107,6 +107,36 @@ object Relational10 {
       .select(col("purchase_id"), col("ts_us").as("purchase_ts_us"), col("click_id"))
   }
 
+  /** Nearest as-of join (B3g completion: backward + forward + NEAREST):
+    * each purchase matched to the click of the same user closest in time
+    * in either direction — the series-alignment resolution.  One union +
+    * one window shuffle resolves both directional candidates, a row-local
+    * compare keeps the nearer (tie → backward; equal timestamps keep the
+    * direction's deterministic id).  No join matrix at any scale. */
+  val joinAsofNearest: GraftQuery = GraftQuery("q_join_asof_nearest",
+    """SELECT p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
+      |       l.event_id AS click_id, l.ts_us AS click_ts_us,
+      |       abs(l.ts_us - epoch_us(p.ts)) AS gap_us
+      |FROM events p LEFT JOIN LATERAL (
+      |  SELECT c.event_id, epoch_us(c.ts) AS ts_us FROM events c
+      |  WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <> p.ts
+      |  ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+      |           CASE WHEN c.ts < p.ts THEN 0 ELSE 1 END ASC,
+      |           CASE WHEN c.ts < p.ts THEN -c.event_id ELSE c.event_id END ASC
+      |  LIMIT 1) l ON true
+      |WHERE p.event_type = 'purchase'""".stripMargin) { (spark, sfDir) =>
+    val ev = eventsUs(spark, sfDir)
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"))
+    val quote = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+    graft.joins.NonEquiJoins.asofJoinNearest(probe, quote, key = "user_id",
+      ts = "ts_us", probeId = "purchase_id", quoteId = "click_id")
+      .select(col("purchase_id"), col("ts_us").as("purchase_ts_us"),
+        col("click_id"), col("click_id_ts").as("click_ts_us"),
+        col("gap").as("gap_us"))
+  }
+
   /** Equi-depth histogram (optimizer-statistics primitive, complementing
     * `q_agg_histogram`'s equi-width buckets): exact interpolated quartiles
     * of the scaled-integer values, broadcast back onto the scan to assign
@@ -359,5 +389,5 @@ object Relational10 {
   val all: Seq[GraftQuery] =
     Seq(aggCorr, sampleGroupFixed, joinAsofFwd, aggHistogramEqdepth,
       eventsCohort, joinBandOuter, scanJsonMalformed, aggSkewness, joinLateral,
-      aggChi2, joinDpp)
+      aggChi2, joinDpp, joinAsofNearest)
 }

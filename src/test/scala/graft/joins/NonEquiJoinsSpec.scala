@@ -185,6 +185,32 @@ class NonEquiJoinsSpec extends AnyFunSuite {
     assertSameRows(fast, naive)
   }
 
+  test("asofJoinNearest == naive argmin over |gap| (tie → backward, then direction id)") {
+    val r = new scala.util.Random(19)
+    // duplicate timestamps + equidistant pairs on purpose: the coarse t
+    // grid makes |gap| ties common, exercising every tie-break tier
+    val probe = (1 to 200).map(i => (i.toLong % 7, (r.nextInt(50) * 10).toLong, i.toLong))
+      .toDF("k", "t", "pid")
+    val quote = (1 to 200).map(i => (i.toLong % 7, (r.nextInt(50) * 10).toLong, (1000 + i).toLong))
+      .toDF("k", "t", "qid")
+    val fast = asofJoinNearest(probe, quote, "k", "t", "pid", "qid")
+      .select($"pid", $"qid", $"qid_ts", $"gap")
+    // argmin by (|gap|, backward-first, backward max id / forward min id):
+    // encode backward candidates with id NEGATED so min(struct) picks
+    // (smallest gap, backward before forward at equal gap, largest
+    // backward id / smallest forward id)
+    val naive = probe.as("p").join(quote.as("q"),
+        $"p.k" === $"q.k" && $"q.t" =!= $"p.t", "left")
+      .groupBy($"p.pid".as("pid"))
+      .agg(min(when($"q.qid".isNotNull, struct(
+        abs($"q.t" - $"p.t").as("gap"),
+        when($"q.t" < $"p.t", lit(0)).otherwise(lit(1)).as("dir"),
+        when($"q.t" < $"p.t", -$"q.qid").otherwise($"q.qid").as("sid"),
+        $"q.t".as("t")))).as("m"))
+      .select($"pid", abs($"m.sid").as("qid"), $"m.t".as("qid_ts"), $"m.gap".as("gap"))
+    assertSameRows(fast, naive)
+  }
+
   test("saltedEquiJoin == plain equi join on a skewed key distribution") {
     val r = new scala.util.Random(31)
     // 80% of left rows share one hot key
