@@ -40,7 +40,8 @@ class TotalOrderSpec extends AnyFunSuite {
   }
 
   test("total-order consumers plan no single-partition exchange") {
-    for (name <- Seq("q_llm_pack", "q_llm_select_budget", "q_llm_dedup_sorted")) {
+    for (name <- Seq("q_llm_pack", "q_llm_select_budget", "q_llm_dedup_sorted",
+        "q_llm_dedup_sorted_r2")) {
       val plan = Queries.queries(name)(spark, TestSpark.sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("SinglePartition"),
