@@ -224,6 +224,35 @@ object Relational10 {
   private def tmpDir(sfDir: String, tag: String): String =
     s"/tmp/graft_${tag}_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Schema-evolution scan (B1 robustness): a table whose files were
+    * written under TWO schema versions — v1 lacks a column that v2 added
+    * — read back as ONE relation with `mergeSchema`, the missing column
+    * null-filled for v1 files.  This is the 100 TB lake reality: years of
+    * files outlive any single schema, and a rewrite-to-migrate pass over
+    * the whole lake is exactly the job nobody can afford.  The aggregate
+    * groups by the evolved column with nulls as a real group, proving
+    * v1 rows survive with their payload intact; the oracle derives the
+    * same split analytically from the base table. */
+  val scanSchemaEvolution: GraftQuery = GraftQuery("q_scan_schema_evolution",
+    s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(pre-schema)' ELSE o_orderpriority END AS pri,
+       |       count(*) AS n, ${Exact.exactSumSql("o_totalprice", 2)} AS total_cents
+       |FROM orders GROUP BY 1""".stripMargin) { (spark, sfDir) =>
+    val path = tmpDir(sfDir, "schema_evo")
+    val o = orders(spark, sfDir)
+    // v1 files: the column does not exist yet
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$path/v1")
+    // v2 files: the schema grew a column
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$path/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("(pre-schema)")).as("pri"))
+      .agg(count(lit(1)).as("n"),
+        Exact.exactSum(col("o_totalprice"), 2).as("total_cents"))
+  }
+
   /** Dynamic partition pruning on the partitioned-sink layout (B1): the
     * fact side is customer REWRITTEN partitioned by nation key (the
     * dim-key-partitioned 100 TB layout), the dim side a filtered nation.
@@ -389,5 +418,5 @@ object Relational10 {
   val all: Seq[GraftQuery] =
     Seq(aggCorr, sampleGroupFixed, joinAsofFwd, aggHistogramEqdepth,
       eventsCohort, joinBandOuter, scanJsonMalformed, aggSkewness, joinLateral,
-      aggChi2, joinDpp, joinAsofNearest)
+      aggChi2, joinDpp, joinAsofNearest, scanSchemaEvolution)
 }
