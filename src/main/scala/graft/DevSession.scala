@@ -14,6 +14,7 @@ object DevSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
     spark

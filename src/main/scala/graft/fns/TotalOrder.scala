@@ -23,12 +23,19 @@ import org.apache.spark.sql.types._
   */
 object TotalOrder {
 
+  /** Partition count for the distributed sort, taken from the session's
+    * `spark.sql.shuffle.partitions` — the knob a cluster operator already
+    * sizes to the data.  A hardcoded constant here would silently
+    * under-partition a 1000-executor job down to one wave of 32 tasks. */
+  def defaultParts(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
   /** Adds `rn`: the 1-based global rank by `ord`. */
   def globalRank(df: DataFrame, numParts: Int, ord: Column*): DataFrame = {
     val (parts, offCol) = withOffsets(df, numParts, count(lit(1)), ord: _*)
     val w = Window.partitionBy(col("__to_pid")).orderBy(ord: _*)
     parts.withColumn("rn", row_number().over(w).cast(LongType) + offCol)
-      .drop("__to_pid")
+      .drop("__to_pid", "__to_off")
   }
 
   /** Adds `cum`: the INCLUSIVE global running sum of `valueCol` by `ord`
@@ -44,7 +51,7 @@ object TotalOrder {
     val w = Window.partitionBy(col("__to_pid")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parts.withColumn("cum", sum(col(valueCol)).over(w) + offCol)
-      .drop("__to_pid")
+      .drop("__to_pid", "__to_off")
   }
 
   /** Range-repartition + pin, then the exact prefix offset of each
@@ -57,9 +64,16 @@ object TotalOrder {
     val totals = parts.groupBy("__to_pid").agg(perPartition.cast(LongType).as("__to_t"))
       .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     val offsets = (0 until numParts).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
-    val offCol = (0 until numParts).foldLeft(lit(0L)) { (acc, p) =>
-      when(col("__to_pid") === p, lit(offsets(p))).otherwise(acc)
-    }
-    (parts, offCol)
+    // Attach each row's prefix offset via a BROADCAST join against the
+    // O(numParts) offsets frame.  The previous shape — a foldLeft of
+    // `when(pid === p, …)` branches — built an O(numParts)-deep expression
+    // tree: free at 32 partitions, but at a 100 TB-realistic 10 k it risks
+    // codegen method-size blowup and interpreted fallback.  A broadcast
+    // hash join is O(1) per row regardless of partition count and stays
+    // inside whole-stage codegen.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = (0 until numParts).map(p => (p, offsets(p))).toDF("__to_pid", "__to_off")
+    (parts.join(broadcast(offDf), Seq("__to_pid")), col("__to_off"))
   }
 }

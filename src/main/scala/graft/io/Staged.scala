@@ -62,6 +62,26 @@ object Staged {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Cheap content fingerprint of a source directory/file for use INSIDE a
+    * staging tag: total byte length + max mtime over the listing.  A durable
+    * artifact keyed only by a name string would silently serve stale data
+    * after the source at the same path is regenerated; folding this in makes
+    * regeneration produce a different tag → a rebuild, not a wrong answer.
+    * One driver-side listing (O(files) metadata, no data read) — the same
+    * cost Spark itself pays to plan the scan. */
+  def fingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val it = fs.listFiles(p, true)
+    var bytes = 0L; var mtime = 0L; var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      bytes += st.getLen; mtime = math.max(mtime, st.getModificationTime); n += 1
+    }
+    s"$n:$bytes:$mtime"
+  }
+
   def apply(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
     synchronized {
       // entries of stopped contexts are dead weight — drop them before
@@ -80,12 +100,12 @@ object Staged {
             val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
             val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
             if (!fs.exists(marker)) {
-              // a torn, MARKER-LESS target (crashed writer of a
-              // pre-rename version, manual tampering) must not survive:
-              // remove it so the publish below can land at `dir` itself —
-              // otherwise rebuilds would nest inside the torn directory
-              // forever and readers would keep seeing the torn part files
-              if (fs.exists(dir)) fs.delete(dir, true)
+              // Build FIRST, arbitrate at rename time.  Deleting a torn
+              // `dir` up front would race a concurrent writer whose
+              // complete artifact renames into place during our build —
+              // this process would then delete the winner's data out from
+              // under its readers.  With rename-first arbitration nothing
+              // carrying a _SUCCESS marker is ever deleted.
               val tmp = new org.apache.hadoop.fs.Path(
                 dir.getParent, s".tmp-${java.util.UUID.randomUUID()}")
               build.write.mode("overwrite").parquet(tmp.toString)
@@ -94,13 +114,31 @@ object Staged {
               // directory by moving the source INSIDE it (leaking a nested
               // copy that never carries a dir-level _SUCCESS), so it can't
               // arbitrate concurrent writers.  FileContext.rename without
-              // OVERWRITE throws if dst exists: exactly one writer lands,
-              // the loser discards its temp and reads the winner's
-              // artifact.
+              // OVERWRITE throws FileAlreadyExistsException if dst exists:
+              // exactly one writer lands.  Any OTHER IOException is a real
+              // failure (permissions, quota, transient FS error) — clean
+              // the temp and rethrow instead of masking it as a lost race
+              // and letting the later read fail with a misleading error.
               val fc = org.apache.hadoop.fs.FileContext.getFileContext(
                 dir.toUri, spark.sparkContext.hadoopConfiguration)
-              try fc.rename(tmp, dir)
-              catch { case _: java.io.IOException => fs.delete(tmp, true) }
+              def publish(): Boolean =
+                try { fc.rename(tmp, dir); true }
+                catch {
+                  case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+                  case e: java.io.IOException => fs.delete(tmp, true); throw e
+                }
+              if (!publish()) {
+                // dst exists: a winner's complete artifact, or a torn
+                // marker-less leftover.  Re-check the marker NOW — the
+                // probe above is stale by one whole build — so a winner
+                // that landed mid-build is read, never deleted.
+                if (!fs.exists(marker)) {
+                  fs.delete(dir, true)
+                  // a second writer can land inside this delete→rename
+                  // gap; losing that race is fine (single bounded retry)
+                  if (!publish()) fs.delete(tmp, true)
+                } else fs.delete(tmp, true)
+              }
             }
             spark.read.parquet(dir.toString)
           case None => build.localCheckpoint()

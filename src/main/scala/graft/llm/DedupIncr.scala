@@ -70,7 +70,7 @@ object DedupIncr {
        |FROM cm WHERE common / (na + nb - common) >= $TAU""".stripMargin) { (spark, sfDir) =>
     val sh = cappedShingles(spark, sfDir)
     val mins = sh.groupBy("doc_id").agg(min(col("s")).as("mk"), count(lit(1)).as("n"))
-    val ranked = graft.fns.TotalOrder.globalRank(mins, 32, col("mk"), col("doc_id"))
+    val ranked = graft.fns.TotalOrder.globalRank(mins, graft.fns.TotalOrder.defaultParts(spark), col("mk"), col("doc_id"))
     val cand = graft.joins.NonEquiJoins.bandJoinLong(
       ranked.select(col("doc_id").as("ia"), col("n").as("na"), col("rn").as("rna")),
       ranked.select(col("doc_id").as("ib"), col("n").as("nb"), col("rn").as("rnb")),
@@ -103,6 +103,42 @@ object DedupIncr {
     * 100 TB shape is R sequential sorts of a small (doc_id, key)
     * projection — each seed reuses the same staged postings artifact,
     * and R is the recall/cost knob a deployment tunes. */
+  /** R-seed sorted-neighborhood candidate generator.  Seed 0 is the raw
+    * shingle minimum — the single-seed SNM key, so the R>=1 candidate set
+    * strictly contains the single-seed run's — and each seed i>0 is an
+    * independently seeded re-hash (`md5Long("snm<i>|" + s)`) of the same
+    * staged per-doc minima.  One distributed rank + one rank-band join per
+    * seed, unioned and deduped: R·n·W candidates by construction, no
+    * inverted-index self-join anywhere.  Per-pair miss probability decays
+    * geometrically in R (a pair is missed only when the edit destroyed the
+    * shared minimum under ALL R orderings); measured points R=1/2/3 are in
+    * BASELINE.md.  Columns: ia, ib, na, nb (ia < ib by rank orientation). */
+  def snmCandidates(spark: org.apache.spark.sql.SparkSession, sh: DataFrame,
+      seeds: Int, window: Long): DataFrame = {
+    require(seeds >= 1, s"snmCandidates needs >=1 seed, got $seeds")
+    import org.apache.spark.sql.types.StringType
+    val minCols = (0 until seeds).map {
+      case 0 => min(col("s")).as("mk0")
+      case i => min(graft.fns.Exact.md5Long(
+        concat(lit(s"snm$i|"), col("s").cast(StringType)))).as(s"mk$i")
+    }
+    // one aggregate for all seeded minima + the shingle count; consumed by
+    // R rank passes, so materialize it once (cluster analog: persist)
+    val mins = sh.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail :+ count(lit(1)).as("n"): _*)
+      .localCheckpoint()
+    (0 until seeds).map { i =>
+      val ranked = graft.fns.TotalOrder.globalRank(
+        mins, graft.fns.TotalOrder.defaultParts(spark), col(s"mk$i"), col("doc_id"))
+      graft.joins.NonEquiJoins.bandJoinLong(
+        ranked.select(col("doc_id").as("ia"), col("n").as("na"), col("rn").as("rna")),
+        ranked.select(col("doc_id").as("ib"), col("n").as("nb"), col("rn").as("rnb")),
+        "rna", "rnb", window)
+        .filter(col("rnb") > col("rna"))
+        .select("ia", "ib", "na", "nb")
+    }.reduce(_ unionByName _).distinct()
+  }
+
   val dedupSortedMulti: GraftQuery = GraftQuery("q_llm_dedup_sorted_r2",
     s"""WITH $shCtesSql,
        |mins AS (SELECT doc_id, min(s) AS mk0,
@@ -123,24 +159,13 @@ object DedupIncr {
        |SELECT ia, ib, common, na, nb,
        |       common / (na + nb - common) AS jacc
        |FROM cm WHERE common / (na + nb - common) >= $TAU""".stripMargin) { (spark, sfDir) =>
-    import org.apache.spark.sql.types.StringType
     val sh = cappedShingles(spark, sfDir)
-    // one aggregate for both seeded minima + the shingle count; consumed
-    // by two rank passes, so materialize it once (cluster analog: persist)
-    val mins = sh.groupBy("doc_id").agg(
-      min(col("s")).as("mk0"),
-      min(graft.fns.Exact.md5Long(concat(lit("snm1|"), col("s").cast(StringType)))).as("mk1"),
-      count(lit(1)).as("n")).localCheckpoint()
-    val cand = Seq("mk0", "mk1").map { mk =>
-      val ranked = graft.fns.TotalOrder.globalRank(mins, 32, col(mk), col("doc_id"))
-      graft.joins.NonEquiJoins.bandJoinLong(
-        ranked.select(col("doc_id").as("ia"), col("n").as("na"), col("rn").as("rna")),
-        ranked.select(col("doc_id").as("ib"), col("n").as("nb"), col("rn").as("rnb")),
-        "rna", "rnb", WINDOW.toLong)
-        .filter(col("rnb") > col("rna"))
-        .select("ia", "ib", "na", "nb")
-    }.reduce(_ unionByName _).distinct()
-    val common = cand
+    // R comes from `spark.graft.snm.seeds` — the recall/cost knob a
+    // deployment tunes (each extra seed is one more rank + band join over
+    // the same staged minima).  The judged oracle above is the R=2
+    // instance, the session default.
+    val seeds = spark.conf.getOption("spark.graft.snm.seeds").map(_.toInt).getOrElse(2)
+    val common = snmCandidates(spark, sh, seeds, WINDOW.toLong)
       .join(sh.select(col("doc_id").as("ia"), col("s")), "ia")
       .join(sh.select(col("doc_id").as("ib2"), col("s").as("s2")),
         col("ib") === col("ib2") && col("s") === col("s2"))

@@ -46,7 +46,7 @@ object Pipeline {
        |FROM c""".stripMargin) { (spark, sfDir) =>
     val t = documents(spark, sfDir)
       .select(col("doc_id"), size(toks(col("text"))).cast(LongType).as("n_tok"))
-    graft.fns.TotalOrder.runningSum(t, "n_tok", 32, col("doc_id"))
+    graft.fns.TotalOrder.runningSum(t, "n_tok", graft.fns.TotalOrder.defaultParts(spark), col("doc_id"))
       .withColumn("before", col("cum") - col("n_tok"))
       .select(col("doc_id"), col("n_tok"),
         floor(col("before").cast(DoubleType) / 4096).cast(LongType).as("bin"),
@@ -189,7 +189,7 @@ object Pipeline {
           col("st.n_tok").as("n_tok"),
           round((lit(1000L) * col("st.n_shingles")).cast(DoubleType) /
             (col("st.n_tok") - 2L).cast(DoubleType), 0).cast(LongType).as("score"))
-      graft.fns.TotalOrder.runningSum(q, "n_tok", 32, col("score").desc, col("doc_id"))
+      graft.fns.TotalOrder.runningSum(q, "n_tok", graft.fns.TotalOrder.defaultParts(spark), col("score").desc, col("doc_id"))
         .withColumnRenamed("cum", "cum_tok")
         .filter(col("cum_tok") <= 50000L)
         .select("doc_id", "n_tok", "score", "cum_tok")

@@ -5,7 +5,7 @@ import graft.fns.Exact
 import graft.io.Tables._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Round-4 continuation II: exact grouped correlation and fixed-size
   * deterministic per-group sampling.
@@ -162,7 +162,8 @@ object Relational10 {
     val c = orders(spark, sfDir).select(Exact.scaled(col("o_totalprice"), 2).as("v"))
     val Seq(q1, q2, q3) =
       graft.fns.ExactQuantiles.quantiles(c, "v", Seq(0.25, 0.50, 0.75),
-        stageTag = Some(s"$sfDir:orders:all:totalprice_cents"))
+        stageTag = Some(s"$sfDir:orders:all:totalprice_cents:" +
+          graft.io.Staged.fingerprint(spark, s"$sfDir/orders.parquet")))
     import spark.implicits._
     val b = Seq((q1, q2, q3)).toDF("q1", "q2", "q3")
     val bucket = (lit(1L) + when(col("v") > col("q1"), 1L).otherwise(0L)
@@ -277,6 +278,78 @@ object Relational10 {
       .join(nation(spark, sfDir).filter(col("n_regionkey") === 2),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
+      .agg(count(lit(1)).as("n"), Exact.exactSum(col("c_acctbal"), 2).as("bal_cents"))
+  }
+
+  /** Schema-evolution TYPE WIDENING (B1 robustness — the other half of
+    * [[scanSchemaEvolution]]'s added-column case): v1 files wrote a column
+    * as INT, v2 widened it to BIGINT.  `mergeSchema` REJECTS this
+    * ("Failed to merge incompatible data types") — Spark null-fills a
+    * MISSING column but never implicitly widens a CONFLICTING one — so the
+    * lake recipe is CAST-ON-READ: read each schema generation under its
+    * own file schema, cast the narrow generation to the current type, and
+    * `unionByName`.  At 100 TB this is the alternative to the
+    * rewrite-the-lake migration nobody can afford: per-generation listing
+    * is metadata-only, the cast is a codegen'd per-row op, and pushdown /
+    * pruning still reach each generation's scan.  SchemaWideningSpec
+    * asserts the mergeSchema rejection is real (the recipe is necessary,
+    * not paranoia). */
+  val scanSchemaWidening: GraftQuery = GraftQuery("q_scan_schema_widening",
+    """SELECT o_orderpriority AS pri, count(*) AS n,
+      |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+      |       CAST(max(o_custkey) AS BIGINT) AS cust_max
+      |FROM orders GROUP BY 1""".stripMargin) { (spark, sfDir) =>
+    val path = tmpDir(sfDir, "schema_widen")
+    val o = orders(spark, sfDir)
+    // v1 files: the key fits in 32 bits at write time
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey").cast(IntegerType).as("o_custkey"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$path/v1")
+    // v2 files: the schema widened the key to 64 bits
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$path/v2")
+    val v1 = spark.read.parquet(s"$path/v1")
+      .withColumn("o_custkey", col("o_custkey").cast(LongType))
+    val v2 = spark.read.parquet(s"$path/v2")
+    v1.unionByName(v2)
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("cust_sum"),
+        max("o_custkey").as("cust_max"))
+  }
+
+  /** Dynamic partition pruning WITHOUT a broadcast to reuse — the second
+    * of Spark's two runtime-pruning mechanisms ([[joinDpp]] exercises the
+    * broadcast-reuse one).  The join is forced to sort-merge (`merge`
+    * hint), so the pruning filter cannot piggyback on a
+    * BroadcastExchange; with
+    * `spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly=false`
+    * (a graft session default — set in every builder) Catalyst instead
+    * DUPLICATES the dim-side subquery, runs it standalone before the fact
+    * scan, and injects its result into PartitionFilters as
+    * `dynamicpruningexpression(c_nationkey IN subquery#n)`.  This is the
+    * path a 100 TB fact ⋈ large-dim join takes when the dim exceeds the
+    * broadcast threshold: the duplicated subquery costs one extra dim
+    * scan and saves the unpruned majority of the fact scan.
+    * PlanGuardSpec asserts the non-broadcast pruning subquery fires. */
+  val joinDppSubquery: GraftQuery = GraftQuery("q_join_dpp_subquery",
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n,
+       |       ${Exact.exactSumSql("c_acctbal", 2)} AS bal_cents
+       |FROM customer JOIN (SELECT DISTINCT s_nationkey FROM supplier
+       |                    WHERE s_acctbal < 800) d
+       |  ON c_nationkey = s_nationkey
+       |GROUP BY 1""".stripMargin) { (spark, sfDir) =>
+    val path = tmpDir(sfDir, "dpp_fact2")
+    customer(spark, sfDir).select("c_custkey", "c_acctbal", "c_nationkey")
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(path)
+    val dim = supplier(spark, sfDir).filter(col("s_acctbal") < 800)
+      .select("s_nationkey").distinct()
+    spark.read.parquet(path)
+      .join(dim.hint("merge"), col("c_nationkey") === col("s_nationkey"))
+      // partition-dir inference types c_nationkey INT; present it as the
+      // base table's BIGINT
+      .groupBy(col("c_nationkey").cast(LongType).as("c_nationkey"))
       .agg(count(lit(1)).as("n"), Exact.exactSum(col("c_acctbal"), 2).as("bal_cents"))
   }
 
@@ -418,5 +491,6 @@ object Relational10 {
   val all: Seq[GraftQuery] =
     Seq(aggCorr, sampleGroupFixed, joinAsofFwd, aggHistogramEqdepth,
       eventsCohort, joinBandOuter, scanJsonMalformed, aggSkewness, joinLateral,
-      aggChi2, joinDpp, joinAsofNearest, scanSchemaEvolution)
+      aggChi2, joinDpp, joinAsofNearest, scanSchemaEvolution,
+      scanSchemaWidening, joinDppSubquery)
 }

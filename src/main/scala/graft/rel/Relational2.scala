@@ -136,7 +136,8 @@ object Relational2 {
     val raw = graft.fns.ExactQuantiles.groupQuantiles(
       lineitem(spark, sfDir).select(col("l_returnflag"), cents.as("__v")),
       "l_returnflag", "__v", Seq("p25" -> 0.25, "p50" -> 0.50, "p90" -> 0.90),
-      stageTag = Some(s"$sfDir:lineitem:l_returnflag:extprice_cents"))
+      stageTag = Some(s"$sfDir:lineitem:l_returnflag:extprice_cents:" +
+        graft.io.Staged.fingerprint(spark, s"$sfDir/lineitem.parquet")))
     raw.select(col("l_returnflag"), (col("p25") / 100.0).as("p25"),
       (col("p50") / 100.0).as("p50"), (col("p90") / 100.0).as("p90"))
   }
@@ -157,7 +158,8 @@ object Relational2 {
       "l_returnflag", "__v",
       Seq("p25_cents" -> 0.25, "p50_cents" -> 0.50, "p90_cents" -> 0.90),
       disc = true,
-      stageTag = Some(s"$sfDir:lineitem:l_returnflag:extprice_cents"))
+      stageTag = Some(s"$sfDir:lineitem:l_returnflag:extprice_cents:" +
+        graft.io.Staged.fingerprint(spark, s"$sfDir/lineitem.parquet")))
   }
 
   /** The reference's native input format: delimited text lines parsed

@@ -12,6 +12,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -39,6 +39,27 @@ class TotalOrderSpec extends AnyFunSuite {
     assert(cumD == wantD)
   }
 
+  test("globalRank stays exact and codegen-sized at 1024 partitions") {
+    // a 100 TB-realistic partition count: the offsets must ride a broadcast
+    // join, not a 1024-branch CASE WHEN chain (codegen blowup territory)
+    val rows = (0 until 20000).map(i => ((i.toLong * 48271) % 99991, 1L)).distinctBy(_._1)
+    val df = rows.toDF("k", "v").repartition(13)
+    val ranked = TotalOrder.globalRank(df, 1024, col("k"))
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CASE WHEN"),
+      "offsets must not be a per-partition when-chain")
+    assert(plan.contains("BroadcastHashJoin"), "offsets must join via broadcast")
+    val got = ranked.select("k", "rn").as[(Long, Long)].collect().toMap
+    val want = rows.map(_._1).sorted.zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(got == want)
+
+    var acc = 0L
+    val wantCum = rows.sortBy(_._1).map { case (k, v) => acc += v; k -> acc }.toMap
+    val gotCum = TotalOrder.runningSum(df, "v", 1024, col("k"))
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    assert(gotCum == wantCum)
+  }
+
   test("total-order consumers plan no single-partition exchange") {
     for (name <- Seq("q_llm_pack", "q_llm_select_budget", "q_llm_dedup_sorted",
         "q_llm_dedup_sorted_r2")) {

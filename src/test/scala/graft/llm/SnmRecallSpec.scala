@@ -83,5 +83,23 @@ class SnmRecallSpec extends AnyFunSuite {
     // docs (fillers or cross-pair) share no shingles by construction.
     assert(norm(snmRaw.filter(p => p._1 >= 10000L && p._2 >= 10000L)).subsetOf(truth))
     assert(norm(lshRaw.filter(p => p._1 >= 10000L && p._2 >= 10000L)).subsetOf(truth))
+    // the r2 pipeline has the LARGEST candidate set — precision-check it too
+    assert(norm(snm2Raw.filter(p => p._1 >= 10000L && p._2 >= 10000L)).subsetOf(truth))
+
+    // R=3 through the conf knob (`spark.graft.snm.seeds`): a third seeded
+    // ordering can only ADD candidate pairs — recall must dominate R=2's,
+    // precision must stay exact (same per-pair Jaccard verify).  Measured
+    // point recorded in BASELINE.md next to R=1/R=2.
+    spark.conf.set("spark.graft.snm.seeds", "3")
+    try {
+      val snm3Raw = raw("q_llm_dedup_sorted_r2")
+      val snm3 = norm(snm3Raw).intersect(truth)
+      val s3k = byK(snm3)
+      info(f"SNM-r3 recall ${snm3.size}/150 = ${snm3.size / 150.0}%.3f " +
+        f"(k=1: ${s3k(1)}/50, k=2: ${s3k(2)}/50, k=3: ${s3k(3)}/50)")
+      assert(norm(snm2Raw).subsetOf(norm(snm3Raw)),
+        "R=3's verified pairs must contain R=2's (candidates are a superset)")
+      assert(norm(snm3Raw.filter(p => p._1 >= 10000L && p._2 >= 10000L)).subsetOf(truth))
+    } finally spark.conf.unset("spark.graft.snm.seeds")
   }
 }

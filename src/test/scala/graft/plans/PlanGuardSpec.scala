@@ -85,4 +85,18 @@ class PlanGuardSpec extends AnyFunSuite {
       s"expected runtime partition pruning on the fact scan:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("q_join_dpp_subquery prunes via a duplicated subquery, not broadcast reuse") {
+    // the merge hint forbids a BroadcastExchange, so the ONLY way the fact
+    // scan can be runtime-pruned is the duplicated-subquery DPP mechanism
+    // (reuseBroadcastOnly=false, a graft session default)
+    val df = Queries.queries("q_join_dpp_subquery")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected runtime partition pruning on the fact scan:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"merge hint must hold — a broadcast here would test the wrong DPP path:\n$plan")
+    assert(!plan.contains("SubqueryBroadcast"),
+      s"pruning must run as a standalone duplicated subquery:\n$plan")
+  }
 }
