@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   *     TotalOrderSpec).
   *
   * `SPARK_DRIVER_MEM=96g SPARK_GRAFT_CPUS=32 sbt "runMain graft.SnmStress [<n> ...]"`
+  *
+  * For the BASELINE.md scaling table run ONE size per JVM: the pipeline's
+  * `localCheckpoint` blocks accumulate in the block manager across loop
+  * iterations (released only by the async context cleaner), so a
+  * multi-size run measures size k under the residue of sizes 1..k-1 —
+  * observed 2-3× wall inflation on the later sizes, pure measurement
+  * artifact.
   */
 object SnmStress {
   def main(args: Array[String]): Unit = {

@@ -353,6 +353,63 @@ object Relational10 {
       .agg(count(lit(1)).as("n"), Exact.exactSum(col("c_acctbal"), 2).as("bal_cents"))
   }
 
+  /** Runtime bloom-filter join pruning — the third of Spark's runtime
+    * row/partition-reduction mechanisms alongside [[joinDpp]]
+    * (broadcast-reuse DPP) and [[joinDppSubquery]] (duplicated-subquery
+    * DPP), and the one that works on an UNPARTITIONED fact: Catalyst's
+    * `InjectRuntimeFilter` rule aggregates the filtered dim's join keys
+    * into a bloom filter and pushes `might_contain(...)` beneath the fact
+    * side's shuffle, so rows that cannot join are dropped before they are
+    * ever exchanged.  The `shuffle_hash` hint keeps the join a shuffle
+    * join — on a broadcast join the fact side never shuffles and the rule
+    * correctly declines.  Spark's size gates
+    * (`runtime.bloomFilter.applicationSideScanSizeThreshold`, default
+    * 10 GB — the right guard on a real cluster, where a bloom only pays
+    * for itself when it saves serious exchange volume) put test-SF tables
+    * far below the bar, so the builder pins the thresholds down around
+    * plan capture and restores them: the judged result is
+    * threshold-independent, and PlanGuardSpec asserts the
+    * BloomFilterMightContain pruning actually fires on this shape. */
+  val joinBloomRuntime: GraftQuery = GraftQuery("q_join_bloom_runtime",
+    s"""SELECT l_returnflag, count(*) AS n,
+       |       ${Exact.exactSumSql("l_extendedprice", 2)} AS price_cents
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand = 'Brand#4' AND p_size >= 40
+       |GROUP BY 1""".stripMargin) { (spark, sfDir) =>
+    // InjectRuntimeFilter's gates are all SIZE gates tuned for a real
+    // cluster: the app-side scan must exceed 10 GB, and the dim must NOT
+    // be broadcast-able (a broadcast join shuffles no fact rows, so a
+    // bloom saves nothing — `isProbablyShuffleJoin` checks size, not the
+    // hint).  At test SF every table is below every bar, so pin all three
+    // knobs to the values a 100 TB fact ⋈ 100 MB dim would present
+    // naturally, capture the plan, restore.
+    val pinned = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = pinned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = lineitem(spark, sfDir)
+        .select("l_partkey", "l_returnflag", "l_extendedprice")
+        .join(part(spark, sfDir)
+          .filter(col("p_brand") === "Brand#4" && col("p_size") >= 40)
+          .select("p_partkey").hint("shuffle_hash"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Exact.exactSum(col("l_extendedprice"), 2).as("price_cents"))
+      // force plan resolution UNDER the pinned thresholds so the cached
+      // QueryExecution (what PlanDump and callers inspect) carries the
+      // injected bloom; execution of this df reuses it
+      df.queryExecution.executedPlan
+      df
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Malformed-record ingestion (B1 robustness): JSONL with deliberately
     * corrupted lines (every doc_id ≡ 0 mod 37 is truncated mid-object)
     * read back in PERMISSIVE mode with a corrupt-record column — the
@@ -492,5 +549,5 @@ object Relational10 {
     Seq(aggCorr, sampleGroupFixed, joinAsofFwd, aggHistogramEqdepth,
       eventsCohort, joinBandOuter, scanJsonMalformed, aggSkewness, joinLateral,
       aggChi2, joinDpp, joinAsofNearest, scanSchemaEvolution,
-      scanSchemaWidening, joinDppSubquery)
+      scanSchemaWidening, joinDppSubquery, joinBloomRuntime)
 }

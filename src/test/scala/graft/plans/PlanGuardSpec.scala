@@ -86,6 +86,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q_join_bloom_runtime gets an optimizer-injected bloom filter on the fact side") {
+    // the builder pins the bloom size thresholds during plan resolution and
+    // caches the QueryExecution, so the injected filter must be visible on
+    // the returned df — and the shuffle_hash hint must have held (a
+    // broadcast join would make the rule correctly decline)
+    val df = Queries.queries("q_join_bloom_runtime")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected an injected runtime bloom filter on the lineitem side:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"shuffle_hash hint must hold — no fact-side shuffle means no bloom to inject:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("q_join_dpp_subquery prunes via a duplicated subquery, not broadcast reuse") {
     // the merge hint forbids a BroadcastExchange, so the ONLY way the fact
     // scan can be runtime-pruned is the duplicated-subquery DPP mechanism
