@@ -24,19 +24,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp; read it as raw nano-of-epoch longs instead (values are
-    * µs-resolution, so `ts div 1000` is exact).  Use [[eventsUs]] for the
-    * µs view. */
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) — which
+    * Spark 4 only reads as raw nano-of-epoch longs — and TIMESTAMP(MICROS),
+    * which it reads as TIMESTAMP_NTZ.  Enable the nanos fallback and let
+    * [[eventsUs]] normalize whatever arrived. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
   }
 
-  /** events with `ts_us` = epoch micros (BIGINT, exact integer division) —
-    * mirrors DuckDB `epoch_us(ts)`. */
-  def eventsUs(s: SparkSession, d: String): DataFrame =
-    events(s, d).withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+  /** events with `ts_us` = epoch micros (BIGINT, exact) — mirrors DuckDB
+    * `epoch_us(ts)`, which interprets a naive timestamp as UTC.  Every
+    * session here pins `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ
+    * cast below is a bit-identity on the underlying micros. */
+  def eventsUs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df = events(s, d)
+    val tsUs = df.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000") // nano-of-epoch longs
+      case TimestampNTZType => unix_micros(col("ts").cast("timestamp_ltz"))
+      case _                => unix_micros(col("ts"))
+    }
+    df.withColumn("ts_us", tsUs)
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
