@@ -45,6 +45,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ts_us derivation (io.Tables.eventsUs) casts NTZ→LTZ and is only a
+      // bit-identity on the underlying micros when the session zone is UTC;
+      // pin it instead of inheriting the host default.
+      .config("spark.sql.session.timeZone", "UTC")
       // Interleaved passes cycle all ~166 queries through one JVM, which
       // evicts the default 100-entry generated-class cache between a
       // query's reps — every rep then re-pays janino compilation (~30-50%
@@ -78,13 +82,16 @@ object Bench {
     System.err.println(f"[bench] warm-up pass discarded (sum $warmupSum%.1f s)")
 
     var passes: Vector[Seq[(String, Double)]] = Vector.fill(reps)(runPass())
-    // cross-pass skew: a pass whose sum is >1.5× the best pass was hit by
-    // whole-run contention (every query uniformly inflated) — re-run it,
-    // bounded so a genuinely loaded machine still terminates
-    val SkewBar = 1.5
+    // cross-pass skew: a pass whose sum is >1.2× the best pass was hit by
+    // whole-run contention (every query uniformly inflated) — re-run it
+    // until the passes agree or the re-run budget (3) is spent, so a
+    // genuinely loaded machine still terminates.  Round-9 post-mortem:
+    // with bar 1.5 a run converged at skew 1.403 and the headline median
+    // absorbed ~12% pure host noise — 1.2 drives it out.
+    val SkewBar = 1.2
     var reruns = 0
     var keepGoing = true
-    while (keepGoing && reruns < 2 && reps > 1) {
+    while (keepGoing && reruns < 3 && reps > 1) {
       val sums = passes.map(passSum)
       val mn = sums.min
       if (mn > 0 && sums.max / mn > SkewBar) {
@@ -148,11 +155,12 @@ object Bench {
 
     // ---- the driver-contract stdout line (unchanged format).
     // Millisecond precision keeps the line compact, and the headline total
-    // goes LAST: the driver tail-captures ~2 KB of stdout, so anything at
-    // the head of a long line is what gets truncated away.
+    // + total_min co-headline go LAST: the driver tail-captures ~2 KB of
+    // stdout, so anything at the head of a long line is what gets
+    // truncated away.
     val qs = results.map { case (k, v) => s""""$k":${jnum(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","total_min":${jnum(totalMin)},"pass_sums":$passJson,"skew":${jnum(skew)},"reruns":$reruns,"queries":$qs,"value":${jnum(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","pass_sums":$passJson,"skew":${jnum(skew)},"reruns":$reruns,"queries":$qs,"total_min":${jnum(totalMin)},"value":${jnum(total)}}""")
     spark.stop()
   }
 

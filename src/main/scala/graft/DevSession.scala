@@ -13,6 +13,9 @@ object DevSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // io.Tables.eventsUs's NTZ→LTZ cast assumes a UTC session zone; pin
+      // it here so stress/profiling drivers measure the judged semantics.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
       .getOrCreate()

@@ -35,14 +35,23 @@ object Tables {
 
   /** events with `ts_us` = epoch micros (BIGINT, exact) — mirrors DuckDB
     * `epoch_us(ts)`, which interprets a naive timestamp as UTC.  Every
-    * session here pins `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ
-    * cast below is a bit-identity on the underlying micros. */
+    * session here pins `spark.sql.session.timeZone=UTC` (Verify, Bench,
+    * DevSession, ProfileMain all set it), so the NTZ→LTZ cast below is a
+    * bit-identity on the underlying micros. */
   def eventsUs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df = events(s, d)
     val tsUs = df.schema("ts").dataType match {
-      case LongType         => expr("ts div 1000") // nano-of-epoch longs
+      // A raw INT64 ts has shipped only as TIMESTAMP(NANOS) read back as
+      // nano-of-epoch longs.  Guard by magnitude rather than assuming: for
+      // any instant between 1974 and 5100 AD, nanos ≥ 1.3e17 while micros
+      // < 1e17, so the two scales cannot overlap on plausible data.  A
+      // future testdata refresh shipping unannotated epoch-MICROS longs
+      // then flows through unscaled instead of being silently ÷1000.
+      case LongType =>
+        when(abs(col("ts")) >= 130000000000000000L, expr("ts div 1000"))
+          .otherwise(col("ts"))
       case TimestampNTZType => unix_micros(col("ts").cast("timestamp_ltz"))
       case _                => unix_micros(col("ts"))
     }

@@ -237,33 +237,44 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("sim"))
   }
 
+  // hyperplane component p_ij of table t in {-1, +1} from md5
+  private def planeSign(t: Int, p: Int, i: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t|$p|$i".getBytes("UTF-8"))
+    if ((hex(0) & 1) == 1) 1 else -1
+  }
+  // one codegen'd dot per plane against a literal {-1,+1} vector — an
+  // unrolled element_at sum here explodes the expression tree (16 tables
+  // x 16 dots x 64 terms OOM'd the driver in analysis/codegen)
+  private def planeDot(spark: org.apache.spark.sql.SparkSession, t: Int, p: Int) =
+    vecDot(spark, col("qv"),
+      typedlit((0 until EmbedDim).map(i => planeSign(t, p, i).toLong)))
+  private def bucketCol(spark: org.apache.spark.sql.SparkSession, t: Int) =
+    (0 until LshPlanes).map { p =>
+      when(planeDot(spark, t, p) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The staged postings index: (vec_id, t, bucket) for every table — built
+    * once per tag; 3 longs per vector per table, no embeddings inside.
+    * Exposed so stress drivers can time the index build separately from the
+    * probe/re-rank cost a steady-state query actually pays. */
+  private[graft] def lshPostingsOn(spark: org.apache.spark.sql.SparkSession, tag: String,
+      base: DataFrame): DataFrame =
+    graft.io.Staged(spark, s"lshPostings$LshPlanes/$LshTables|$tag") {
+      base.select(col("vec_id"), explode(array((0 until LshTables).map(t =>
+        struct(lit(t.toLong).as("t"), bucketCol(spark, t).as("bucket"))): _*)).as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    }
+
   private def lshPartsOn(spark: org.apache.spark.sql.SparkSession, tag: String,
       base: DataFrame, nprobe: Int, tables: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= (1 << LshPlanes),
       s"nprobe must be in [1, ${1 << LshPlanes}], got $nprobe")
     require(tables >= 1 && tables <= LshTables,
       s"tables must be in [1, $LshTables], got $tables")
-    // hyperplane component p_ij of table t in {-1, +1} from md5
-    def planeSign(t: Int, p: Int, i: Int): Int = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$t|$p|$i".getBytes("UTF-8"))
-      if ((hex(0) & 1) == 1) 1 else -1
-    }
-    // one codegen'd dot per plane against a literal {-1,+1} vector — an
-    // unrolled element_at sum here explodes the expression tree (16 tables
-    // x 16 dots x 64 terms OOM'd the driver in analysis/codegen)
-    def planeDot(t: Int, p: Int) = vecDot(spark, col("qv"),
-      typedlit((0 until EmbedDim).map(i => planeSign(t, p, i).toLong)))
-    def bucketCol(t: Int) = (0 until LshPlanes).map { p =>
-      when(planeDot(t, p) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    // postings index: (t, bucket, vec_id) for every table — built once per
-    // session; 3 longs per vector per table, no embeddings inside
-    val postings = graft.io.Staged(spark, s"lshPostings$LshPlanes/$LshTables|$tag") {
-      base.select(col("vec_id"), explode(array((0 until LshTables).map(t =>
-        struct(lit(t.toLong).as("t"), bucketCol(t).as("bucket"))): _*)).as("tb"))
-        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    }
+    def planeDot(t: Int, p: Int) = Similarity.planeDot(spark, t, p)
+    def bucketCol(t: Int) = Similarity.bucketCol(spark, t)
+    val postings = lshPostingsOn(spark, tag, base)
     // query-side: per (query, table), the bucket plus per-plane |margin|s
     val queries = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv"),

@@ -382,32 +382,25 @@ object Relational10 {
     // bloom saves nothing — `isProbablyShuffleJoin` checks size, not the
     // hint).  At test SF every table is below every bar, so pin all three
     // knobs to the values a 100 TB fact ⋈ 100 MB dim would present
-    // naturally, capture the plan, restore.
-    val pinned = Map(
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = pinned.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val df = lineitem(spark, sfDir)
-        .select("l_partkey", "l_returnflag", "l_extendedprice")
-        .join(part(spark, sfDir)
-          .filter(col("p_brand") === "Brand#4" && col("p_size") >= 40)
-          .select("p_partkey").hint("shuffle_hash"),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          Exact.exactSum(col("l_extendedprice"), 2).as("price_cents"))
-      // force plan resolution UNDER the pinned thresholds so the cached
-      // QueryExecution (what PlanDump and callers inspect) carries the
-      // injected bloom; execution of this df reuses it
-      df.queryExecution.executedPlan
-      df
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    // naturally — on a CLONED session (`newSession()` shares the
+    // SparkContext, cache, and static conf but gets isolated SQL conf),
+    // so a concurrently-driven caller session never observes the pins and
+    // there is no set/restore window to race plan resolution against.
+    val pinned = spark.newSession()
+    pinned.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    pinned.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    pinned.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    lineitem(pinned, sfDir)
+      .select("l_partkey", "l_returnflag", "l_extendedprice")
+      .join(part(pinned, sfDir)
+        .filter(col("p_brand") === "Brand#4" && col("p_size") >= 40)
+        .select("p_partkey").hint("shuffle_hash"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        Exact.exactSum(col("l_extendedprice"), 2).as("price_cents"))
   }
 
   /** Malformed-record ingestion (B1 robustness): JSONL with deliberately

@@ -87,10 +87,16 @@ class PlanGuardSpec extends AnyFunSuite {
   }
 
   test("q_join_bloom_runtime gets an optimizer-injected bloom filter on the fact side") {
-    // the builder pins the bloom size thresholds during plan resolution and
-    // caches the QueryExecution, so the injected filter must be visible on
-    // the returned df — and the shuffle_hash hint must have held (a
-    // broadcast join would make the rule correctly decline)
+    // the builder pins the bloom size thresholds on a CLONED session and
+    // returns a df owned by it, so the injected filter must be visible on
+    // the returned df without the caller's session conf ever changing —
+    // and the shuffle_hash hint must have held (a broadcast join would
+    // make the rule correctly decline)
+    val confKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val before = confKeys.map(k => k -> spark.conf.getOption(k))
     val df = Queries.queries("q_join_bloom_runtime")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
@@ -98,6 +104,9 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"),
       s"shuffle_hash hint must hold — no fact-side shuffle means no bloom to inject:\n$plan")
     assert(df.count() > 0)
+    val after = confKeys.map(k => k -> spark.conf.getOption(k))
+    assert(before == after,
+      s"caller session conf must not be mutated by the thunk: $before -> $after")
   }
 
   test("q_join_dpp_subquery prunes via a duplicated subquery, not broadcast reuse") {
