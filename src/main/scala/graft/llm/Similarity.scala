@@ -243,27 +243,33 @@ object Similarity {
       .digest(s"$t|$p|$i".getBytes("UTF-8"))
     if ((hex(0) & 1) == 1) 1 else -1
   }
-  // one codegen'd dot per plane against a literal {-1,+1} vector — an
-  // unrolled element_at sum here explodes the expression tree (16 tables
-  // x 16 dots x 64 terms OOM'd the driver in analysis/codegen)
-  private def planeDot(spark: org.apache.spark.sql.SparkSession, t: Int, p: Int) =
-    vecDot(spark, col("qv"),
-      typedlit((0 until EmbedDim).map(i => planeSign(t, p, i).toLong)))
-  private def bucketCol(spark: org.apache.spark.sql.SparkSession, t: Int) =
-    (0 until LshPlanes).map { p =>
-      when(planeDot(spark, t, p) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Flattened ±1 hyperplane matrix, [((t·planes)+p)·dim + i] — shipped to
+    * executors once as a codegen reference object (graft.fns.LshBuckets /
+    * LshPlaneDots).  The earlier formulation — tables×planes separate
+    * literal-vector dots chained through `when` sums — built a ~10⁵-node
+    * expression tree that evaluated at ~66 ns/multiply-add and was the
+    * entire measured "C₀" fixed cost of the LSH index (135 s per 250 k
+    * vectors, BASELINE.md); the single-loop kernel removes it. */
+  private lazy val lshSigns: Array[Long] = {
+    val arr = new Array[Long](LshTables * LshPlanes * EmbedDim)
+    for (t <- 0 until LshTables; p <- 0 until LshPlanes; i <- 0 until EmbedDim)
+      arr(((t * LshPlanes) + p) * EmbedDim + i) = planeSign(t, p, i).toLong
+    arr
+  }
 
   /** The staged postings index: (vec_id, t, bucket) for every table — built
     * once per tag; 3 longs per vector per table, no embeddings inside.
     * Exposed so stress drivers can time the index build separately from the
-    * probe/re-rank cost a steady-state query actually pays. */
+    * probe/re-rank cost a steady-state query actually pays.  One codegen'd
+    * kernel call per vector computes all table buckets; posexplode of its
+    * result IS the postings table. */
   private[graft] def lshPostingsOn(spark: org.apache.spark.sql.SparkSession, tag: String,
       base: DataFrame): DataFrame =
     graft.io.Staged(spark, s"lshPostings$LshPlanes/$LshTables|$tag") {
-      base.select(col("vec_id"), explode(array((0 until LshTables).map(t =>
-        struct(lit(t.toLong).as("t"), bucketCol(spark, t).as("bucket"))): _*)).as("tb"))
-        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      base.select(col("vec_id"),
+          posexplode(graft.fns.LshExpressions.lshBuckets(spark, col("qv"),
+            lshSigns, LshTables, LshPlanes, EmbedDim)).as(Seq("t", "bucket")))
+        .select(col("vec_id"), col("t").cast(LongType).as("t"), col("bucket"))
     }
 
   private def lshPartsOn(spark: org.apache.spark.sql.SparkSession, tag: String,
@@ -272,17 +278,22 @@ object Similarity {
       s"nprobe must be in [1, ${1 << LshPlanes}], got $nprobe")
     require(tables >= 1 && tables <= LshTables,
       s"tables must be in [1, $LshTables], got $tables")
-    def planeDot(t: Int, p: Int) = Similarity.planeDot(spark, t, p)
-    def bucketCol(t: Int) = Similarity.bucketCol(spark, t)
     val postings = lshPostingsOn(spark, tag, base)
-    // query-side: per (query, table), the bucket plus per-plane |margin|s
+    // query-side: one kernel call yields all tables×planes raw dots; the
+    // per-table bucket (sign bits) and multi-probe |margin|s are cheap
+    // element_at derivations over that array
+    def dotAt(p: Int) =
+      element_at(col("dots"), (col("t") * LshPlanes + lit(p + 1)).cast("int"))
+    val qbucket = (0 until LshPlanes).map { p =>
+      when(dotAt(p) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
     val queries = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("qv"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t.toLong).as("t"), bucketCol(t).as("qbucket"),
-            array((0 until LshPlanes).map(p => abs(planeDot(t, p))): _*).as("margins"))): _*)).as("q"))
-      .select(col("qid"), col("q.t").as("t"), col("q.qbucket").as("qbucket"),
-        col("q.margins").as("margins"))
+      .withColumn("dots", graft.fns.LshExpressions.lshPlaneDots(spark, col("qv"),
+        lshSigns, LshTables, LshPlanes, EmbedDim))
+      .select(col("vec_id").as("qid"), col("dots"),
+        explode(array((0 until tables).map(t => lit(t.toLong)): _*)).as("t"))
+      .select(col("qid"), col("t"), qbucket.as("qbucket"),
+        array((0 until LshPlanes).map(p => abs(dotAt(p))): _*).as("margins"))
     // all flip masks, costed by the margins of their set bits, best n kept
     val maskCost = (0 until LshPlanes).map { p =>
       when(lit(1L << p).bitwiseAND(col("__mask")) =!= 0L,

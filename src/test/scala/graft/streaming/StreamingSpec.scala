@@ -278,6 +278,80 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ---- stream-batch parity: the judged batch window queries and the
+  // streaming lift are the SAME transform (EventWindows.tumblingOnTs /
+  // sessionOnTs) on the same events, so their outputs must be
+  // bit-identical.  The real sf0.001 events table is replayed through a
+  // MemoryStream in event-time-ordered chunks (no late drops), then a
+  // far-future sentinel advances the watermark so every real window
+  // finalizes in append mode; the sentinel's own contribution is excluded
+  // on both sides by its impossible event_type / user_id.
+
+  final case class PE(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  private def replayedEvents(): (Seq[Seq[PE]], Timestamp) = {
+    import spark.implicits._
+    val rows = graft.io.Tables.eventsUs(spark, graft.TestSpark.sf)
+      .select(col("ts_us"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)].collect().sortBy(_._1)
+      .map { case (us, uid, et, v) =>
+        val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+        PE(t, uid, et, v)
+      }.toSeq
+    val maxUs = graft.io.Tables.eventsUs(spark, graft.TestSpark.sf)
+      .agg(max(col("ts_us"))).head().getLong(0)
+    // sentinel 30 days past the data: watermark (sentinel - 1 h) clears
+    // every real window/session end
+    val sentinelUs = maxUs + 30L * 86400000000L
+    val st = new Timestamp(sentinelUs / 1000000L * 1000L)
+    (rows.grouped(math.max(1, rows.size / 4 + 1)).toSeq, st)
+  }
+
+  test("stream-batch parity: streaming tumbling output is bit-identical to q_stream_tumbling") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val (chunks, sentinel) = replayedEvents()
+    val mem = MemoryStream[PE]
+    val q = graft.time.EventWindows.tumblingOnTs(
+        mem.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("parity_tumb").outputMode("append").start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      mem.addData(PE(sentinel, -1L, "__sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("parity_tumb")
+        .filter(col("event_type") =!= "__sentinel")
+        .as[(Long, String, Long, Double)].collect().toSeq.sorted
+      val batch = graft.Queries.queries("q_stream_tumbling")(spark, graft.TestSpark.sf)
+        .as[(Long, String, Long, Double)].collect().toSeq.sorted
+      assert(batch.nonEmpty && streamed == batch,
+        s"streaming tumbling diverged from batch: stream=${streamed.size} rows, batch=${batch.size} rows")
+    } finally q.stop()
+  }
+
+  test("stream-batch parity: streaming session output is bit-identical to q_stream_session") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val (chunks, sentinel) = replayedEvents()
+    val mem = MemoryStream[PE]
+    val q = graft.time.EventWindows.sessionOnTs(
+        mem.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("parity_sess").outputMode("append").start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      mem.addData(PE(sentinel, -1L, "__sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("parity_sess")
+        .filter(col("user_id") >= 0)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      val batch = graft.Queries.queries("q_stream_session")(spark, graft.TestSpark.sf)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(batch.nonEmpty && streamed == batch,
+        s"streaming session diverged from batch: stream=${streamed.size} rows, batch=${batch.size} rows")
+    } finally q.stop()
+  }
+
   test("stream-stream join state stays bounded once watermarks advance") {
     // The watermark + time-range condition is the join's STATE BOUND: rows
     // older than the horizon must leave the state store, or a 100 TB/day
