@@ -57,3 +57,63 @@ object GraphStress {
     spark.stop()
   }
 }
+
+/** Dev-only scale stress for the distributed connected-components path
+  * (large/small-star, graft.llm.DedupCluster.largeSmallStar) at cluster
+  * shape: ~nNodes·degree edges over nNodes nodes in closed-form-known
+  * components.
+  *
+  * Graph: nodes are grouped in fixed blocks of `groupSize`; each group
+  * carries a full CHAIN (id -> id+1 — the adversarial O(diameter) case for
+  * plain label propagation) plus degree-1 pseudo-random intra-group chords.
+  * Every group is therefore connected and never touches another group, so
+  * the TRUE label of every node is exactly its group base
+  * (id - id % groupSize) — the check is total equality over all nodes, far
+  * stronger than a sampled union-find probe, at the cost of one aggregate.
+  * Asserts convergence within the Kiveris et al. O(log n) guarantee
+  * (<= log2(nodes) + 5 rounds) and exact label/component counts.
+  *
+  * `sbt "runMain graft.CCStress [nNodes] [degree] [groupSize]"`
+  * (100 M edges = nNodes 5000000, degree 20)
+  */
+object CCStress {
+  def main(args: Array[String]): Unit = {
+    val nNodes = if (args.nonEmpty) args(0).toLong else 5000000L
+    val degree = if (args.length > 1) args(1).toInt else 20
+    val groupSize = if (args.length > 2) args(2).toLong else 1000L
+    val spark = DevSession.local()
+
+    val ids = spark.range(nNodes)
+    val chain = ids
+      .filter(pmod(col("id") + 1, lit(groupSize)) =!= 0 && col("id") + 1 < nNodes)
+      .select(col("id").as("ia"), (col("id") + 1).as("ib"))
+    val chords = ids
+      .select(col("id"), explode(sequence(lit(0), lit(degree - 2))).as("j"))
+      .select(col("id").as("ia"),
+        (col("id") - pmod(col("id"), lit(groupSize)) +
+          pmod(xxhash64(col("id"), col("j")), lit(groupSize))).as("ib"))
+      .filter(col("ia") =!= col("ib") && col("ib") < nNodes)
+    val pairs = chain.unionByName(chords)
+    val nEdges = pairs.count()
+
+    val t0 = System.nanoTime()
+    val (labels, rounds) = graft.llm.DedupCluster.largeSmallStar(pairs)
+    val out = labels.localCheckpoint(eager = true)
+    val ccSec = (System.nanoTime() - t0) / 1e9
+
+    val nLabeled = out.count()
+    val nWrong = out
+      .filter(col("comp") =!= col("id") - pmod(col("id"), lit(groupSize)))
+      .limit(1).count()
+    val nComp = out.select("comp").distinct().count()
+    val expectComp = (nNodes + groupSize - 1) / groupSize
+    val bound = (math.log(nNodes.toDouble) / math.log(2.0)).ceil.toLong + 5
+    assert(nWrong == 0, "a node's component label diverged from its group base")
+    assert(nLabeled == nNodes, s"labeled $nLabeled of $nNodes nodes")
+    assert(nComp == expectComp, s"found $nComp components, expected $expectComp")
+    assert(rounds <= bound, s"took $rounds rounds, O(log n) bound is $bound")
+
+    println(f"""{"stress":"cc","edges":$nEdges,"nodes":$nNodes,"groupSize":$groupSize,"components":$nComp,"rounds":$rounds,"roundBound":$bound,"ccSec":$ccSec%.1f,"labelErrors":$nWrong}""")
+    spark.stop()
+  }
+}

@@ -163,6 +163,125 @@ object NonEquiJoins {
       .drop("__tb")
   }
 
+  /** Driver-side sampled statistics feeding [[lessThanStrategy]]: input
+    * cardinalities, the mass fraction of the hottest uniform value cell
+    * (the skew signal), the estimated output pair count (sample-estimated
+    * P(a < b) × nL × nR — the density signal), the sampled value range
+    * (reused as static bucket bounds), and whether the key types admit the
+    * sort-merge operator. */
+  final case class LessThanStats(
+      nLeft: Long, nRight: Long, hotCellFrac: Double, estPairs: Double,
+      typesOk: Boolean, lo: Double, hi: Double)
+
+  /** One deterministic sample pass per side (seeded, bounded driver
+    * footprint).  Cardinalities come from `count()` here — one scan each;
+    * a 100 TB deployment substitutes catalog statistics for the counts and
+    * a TABLESAMPLE for the value sample, leaving the routing logic
+    * unchanged. */
+  def lessThanStats(
+      left: DataFrame, right: DataFrame,
+      lVal: String, rVal: String,
+      buckets: Int = 32, sampleSize: Int = 2048): LessThanStats = {
+    val nL = left.count()
+    val nR = right.count()
+    def sampleVals(df: DataFrame, c: String, n: Long): Array[Double] = {
+      val frac =
+        if (n <= sampleSize) 1.0
+        else math.min(1.0, sampleSize * 4.0 / n)
+      df.select(col(c).cast("double").as("v")).filter(col("v").isNotNull)
+        .sample(withReplacement = false, frac, 42L)
+        .limit(sampleSize).collect().map(_.getDouble(0))
+    }
+    val sl = sampleVals(left, lVal, nL)
+    val sr = sampleVals(right, rVal, nR)
+    val all = sl ++ sr
+    val (lo, hi) =
+      if (all.isEmpty) (0.0, 0.0) else (all.min, all.max)
+    val hotFrac =
+      if (all.isEmpty) 0.0
+      else if (lo == hi) 1.0
+      else {
+        val counts = new Array[Long](buckets)
+        all.foreach { v =>
+          val i = math.min(buckets - 1, ((v - lo) / (hi - lo) * buckets).toInt)
+          counts(i) += 1
+        }
+        counts.max.toDouble / all.length
+      }
+    val srSorted = sr.sorted
+    val p =
+      if (sl.isEmpty || sr.isEmpty) 0.0
+      else {
+        var hits = 0L
+        sl.foreach { a =>
+          var i = java.util.Arrays.binarySearch(srSorted, a)
+          if (i < 0) i = -i - 1
+          else { while (i < srSorted.length && srSorted(i) == a) i += 1 }
+          hits += (srSorted.length - i)
+        }
+        hits.toDouble / (sl.length.toDouble * srSorted.length)
+      }
+    // the sort-merge operator's supported key types (plans/IEJoin.scala)
+    val supported: Seq[org.apache.spark.sql.types.DataType] = Seq(
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.DoubleType, org.apache.spark.sql.types.FloatType)
+    val typesOk = left.schema(lVal).dataType == right.schema(rVal).dataType &&
+      supported.contains(left.schema(lVal).dataType)
+    LessThanStats(nL, nR, hotFrac, p * nL * nR, typesOk, lo, hi)
+  }
+
+  /** Route an inequality join to its measured-best physical shape
+    * (BASELINE.md head-to-heads, rounds 3/8):
+    *
+    *  - "quantile" ([[lessThanJoinQuantile]]) when the hottest uniform
+    *    value cell would hold more build rows than `cellRowBudget` —
+    *    planned balance is a MEMORY guarantee at the 100 TB margin (a hot
+    *    cell whose hash/sort buffer exceeds executor memory spills or
+    *    OOMs), which the measurements show is the only regime where the
+    *    quantile pass earns its extra scan;
+    *  - "iejoin" ([[graft.plans.IEJoin]]) otherwise while the estimated
+    *    output stays under `densePairBar` — the regime where the
+    *    sort-merge sweep's zero per-pair predicate work measured 25-30%
+    *    faster than the bucketed rewrite;
+    *  - "static" ([[lessThanJoin]] + AQE) for larger outputs, where the
+    *    shapes measured at parity and the bucketed equi join stays inside
+    *    WholeStageCodegen for fused join+agg pipelines (and when the key
+    *    types rule the custom operator out).
+    */
+  def lessThanStrategy(
+      stats: LessThanStats,
+      cellRowBudget: Long = 4000000L,
+      densePairBar: Long = 500000000L): String = {
+    val hotRows = stats.hotCellFrac * math.max(stats.nLeft, stats.nRight)
+    if (hotRows > cellRowBudget) "quantile"
+    else if (stats.typesOk && stats.estPairs <= densePairBar) "iejoin"
+    else "static"
+  }
+
+  /** Stats-driven inequality join `left(lVal) < right(rVal)`: samples both
+    * sides, routes via [[lessThanStrategy]], and dispatches to the chosen
+    * shape.  All three shapes are exact (the predicate is re-applied or
+    * natively merged), so routing affects only performance — the chooser
+    * spec asserts both the routing and result equality across shapes. */
+  def lessThanJoinAuto(
+      left: DataFrame, right: DataFrame,
+      lVal: String, rVal: String,
+      buckets: Int = 32,
+      cellRowBudget: Long = 4000000L,
+      densePairBar: Long = 500000000L,
+      sampleSize: Int = 2048): DataFrame = {
+    val st = lessThanStats(left, right, lVal, rVal, buckets, sampleSize)
+    lessThanStrategy(st, cellRowBudget, densePairBar) match {
+      case "quantile" => lessThanJoinQuantile(left, right, lVal, rVal, buckets)
+      case "iejoin" => graft.plans.IEJoin(left, right, lVal, rVal, buckets)
+      case _ =>
+        val (lo, hi) =
+          if (st.lo < st.hi) (st.lo, st.hi) else (st.lo - 1.0, st.hi + 1.0)
+        lessThanJoin(left, right, lVal, rVal, lo, hi, buckets)
+    }
+  }
+
   /** Point-in-interval join with VARIABLE-length intervals: each point row
     * (pCol) matches interval rows with startCol <= p < endCol, under extra
     * equi keys.

@@ -125,9 +125,18 @@ object DedupCluster {
     def nbrMin(e: DataFrame): DataFrame =
       e.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
 
-    // large-star input: symmetric closure; emit (v, m(u)) for v > u
+    // large-star input: symmetric closure; emit (v, m(u)) for v > u.
+    // The closure is an explode of both directions, NOT union(e, flip(e)):
+    // a Union whose children share the checkpointed frame's lineage trips
+    // Spark's UnionBase.rewriteConstraints on the self-joined aggregate
+    // below (key-not-found on a stale exprId once DeduplicateRelations
+    // rewrites one side) — found by CCStress at the 100 M-edge shape.
+    // explode keeps the round a single linear projection, no Union node.
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val sym = e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("s"))
+        .select(col("s.u").as("u"), col("s.v").as("v"))
       sym.join(nbrMin(sym), "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
@@ -183,12 +192,15 @@ object DedupCluster {
       edges = next
     }
     // post-convergence the edges are stars child -> component-min; roots
-    // (the minima themselves) label themselves
+    // (the minima themselves, nodes with no outgoing star edge) label
+    // themselves.  Expressed as node-set left-join rather than
+    // children ∪ roots — union-free for the same reason as largeStar.
     val children = edges.select(col("u").as("id"), col("v").as("comp"))
-    val roots = edges.select(col("v").as("id")).distinct()
-      .join(children.select(col("id")), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("comp"))
-    (children.unionByName(roots), rounds)
+    val nodes = edges
+      .select(explode(array(col("u"), col("v"))).as("id")).distinct()
+    val labels = nodes.join(children, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    (labels, rounds)
   }
 
   val all: Seq[GraftQuery] = Seq(dedupCluster)

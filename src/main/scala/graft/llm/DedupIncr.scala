@@ -222,5 +222,28 @@ object DedupIncr {
         when(col("dup_of").isNull, lit("keep")).otherwise(lit("drop")).as("action"))
   }
 
+  /** Fold a verified batch's postings into the durable corpus index — the
+    * day-N accretion step real ingest pipelines need once the index is a
+    * staged artifact (graft.io.Staged staging-dir mode).  The combined
+    * postings are re-capped and published under `newTag` through Staged's
+    * atomic rename arbitration: readers of the previous artifact are never
+    * disturbed (the old directory is untouched), concurrent compactors of
+    * the same newTag race the rename and the loser reads the winner — so
+    * the version chain is append-only and crash-safe.  Cost is one scan of
+    * old index + batch plus one df-count shuffle — linear, no self-join.
+    *
+    * Cap semantics: the cap is re-applied over the combined SURVIVING
+    * postings.  Boilerplate already dropped from the old index stays
+    * dropped (its df only grew), and a near-cap shingle pushed over the
+    * cap by the batch is dropped now — identical to a from-scratch rebuild
+    * whenever no shingle's pre-cap df straddles the boundary, which
+    * IncrStress asserts exactly at the bench scale (signature-equality of
+    * the day-3 artifact vs a full rebuild). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, newTag: String,
+      oldIndex: DataFrame, batchPostings: DataFrame): DataFrame =
+    graft.io.Staged(spark, newTag) {
+      TextOps.dfCapped(oldIndex.unionByName(batchPostings), TextOps.DF_CAP)
+    }
+
   val all: Seq[GraftQuery] = Seq(dedupSorted, dedupSortedMulti, dedupIncremental)
 }

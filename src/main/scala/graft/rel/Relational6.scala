@@ -317,9 +317,28 @@ object Relational6 {
     }
   }
 
+  /** The same inequality join through the STATS-DRIVEN CHOOSER
+    * (graft.joins.NonEquiJoins.lessThanJoinAuto): one sampled-stats pass
+    * routes to static-bucket / quantile-bucket / IEJoin sort-merge per the
+    * BASELINE.md head-to-head measurements, so a caller gets the
+    * measured-best physical shape without reading the benchmarks.  Oracle
+    * is the same inequality-join SQL — whichever shape the stats pick,
+    * results are identical (NonEquiJoinsSpec asserts the routing itself on
+    * skewed / dense / moderate inputs). */
+  val joinThetaAuto: GraftQuery = GraftQuery("q_join_theta_auto",
+    """SELECT s_suppkey, count(*) AS n_richer, max(c_acctbal) AS max_cbal
+      |FROM supplier JOIN customer ON s_acctbal < c_acctbal
+      |GROUP BY s_suppkey""".stripMargin) { (spark, sfDir) =>
+    val s = supplier(spark, sfDir).select("s_suppkey", "s_acctbal")
+    val c = customer(spark, sfDir).select("c_custkey", "c_acctbal")
+    graft.joins.NonEquiJoins.lessThanJoinAuto(s, c, "s_acctbal", "c_acctbal")
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_richer"), max("c_acctbal").as("max_cbal"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(joinThetaIneqQuantile, joinBandRuleLong, joinThetaIneqSorted,
       scalarMap, lateralExplode, joinIntervalVar, joinFuzzy, joinFuzzy2,
       sampleStratified,
-      sqlTpchQ10, sqlTpchQ14, joinTheta2pred)
+      sqlTpchQ10, sqlTpchQ14, joinTheta2pred, joinThetaAuto)
 }

@@ -284,4 +284,55 @@ class NonEquiJoinsSpec extends AnyFunSuite {
         s"expected the grid equi join to shuffle-hash or sort-merge:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  // ---- stats-driven inequality-join chooser (lessThanJoinAuto): each
+  // input shape must route to the BASELINE.md-measured winner, and the
+  // routed join must stay exact.
+
+  test("chooser routes a hot-cell-over-budget (zipfian) input to quantile bucketing") {
+    // u^8 zipfian: the hottest of 32 uniform cells carries most of the
+    // mass (measured 65-84% in SkewStress).  With the cell-row budget
+    // below hotFrac*n — the executor-memory margin at 100 TB — planned
+    // balance is mandatory.
+    val r = new scala.util.Random(7)
+    val z = (1 to 2000).map(i => (i.toLong, math.pow(r.nextDouble(), 8) * 1000))
+      .toDF("idz", "vz")
+    val u = (1 to 500).map(i => (i.toLong, r.nextDouble() * 1000)).toDF("idu", "vu")
+    val st = lessThanStats(u, z, "vu", "vz")
+    assert(st.hotCellFrac > 0.5, s"zipfian sample should concentrate: $st")
+    assert(lessThanStrategy(st, cellRowBudget = st.nRight / 4) == "quantile", st.toString)
+  }
+
+  test("chooser routes a moderate uniform input to the IEJoin sort-merge") {
+    val r = new scala.util.Random(8)
+    val a = (1 to 800).map(i => (i.toLong, r.nextDouble() * 1000)).toDF("ida", "va")
+    val b = (1 to 800).map(i => (i.toLong, r.nextDouble() * 1000)).toDF("idb", "vb")
+    val st = lessThanStats(a, b, "va", "vb")
+    assert(st.hotCellFrac < 0.25, s"uniform sample should spread: $st")
+    // ~n²/2 estimated pairs sit far under the default dense bar
+    assert(lessThanStrategy(st) == "iejoin", st.toString)
+  }
+
+  test("chooser routes an over-dense output to the codegen-fusable static bucketing") {
+    val r = new scala.util.Random(9)
+    val a = (1 to 800).map(i => (i.toLong, r.nextDouble() * 1000)).toDF("ida", "va")
+    val b = (1 to 800).map(i => (i.toLong, r.nextDouble() * 1000)).toDF("idb", "vb")
+    val st = lessThanStats(a, b, "va", "vb")
+    // past the bar where the shapes measured at parity, prefer the shape
+    // that fuses with downstream aggregation
+    assert(lessThanStrategy(st, densePairBar = 1000L) == "static", st.toString)
+  }
+
+  test("lessThanJoinAuto is exact under every routing") {
+    val r = new scala.util.Random(10)
+    val a = (1 to 300).map(i => (i.toLong, r.nextDouble() * 100)).toDF("ida", "va")
+    val b = (1 to 300).map(i => (i.toLong, r.nextDouble() * 100)).toDF("idb", "vb")
+    val naive = a.crossJoin(b).filter($"va" < $"vb")
+    // three parameterizations forcing each route on the same input
+    assertSameRows(lessThanJoinAuto(a, b, "va", "vb"), naive) // iejoin
+    assertSameRows(
+      lessThanJoinAuto(a, b, "va", "vb", densePairBar = 1L), naive) // static
+    assertSameRows(
+      lessThanJoinAuto(a, b, "va", "vb", cellRowBudget = 1L), naive) // quantile
+  }
 }
