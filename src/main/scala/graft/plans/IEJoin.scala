@@ -30,10 +30,13 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType,
   * not network.
   *
   * Scale posture: partition sizes are balanced by the data-driven quantile
-  * boundaries (skew-proof like the M-Bucket-I analog); per-partition
-  * buffers hold ~|input|/buckets rows — pick `buckets` so cells fit
-  * executor memory (a production version would swap the ArrayBuffer for
-  * Spark's spillable ExternalAppendOnlyUnsafeRowArray; same merge).
+  * boundaries (skew-proof like the M-Bucket-I analog), and NOTHING is
+  * array-buffered in memory: the per-cell sort rides the shuffle
+  * (repartitionAndSortWithinPartitions → ExternalSorter, spills), and the
+  * growing left prefix lives in the same spillable buffer WindowExec uses
+  * (ExternalAppendOnlyUnsafeRowArray via graft's sql bridge) — a hot cell
+  * degrades to disk instead of OOM, honoring the windowExec buffer
+  * spill-threshold confs.
   */
 case class LessThanJoinNode(
     left: LogicalPlan, right: LogicalPlan,
@@ -50,6 +53,19 @@ object IEJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     case LessThanJoinNode(l, r, lk, rk, b) =>
       LessThanJoinExec(lk, rk, b, planLater(l), planLater(r)) :: Nil
     case _ => Nil
+  }
+}
+
+/** Key ordering for the shuffle sort: by cell, then by the join key in
+  * its NATIVE type ordering (exact past 2^53 for longs).  The interpreted
+  * ordering is re-derived per JVM from the serializable DataType. */
+private final class CellKeyOrdering(keyType: org.apache.spark.sql.types.DataType)
+    extends Ordering[(Int, Any)] with Serializable {
+  @transient private lazy val ord =
+    TypeUtils.getInterpretedOrdering(keyType).asInstanceOf[Ordering[Any]]
+  override def compare(a: (Int, Any), b: (Int, Any)): Int = {
+    val c = Integer.compare(a._1, b._1)
+    if (c != 0) c else ord.compare(a._2, b._2)
   }
 }
 
@@ -79,57 +95,89 @@ case class LessThanJoinExec(
     }
     val part = new Partitioner {
       override def numPartitions: Int = numCells
-      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      override def getPartition(key: Any): Int = key.asInstanceOf[(Int, Any)]._1
     }
     val lOut = left.output
     val rOut = right.output
     val lk = BindReferences.bindReference(lKey, lOut)
     val rk = BindReferences.bindReference(rKey, rOut)
+    // spill thresholds: the same knobs WindowExec's buffer honors
+    val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+    val inMemRows = sqlConf.windowExecBufferInMemoryThreshold
+    val spillRows = sqlConf.windowExecBufferSpillThreshold
+    val spillBytes = sqlConf.windowExecBufferSpillSizeThreshold
 
     // left row with x in cell c can only match right rows in cells >= c
     // (right cell r holds y > bounds(r-1) >= any x of cells < r): replicate
-    // left to its suffix of cells, right keeps its single cell
-    val lTagged: RDD[(Int, UnsafeRow)] = left.execute().mapPartitions { iter =>
+    // left to its suffix of cells, right keeps its single cell.  Keys carry
+    // (cell, joinKey) so the SHUFFLE performs the per-cell sort — Spark's
+    // sort-based shuffle (ExternalSorter) spills it, so no side is ever
+    // array-buffered in memory for sorting.
+    val lTagged: RDD[((Int, Any), UnsafeRow)] = left.execute().mapPartitions { iter =>
       val toUnsafe = UnsafeProjection.create(lOut.map(_.dataType).toArray)
       iter.flatMap { row =>
         val k = lk.eval(row)
         if (k == null) Iterator.empty
         else {
           val u = toUnsafe(row).copy()
-          (cellOf(toDouble(k)) until numCells).iterator.map(c => (c, u))
+          (cellOf(toDouble(k)) until numCells).iterator.map(c => ((c, k), u))
         }
       }
     }
-    val rTagged: RDD[(Int, UnsafeRow)] = right.execute().mapPartitions { iter =>
+    val rTagged: RDD[((Int, Any), UnsafeRow)] = right.execute().mapPartitions { iter =>
       val toUnsafe = UnsafeProjection.create(rOut.map(_.dataType).toArray)
       iter.flatMap { row =>
         val k = rk.eval(row)
         if (k == null) Iterator.empty
-        else Iterator.single((cellOf(toDouble(k)), toUnsafe(row).copy()))
+        else Iterator.single(((cellOf(toDouble(k)), k), toUnsafe(row).copy()))
       }
     }
-    val lCells = lTagged.partitionBy(part).values
-    val rCells = rTagged.partitionBy(part).values
+    implicit val kOrd: Ordering[(Int, Any)] = new CellKeyOrdering(keyType)
+    import org.apache.spark.rdd.RDD.rddToOrderedRDDFunctions
+    val lCells = lTagged.repartitionAndSortWithinPartitions(part)
+    val rCells = rTagged.repartitionAndSortWithinPartitions(part)
     val outSchema = (lOut ++ rOut).map(_.dataType).toArray
-    lCells.zipPartitions(rCells) { (lIter, rIter) =>
-      val ord = TypeUtils.getInterpretedOrdering(keyType)
-      val ls = lIter.map(r => (lk.eval(r), r)).toArray
-        .sortBy(_._1)(ord.asInstanceOf[Ordering[Any]])
-      val rs = rIter.map(r => (rk.eval(r), r)).toArray
-        .sortBy(_._1)(ord.asInstanceOf[Ordering[Any]])
-      if (ls.isEmpty || rs.isEmpty) Iterator.empty
-      else {
-        val project = UnsafeProjection.create(outSchema)
-        val joined = new JoinedRow
-        var li = 0
-        rs.iterator.flatMap { case (y, rRow) =>
-          // y ascends, so the split pointer only moves forward: total
-          // pointer work is O(|ls|) per cell, and every emitted pair costs
-          // no comparison at all
-          while (li < ls.length && ord.asInstanceOf[Ordering[Any]].compare(ls(li)._1, y) < 0) li += 1
-          val hi = li
-          (0 until hi).iterator.map { j => project(joined(ls(j)._2, rRow)) }
-        }
+    lCells.zipPartitions(rCells) { (lIt, rIt) =>
+      val ord = TypeUtils.getInterpretedOrdering(keyType).asInstanceOf[Ordering[Any]]
+      val project = UnsafeProjection.create(outSchema)
+      val joined = new JoinedRow
+      val lBuf = lIt.buffered
+      val rBuf = rIt.buffered
+      // The growing left prefix lives in a SPILLABLE buffer (the WindowExec
+      // buffer), so a hot cell degrades to disk instead of OOM; right rows
+      // are consumed in prefix-constant RUNS of <= RunSize so one replay of
+      // the (possibly spilled) prefix serves the whole run — the replay
+      // cost amortizes to 1/RunSize per emitted pair.
+      val buf = new org.apache.spark.sql.SpillableRowBuffer(inMemRows, spillRows, spillBytes)
+      val RunSize = 4096
+      new scala.collection.AbstractIterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        @annotation.tailrec
+        private def advance(): Boolean =
+          if (cur.hasNext) true
+          else if (!rBuf.hasNext) false
+          else {
+            val y = rBuf.head._1._2
+            while (lBuf.hasNext && ord.compare(lBuf.head._1._2, y) < 0)
+              buf.add(lBuf.next()._2)
+            if (buf.isEmpty) { rBuf.next(); advance() }
+            else {
+              // run: consecutive right rows admitting no further left rows
+              val run = new scala.collection.mutable.ArrayBuffer[UnsafeRow](16)
+              var grow = true
+              while (grow && rBuf.hasNext && run.length < RunSize) {
+                val k = rBuf.head._1._2
+                if (lBuf.hasNext && ord.compare(lBuf.head._1._2, k) < 0) grow = false
+                else run += rBuf.next()._2
+              }
+              cur = buf.iterator.flatMap(lRow =>
+                run.iterator.map(rRow => project(joined(lRow, rRow))))
+              advance()
+            }
+          }
+        override def hasNext: Boolean = advance()
+        override def next(): InternalRow =
+          if (advance()) cur.next() else throw new NoSuchElementException
       }
     }
   }

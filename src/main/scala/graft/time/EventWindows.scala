@@ -29,6 +29,11 @@ object EventWindows {
       .select(unix_micros(col("w.start")).as("wstart_us"),
         col("event_type"), col("n"), col("sum_val"))
 
+  def slidingOnTs(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("wstart_us"), col("event_type"), col("n"))
+
   def sessionOnTs(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     ev.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -53,10 +58,8 @@ object EventWindows {
        |  event_type, count(*) AS n
        |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
        |GROUP BY 1, 2""".stripMargin) { (spark, sfDir) =>
-    eventsUs(spark, sfDir)
-      .groupBy(window(timestamp_micros(col("ts_us")), "1 day", "6 hours").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(unix_micros(col("w.start")).as("wstart_us"), col("event_type"), col("n"))
+    slidingOnTs(eventsUs(spark, sfDir)
+      .withColumn("ts", timestamp_micros(col("ts_us"))))
   }
 
   /** Session windows (30-min gap) per user.  The oracle is the classic

@@ -8,6 +8,26 @@ import org.apache.spark.sql.classic.{DataFrame, Dataset, SparkSession}
   * `Dataset.ofRows`.  This is the standard extension-library technique —
   * no Spark internals are modified, we only re-export one constructor.
   */
+/** Spillable append-only UnsafeRow buffer for custom physical operators —
+  * re-exports the package-private
+  * `execution.ExternalAppendOnlyUnsafeRowArray` (the buffer WindowExec /
+  * SortMergeJoin / CartesianProduct use): rows are held in memory up to
+  * `inMemRows`, then handed to an UnsafeExternalSorter that spills to disk
+  * past `spillRows`/`spillBytes` — so a custom operator's per-partition
+  * buffer degrades to disk instead of OOM.  MUST be constructed inside a
+  * task (the underlying array grabs `TaskContext.get` for spill
+  * accounting); `iterator` may be called repeatedly (each call replays
+  * from memory or the spill files). */
+final class SpillableRowBuffer(inMemRows: Int, spillRows: Int, spillBytes: Long) {
+  private val arr = new execution.ExternalAppendOnlyUnsafeRowArray(
+    inMemRows, spillBytes, spillRows, spillBytes)
+  def add(r: org.apache.spark.sql.catalyst.expressions.UnsafeRow): Unit = arr.add(r)
+  def isEmpty: Boolean = arr.isEmpty
+  def length: Int = arr.length
+  def iterator: Iterator[org.apache.spark.sql.catalyst.expressions.UnsafeRow] =
+    arr.generateIterator()
+}
+
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)

@@ -53,6 +53,31 @@ class IEJoinSpec extends AnyFunSuite {
     assert(pairsOf(IEJoin(la, lb, "va", "vb")) == Set((1L, 10L)))
   }
 
+  test("spill path: tiny window-buffer thresholds force disk, results stay exact") {
+    // the left-prefix buffer honors the windowExec buffer confs; pinning
+    // them to a handful of rows forces BOTH the in-memory->sorter handoff
+    // and sorter spills, on a join whose prefix buffer (hundreds of rows
+    // per cell) far exceeds them — the run-replay merge must read back
+    // identical rows from the spill files
+    val keys = Seq(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "4",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "8")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val r = new scala.util.Random(33)
+      val a = (1 to 500).map(i => (i.toLong, (r.nextInt(60) * 2).toDouble)).toDF("ida", "va")
+      val b = (1 to 500).map(i => (1000L + i, (r.nextInt(60) * 2).toDouble)).toDF("idb", "vb")
+      val got = pairsOf(IEJoin(a, b, "va", "vb"))
+      val expected = pairsOf(a.join(b, $"va" < $"vb"))
+      assert(got == expected && got.size > 10000,
+        s"spilled merge diverged: got=${got.size} expected=${expected.size}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("long keys past 2^53 compare exactly (double view is routing-only)") {
     // adjacent longs above 2^53 collapse to one double; the merge must
     // still see base < base+1 (and NOT base+1 < base+1)

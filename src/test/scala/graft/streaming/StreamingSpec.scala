@@ -330,6 +330,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-batch parity: streaming sliding output is bit-identical to q_stream_sliding") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val (chunks, sentinel) = replayedEvents()
+    val mem = MemoryStream[PE]
+    val q = graft.time.EventWindows.slidingOnTs(
+        mem.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("parity_slide").outputMode("append").start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      mem.addData(PE(sentinel, -1L, "__sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("parity_slide")
+        .filter(col("event_type") =!= "__sentinel")
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      val batch = graft.Queries.queries("q_stream_sliding")(spark, graft.TestSpark.sf)
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      assert(batch.nonEmpty && streamed == batch,
+        s"streaming sliding diverged from batch: stream=${streamed.size} rows, batch=${batch.size} rows")
+    } finally q.stop()
+  }
+
   test("stream-batch parity: streaming session output is bit-identical to q_stream_session") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
