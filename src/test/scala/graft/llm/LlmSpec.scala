@@ -230,6 +230,32 @@ class LlmSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("large/small-star survives constraint-carrying filtered inputs (CCStress regression)") {
+    // Regression for the round-10 CCStress find: a Union whose children
+    // shared the checkpointed round frame's lineage crashed Spark's
+    // UnionBase constraint rewriting (key-not-found on a stale exprId
+    // after DeduplicateRelations) whenever the INPUT plan carried filter
+    // constraints — exactly this shape: range -> filter -> union of two
+    // derivations.  The star rounds are now union-free; this input must
+    // converge and label exactly.
+    val g = 100L
+    val n = 2000L
+    val ids = spark.range(n)
+    val chain = ids
+      .filter(pmod($"id" + 1, lit(g)) =!= 0 && $"id" + 1 < n)
+      .select($"id".as("ia"), ($"id" + 1).as("ib"))
+    val chords = ids
+      .select($"id", explode(sequence(lit(0), lit(2))).as("j"))
+      .select($"id".as("ia"),
+        ($"id" - pmod($"id", lit(g)) + pmod(xxhash64($"id", $"j"), lit(g))).as("ib"))
+      .filter($"ia" =!= $"ib" && $"ib" < n)
+    val (labels, rounds) = DedupCluster.largeSmallStar(chain.unionByName(chords))
+    val bad = labels.filter($"comp" =!= $"id" - pmod($"id", lit(g))).count()
+    assert(bad == 0, "labels must equal each node's group base")
+    assert(labels.count() == n)
+    assert(rounds <= math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 5)
+  }
+
   test("staged cache is FIFO-bounded: rebuilt entries stay correct") {
     import graft.io.Staged
     var builds = 0
