@@ -20,6 +20,13 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * O(groups·k) — the right shape when k << group size (top-k per user over
   * a 100 TB event log).  It declares ClusteredDistribution on the group
   * keys, so the planner inserts only the hash Exchange; no sort anywhere.
+  * Memory posture at scale: the final pass holds
+  * (total groups / shuffle partitions)·k rows per task — bounded by
+  * RAISING `spark.sql.shuffle.partitions`, the same knob that sizes every
+  * hash aggregate; k-heaps never hold more than k rows per group by
+  * construction, so there is no skew amplification to spill for (a hot
+  * GROUP costs k rows regardless of its row count — unlike a hash
+  * aggregate whose hot-key state can grow).
   *
   * Pieces: logical node + planner Strategy (injected via GraftExtensions or
   * `spark.experimental.extraStrategies`) + physical exec with a codegen'd
