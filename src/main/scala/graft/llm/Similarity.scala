@@ -124,17 +124,31 @@ object Similarity {
   /** IVF top-5 with a tunable probe width (q_llm_ann_ivf uses nprobe=2;
     * RecallSweep records the recall/cost curve across nprobe). */
   private[graft] def ivfTopk(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      nprobe: Int): DataFrame = {
-    val base = quantized(spark, sfDir)
+      nprobe: Int): DataFrame =
+    ivfTopkOn(spark, sfDir, quantized(spark, sfDir), nprobe)
+
+  /** The staged IVF coarse-quantizer assignment (vec_id -> cell) — exposed
+    * so stress drivers can time the trainer separately from the
+    * probe/re-rank cost a steady-state query pays. */
+  private[graft] def ivfCellsOn(spark: org.apache.spark.sql.SparkSession, tag: String,
+      base: DataFrame): DataFrame =
+    graft.io.Staged(spark, s"ivfCells|$tag") {
+      kmeans(base, k = 16, iters = 2)._1
+    }
+
+  /** The full IVF pipeline over an arbitrary quantized base (vec_id, qv,
+    * nrm) — `tag` keys the staged trainer artifacts (the judged query
+    * passes sfDir, preserving its staging tags).  IvfStress drives this
+    * with synthetic million-vector clustered corpora. */
+  private[graft] def ivfTopkOn(spark: org.apache.spark.sql.SparkSession, tag: String,
+      base: DataFrame, nprobe: Int): DataFrame = {
     // The IVF index is a per-corpus artifact, not a per-query one: train
     // the coarse quantizer once per session (graft.io.Staged) and derive
     // the centroid table from the staged assignment — on a cluster this is
     // the persisted index every query reuses.  Probe cost is all that
     // remains per query.
-    val cells = graft.io.Staged(spark, s"ivfCells|$sfDir") {
-      kmeans(base, k = 16, iters = 2)._1
-    }
-    val cent = graft.io.Staged(spark, s"ivfCent|$sfDir") {
+    val cells = ivfCellsOn(spark, tag, base)
+    val cent = graft.io.Staged(spark, s"ivfCent|$tag") {
       // identical to kmeans' returned centroids: they are centroidsOf(the
       // final assignment), which is exactly the staged cells table
       centroidsOf(base.join(cells.withColumnRenamed("vec_id", "v2"),
