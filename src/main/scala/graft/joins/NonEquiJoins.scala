@@ -312,6 +312,42 @@ object NonEquiJoins {
       .drop("__pb")
   }
 
+  /** Sampled median interval length — the bucket-width statistic for the
+    * interval-join family.  Replication per interval is O(len / width), so
+    * width ≈ the median length keeps replication a small constant for the
+    * typical row while each point still probes exactly one bucket; a
+    * caller-guessed width that is 100× too small replicates every interval
+    * 100×, and 100× too large degrades bucketing to an all-in-one-cell
+    * join.  One deterministic bounded sample (same posture as
+    * [[lessThanStats]]; a 100 TB deployment substitutes TABLESAMPLE or
+    * column statistics). */
+  def medianIntervalWidth(
+      intervals: DataFrame, startCol: String, endCol: String,
+      sampleSize: Int = 2048): Long = {
+    val lens = intervals
+      .select((col(endCol).cast(LongType) - col(startCol).cast(LongType)).as("len"))
+      .filter(col("len") > 0)
+    val n = lens.count()
+    if (n == 0) return 1L
+    val frac = if (n <= sampleSize) 1.0 else math.min(1.0, sampleSize * 4.0 / n)
+    val sample = lens.sample(withReplacement = false, frac, 42L)
+      .limit(sampleSize).collect().map(_.getLong(0)).sorted
+    if (sample.isEmpty) 1L else math.max(1L, sample(sample.length / 2))
+  }
+
+  /** [[pointInIntervalJoin]] with a STATS-DRIVEN bucket width (the sampled
+    * median interval length) — the interval-family counterpart of
+    * [[lessThanJoinAuto]]: callers get the replication/probe balance the
+    * operator's scaladoc prescribes without supplying the tuning knob.
+    * Exactness is unaffected (the width only moves cost). */
+  def pointInIntervalJoinAuto(
+      points: DataFrame, intervals: DataFrame,
+      pCol: String, startCol: String, endCol: String,
+      extraKeys: Seq[(String, String)] = Nil,
+      sampleSize: Int = 2048): DataFrame =
+    pointInIntervalJoin(points, intervals, pCol, startCol, endCol,
+      medianIntervalWidth(intervals, startCol, endCol, sampleSize), extraKeys)
+
   /** Interval-interval overlap join with VARIABLE lengths on BOTH sides:
     * pairs whose half-open windows [lStart, lEnd) and [rStart, rEnd)
     * overlap, under extra equi keys.  The general form of the theta-join

@@ -220,7 +220,36 @@ object Relational4 {
         (col("p") - col("s")).as("lag_us"))
   }
 
+  /** The same point-in-interval join with the STATS-DRIVEN bucket width
+    * (NonEquiJoins.pointInIntervalJoinAuto: sampled median interval
+    * length instead of a caller-guessed constant) — same oracle, since
+    * the width only moves cost, never results.  With window lengths of
+    * 1-12 h the sampled median lands near 6 h, the hand-tuned width the
+    * sibling query uses. */
+  val joinPointIntervalAuto: GraftQuery = GraftQuery("q_join_point_interval_auto",
+    """WITH iv AS (SELECT event_id AS ia, user_id AS ua, epoch_us(ts) AS s,
+      |              epoch_us(ts) + (1 + event_id % 12) * 3600000000 AS e
+      |            FROM events WHERE event_type = 'purchase'),
+      |     pt AS (SELECT event_id AS ib, user_id AS ub, epoch_us(ts) AS p
+      |            FROM events WHERE event_type = 'click')
+      |SELECT ia, ib, ua AS user_id, p - s AS lag_us
+      |FROM iv JOIN pt ON ua = ub AND p >= s AND p < e""".stripMargin) { (spark, sfDir) =>
+    val ev = eventsUs(spark, sfDir)
+    val iv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("ia"), col("user_id").as("ua"),
+        col("ts_us").as("s"),
+        (col("ts_us") + (lit(1L) + pmod(col("event_id"), lit(12L))) * 3600000000L).as("e"))
+    val pt = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("ib"), col("user_id").as("ub"),
+        col("ts_us").as("p"))
+    NonEquiJoins.pointInIntervalJoinAuto(pt, iv, "p", "s", "e",
+        extraKeys = Seq("ub" -> "ua"))
+      .select(col("ia"), col("ib"), col("ua").as("user_id"),
+        (col("p") - col("s")).as("lag_us"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(scanOrcRoundtrip, scanAvroRoundtrip, setopsAll, aggBitwise,
-      scalarStruct, tsGapfill, windowRangeTime, sqlTpchQ3, joinPointInterval)
+      scalarStruct, tsGapfill, windowRangeTime, sqlTpchQ3, joinPointInterval,
+      joinPointIntervalAuto)
 }

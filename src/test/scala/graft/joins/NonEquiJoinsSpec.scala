@@ -323,6 +323,24 @@ class NonEquiJoinsSpec extends AnyFunSuite {
     assert(lessThanStrategy(st, densePairBar = 1000L) == "static", st.toString)
   }
 
+  test("medianIntervalWidth recovers the median length; auto interval join stays exact") {
+    val r = new scala.util.Random(11)
+    // lengths 10..1000, median ~500; zero/negative-length rows are ignored
+    val iv = (1 to 600).map { i =>
+      val s = r.nextInt(100000).toLong
+      (i.toLong, s, s + 10 + r.nextInt(991))
+    }.toDF("iid", "s", "e")
+      .unionByName(Seq((9999L, 50L, 50L)).toDF("iid", "s", "e")) // zero-length
+    val w = medianIntervalWidth(iv, "s", "e")
+    assert(w >= 300 && w <= 700, s"median-length width out of band: $w")
+    val pts = (1 to 400).map(i => (10000L + i, r.nextInt(101000).toLong)).toDF("pid", "p")
+    val fast = pointInIntervalJoinAuto(pts, iv, "p", "s", "e")
+      .select("pid", "iid")
+    val naive = pts.crossJoin(iv).filter($"p" >= $"s" && $"p" < $"e")
+      .select("pid", "iid")
+    assertSameRows(fast, naive)
+  }
+
   test("lessThanJoinAuto is exact under every routing") {
     val r = new scala.util.Random(10)
     val a = (1 to 300).map(i => (i.toLong, r.nextDouble() * 100)).toDF("ida", "va")
