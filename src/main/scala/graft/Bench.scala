@@ -58,6 +58,8 @@ object Bench {
       // must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+      // keep ANN probe-key IN filters pushdown-eligible (see DevSession)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (scheduler, codegen, shuffle machinery) so init cost

@@ -18,6 +18,11 @@ object DevSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+      // ANN probe pruning pushes up to Similarity.ProbePruneCap (4096)
+      // bucket keys as a parquet IN filter; past this threshold Spark
+      // degrades IN pushdown to a min/max range, which prunes nothing on
+      // a probe set spread across hash tables.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
     spark

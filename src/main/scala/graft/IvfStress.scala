@@ -59,19 +59,33 @@ object IvfStress {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val bruteSec = (System.nanoTime() - t0) / 1e9
 
+    // Deployment shape: the inverted file is a DURABLE parquet artifact
+    // (staging-dir mode) clustered by cell, so the probe's pushed
+    // `cell IN (…)` filter prunes the vector scan to ≈ nprobe/k of the
+    // corpus — measure THAT, not the localCheckpoint stand-in.
+    val staging = s"target/ivf-stress-staging-$n"
+    spark.conf.set("spark.graft.staging.dir", staging)
+
     val tag = s"ivfstress:$n"
-    // stage 1: trainer + assignment (the IVF index build)
+    // stage 1: trainer + assignment + inverted-file publish (the index)
     val tIdx = System.nanoTime()
-    val nAssigned = graft.llm.Similarity.ivfCellsOn(spark, tag, base).count()
+    val nAssigned = graft.llm.Similarity.ivfIndexedOn(spark, tag, base).count()
     val idxSec = (System.nanoTime() - tIdx) / 1e9
-    // stage 2: steady-state query — probe nprobe cells + exact re-rank
+    // stage 2: steady-state query — probe nprobe cells + exact re-rank,
+    // pruned (pushed cell filter) vs unpruned (full corpus scan)
     val t1 = System.nanoTime()
     val ivf = graft.llm.Similarity.ivfTopkOn(spark, tag, base, nprobe)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val querySec = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val ivfFull = graft.llm.Similarity.ivfTopkOn(spark, tag, base, nprobe, prune = false)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queryFullSec = (System.nanoTime() - t2) / 1e9
+    require(ivf == ivfFull, "prune changed the result set")
     val recall = (brute & ivf).size.toDouble / brute.size
 
-    println(f"""{"stress":"ivf","vectors":$n,"clusters":$nClusters,"k":16,"nprobe":$nprobe,"recall5":$recall%.3f,"assigned":$nAssigned,"index_sec":$idxSec%.1f,"query_sec":$querySec%.1f,"brute_sec":$bruteSec%.1f}""")
+    println(f"""{"stress":"ivf","vectors":$n,"clusters":$nClusters,"k":16,"nprobe":$nprobe,"recall5":$recall%.3f,"assigned":$nAssigned,"index_sec":$idxSec%.1f,"query_sec":$querySec%.1f,"query_full_sec":$queryFullSec%.1f,"brute_sec":$bruteSec%.1f}""")
     spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
   }
 }

@@ -54,25 +54,39 @@ object LshStress {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val bruteSec = (System.nanoTime() - t0) / 1e9
 
+    // Deployment shape: the postings index is a DURABLE parquet artifact
+    // (graft.io.Staged staging-dir mode), published sorted by tb so the
+    // probe's pushed IN filter prunes the scan — measure THAT, not the
+    // localCheckpoint stand-in.
+    val staging = s"target/lsh-stress-staging-$n"
+    spark.conf.set("spark.graft.staging.dir", staging)
+
     val tag = s"stress:$n"
-    // stage 1: the one-time postings index build (staged; queries reuse it)
+    // stage 1: the one-time postings index build+publish (staged; queries
+    // reuse the artifact)
     val tIdx = System.nanoTime()
     val nPostings = graft.llm.Similarity.lshPostingsOn(spark, tag, base).count()
     val idxSec = (System.nanoTime() - tIdx) / 1e9
-    // stage 2: steady-state query cost — probes + candidate join over the
-    // already-staged index
+    // stage 2: steady-state candidate cost over the artifact — pruned
+    // (pushed probe-key IN filter) vs unpruned (full index scan)
     val tCand = System.nanoTime()
     val nCand = graft.llm.Similarity.lshCandidatesOn(spark, tag, base, nprobe, 16).count()
     val candSec = (System.nanoTime() - tCand) / 1e9
+    val tCandF = System.nanoTime()
+    val nCandF = graft.llm.Similarity
+      .lshCandidatesOn(spark, tag, base, nprobe, 16, prune = false).count()
+    val candFullSec = (System.nanoTime() - tCandF) / 1e9
+    require(nCand == nCandF, s"prune changed the candidate set: $nCand vs $nCandF")
     val frac = nCand.toDouble / 10 / n
-    // stage 3: full pipeline (probes + candidates + exact re-rank)
+    // stage 3: full pipeline (probes + pruned candidates + exact re-rank)
     val t1 = System.nanoTime()
     val lsh = graft.llm.Similarity.lshTopkOn(spark, tag, base, nprobe, 16)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lshSec = (System.nanoTime() - t1) / 1e9
     val recall = (brute & lsh).size.toDouble / brute.size
 
-    println(f"""{"stress":"lsh","vectors":$n,"tables":16,"nprobe":$nprobe,"recall5":$recall%.3f,"scan_frac":$frac%.4f,"postings":$nPostings,"index_sec":$idxSec%.1f,"query_sec":$candSec%.1f,"rerank_sec":$lshSec%.1f,"brute_sec":$bruteSec%.1f}""")
+    println(f"""{"stress":"lsh","vectors":$n,"tables":16,"nprobe":$nprobe,"recall5":$recall%.3f,"scan_frac":$frac%.4f,"postings":$nPostings,"index_sec":$idxSec%.1f,"query_sec":$candSec%.1f,"query_full_sec":$candFullSec%.1f,"rerank_sec":$lshSec%.1f,"brute_sec":$bruteSec%.1f}""")
     spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
   }
 }

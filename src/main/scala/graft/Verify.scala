@@ -14,6 +14,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+      // keep ANN probe-key IN filters pushdown-eligible (see DevSession)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

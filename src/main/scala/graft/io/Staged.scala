@@ -82,7 +82,13 @@ object Staged {
     s"$n:$bytes:$mtime"
   }
 
-  def apply(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
+  /** `writeOptions` flow to the parquet writer in staging-dir mode only
+    * (e.g. `parquet.block.size` for artifacts whose consumers rely on
+    * row-group-stat pruning and want finer granularity than the 128 MB
+    * default).  They are not part of the cache key: one tag = one
+    * artifact layout, chosen by the artifact's builder. */
+  def apply(spark: SparkSession, tag: String,
+      writeOptions: Map[String, String] = Map.empty)(build: => DataFrame): DataFrame =
     synchronized {
       // entries of stopped contexts are dead weight — drop them before
       // growing the cache; live sibling contexts are left alone
@@ -108,7 +114,7 @@ object Staged {
               // carrying a _SUCCESS marker is ever deleted.
               val tmp = new org.apache.hadoop.fs.Path(
                 dir.getParent, s".tmp-${java.util.UUID.randomUUID()}")
-              build.write.mode("overwrite").parquet(tmp.toString)
+              build.write.options(writeOptions).mode("overwrite").parquet(tmp.toString)
               // POSIX-strict publish via FileContext: FileSystem.rename on
               // HDFS/LocalFileSystem "succeeds" against an existing target
               // directory by moving the source INSIDE it (leaking a nested

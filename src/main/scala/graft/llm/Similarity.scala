@@ -140,22 +140,37 @@ object Similarity {
     * nrm) — `tag` keys the staged trainer artifacts (the judged query
     * passes sfDir, preserving its staging tags).  IvfStress drives this
     * with synthetic million-vector clustered corpora. */
+  /** The staged INVERTED FILE: the corpus vectors joined to their cell
+    * assignment and PUBLISHED CLUSTERED BY cell (range partitioning +
+    * within-partition sort) — the literal IVF layout.  In staging-dir
+    * mode a probe's pushed `cell IN (…)` filter then prunes the vector
+    * scan itself to the probed cells via file/row-group stats: the
+    * steady-state query reads ≈ nprobe/k of the corpus instead of all of
+    * it.  Built once per corpus; every query batch reuses it. */
+  private[graft] def ivfIndexedOn(spark: org.apache.spark.sql.SparkSession, tag: String,
+      base: DataFrame): DataFrame = {
+    val cells = ivfCellsOn(spark, tag, base)
+    graft.io.Staged(spark, s"ivfIndexed|$tag") {
+      base.join(cells.withColumnRenamed("vec_id", "vid2"),
+          col("vec_id") === col("vid2")).drop("vid2")
+        .repartitionByRange(col("cell"))
+        .sortWithinPartitions("cell")
+    }
+  }
+
   private[graft] def ivfTopkOn(spark: org.apache.spark.sql.SparkSession, tag: String,
-      base: DataFrame, nprobe: Int): DataFrame = {
+      base: DataFrame, nprobe: Int, prune: Boolean = true): DataFrame = {
     // The IVF index is a per-corpus artifact, not a per-query one: train
     // the coarse quantizer once per session (graft.io.Staged) and derive
-    // the centroid table from the staged assignment — on a cluster this is
-    // the persisted index every query reuses.  Probe cost is all that
+    // the centroid table from the staged inverted file — on a cluster this
+    // is the persisted index every query reuses.  Probe cost is all that
     // remains per query.
-    val cells = ivfCellsOn(spark, tag, base)
+    val indexed = ivfIndexedOn(spark, tag, base)
     val cent = graft.io.Staged(spark, s"ivfCent|$tag") {
       // identical to kmeans' returned centroids: they are centroidsOf(the
-      // final assignment), which is exactly the staged cells table
-      centroidsOf(base.join(cells.withColumnRenamed("vec_id", "v2"),
-        col("vec_id") === col("v2")).select(col("cell"), col("qv")))
+      // final assignment), which is exactly the staged cell column
+      centroidsOf(indexed.select(col("cell"), col("qv")))
     }
-    val indexed = base.join(cells.withColumnRenamed("vec_id", "vid2"),
-      col("vec_id") === col("vid2")).drop("vid2")
     val queries = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
     val qdot = graft.fns.VecExpressions.numVecDot(spark, col("qq"), col("cv"))
@@ -165,10 +180,21 @@ object Similarity {
       .withColumn("cr", row_number().over(cellRank))
       .filter(col("cr") <= nprobe)
       .select(col("qid"), col("qq"), col("qn"), col("cell").as("pcell"))
+    // Probed-cell pruning, mirroring the LSH probe filter: ≤ Q·nprobe
+    // cell ids (tiny — one aggregate job over Q·k rows) pushed into the
+    // inverted-file scan.  A superset of the join keys → identical rows.
+    val scanned =
+      if (!prune) indexed
+      else {
+        val pcells = probed.select(col("pcell")).distinct()
+          .limit(ProbePruneCap + 1).collect().map(_.getLong(0))
+        if (pcells.length > ProbePruneCap) indexed
+        else indexed.filter(col("cell").isin(pcells.map(Long.box): _*))
+      }
     val sim = vecDot(spark, col("qq"), col("qv")).cast(DoubleType) /
       (sqrt(col("qn")) * sqrt(col("nrm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    indexed.join(broadcast(probed), col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+    scanned.join(broadcast(probed), col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
       .withColumn("sim", sim)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
@@ -220,12 +246,14 @@ object Similarity {
     * index's true scan cost, reported by RecallSweep as a corpus fraction. */
   private[graft] def lshCandidates(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       nprobe: Int, tables: Int = LshTables): DataFrame =
-    lshPartsOn(spark, sfDir, quantized(spark, sfDir), nprobe, tables)
+    lshPartsOn(spark, sfDir, quantized(spark, sfDir), nprobe, tables, prune = true)
 
-  /** Candidate set over an arbitrary base — LshStress's scan-cost probe. */
+  /** Candidate set over an arbitrary base — LshStress's scan-cost probe.
+    * `prune = false` bypasses the pushed probe-key filter (the stress
+    * drivers and the equality spec measure/check both paths). */
   private[graft] def lshCandidatesOn(spark: org.apache.spark.sql.SparkSession, tag: String,
-      base: DataFrame, nprobe: Int, tables: Int): DataFrame =
-    lshPartsOn(spark, tag, base, nprobe, tables)
+      base: DataFrame, nprobe: Int, tables: Int, prune: Boolean = true): DataFrame =
+    lshPartsOn(spark, tag, base, nprobe, tables, prune)
 
   private[graft] def lshTopk(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       nprobe: Int, tables: Int = LshTables): DataFrame =
@@ -235,8 +263,8 @@ object Similarity {
     * nrm) — `tag` keys the staged postings index.  LshStress drives this
     * with synthetic million-vector corpora. */
   private[graft] def lshTopkOn(spark: org.apache.spark.sql.SparkSession, tag: String,
-      base: DataFrame, nprobe: Int, tables: Int): DataFrame = {
-    val cand = lshPartsOn(spark, tag, base, nprobe, tables)
+      base: DataFrame, nprobe: Int, tables: Int, prune: Boolean = true): DataFrame = {
+    val cand = lshPartsOn(spark, tag, base, nprobe, tables, prune)
     // exact re-rank: one vector fetch per distinct candidate + per query
     val qvecs = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid2"), col("qv").as("qq"), col("nrm").as("qn"))
@@ -271,23 +299,43 @@ object Similarity {
     arr
   }
 
-  /** The staged postings index: (vec_id, t, bucket) for every table — built
-    * once per tag; 3 longs per vector per table, no embeddings inside.
-    * Exposed so stress drivers can time the index build separately from the
-    * probe/re-rank cost a steady-state query actually pays.  One codegen'd
-    * kernel call per vector computes all table buckets; posexplode of its
-    * result IS the postings table. */
+  /** The staged postings index: (vec_id, tb) for every table, where
+    * `tb = t·2^planes + bucket` — a single long key per posting, no
+    * embeddings inside.  Exposed so stress drivers can time the index
+    * build separately from the probe/re-rank cost a steady-state query
+    * actually pays.  One codegen'd kernel call per vector computes all
+    * table buckets; posexplode of its result IS the postings table.
+    *
+    * PUBLISHED SORTED BY tb (range partitioning + within-partition sort),
+    * with small row groups, so in staging-dir mode a probe's pushed
+    * `tb IN (…)` filter prunes the artifact scan via file/row-group/page
+    * stats: the per-batch index term drops from O(index) to O(probed
+    * buckets).  In localCheckpoint mode the same filter evaluates
+    * row-wise (no stats to prune with) and merely pre-thins the join —
+    * results are identical either way. */
   private[graft] def lshPostingsOn(spark: org.apache.spark.sql.SparkSession, tag: String,
       base: DataFrame): DataFrame =
-    graft.io.Staged(spark, s"lshPostings$LshPlanes/$LshTables|$tag") {
+    graft.io.Staged(spark, s"lshPostings$LshPlanes/$LshTables|tb|$tag",
+        writeOptions = Map("parquet.block.size" -> (8 * 1024 * 1024).toString)) {
       base.select(col("vec_id"),
           posexplode(graft.fns.LshExpressions.lshBuckets(spark, col("qv"),
             lshSigns, LshTables, LshPlanes, EmbedDim)).as(Seq("t", "bucket")))
-        .select(col("vec_id"), col("t").cast(LongType).as("t"), col("bucket"))
+        .select(col("vec_id"),
+          (col("t").cast(LongType) * (1L << LshPlanes) + col("bucket")).as("tb"))
+        .repartitionByRange(col("tb"))
+        .sortWithinPartitions("tb")
     }
 
+  /** Probe-key count above which the pushed `IN` prune is skipped: the
+    * key list is collected to the driver and inlined into the scan
+    * filter, so it must stay small.  4096 matches the
+    * `spark.sql.parquet.pushdown.inFilterThreshold` our session builders
+    * set — beyond the threshold Spark falls back to a min/max range
+    * filter, which prunes nothing on a probe set spread across tables. */
+  private val ProbePruneCap = 4096
+
   private def lshPartsOn(spark: org.apache.spark.sql.SparkSession, tag: String,
-      base: DataFrame, nprobe: Int, tables: Int): DataFrame = {
+      base: DataFrame, nprobe: Int, tables: Int, prune: Boolean): DataFrame = {
     require(nprobe >= 1 && nprobe <= (1 << LshPlanes),
       s"nprobe must be in [1, ${1 << LshPlanes}], got $nprobe")
     require(tables >= 1 && tables <= LshTables,
@@ -319,12 +367,27 @@ object Similarity {
       .withColumn("__cost", maskCost)
       .withColumn("__pr", row_number().over(pw))
       .filter(col("__pr") <= nprobe)
-      .select(col("qid"), col("t"), col("qbucket").bitwiseXOR(col("__mask")).as("pbucket"))
+      .select(col("qid"),
+        (col("t") * (1L << LshPlanes) +
+          col("qbucket").bitwiseXOR(col("__mask"))).as("ptb"))
+    // Probe-scan pruning: the distinct probed bucket keys — bounded by
+    // Q·tables·nprobe, and the query set is broadcast-small by design —
+    // are collected (one tiny window job over Q·2^planes rows) and pushed
+    // into the postings scan as an `IN` filter.  A strict superset of the
+    // join keys, so the candidate set is unchanged; over the cap the
+    // filter is skipped and the join alone does the matching.
+    val scanned =
+      if (!prune) postings
+      else {
+        val keys = probes.select(col("ptb")).distinct()
+          .limit(ProbePruneCap + 1).collect().map(_.getLong(0))
+        if (keys.length > ProbePruneCap) postings
+        else postings.filter(col("tb").isin(keys.map(Long.box): _*))
+      }
     // candidates deduped across tables BEFORE any vector is fetched
     val bProbes = broadcast(probes)
-    val cand = postings.join(bProbes,
-        postings("t") === bProbes("t") && col("bucket") === col("pbucket")
-          && col("vec_id") =!= col("qid"))
+    val cand = scanned.join(bProbes,
+        col("tb") === col("ptb") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id")).distinct()
     cand
   }

@@ -13,6 +13,8 @@ object TestSpark {
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+      // keep ANN probe-key IN filters pushdown-eligible (see DevSession)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
