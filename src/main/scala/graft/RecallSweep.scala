@@ -24,6 +24,15 @@ object RecallSweep {
       val p = pairs(df)
       println(f"| IVF nprobe=$np | ${(brute & p).size.toDouble / brute.size}%.3f | ${df.count()} |")
     }
+    val base = graft.llm.Similarity.quantized(spark, sfDir)
+    for (topR <- Seq(16, 64, 256)) {
+      val p = pairs(graft.llm.Similarity.pqTopkOn(spark, sfDir, base, topR))
+      println(f"| PQ m=8 k=16 topR=$topR | ${(brute & p).size.toDouble / brute.size}%.3f | 8 B/vec scan |")
+    }
+    for ((np, topR) <- Seq((2, 64), (4, 64))) {
+      val p = pairs(graft.llm.Similarity.ivfPqTopkOn(spark, sfDir, base, np, topR))
+      println(f"| IVF-PQ nprobe=$np topR=$topR | ${(brute & p).size.toDouble / brute.size}%.3f | ${np * 100 / 16}%% cells x 8 B/vec |")
+    }
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     val nQueries = 10L
     for ((tables, np) <- Seq((4, 8), (8, 8), (16, 4), (16, 8), (16, 16))) {

@@ -28,7 +28,7 @@ object Similarity {
   /** Quantized embedding base (vec_id, label, qv, nrm) — materialized once
     * per session via [[graft.io.Staged]] and shared by every similarity /
     * ANN / embedding-dedup consumer (each self-joins or re-reads it). */
-  private[llm] def quantized(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+  private[graft] def quantized(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
     graft.io.Staged(spark, s"quantized|$sfDir") {
       val qv = transform(col("embedding"), x => round(x.cast(DoubleType) * 1000000).cast(LongType))
       val base = embeddings(spark, sfDir).select(col("vec_id"), col("label"), qv.as("qv"))
@@ -158,6 +158,16 @@ object Similarity {
     }
   }
 
+  /** The staged IVF centroid table — identical to kmeans' returned
+    * centroids: they are centroidsOf(the final assignment), which is
+    * exactly the staged cell column.  Shared by the plain IVF query and
+    * the IVF-PQ composition. */
+  private[graft] def ivfCentroidsOn(spark: org.apache.spark.sql.SparkSession, tag: String,
+      base: DataFrame): DataFrame =
+    graft.io.Staged(spark, s"ivfCent|$tag") {
+      centroidsOf(ivfIndexedOn(spark, tag, base).select(col("cell"), col("qv")))
+    }
+
   private[graft] def ivfTopkOn(spark: org.apache.spark.sql.SparkSession, tag: String,
       base: DataFrame, nprobe: Int, prune: Boolean = true): DataFrame = {
     // The IVF index is a per-corpus artifact, not a per-query one: train
@@ -166,11 +176,7 @@ object Similarity {
     // is the persisted index every query reuses.  Probe cost is all that
     // remains per query.
     val indexed = ivfIndexedOn(spark, tag, base)
-    val cent = graft.io.Staged(spark, s"ivfCent|$tag") {
-      // identical to kmeans' returned centroids: they are centroidsOf(the
-      // final assignment), which is exactly the staged cell column
-      centroidsOf(indexed.select(col("cell"), col("qv")))
-    }
+    val cent = ivfCentroidsOn(spark, tag, base)
     val queries = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
     val qdot = graft.fns.VecExpressions.numVecDot(spark, col("qq"), col("cv"))
@@ -392,6 +398,213 @@ object Similarity {
     cand
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) ANN — the memory-side scale path.
+  // ---------------------------------------------------------------------
+
+  private val PqM = 8     // subspaces
+  private val PqK = 16    // centroids per subspace (power of two)
+  private val PqSub = EmbedDim / PqM
+  private val PqBits = Integer.numberOfTrailingZeros(PqK)
+
+  /** Deterministic per-subspace Lloyd trainer: the 64-dim quantized vector
+    * splits into 8 subspaces of 8 dims, each quantized to 16 centroids.
+    * Init = sub-vectors of the PqK lowest vec_ids; per iteration ONE
+    * map-only encode pass (codegen'd [[graft.fns.PqEncode]], codebook as a
+    * reference object) plus one map-side-combined mean job whose output is
+    * m·k·dsub = 1024 rows — the codebook lives on the driver (8 KiB), like
+    * ExactQuantiles' boundary rows, and empty cells keep their previous
+    * centroid.  At 100 TB the trainer runs on a hash-sample of the corpus;
+    * encode stays a single map pass over everything. */
+  private def pqTrain(base: DataFrame, tag: String, iters: Int): Array[Double] = {
+    val spark = base.sparkSession
+    val init = base.orderBy("vec_id").limit(PqK).select("qv").collect()
+    require(init.length == PqK, s"PQ needs >= $PqK vectors, got ${init.length}")
+    val cents = new Array[Double](PqM * PqK * PqSub)
+    for (j <- 0 until PqK; sub <- 0 until PqM; i <- 0 until PqSub)
+      cents((sub * PqK + j) * PqSub + i) = init(j).getSeq[Long](0)(sub * PqSub + i).toDouble
+    for (it <- 0 until iters) {
+      // snapshot: the registered kernel closes over the array, and plans
+      // evaluate lazily — never hand it the mutable working copy
+      val snap = cents.clone()
+      val cw = graft.fns.PqExpressions.pqEncode(spark, col("qv"), snap,
+        s"$tag|it$it", PqM, PqK, PqSub)
+      val means = base.select(col("qv"), cw.as("cw"))
+        .select(col("cw"), posexplode(transform(sequence(lit(0), lit(PqM - 1)),
+          sub => slice(col("qv"), sub * PqSub + 1, lit(PqSub)))).as(Seq("m", "sv")))
+        .withColumn("code", expr(s"shiftrightunsigned(cw, m * $PqBits) & ${PqK - 1}"))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i", "v")))
+        .groupBy("m", "code", "i")
+        .agg((sum(col("v")) / count(lit(1))).as("c"))
+        .collect()
+      means.foreach { r =>
+        cents((r.getInt(0) * PqK + r.getLong(1).toInt) * PqSub + r.getInt(2)) = r.getDouble(3)
+      }
+    }
+    cents
+  }
+
+  /** The staged PQ codebook (m, code, cv) — trained once per corpus and
+    * durable in staging-dir mode; consumers collect its m·k rows back to a
+    * flattened driver array for the codegen kernels. */
+  private[graft] def pqCodebookOn(spark: org.apache.spark.sql.SparkSession, tag: String,
+      base: DataFrame): DataFrame =
+    graft.io.Staged(spark, s"pqCodebook$PqM/$PqK|$tag") {
+      val cents = pqTrain(base, tag, iters = 2)
+      import spark.implicits._
+      (for (sub <- 0 until PqM; j <- 0 until PqK) yield
+        (sub, j, (0 until PqSub).map(i => cents((sub * PqK + j) * PqSub + i))))
+        .toDF("m", "code", "cv")
+    }
+
+  private def pqCodebookArr(cb: DataFrame): Array[Double] = {
+    val cents = new Array[Double](PqM * PqK * PqSub)
+    cb.collect().foreach { r =>
+      val off = (r.getInt(0) * PqK + r.getInt(1)) * PqSub
+      val cv = r.getSeq[Double](2)
+      var i = 0
+      while (i < PqSub) { cents(off + i) = cv(i); i += 1 }
+    }
+    cents
+  }
+
+  /** The staged packed-code artifact (vec_id, cw, anrm2): ONE long of code
+    * word per vector — 8 bytes vs the 512-byte raw vector, the compression
+    * that lets the ANN candidate pass scan a 100 TB corpus's codes without
+    * touching its vectors — plus the reconstruction's squared norm
+    * (selected from the centroid-norm LUT by the same ADC kernel).  Encode
+    * is a single map pass; no shuffle, no explode. */
+  private[graft] def pqCodesOn(spark: org.apache.spark.sql.SparkSession, tag: String,
+      base: DataFrame): DataFrame = {
+    val cents = pqCodebookArr(pqCodebookOn(spark, tag, base))
+    val normLut = Array.tabulate(PqM * PqK) { mj =>
+      (0 until PqSub).map(i => cents(mj * PqSub + i) * cents(mj * PqSub + i)).sum
+    }
+    graft.io.Staged(spark, s"pqCodes$PqM/$PqK|$tag") {
+      base.select(col("vec_id"),
+          graft.fns.PqExpressions.pqEncode(spark, col("qv"), cents, tag,
+            PqM, PqK, PqSub).as("cw"))
+        .withColumn("anrm2", graft.fns.PqExpressions.pqScore(spark, col("cw"),
+          typedLit(normLut.toSeq), PqM, PqK))
+    }
+  }
+
+  /** PQ/ADC ANN: score every packed code word against the query's m×k
+    * lookup table (map-only over the codes artifact, LUTs broadcast), keep
+    * the best `topR` per query via the exchange-light TopKPerGroup exec,
+    * then exact-re-rank only those candidates' true vectors to top-5.
+    * Approximate by construction => no SQL oracle; recall is gated in the
+    * suite and measured at the million-vector scale by PqStress. */
+  private[graft] def pqTopkOn(spark: org.apache.spark.sql.SparkSession, tag: String,
+      base: DataFrame, topR: Int): DataFrame = {
+    val codes = pqCodesOn(spark, tag, base)
+    val cents = pqCodebookArr(pqCodebookOn(spark, tag, base))
+    val luts = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        graft.fns.PqExpressions.pqLuts(spark, col("qv"), cents, tag,
+          PqM, PqK, PqSub).as("lut"))
+    val scored = codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("ascore", graft.fns.PqExpressions.pqScore(spark, col("cw"), col("lut"),
+        PqM, PqK) / sqrt(greatest(col("anrm2"), lit(1e-12))))
+    val cand = graft.plans.TopKPerGroup(scored.select("qid", "vec_id", "ascore"),
+      Seq("qid"), Seq(("ascore", false), ("vec_id", true)), topR)
+      .select("qid", "vec_id")
+    val qvecs = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid2"), col("qv").as("qq"), col("nrm").as("qn"))
+    val sim = vecDot(spark, col("qq"), col("qv")).cast(DoubleType) /
+      (sqrt(col("qn")) * sqrt(col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    cand.join(base, "vec_id")
+      .join(broadcast(qvecs), col("qid") === col("qid2"))
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("sim"))
+  }
+
+  /** Judged PQ ANN over the corpus embeddings (topR=64 candidates per
+    * query before the exact re-rank). */
+  val annPq: GraftQuery = GraftQuery.noOracle("q_llm_ann_pq") {
+    (spark, sfDir) => pqTopkOn(spark, sfDir, quantized(spark, sfDir), topR = 64)
+  }
+
+  /** The staged IVF-PQ inverted file: packed code words joined to their
+    * coarse-cell assignment and PUBLISHED CLUSTERED BY cell — the FAISS
+    * IVFADC layout.  In staging-dir mode a probe's pushed `cell IN (…)`
+    * filter prunes the code scan to the probed cells via parquet stats,
+    * so the candidate pass over a 100 TB corpus reads nprobe/k of an
+    * artifact that is itself ~1.6% of the vectors. */
+  private[graft] def ivfPqCodesOn(spark: org.apache.spark.sql.SparkSession, tag: String,
+      base: DataFrame): DataFrame = {
+    val codes = pqCodesOn(spark, tag, base)
+    val cells = ivfCellsOn(spark, tag, base)
+    graft.io.Staged(spark, s"ivfPqCodes$PqM/$PqK|$tag") {
+      codes.join(cells.withColumnRenamed("vec_id", "vid2"),
+          col("vec_id") === col("vid2")).drop("vid2")
+        .repartitionByRange(col("cell"))
+        .sortWithinPartitions("cell")
+    }
+  }
+
+  /** IVF-PQ (IVFADC) ANN: the two pruning mechanisms composed — the IVF
+    * coarse quantizer picks WHICH cells are scanned (nprobe of k, pushed
+    * `cell IN` prune), PQ/ADC bounds WHAT is read per surviving vector
+    * (one 8-byte code word scored by m table adds).  Candidates re-rank
+    * exactly from the true vectors, as everywhere in the ANN family. */
+  private[graft] def ivfPqTopkOn(spark: org.apache.spark.sql.SparkSession, tag: String,
+      base: DataFrame, nprobe: Int, topR: Int, prune: Boolean = true): DataFrame = {
+    val indexed = ivfPqCodesOn(spark, tag, base)
+    val cent = ivfCentroidsOn(spark, tag, base)
+    val cents = pqCodebookArr(pqCodebookOn(spark, tag, base))
+    val qdot = graft.fns.VecExpressions.numVecDot(spark, col("qq"), col("cv"))
+    val cellRank = Window.partitionBy(col("qid"))
+      .orderBy((qdot / sqrt(col("cnrm"))).desc, col("cell"))
+    val probed = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cr", row_number().over(cellRank))
+      .filter(col("cr") <= nprobe)
+      .select(col("qid"), col("cell").as("pcell"))
+    val scanned =
+      if (!prune) indexed
+      else {
+        val pcells = probed.select(col("pcell")).distinct()
+          .limit(ProbePruneCap + 1).collect().map(_.getLong(0))
+        if (pcells.length > ProbePruneCap) indexed
+        else indexed.filter(col("cell").isin(pcells.map(Long.box): _*))
+      }
+    val luts = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid2"),
+        graft.fns.PqExpressions.pqLuts(spark, col("qv"), cents, tag,
+          PqM, PqK, PqSub).as("lut"))
+    val scored = scanned.join(broadcast(probed), col("cell") === col("pcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(luts), col("qid") === col("qid2"))
+      .withColumn("ascore", graft.fns.PqExpressions.pqScore(spark, col("cw"), col("lut"),
+        PqM, PqK) / sqrt(greatest(col("anrm2"), lit(1e-12))))
+    val cand = graft.plans.TopKPerGroup(scored.select("qid", "vec_id", "ascore"),
+      Seq("qid"), Seq(("ascore", false), ("vec_id", true)), topR)
+      .select("qid", "vec_id")
+    val qvecs = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid3"), col("qv").as("qq"), col("nrm").as("qn"))
+    val sim = vecDot(spark, col("qq"), col("qv")).cast(DoubleType) /
+      (sqrt(col("qn")) * sqrt(col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    cand.join(base, "vec_id")
+      .join(broadcast(qvecs), col("qid") === col("qid3"))
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("sim"))
+  }
+
+  /** Judged IVF-PQ ANN (nprobe=2 cells, topR=64 ADC candidates). */
+  val annIvfPq: GraftQuery = GraftQuery.noOracle("q_llm_ann_ivfpq") {
+    (spark, sfDir) => ivfPqTopkOn(spark, sfDir, quantized(spark, sfDir),
+      nprobe = 2, topR = 64)
+  }
+
   /** Multimodal join: text + embedding modalities co-located by id; the
     * output row carries scalar metadata from both. */
   val multimodalJoin: GraftQuery = GraftQuery("q_llm_multimodal_join",
@@ -440,5 +653,5 @@ object Similarity {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(similarityTopk, annIvf, annLsh, multimodalJoin, embedQuantize)
+    Seq(similarityTopk, annIvf, annLsh, annPq, annIvfPq, multimodalJoin, embedQuantize)
 }
