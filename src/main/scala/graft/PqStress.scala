@@ -17,17 +17,34 @@ import org.apache.spark.sql.types._
   * true vectors are ever fetched.  On a 100 TB embedding corpus that
   * turns the ANN scan into a ~1.6 TB columnar read.
   *
-  * `sbt "runMain graft.PqStress [nVectors] [topR]"`
+  * `sbt "runMain graft.PqStress [nVectors] [topR] [nprobe] [clustered] [k]"`
+  * — the optional 4th arg switches the corpus from isotropic (the
+  * adversarial case: neighbors at cosine ~0.32, quantization error
+  * dominates) to the 32-planted-cluster generator IvfStress uses (the
+  * realistic-embedding case where near neighbors are genuinely close);
+  * the optional 5th arg sweeps the code-bits knob (k=16 ⇒ 32-bit codes,
+  * k=256 ⇒ 64-bit — still one long per vector).
   */
 object PqStress {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 1000000L
     val topR = if (args.length > 1) args(1).toInt else 256
+    val clustered = args.lift(3).contains("clustered")
+    val pqK = args.lift(4).map(_.toInt).getOrElse(16)
     val spark = DevSession.local()
     val dim = 64
 
-    val comp = transform(sequence(lit(0), lit(dim - 1)),
-      i => pmod(xxhash64(col("vec_id") * dim + i), lit(2000001L)) - 1000000L)
+    val comp =
+      if (!clustered)
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("vec_id") * dim + i), lit(2000001L)) - 1000000L)
+      else {
+        // IvfStress's separable corpus: centroid ±1e6, noise ±1e5
+        val cluster = col("vec_id") % 32L
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (pmod(xxhash64(cluster * dim + i), lit(2000001L)) - 1000000L) +
+            (pmod(xxhash64(col("vec_id") * dim + i, lit(7L)), lit(200001L)) - 100000L))
+      }
     val base = spark.range(n).select(col("id").as("vec_id"), comp.as("qv"))
       .withColumn("nrm",
         graft.fns.VecExpressions.vecDot(spark, col("qv"), col("qv")).cast(DoubleType))
@@ -51,27 +68,27 @@ object PqStress {
 
     // deployment shape: codebook + packed codes are durable staged
     // artifacts; the steady-state query pays only the code scan + re-rank
-    val staging = s"target/pq-stress-staging-$n"
+    val staging = s"target/pq-stress-staging-$n-$clustered-$pqK"
     spark.conf.set("spark.graft.staging.dir", staging)
-    val tag = s"stress:$n"
+    val tag = s"stress:$n:$clustered:$pqK"
 
-    // stage 1: trainer (2 Lloyd iterations over the full corpus)
+    // stage 1: trainer (2 Lloyd iterations over the capped sample)
     val tTrain = System.nanoTime()
-    graft.llm.Similarity.pqCodebookOn(spark, tag, base).count()
+    graft.llm.Similarity.pqCodebookOn(spark, tag, base, k = pqK).count()
     val trainSec = (System.nanoTime() - tTrain) / 1e9
     // stage 2: the one-time packed-code encode+publish
     val tEnc = System.nanoTime()
-    val nCodes = graft.llm.Similarity.pqCodesOn(spark, tag, base).count()
+    val nCodes = graft.llm.Similarity.pqCodesOn(spark, tag, base, k = pqK).count()
     val encSec = (System.nanoTime() - tEnc) / 1e9
     // stage 3: steady-state query over the artifact (ADC scan + topR +
     // exact re-rank of topR vectors)
     val tQ = System.nanoTime()
-    val pq = graft.llm.Similarity.pqTopkOn(spark, tag, base, topR)
+    val pq = graft.llm.Similarity.pqTopkOn(spark, tag, base, topR, k = pqK)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val qSec = (System.nanoTime() - tQ) / 1e9
     val recall = (brute & pq).size.toDouble / brute.size
 
-    println(f"""{"stress":"pq","vectors":$n,"m":8,"k":16,"topR":$topR,"recall5":$recall%.3f,"codes":$nCodes,"code_bytes_per_vec":8,"train_sec":$trainSec%.1f,"encode_sec":$encSec%.1f,"query_sec":$qSec%.1f,"brute_sec":$bruteSec%.1f}""")
+    println(f"""{"stress":"pq","vectors":$n,"clustered":$clustered,"m":8,"k":$pqK,"topR":$topR,"recall5":$recall%.3f,"codes":$nCodes,"code_bytes_per_vec":8,"train_sec":$trainSec%.1f,"encode_sec":$encSec%.1f,"query_sec":$qSec%.1f,"brute_sec":$bruteSec%.1f}""")
 
     // stage 4 (optional third arg = nprobe): the IVF-PQ composition —
     // coarse cells prune WHICH code words are scanned, on top of the
@@ -85,7 +102,7 @@ object PqStress {
         .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val q2Sec = (System.nanoTime() - tQ2) / 1e9
       val recall2 = (brute & ivfpq).size.toDouble / brute.size
-      println(f"""{"stress":"ivfpq","vectors":$n,"nprobe":$nprobe,"topR":$topR,"recall5":$recall2%.3f,"ivf_index_sec":$idxSec%.1f,"query_sec":$q2Sec%.1f,"brute_sec":$bruteSec%.1f}""")
+      println(f"""{"stress":"ivfpq","vectors":$n,"clustered":$clustered,"nprobe":$nprobe,"topR":$topR,"recall5":$recall2%.3f,"ivf_index_sec":$idxSec%.1f,"query_sec":$q2Sec%.1f,"brute_sec":$bruteSec%.1f}""")
     }
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
