@@ -27,7 +27,9 @@ object Queries {
       llm.Dedup.all ++
       llm.DedupCluster.all ++
       llm.DedupIncr.all ++
+      llm.SemanticDedup.all ++
       llm.Similarity.all ++
+      llm.AnnAuto.all ++
       llm.KnnJoin.all ++
       llm.TextStats.all ++
       llm.Pipeline.all ++

@@ -49,7 +49,15 @@ object Similarity {
       |               b.vec_id) AS rn
       |  FROM n a, n b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
       |WHERE rn <= 5""".stripMargin) { (spark, sfDir) =>
-    val base = quantized(spark, sfDir)
+    bruteTopkOn(spark, quantized(spark, sfDir))
+  }
+
+  /** Exact brute-force cosine top-5 over an arbitrary quantized base
+    * (vec_id, qv, nrm) for the family's query convention (vec_id < 10) —
+    * the map-only baseline every ANN variant is recall-gated against, and
+    * the "small-work" route of [[AnnAuto.annTopkAuto]]. */
+  private[graft] def bruteTopkOn(spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame): DataFrame = {
     val queries = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv").as("qq"), col("nrm").as("qn"))
     val sim = vecDot(spark, col("qq"), col("qv")).cast(DoubleType) /
