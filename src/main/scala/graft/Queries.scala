@@ -32,6 +32,7 @@ object Queries {
       llm.AnnAuto.all ++
       llm.KnnJoin.all ++
       llm.TextStats.all ++
+      llm.Bpe.all ++
       llm.Pipeline.all ++
       llm.Relevance.all ++
       llm.SpanDedup.all ++
