@@ -88,13 +88,25 @@ object SemanticDedup {
       .select(col("vec_id"), col("cell"), col("dup_id").isNull.as("kept"))
   }
 
-  /** Deployment variant: same prune rule over the TRAINED IVF coarse
+  /** Trained coarse cells at a caller-chosen cell count — SemDeDup's
+    * scale knob: K grows with the corpus so occupancy N/K (and with it the
+    * within-cell O(occupancy²) prune) stays bounded; the trainer cost is
+    * bounded by the k-means sample cap regardless of N. */
+  private[graft] def trainedCellsK(spark: org.apache.spark.sql.SparkSession,
+      tag: String, base: DataFrame, k: Int): DataFrame =
+    graft.io.Staged(spark, s"semCells|$tag|$k") {
+      val cent = Similarity.kmeans(Similarity.trainSample(base), k, iters = 1)._2
+      Similarity.assignCells(base, cent).select("vec_id", "cell")
+    }
+
+  /** Deployment variant: same prune rule over the TRAINED coarse
     * quantizer's cells (sample-capped k-means) instead of fixed seeds —
     * no SQL oracle (the trainer is not SQL-expressible); spec'd for
-    * consistency against the judged rule. */
+    * consistency against the judged rule, scale-measured by
+    * [[graft.SemDedupStress]]. */
   private[graft] def semanticDedupTrained(spark: org.apache.spark.sql.SparkSession,
-      tag: String, base: DataFrame, tau: Double = Tau): DataFrame = {
-    val cells = Similarity.ivfCellsOn(spark, tag, base)
+      tag: String, base: DataFrame, tau: Double = Tau, k: Int = K): DataFrame = {
+    val cells = trainedCellsK(spark, tag, base, k)
     pruneWithinCells(base.join(cells, "vec_id")
       .select(col("vec_id"), col("cell"), col("qv"), col("nrm")), tau)
   }

@@ -98,7 +98,7 @@ object Similarity {
     * runs on a sample" scaladoc claim into behavior.  Below the cap the
     * corpus passes through UNCHANGED (identical training to before). */
   private val TrainCap = 262144L
-  private def trainSample(base: DataFrame): DataFrame = {
+  private[graft] def trainSample(base: DataFrame): DataFrame = {
     val n = base.count()
     if (n <= TrainCap) base
     else {
@@ -113,7 +113,7 @@ object Similarity {
     * cell id, matching ORDER BY cos DESC, cell ASC.  The shared map-only
     * pass of the trainer, the full-corpus assignment, and the
     * incremental batch append. */
-  private def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame = {
     val spark = vecs.sparkSession
     val qdot = graft.fns.VecExpressions.numVecDot(spark, col("qv"), col("cv"))
     vecs.crossJoin(broadcast(cent))
@@ -124,7 +124,7 @@ object Similarity {
       .select(col("vec_id"), col("qv"), (-col("best.negcell")).as("cell"))
   }
 
-  private def kmeans(base: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+  private[graft] def kmeans(base: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val spark = base.sparkSession
     // All dots via the codegen'd NumVecDot — the zip_with/aggregate lambda
     // formulation is interpreted and was the trainer's dominant cost.
