@@ -19,12 +19,15 @@ import org.apache.spark.sql.types._
   * recall limitation: a near-pair straddling a k-means boundary is
   * invisible to within-cell pruning), no even id dropped (precision).
   *
-  * `sbt "runMain graft.SemDedupStress [nVectors] [nCells]"`
+  * `sbt "runMain graft.SemDedupStress [nVectors] [nCells] [hier]"` —
+  * `hier` switches the corpus assignment to the two-level
+  * `trainedCellsHierK` path (n·(c + K/c)·d instead of n·K·d).
   */
 object SemDedupStress {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 1000000L
     val k = if (args.length > 1) args(1).toInt else (n / 1000L).toInt.max(16)
+    val hier = args.length > 2 && args(2) == "hier"
     val spark = DevSession.local()
     val dim = 64
 
@@ -42,7 +45,8 @@ object SemDedupStress {
 
     val t0 = System.nanoTime()
     val out = graft.llm.SemanticDedup
-      .semanticDedupTrained(spark, s"semstress:$n:$k", base, tau = 0.7, k = k)
+      .semanticDedupTrained(spark, s"semstress:$n:$k", base, tau = 0.7, k = k,
+        hier = hier)
       .localCheckpoint()
     val decided = out.count()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -55,7 +59,7 @@ object SemDedupStress {
     val occ = out.groupBy("cell").agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("mx"), avg(col("c")).as("av")).collect()(0)
 
-    println(f"n=$n k=$k decided=$decided wall=$wall%.1fs " +
+    println(f"n=$n k=$k hier=$hier decided=$decided wall=$wall%.1fs " +
       f"recall=${oddDropped.toDouble / nOdd}%.4f falseDrops=$evenDropped " +
       f"occMax=${occ.getLong(0)} occAvg=${occ.getDouble(1)}%.1f")
     spark.stop()

@@ -79,7 +79,7 @@ object Similarity {
     * join of k centroids against the full corpus — one map-side pass. */
   /** Mean centroid per cell over (cell, qv) rows, with its norm.  Exact
     * integer component sums / count => bit-deterministic doubles. */
-  private def centroidsOf(assigned: DataFrame): DataFrame = {
+  private[graft] def centroidsOf(assigned: DataFrame): DataFrame = {
     val spark = assigned.sparkSession
     assigned
       .select(col("cell"), posexplode(col("qv")).as(Seq("i", "v")))

@@ -77,6 +77,31 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("two-level assignment: total, unique, and group-consistent") {
+    val base = Similarity.quantized(spark, TestSpark.sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.slice(
+          org.apache.spark.sql.functions.col("qv"), 1, 16).as("qv"))
+      .withColumn("nrm", graft.fns.VecExpressions.vecDot(spark,
+        org.apache.spark.sql.functions.col("qv"),
+        org.apache.spark.sql.functions.col("qv"))
+        .cast(org.apache.spark.sql.types.DoubleType))
+    val cells = SemanticDedup.trainedCellsHierK(spark, "semhier:test", base, k = 16)
+      .as[(Long, Long)].collect()
+    assert(cells.length == 500, "every vector assigned exactly once")
+    assert(cells.map(_._1).distinct.length == 500)
+    val nCells = cells.map(_._2).distinct.length
+    assert(nCells > 1 && nCells <= 16, s"fine cells used: $nCells")
+    // the hier prune obeys the same leader-kept invariant as flat
+    val out = SemanticDedup.semanticDedupTrained(spark, "semhier:test", base,
+      hier = true)
+      .select("vec_id", "cell", "kept").as[(Long, Long, Boolean)].collect()
+    out.groupBy(_._2).values.foreach { members =>
+      val minId = members.map(_._1).min
+      assert(members.find(_._1 == minId).get._3, "cell leader must be kept")
+    }
+  }
+
   test("trained-quantizer variant obeys the same per-cell semantics") {
     val base = Similarity.quantized(spark, TestSpark.sf)
       .select(org.apache.spark.sql.functions.col("vec_id"),
