@@ -26,6 +26,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_llm_ann_lsh",         // broadcast multi-probe query buckets
     "q_llm_ann_pq",          // packed-code scan x broadcast(query LUTs)
     "q_llm_ann_ivfpq",       // k-means centroid probe (corpus x broadcast(16 centroids))
+    "q_llm_ann_auto",        // routes to the brute broadcast scan at judged SFs
+    "q_llm_dedup_semantic",  // corpus x broadcast(16 seed vectors) cell assignment
     "q_llm_unigram_nll",     // crossJoin(broadcast(1-row corpus total))
     "q_llm_dsir",            // crossJoin(broadcast(1-row bucket totals))
     // derived-partsupp TPC-H shapes: part CROSS JOIN (4-row constant
