@@ -195,6 +195,55 @@ object TextStats {
       .limit(200)
   }
 
+  /** Bigram language-model quality score — the perplexity-filter shape a
+    * CCNet/KenLM-style curation pipeline uses (score docs against an
+    * n-gram LM of the corpus itself; unusually-high NLL = noise, unusually
+    * low = boilerplate): per-doc sum of −ln p(w2|w1) under add-one
+    * smoothing, p(w2|w1) = (c(w1 w2)+1)/(head(w1)+V) with corpus bigram
+    * counts, bigram-head counts, and vocabulary size V.
+    *
+    * 100 TB posture mirrors `q_llm_unigram_nll`: two map-side-combined
+    * aggregates build the (vocabulary-bounded) bigram and head tables,
+    * scoring is broadcast joins against the token stream, and V rides a
+    * 1-row broadcast.  Each ln is rounded to 1e-6 and summed as exact
+    * longs, so the per-doc sum is order-independent and bit-identical to
+    * the DuckDB twin. */
+  val bigramNll: GraftQuery = GraftQuery("q_llm_bigram_nll",
+    s"""WITH x AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |b AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS p
+       |      FROM x WHERE len(t) >= 2),
+       |c2 AS (SELECT p, count(*) AS c2 FROM b GROUP BY p),
+       |c1 AS (SELECT split_part(p, ' ', 1) AS w1, count(*) AS c1 FROM b GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w) AS nv FROM (SELECT unnest(t) AS w FROM x))
+       |SELECT doc_id, count(*) AS n_bg,
+       |  CAST(CAST(sum(CAST(round(ln((c1.c1 + v.nv) * 1.0 / (c2.c2 + 1)) * 1000000, 0) AS BIGINT)) AS BIGINT)
+       |       / 1000000.0 AS DOUBLE) AS nll2
+       |FROM b JOIN c2 USING (p)
+       |JOIN c1 ON split_part(b.p, ' ', 1) = c1.w1
+       |CROSS JOIN v
+       |GROUP BY doc_id""".stripMargin) { (spark, sfDir) =>
+    val x = documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
+    val pairs = transform(sequence(lit(1), size(col("t")) - 1),
+      i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1)))
+    val b = x.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .localCheckpoint() // three consumers: bigram counts, head counts, scoring
+    val c2 = b.groupBy("p").agg(count(lit(1)).as("c2"))
+    val c1 = b.select(substring_index(col("p"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = x.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("nv"))
+    b.join(broadcast(c2), "p")
+      .join(broadcast(c1), substring_index(col("p"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"),
+        (sum(round(log((col("c1") + col("nv")) * lit(1.0) / (col("c2") + lit(1))) * 1000000)
+          .cast(LongType)) / 1000000.0).as("nll2"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(textStats, tokens, langid, quality, fingerprint, unigramNll, bpeMerges)
+    Seq(textStats, tokens, langid, quality, fingerprint, unigramNll, bigramNll,
+      bpeMerges)
 }
