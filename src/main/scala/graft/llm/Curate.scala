@@ -91,5 +91,123 @@ object Curate {
         col("n_tok"), col("rep_milli"))
   }
 
-  val all: Seq[GraftQuery] = Seq(curate)
+  /** Curation v2 — the round-10 operators composed into the end-to-end
+    * manifest, multimodal: everything v1 does PLUS
+    *
+    *   5. semantic dedup    — drop any doc whose embedding is pruned by
+    *                          the fixed-seed cluster-then-prune rule
+    *                          (q_llm_dedup_semantic; docs without an
+    *                          embedding row pass through — the sf0.1
+    *                          corpus only embeds a subset);
+    *   6. perplexity band   — keep docs whose per-bigram NLL against the
+    *                          corpus's own bigram LM (q_llm_bigram_nll)
+    *                          sits inside [3.300, 3.450] nats — the
+    *                          CCNet-style two-sided filter (high = noise,
+    *                          low = boilerplate; band brackets the
+    *                          measured q05/q95 at every SF).
+    *
+    * Output manifest: (doc_id, split, n_tok, nll_milli).  Like v1, every
+    * stage is deterministic and mirrored in the oracle, so the COMPOSED
+    * pipeline is hash-checked end-to-end.  100 TB posture: the two new
+    * stages add one broadcast-scored token-stream pass (bigram LM) and
+    * one bounded within-cell prune (semantic) — no new shuffle shapes. */
+  val curate2: GraftQuery = GraftQuery("q_llm_curate2",
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |${Dedup.pairCtesSql},
+       |drop_near AS (
+       |  SELECT DISTINCT ib AS doc_id
+       |  FROM p JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
+       |  WHERE common / (x.n + y.n - common) >= $TAU),
+       |exact_keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |    FROM documents) WHERE doc_id = keep_id),
+       |q AS (
+       |  SELECT doc_id,
+       |         CAST(len(t) AS BIGINT) AS n_tok,
+       |         CAST(round(CAST(1000 AS DOUBLE)
+       |                    - CAST(1000 * len($shinglesSql) AS BIGINT)
+       |                      / CAST(len(t) - 2 AS DOUBLE), 0) AS BIGINT) AS rep_milli
+       |  FROM toks WHERE len(t) >= 3),
+       |sq AS (SELECT vec_id,
+       |  list_transform(embedding[1:16],
+       |                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |sn AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM sq),
+       |ss AS (SELECT qv AS sv, nrm AS snrm,
+       |             row_number() OVER (ORDER BY vec_id) - 1 AS cell
+       |      FROM (SELECT * FROM sn ORDER BY vec_id LIMIT 16)),
+       |sa AS (SELECT vec_id, cell, qv, nrm FROM (
+       |        SELECT sn.vec_id, ss.cell, sn.qv, sn.nrm,
+       |          row_number() OVER (PARTITION BY sn.vec_id
+       |            ORDER BY list_dot_product(sn.qv, ss.sv) / (sqrt(sn.nrm) * sqrt(ss.snrm)) DESC,
+       |                     ss.cell) AS rn
+       |        FROM sn CROSS JOIN ss) WHERE rn = 1),
+       |sd AS (SELECT DISTINCT y.vec_id AS doc_id
+       |      FROM sa x JOIN sa y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |      WHERE list_dot_product(x.qv, y.qv) / (sqrt(x.nrm) * sqrt(y.nrm)) >= 0.7),
+       |bg AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS p2
+       |      FROM toks WHERE len(t) >= 2),
+       |c2 AS (SELECT p2, count(*) AS c2 FROM bg GROUP BY p2),
+       |c1 AS (SELECT split_part(p2, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT w) AS nv FROM (SELECT unnest(t) AS w FROM toks)),
+       |sc AS (SELECT doc_id, count(*) AS n_bg,
+       |  CAST(CAST(sum(CAST(round(ln((c1.c1 + vv.nv) * 1.0 / (c2.c2 + 1)) * 1000000, 0) AS BIGINT)) AS BIGINT)
+       |       / 1000000.0 AS DOUBLE) AS nll2
+       |  FROM bg JOIN c2 USING (p2)
+       |  JOIN c1 ON split_part(bg.p2, ' ', 1) = c1.w1
+       |  CROSS JOIN vv
+       |  GROUP BY doc_id),
+       |nl AS (SELECT doc_id, CAST(round(nll2 * 1000 / n_bg, 0) AS BIGINT) AS nll_milli FROM sc)
+       |SELECT q.doc_id,
+       |  CASE WHEN ${md5LongSql("q.doc_id")} % 100 < 80 THEN 'train'
+       |       WHEN ${md5LongSql("q.doc_id")} % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  q.n_tok, nl.nll_milli
+       |FROM q
+       |JOIN exact_keep k ON q.doc_id = k.doc_id
+       |JOIN nl ON q.doc_id = nl.doc_id
+       |WHERE q.doc_id NOT IN (SELECT doc_id FROM drop_near)
+       |  AND q.doc_id NOT IN (SELECT doc_id FROM sd)
+       |  AND q.n_tok >= 20 AND q.rep_milli <= 300
+       |  AND nl.nll_milli BETWEEN 3300 AND 3450""".stripMargin) { (spark, sfDir) =>
+    val docs = documents(spark, sfDir)
+    val dropNear = Dedup.jaccardPairs(cappedShingles(spark, sfDir))
+      .filter(col("jacc") >= TAU)
+      .select(col("ib").as("doc_id"))
+      .distinct()
+    val exactKeep = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val t = toks(col("text"))
+    val nDistinct = size(graft.fns.TextKernelCols.shingleHashes(spark, col("text")))
+    val q = docs.filter(size(t) >= 3)
+      .select(col("doc_id"),
+        size(t).cast(LongType).as("n_tok"),
+        round(lit(1000.0) -
+          (lit(1000L) * nDistinct.cast(LongType)).cast(DoubleType) /
+            (size(t) - 2).cast(DoubleType), 0).cast(LongType).as("rep_milli"))
+    // stage 5: semantic-dedup victims (judged rule, doc_id = vec_id)
+    val semDropped = SemanticDedup.dedupSemantic.fn(spark, sfDir)
+      .filter(!col("kept"))
+      .select(col("vec_id").as("doc_id"))
+    // stage 6: per-bigram NLL in milli-nats (judged bigram LM)
+    val nl = TextStats.bigramNll.fn(spark, sfDir)
+      .select(col("doc_id"),
+        round(col("nll2") * 1000 / col("n_bg"), 0).cast(LongType).as("nll_milli"))
+    val h = pmod(md5Long(col("doc_id")), lit(100L))
+    q.join(exactKeep, "doc_id")
+      .join(dropNear, Seq("doc_id"), "left_anti")
+      .join(semDropped, Seq("doc_id"), "left_anti")
+      .join(nl, "doc_id")
+      .filter(col("n_tok") >= 20L && col("rep_milli") <= 300L &&
+        col("nll_milli").between(3300L, 3450L))
+      .select(col("doc_id"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+        col("n_tok"), col("nll_milli"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(curate, curate2)
 }
