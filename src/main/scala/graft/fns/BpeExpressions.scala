@@ -15,9 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * The merge table is learned OUTSIDE the expression (see
   * [[graft.llm.Bpe]]: distributed word-frequency dictionary, driver-side
   * merge loop over the vocabulary — the classic dictionary formulation) and
-  * ships into generated code as one reference object, so tokenization is a
-  * map-only pass over the corpus with zero shuffles and zero per-row
-  * allocation beyond the token list itself.
+  * ships into generated code precompiled as a [[BpeTable]] reference
+  * object: symbols interned to ints, pair-rank lookups a primitive
+  * open-addressed probe, token strings pre-converted to UTF8String — the
+  * per-row hot loop allocates only the output list.  Tokenization is a
+  * map-only pass over the corpus with zero shuffles.
   *
   * Encoding semantics (the standard rank-greedy scheme): each whitespace
   * word becomes its character symbols plus a terminal `</w>` symbol; while
@@ -30,70 +32,85 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeKernel {
 
-  /** Encode one word (no spaces) into BPE tokens under `ranks`
-    * (pair "left right" -> merge rank, lower merges first). */
-  def encodeWord(word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
-    var syms = new java.util.ArrayList[String](word.length + 1)
+  /** Append one word's BPE tokens to `out` under the precompiled table.
+    * Symbol ids: interned (>= 0) from the table; characters unseen by any
+    * merge ride as -(char+2) and can never merge. */
+  private def encodeWordInto(word: String, tbl: BpeTable, u8: Array[UTF8String],
+      out: java.util.ArrayList[AnyRef]): Unit = {
+    val m = word.length + 1
+    val ids = new Array[Int](m)
     var i = 0
-    while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
-    syms.add("</w>")
-    var done = syms.size <= 1
+    while (i < word.length) {
+      val c = word.charAt(i)
+      val id = tbl.charId(c)
+      ids(i) = if (id >= 0) id else -(c.toInt + 2)
+      i += 1
+    }
+    ids(word.length) = tbl.endId
+    var size = m
+    var done = size <= 1
     while (!done) {
-      // lowest-rank adjacent pair present
       var bestRank = Integer.MAX_VALUE
       var j = 0
-      while (j < syms.size - 1) {
-        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
-        if (r != null && r < bestRank) bestRank = r
+      while (j < size - 1) {
+        val v = tbl.lookup(ids(j), ids(j + 1))
+        if (v >= 0L) {
+          val r = (v >>> 32).toInt
+          if (r < bestRank) bestRank = r
+        }
         j += 1
       }
       if (bestRank == Integer.MAX_VALUE) done = true
       else {
-        // merge every occurrence of the winning pair, left to right
-        val merged = new java.util.ArrayList[String](syms.size)
-        var k = 0
-        while (k < syms.size) {
-          if (k < syms.size - 1) {
-            val r = ranks.get(syms.get(k) + " " + syms.get(k + 1))
-            if (r != null && r.intValue() == bestRank) {
-              merged.add(syms.get(k) + syms.get(k + 1)); k += 2
-            } else { merged.add(syms.get(k)); k += 1 }
-          } else { merged.add(syms.get(k)); k += 1 }
+        // merge every occurrence of the winning rank, left to right, in place
+        var w = 0
+        j = 0
+        while (j < size) {
+          var merged = false
+          if (j < size - 1) {
+            val v = tbl.lookup(ids(j), ids(j + 1))
+            if (v >= 0L && (v >>> 32).toInt == bestRank) {
+              ids(w) = v.toInt; w += 1; j += 2; merged = true
+            }
+          }
+          if (!merged) { ids(w) = ids(j); w += 1; j += 1 }
         }
-        syms = merged
-        if (syms.size <= 1) done = true
+        size = w
+        if (size <= 1) done = true
       }
     }
-    val out = new Array[String](syms.size)
-    syms.toArray(out)
-    out
+    var k = 0
+    while (k < size) {
+      val id = ids(k)
+      out.add(if (id >= 0) u8(id)
+      else UTF8String.fromString(String.valueOf((-id - 2).toChar)))
+      k += 1
+    }
   }
 
   /** Encode a whole document: toks-split words, each BPE-encoded, token
     * streams concatenated in document order. */
-  def encodeDoc(text: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
+  def encodeDoc(text: UTF8String, tbl: BpeTable): ArrayData = {
     val s = text.toString
+    val u8 = tbl.symU8
     val out = new java.util.ArrayList[AnyRef]()
     var start = 0
     val n = s.length
     while (start <= n) {
       var end = s.indexOf(' ', start)
       if (end < 0) end = n
-      if (end > start) {
-        val toks = encodeWord(s.substring(start, end), ranks)
-        var i = 0
-        while (i < toks.length) { out.add(UTF8String.fromString(toks(i))); i += 1 }
-      }
+      if (end > start) encodeWordInto(s.substring(start, end), tbl, u8, out)
       start = end + 1
     }
     new GenericArrayData(out.toArray)
   }
 }
 
-/** BPE-tokenize a text column under a fixed merge table.  The ranks map is
-  * a codegen reference object and the row work is one static call, so the
-  * expression stays inside WholeStageCodegen (no fallback path). */
-case class BpeEncode(child: Expression, ranks: java.util.HashMap[String, Integer])
+/** BPE-tokenize a text column under a fixed precompiled merge table.  The
+  * table is a codegen reference object and the row work is one static
+  * call, so the expression stays inside WholeStageCodegen (no fallback
+  * path). */
+case class BpeEncode(child: Expression, table: BpeTable)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -106,12 +123,12 @@ case class BpeEncode(child: Expression, ranks: java.util.HashMap[String, Integer
   override def prettyName: String = "graft_bpe_encode"
 
   override def nullSafeEval(input: Any): Any =
-    BpeKernel.encodeDoc(input.asInstanceOf[UTF8String], ranks)
+    BpeKernel.encodeDoc(input.asInstanceOf[UTF8String], table)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    val tblRef = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
     nullSafeCodeGen(ctx, ev, text =>
-      s"${ev.value} = graft.fns.BpeKernel.encodeDoc($text, $ranksRef);")
+      s"${ev.value} = graft.fns.BpeKernel.encodeDoc($text, $tblRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -128,11 +145,10 @@ object BpeExpressions {
     * corpora in one session never serve each other's merges. */
   def bpeEncode(spark: SparkSession, text: Column,
       merges: Seq[(String, String)], tag: String): Column = {
-    val ranks = new java.util.HashMap[String, Integer](merges.size * 2)
-    merges.zipWithIndex.foreach { case ((l, r), i) => ranks.put(l + " " + r, i) }
+    val table = new BpeTable(merges)
     val fn = s"graft_bpe_encode_${md5hex(tag + "|" + merges.mkString(","))}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fn, exprs => BpeEncode(exprs.head, ranks), "built-in")
+      fn, exprs => BpeEncode(exprs.head, table), "built-in")
     call_function(fn, text)
   }
 }
