@@ -263,7 +263,73 @@ object Relational8 {
     }
   }
 
+  /** Declarative data-quality constraint suite (the Deequ `Check` shape —
+    * the gate a training pipeline runs BEFORE the corpus feeds anything):
+    * completeness, uniqueness, referential integrity, domain/set
+    * membership, positivity, and a non-emptiness check, each reported as
+    * (constraint, n_violations, satisfied).  One satisfied=false row is by
+    * design (l_quantity ≤ 30 — a threshold the data really violates) so
+    * the violation COUNTING is exercised, not just zero-checking.
+    *
+    * 100 TB posture: all same-table constraints compose into ONE
+    * hash-free aggregate pass per table (checkpointed and fanned into
+    * per-constraint rows), referential integrity is one anti join on the
+    * dimension key — no constraint re-scans its table. */
+  val qualityConstraints: GraftQuery = GraftQuery("q_quality_constraints",
+    """SELECT cname, n_violations, n_violations = 0 AS satisfied FROM (
+      |SELECT 'completeness_o_custkey' AS cname,
+      |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations FROM orders
+      |UNION ALL SELECT 'unique_o_orderkey',
+      |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+      |UNION ALL SELECT 'positive_o_totalprice',
+      |  CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) FROM orders
+      |UNION ALL SELECT 'ri_orders_customer', CAST(count(*) AS BIGINT)
+      |  FROM orders o WHERE NOT EXISTS (
+      |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL SELECT 'domain_l_discount',
+      |  CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'set_l_returnflag',
+      |  CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'positive_l_quantity',
+      |  CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'bound_l_quantity_le30',
+      |  CAST(count(*) FILTER (WHERE l_quantity > 30) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'nonempty_lineitem',
+      |  CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS BIGINT) FROM lineitem)""".stripMargin
+      ) { (spark, sfDir) => qualityConstraintsDf(spark, sfDir) }
+
+  private def qualityConstraintsDf(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val o = orders(spark, sfDir).agg(
+      count(when(col("o_custkey").isNull, 1)).as("c_compl"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("c_uniq"),
+      count(when(col("o_totalprice") <= 0, 1)).as("c_pos")).localCheckpoint()
+    val l = lineitem(spark, sfDir).agg(
+      count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)).as("c_dom"),
+      count(when(!col("l_returnflag").isin("A", "N", "R"), 1)).as("c_set"),
+      count(when(col("l_quantity") <= 0, 1)).as("c_qpos"),
+      count(when(col("l_quantity") > 30, 1)).as("c_qle30"),
+      when(count(lit(1)) === 0, 1L).otherwise(0L).as("c_nonempty")).localCheckpoint()
+    val ri = orders(spark, sfDir)
+      .join(customer(spark, sfDir), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("c_ri")).localCheckpoint()
+    def row(src: org.apache.spark.sql.DataFrame, name: String, c: String) =
+      src.select(lit(name).as("cname"), col(c).cast(LongType).as("n_violations"))
+    Seq(
+      row(o, "completeness_o_custkey", "c_compl"),
+      row(o, "unique_o_orderkey", "c_uniq"),
+      row(o, "positive_o_totalprice", "c_pos"),
+      row(ri, "ri_orders_customer", "c_ri"),
+      row(l, "domain_l_discount", "c_dom"),
+      row(l, "set_l_returnflag", "c_set"),
+      row(l, "positive_l_quantity", "c_qpos"),
+      row(l, "bound_l_quantity_le30", "c_qle30"),
+      row(l, "nonempty_lineitem", "c_nonempty"))
+      .reduce(_ unionByName _)
+      .withColumn("satisfied", col("n_violations") === 0L)
+  }
+
   val all: Seq[GraftQuery] = Seq(eventsFunnel, scd2Intervals, scanXmlRoundtrip,
-    profileColumns, profileColumnsFast, tableChecksum)
+    profileColumns, profileColumnsFast, tableChecksum, qualityConstraints)
 }
 
