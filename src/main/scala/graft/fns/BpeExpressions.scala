@@ -32,11 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeKernel {
 
-  /** Append one word's BPE tokens to `out` under the precompiled table.
-    * Symbol ids: interned (>= 0) from the table; characters unseen by any
-    * merge ride as -(char+2) and can never merge. */
-  private def encodeWordInto(word: String, tbl: BpeTable, u8: Array[UTF8String],
-      out: java.util.ArrayList[AnyRef]): Unit = {
+  /** Run the rank-greedy merge loop over one word; returns the symbol-id
+    * buffer and its live size.  Symbol ids: interned (>= 0) from the
+    * table; characters unseen by the table's alphabet/merges ride as
+    * -(char+2) and can never merge. */
+  private def mergeWord(word: String, tbl: BpeTable): (Array[Int], Int) = {
     val m = word.length + 1
     val ids = new Array[Int](m)
     var i = 0
@@ -79,6 +79,12 @@ object BpeKernel {
         if (size <= 1) done = true
       }
     }
+    (ids, size)
+  }
+
+  private def encodeWordInto(word: String, tbl: BpeTable, u8: Array[UTF8String],
+      out: java.util.ArrayList[AnyRef]): Unit = {
+    val (ids, size) = mergeWord(word, tbl)
     var k = 0
     while (k < size) {
       val id = ids(k)
@@ -86,6 +92,35 @@ object BpeKernel {
       else UTF8String.fromString(String.valueOf((-id - 2).toChar)))
       k += 1
     }
+  }
+
+  /** Encode a whole document into VOCABULARY IDS — the model-input form:
+    * interned symbol id + 1, with id 0 reserved for `<unk>` (a character
+    * outside the table's training alphabet; meaningful only when the
+    * table was built WITH an alphabet).  Same merge loop, primitive int
+    * output array. */
+  def encodeDocIds(text: UTF8String, tbl: BpeTable): ArrayData = {
+    val s = text.toString
+    var buf = new Array[Int](math.max(16, s.length + 8))
+    var n = 0
+    var start = 0
+    val len = s.length
+    while (start <= len) {
+      var end = s.indexOf(' ', start)
+      if (end < 0) end = len
+      if (end > start) {
+        val (ids, size) = mergeWord(s.substring(start, end), tbl)
+        if (n + size > buf.length) buf = java.util.Arrays.copyOf(buf, (n + size) * 2)
+        var k = 0
+        while (k < size) {
+          buf(n) = if (ids(k) >= 0) ids(k) + 1 else 0
+          n += 1; k += 1
+        }
+      }
+      start = end + 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(buf, n))
   }
 
   /** Encode a whole document: toks-split words, each BPE-encoded, token
@@ -135,6 +170,34 @@ case class BpeEncode(child: Expression, table: BpeTable)
     copy(child = newChild)
 }
 
+/** BPE-tokenize a text column into vocabulary ids (int array, 0 = unk).
+  * Same reference-object + static-call shape as [[BpeEncode]]. */
+case class BpeEncodeIds(child: Expression, table: BpeTable)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType,
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bpe_encode_ids"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeKernel.encodeDocIds(input.asInstanceOf[UTF8String], table)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tblRef = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = graft.fns.BpeKernel.encodeDocIds($text, $tblRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BpeExpressions {
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -149,6 +212,18 @@ object BpeExpressions {
     val fn = s"graft_bpe_encode_${md5hex(tag + "|" + merges.mkString(","))}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fn, exprs => BpeEncode(exprs.head, table), "built-in")
+    call_function(fn, text)
+  }
+
+  /** Id-space tokenization under a table built WITH a training alphabet
+    * (so every training-corpus char owns a vocab id and only genuinely
+    * out-of-alphabet chars hit `<unk>` = 0). */
+  def bpeEncodeIds(spark: SparkSession, text: Column,
+      merges: Seq[(String, String)], alphabet: Seq[Char], tag: String): Column = {
+    val table = new BpeTable(merges, alphabet)
+    val fn = s"graft_bpe_ids_${md5hex(tag + "|" + alphabet.mkString + "|" + merges.mkString(","))}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fn, exprs => BpeEncodeIds(exprs.head, table), "built-in")
     call_function(fn, text)
   }
 }

@@ -15,20 +15,27 @@ package graft.fns
   * 13x encode throughput at 1 M docs (8.4 -> 109 MB/s, BASELINE.md BPE
   * row).
   */
-final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
+final class BpeTable(merges: Seq[(String, String)],
+    alphabet: Seq[Char] = Nil) extends Serializable {
 
   /** id of a single-char symbol, -1 if the char can never merge. */
   val charId: Array[Int] = Array.fill(65536)(-1)
-  /** strings of interned symbols (chars used in merges, `</w>`, outputs). */
+  /** strings of interned symbols: `</w>`, the training alphabet (so every
+    * char of the training corpus owns a VOCABULARY id even if no merge
+    * touches it), then merge operands/outputs. */
   val symStr: Array[String] = {
     val order = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def intern(s: String): Int = order.getOrElseUpdate(s, order.size)
     intern("</w>")
+    alphabet.foreach(c => intern(String.valueOf(c)))
     merges.foreach { case (l, r) => intern(l); intern(r); intern(l + r) }
     val arr = new Array[String](order.size)
     order.foreach { case (s, i) => arr(i) = s }
     arr
   }
+  /** Vocabulary size in id space: interned symbols shifted by one, id 0
+    * reserved for `<unk>` (a char outside the training alphabet). */
+  def vocabSize: Int = symStr.length + 1
   val endId: Int = 0
   locally {
     var i = 0

@@ -102,5 +102,37 @@ object Bpe {
         concat_ws(" ", col("t")).as("bpe"))
   }
 
-  val all: Seq[GraftQuery] = Seq(bpeEncode)
+  /** Training alphabet: the distinct characters of the (df-capped)
+    * dictionary words — derived from the SAME bounded dictionary the merge
+    * trainer uses, so the vocabulary artifact stays corpus-bounded. */
+  private val alphaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Char]]()
+  private[graft] def alphabet(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Seq[Char] =
+    alphaCache.computeIfAbsent(sfDir, _ => {
+      // force the dictionary (and merges) first so both artifacts share it
+      merges(spark, sfDir)
+      documents(spark, sfDir)
+        .select(explode(toks(col("text"))).as("w"))
+        .select(explode(split(col("w"), "")).as("c"))
+        .filter(col("c") =!= "")
+        .distinct().collect().map(_.getString(0).charAt(0)).sorted.toSeq
+    })
+
+  /** Judged id-space tokenizer: per-doc vocabulary-id stream (the model
+    * input), with the unk count surfaced — on the training corpus itself
+    * n_unk must be 0 (every char owns a vocab id), which the spec pins
+    * along with ids↔tokens consistency. */
+  val bpeIds: GraftQuery = GraftQuery.noOracle("q_llm_bpe_ids") { (spark, sfDir) =>
+    val ids = BpeExpressions.bpeEncodeIds(spark, col("text"),
+      merges(spark, sfDir), alphabet(spark, sfDir), sfDir)
+    documents(spark, sfDir)
+      .select(col("doc_id"), ids.as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast(LongType).as("n_bpe"),
+        size(filter(col("ids"), x => x === 0)).cast(LongType).as("n_unk"),
+        concat_ws(",", transform(col("ids"), _.cast(StringType))).as("ids_csv"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(bpeEncode, bpeIds)
 }

@@ -76,6 +76,33 @@ class BpeSpec extends AnyFunSuite {
       (first._1 + first._2).endsWith("</w>"))
   }
 
+  test("id-space tokenization: ids decode to the string tokens, unk=0 semantics") {
+    val mergeSeq = Bpe.merges(spark, TestSpark.sf)
+    val alpha = Bpe.alphabet(spark, TestSpark.sf)
+    assert(alpha.nonEmpty)
+    val tbl = new graft.fns.BpeTable(mergeSeq, alpha)
+    // vocab ids are dense, 0 reserved for unk
+    assert(tbl.vocabSize > alpha.size)
+    val strs = Queries.queries("q_llm_bpe_encode")(spark, TestSpark.sf)
+      .select("doc_id", "bpe").as[(Long, String)].collect().toMap
+    val ids = Queries.queries("q_llm_bpe_ids")(spark, TestSpark.sf)
+      .select("doc_id", "n_bpe", "n_unk", "ids_csv").as[(Long, Long, Long, String)].collect()
+    assert(ids.length == strs.size)
+    ids.foreach { case (id, n, nUnk, csv) =>
+      // the training corpus contains no out-of-alphabet chars
+      assert(nUnk == 0L, s"doc $id unk count")
+      val idSeq = if (csv.isEmpty) Array.empty[Int] else csv.split(",").map(_.toInt)
+      assert(idSeq.length == n)
+      // decode via the table: id-1 indexes symStr; must equal the string stream
+      val decoded = idSeq.map(i => tbl.symStr(i - 1)).mkString(" ")
+      assert(decoded == strs(id), s"doc $id ids decode mismatch")
+    }
+    // a char outside the alphabet hits unk=0 and never merges
+    val probe = graft.fns.BpeKernel.encodeDocIds(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aÿ"), tbl)
+    assert(probe.toIntArray().contains(0))
+  }
+
   test("encode is partitioning-invariant and stays in WholeStageCodegen") {
     val out = Queries.queries("q_llm_bpe_encode")(spark, TestSpark.sf)
     // the `*(n)` marker on the encode Project = inside WholeStageCodegen
