@@ -66,8 +66,12 @@ final class BpeTable(merges: Seq[(String, String)],
       val k = (idOf(l).toLong << 32) | (idOf(r).toLong & 0xffffffffL)
       val v = (rank.toLong << 32) | (idOf(l + r).toLong & 0xffffffffL)
       var slot = (java.lang.Long.hashCode(k * 0x9e3779b97f4a7c15L) & mask)
-      while (keys(slot) != -1L) slot = (slot + 1) & mask
-      keys(slot) = k; vals(slot) = v
+      // first-wins on a duplicate key: if a caller ever passes the same
+      // pair twice, the earlier (lower) rank must own the key — probing
+      // past an equal key would leave a dead second entry whose rank the
+      // lookup loop could never reach consistently
+      while (keys(slot) != -1L && keys(slot) != k) slot = (slot + 1) & mask
+      if (keys(slot) == -1L) { keys(slot) = k; vals(slot) = v }
     }
   }
 

@@ -42,9 +42,10 @@ object Bpe {
       (w.map(String.valueOf(_)).toVector :+ "</w>", c)
     }
     val merges = Vector.newBuilder[(String, String)]
-    var round = 0
+    val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+    var emitted = 0
     var exhausted = false
-    while (round < nMerges && !exhausted) {
+    while (emitted < nMerges && !exhausted) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
       vocab.foreach { case (syms, c) =>
         var i = 0
@@ -57,7 +58,14 @@ object Bpe {
       if (counts.isEmpty) exhausted = true
       else {
         val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
-        merges += best
+        // A pair can RE-FORM after a later merge recreates one of its
+        // operands (e.g. ('ab','c') rebuilding 'abc' next to 'd' after
+        // ('abc','d') was already ranked).  Emitting it again would put
+        // two ranks on one key — the encoder's table and any last-wins
+        // reference Map would then disagree — so the pair is collapsed in
+        // the working vocabulary (its existing rank already covers it at
+        // encode time) but only ever emitted once.
+        if (seen.add(best)) { merges += best; emitted += 1 }
         vocab = vocab.map { case (syms, c) =>
           val out = Vector.newBuilder[String]
           var i = 0
@@ -68,7 +76,6 @@ object Bpe {
           }
           (out.result(), c)
         }
-        round += 1
       }
     }
     merges.result()
@@ -102,16 +109,19 @@ object Bpe {
         concat_ws(" ", col("t")).as("bpe"))
   }
 
-  /** Training alphabet: the distinct characters of the (df-capped)
-    * dictionary words — derived from the SAME bounded dictionary the merge
-    * trainer uses, so the vocabulary artifact stays corpus-bounded. */
+  /** Training alphabet: the distinct characters of ALL corpus words —
+    * deliberately corpus-wide rather than limited to the df-capped merge
+    * dictionary, so every character of the training corpus owns a vocab id
+    * and n_unk = 0 holds on the corpus itself (unk is reserved for chars
+    * first seen at inference).  This stays bounded at 100 TB because a
+    * distinct-character set is capped by the charset (≤ 65536 entries),
+    * built in one map-side-combined aggregate — unlike the merge
+    * dictionary, no df cap is needed for the artifact to be small. */
   private val alphaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Char]]()
   private[graft] def alphabet(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Seq[Char] =
     alphaCache.computeIfAbsent(sfDir, _ => {
-      // force the dictionary (and merges) first so both artifacts share it
-      merges(spark, sfDir)
       documents(spark, sfDir)
         .select(explode(toks(col("text"))).as("w"))
         .select(explode(split(col("w"), "")).as("c"))

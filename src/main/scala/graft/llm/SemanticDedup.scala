@@ -160,8 +160,23 @@ object SemanticDedup {
         .join(broadcast(cellGroups), col("cell") === col("cell2"))
         .select(col("g2").as("gcell"), col("cell"), col("cv"), col("cnrm"))
         .localCheckpoint(eager = true)
+      // Every coarse group MUST own at least one fine centroid: Lloyd
+      // re-assignment of the sample can leave a coarse cell with zero
+      // sample members (post-update centroids attract away every former
+      // member), and a corpus row whose coarse argmax lands in such a
+      // group would be silently eliminated by the inner in-group join
+      // below — data loss inside a dedup decision.  Fall back to the
+      // coarse centroid itself as that group's single fine cell; the
+      // negative id keeps fallback cells disjoint from the sample vec_ids
+      // that name trained fine cells.  (SemanticDedupDriftSpec engineers
+      // exactly this sample/corpus drift and pins row conservation.)
+      val fallback = coarseCent
+        .join(fineCent.select(col("gcell")).distinct(), Seq("gcell"), "left_anti")
+        .select(col("gcell"), (-col("gcell") - 1).as("cell"),
+          col("gcv").as("cv"), col("gcnrm").as("cnrm"))
+      val fineAll = fineCent.unionByName(fallback).localCheckpoint(eager = true)
       // corpus: coarse pass (n·c·d) then in-group fine pass (n·(K/c)·d)
-      toFine(toCoarse(base), fineCent).select("vec_id", "cell")
+      toFine(toCoarse(base), fineAll).select("vec_id", "cell")
     }
 
   /** Deployment variant: same prune rule over the TRAINED coarse

@@ -202,12 +202,15 @@ object TextStats {
     * smoothing, p(w2|w1) = (c(w1 w2)+1)/(head(w1)+V) with corpus bigram
     * counts, bigram-head counts, and vocabulary size V.
     *
-    * 100 TB posture mirrors `q_llm_unigram_nll`: two map-side-combined
-    * aggregates build the (vocabulary-bounded) bigram and head tables,
-    * scoring is broadcast joins against the token stream, and V rides a
-    * 1-row broadcast.  Each ln is rounded to 1e-6 and summed as exact
-    * longs, so the per-doc sum is order-independent and bit-identical to
-    * the DuckDB twin. */
+    * 100 TB posture: two map-side-combined aggregates build the bigram
+    * and head tables.  The bigram table grows O(V²) in distinct bigrams
+    * and the head table O(V) in distinct words — neither is guaranteed
+    * broadcast-size at corpus scale, so the scoring joins carry NO
+    * broadcast hint: AQE broadcasts them when they fit (they do at every
+    * judged SF) and falls back to a shuffle join when they don't.  Only V
+    * rides a forced 1-row broadcast.  Each ln is rounded to 1e-6 and
+    * summed as exact longs, so the per-doc sum is order-independent and
+    * bit-identical to the DuckDB twin. */
   val bigramNll: GraftQuery = GraftQuery("q_llm_bigram_nll",
     s"""WITH x AS (SELECT doc_id, $toksSql AS t FROM documents),
        |b AS (SELECT doc_id,
@@ -234,8 +237,8 @@ object TextStats {
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = x.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w")).as("nv"))
-    b.join(broadcast(c2), "p")
-      .join(broadcast(c1), substring_index(col("p"), " ", 1) === col("w1"))
+    b.join(c2, "p")
+      .join(c1, substring_index(col("p"), " ", 1) === col("w1"))
       .crossJoin(broadcast(v))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bg"),

@@ -76,6 +76,30 @@ class BpeSpec extends AnyFunSuite {
       (first._1 + first._2).endsWith("</w>"))
   }
 
+  test("trainer emits distinct pairs; table keeps the lower rank on a dup key") {
+    // A merged pair can RE-FORM when a later merge recreates one of its
+    // operands next to the other; the trainer's seen-set makes pair
+    // distinctness unconditional.  Property-checked over randomized
+    // dictionaries (the greedy rank-order makes organic re-forms rare, so
+    // the invariant is asserted, not hunted).
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val words = (1 to (2 + rnd.nextInt(5))).map { _ =>
+        (1 to (2 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val dict = words.map(w => (w, (1 + rnd.nextInt(20)).toLong))
+      val m = Bpe.trainMerges(dict, nMerges = 20)
+      assert(m.distinct == m, s"duplicate merge pair trained from $dict: $m")
+    }
+    // belt-and-braces at the table layer: if a duplicate key ever reaches
+    // BpeTable, the FIRST (lower-rank) entry owns the key — matching what
+    // a rank-ordered reference tokenizer would apply
+    val tbl = new graft.fns.BpeTable(Seq(("a", "b"), ("c", "d"), ("a", "b")))
+    val ia = tbl.symStr.indexOf("a"); val ib = tbl.symStr.indexOf("b")
+    val hit = tbl.lookup(ia, ib)
+    assert(hit >= 0 && (hit >>> 32) == 0L, "dup key must keep rank 0, not rank 2")
+  }
+
   test("id-space tokenization: ids decode to the string tokens, unk=0 semantics") {
     val mergeSeq = Bpe.merges(spark, TestSpark.sf)
     val alpha = Bpe.alphabet(spark, TestSpark.sf)
