@@ -37,6 +37,57 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Host-speed calibration: a fixed deterministic CPU+memory workload
+    * timed in a plain JVM thread before any Spark work.  Round-11
+    * post-mortem: byte-identical binaries measured `q_join_fuzzy2` at
+    * both 6.05 s and ~14 s across rounds (A/B harness
+    * `tools/fuzzy2_ab.sh`, BASELINE.md round-11 section) — the HOST
+    * generation changed speed, not the code.  Bench totals are only
+    * comparable across rounds next to a host-speed index, so this probe's
+    * seconds ship in every artifact (`calib` in BENCH_FULL.json and the
+    * stdout line).  Two components mirror the engine's hot profiles: a
+    * 64-bit mix loop (ALU/hash throughput) and a banded edit-distance DP
+    * over deterministic strings (branch + L1/L2 traffic — the fuzzy-join
+    * kernel's shape).  Min of 3 runs so the probe's own JIT warm-up
+    * doesn't pollute the index. */
+  private[graft] def calibrateOnce(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var i = 0L
+    while (i < 100000000L) {
+      acc ^= java.lang.Long.rotateLeft(acc + i * 0x9e3779b97f4a7c15L, 31) * 0xff51afd7ed558ccdL
+      i += 1
+    }
+    val rnd = new scala.util.Random(42)
+    val strs = Array.fill(64)(Array.fill(24)((rnd.nextInt(26) + 'a').toChar))
+    val dp = Array.ofDim[Int](25, 25)
+    var sum = 0
+    var rep = 0
+    while (rep < 4000) {
+      val a = strs(rep % 64); val b = strs((rep + 1) % 64)
+      var x = 0
+      while (x <= a.length) { dp(x)(0) = x; x += 1 }
+      var y = 0
+      while (y <= b.length) { dp(0)(y) = y; y += 1 }
+      x = 1
+      while (x <= a.length) {
+        y = 1
+        while (y <= b.length) {
+          val c = if (a(x - 1) == b(y - 1)) 0 else 1
+          dp(x)(y) = math.min(math.min(dp(x - 1)(y) + 1, dp(x)(y - 1) + 1),
+            dp(x - 1)(y - 1) + c)
+          y += 1
+        }
+        x += 1
+      }
+      sum += dp(a.length)(b.length)
+      rep += 1
+    }
+    if (acc == 42L && sum == -1) System.err.println("calib sink")
+    (System.nanoTime() - t0) / 1e9
+  }
+  private[graft] def calibrate(): Double = (1 to 3).map(_ => calibrateOnce()).min
+
   def main(args: Array[String]): Unit = {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,6 +129,8 @@ object Bench {
       names.map(n => n -> timeOnce(SparkEntry.queries(n)))
     def passSum(p: Seq[(String, Double)]): Double = p.map(_._2).filter(_ >= 0).sum
 
+    val calib = calibrate()
+    System.err.println(f"[bench] host calibration $calib%.3f s (round-10 host ~1 s class)")
     // discarded warm-up pass: absorbs codegen/staging/page-cache one-time
     // costs so they can't inflate recorded pass 1 (see scaladoc)
     val warmupSum = passSum(runPass())
@@ -106,11 +159,33 @@ object Bench {
     }
     val passSums = passes.map(passSum)
     val skew = if (passSums.min > 0) passSums.max / passSums.min else -1.0
-    val times: Map[String, Vector[Double]] =
+    var times: Map[String, Vector[Double]] =
       names.map(n => n -> passes.map(_.toMap.apply(n)).toVector).toMap
+    // Per-query outlier re-run: pass-level skew detection catches a
+    // whole-run contention window, but a PER-QUERY host blip (round-10's
+    // driver measured one query at reps 19/31/41 s against a 6 s
+    // committed number) inflates a single query's median while pass sums
+    // stay agreeable.  Any query whose reps disagree by >2× (and whose
+    // cost is big enough to matter, ≥0.5 s) gets 2 extra isolated reps;
+    // the median over the widened rep set then reflects the query's mode,
+    // not whichever regime 2-of-3 interleaved reps happened to hit.
+    // Bounded: ≤8 queries' worth of extra reps, worst-first.
+    var outlierReruns = 0
+    if (reps > 1) {
+      val suspects = names.filter { n =>
+        val r = times(n)
+        r.forall(_ >= 0) && r.min > 0 && r.max >= 0.5 && r.max / r.min > 2.0
+      }.sortBy(n => -(times(n).max / times(n).min)).take(8)
+      suspects.foreach { n =>
+        val extra = Vector.fill(2)(timeOnce(SparkEntry.queries(n)))
+        System.err.println(f"[bench] outlier re-run $n: reps ${times(n).map(t => f"$t%.2f").mkString("/")} + extra ${extra.map(t => f"$t%.2f").mkString("/")}")
+        times = times.updated(n, times(n) ++ extra.filter(_ >= 0))
+        outlierReruns += 1
+      }
+    }
     val results: Seq[(String, Double)] = names.map { name =>
       val r = times(name)
-      name -> (if (r.exists(_ < 0)) -1.0 else r.sorted.apply(reps / 2))
+      name -> (if (r.exists(_ < 0)) -1.0 else r.sorted.apply(r.length / 2))
     }
     // trimmed-min: per-query best rep — the contention-free steady state
     val minResults: Map[String, Double] = names.map { name =>
@@ -133,7 +208,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val passJson = passSums.map(jnum).mkString("[", ",", "]")
     writeFile("BENCH_FULL.json",
-      s"""{"sf":"$sfDir","n_reps":$reps,"agg":"median","total":${jnum(total)},"total_min":${jnum(totalMin)},"warmup_sum":${jnum(warmupSum)},"pass_sums":$passJson,"skew":${jnum(skew)},"reruns":$reruns,"queries":{$fullEntries}}""")
+      s"""{"sf":"$sfDir","n_reps":$reps,"agg":"median","total":${jnum(total)},"total_min":${jnum(totalMin)},"warmup_sum":${jnum(warmupSum)},"pass_sums":$passJson,"skew":${jnum(skew)},"reruns":$reruns,"outlier_reruns":$outlierReruns,"calib":${jnum(calib)},"queries":{$fullEntries}}""")
     if (prev.nonEmpty) {
       val deltas = results.flatMap { case (name, cur) =>
         prev.get(name).map { p =>
@@ -162,7 +237,7 @@ object Bench {
     // truncated away.
     val qs = results.map { case (k, v) => s""""$k":${jnum(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","pass_sums":$passJson,"skew":${jnum(skew)},"reruns":$reruns,"queries":$qs,"total_min":${jnum(totalMin)},"value":${jnum(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","pass_sums":$passJson,"skew":${jnum(skew)},"reruns":$reruns,"queries":$qs,"outlier_reruns":$outlierReruns,"calib":${jnum(calib)},"total_min":${jnum(totalMin)},"value":${jnum(total)}}""")
     spark.stop()
   }
 

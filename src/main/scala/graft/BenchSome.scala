@@ -7,6 +7,7 @@ object BenchSome {
     val sfDir = args(0)
     val names = args.drop(1).toSeq
     val spark = DevSession.local()
+    println(f"BENCHSOME calib ${Bench.calibrate()}%.3f s")
     spark.range(0, 1000000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     for (name <- names) {
