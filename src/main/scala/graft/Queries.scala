@@ -21,6 +21,7 @@ object Queries {
       joins.BloomPrune.all ++
       fns.Scalars.all ++
       time.EventWindows.all ++
+      streaming.StreamSink.all ++
       agg.VectorMeanQuery.all ++
       agg.BitmapDistinctQuery.all ++
       agg.HeavyHittersQuery.all ++

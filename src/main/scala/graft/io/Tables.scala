@@ -39,10 +39,19 @@ object Tables {
     * DevSession, ProfileMain all set it), so the NTZ→LTZ cast below is a
     * bit-identity on the underlying micros. */
   def eventsUs(s: SparkSession, d: String): DataFrame = {
+    val df = events(s, d)
+    df.withColumn("ts_us", tsUsColFor(df))
+  }
+
+  /** The `ts` → epoch-micros normalization of [[eventsUs]] as a column
+    * expression over ANY frame carrying an events-shaped `ts` — shared by
+    * the batch loaders and the Structured Streaming file source (whose
+    * frame comes from `readStream`, not [[events]], but must agree
+    * bit-for-bit with the batch twin). */
+  def tsUsColFor(df: DataFrame): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    val df = events(s, d)
-    val tsUs = df.schema("ts").dataType match {
+    df.schema("ts").dataType match {
       // A raw INT64 ts has shipped only as TIMESTAMP(NANOS) read back as
       // nano-of-epoch longs.  Guard by magnitude rather than assuming: for
       // any instant between 1974 and 5100 AD, nanos ≥ 1.3e17 while micros
@@ -55,7 +64,6 @@ object Tables {
       case TimestampNTZType => unix_micros(col("ts").cast("timestamp_ltz"))
       case _                => unix_micros(col("ts"))
     }
-    df.withColumn("ts_us", tsUs)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.GraftQuery
+import graft.fns.Exact.exactSumSql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The JUDGED streaming query: a Structured Streaming pipeline with a real
+  * file source, a durable parquet sink, and a checkpoint — driven to
+  * bounded completion with `Trigger.AvailableNow` and oracled against the
+  * batch twin's SQL (`q_stream_tumbling`'s tumbling-window aggregate).
+  * The B9 rows before this one prove stream-batch parity on MemoryStream
+  * inside specs; this query makes a persisted streaming run part of the
+  * driver-scored inventory.
+  *
+  * Sink pattern: per-micro-batch DYNAMIC PARTITION OVERWRITE keyed by the
+  * FULL aggregation key — (window start, event_type) — via `foreachBatch`
+  * in update output mode.  Each batch rewrites exactly the group
+  * partitions it updated — the classic streaming-upsert-to-lake shape:
+  * restarts are exactly-once because replaying a batch overwrites the
+  * same partitions with the same rows (idempotent), and the sink's total
+  * size is the aggregate's, never the stream's.  The partition key MUST
+  * cover the whole group key: partitioning by window alone measurably
+  * loses rows — a batch updating only (W, 'error') would rewrite
+  * partition W and delete W's other event_types (caught by
+  * StreamSinkSpec's incremental run while building this).  At 100 TB/day
+  * this is the pattern's real deployment: partitions are bounded by
+  * groups touched per batch, state by the watermark horizon.
+  *
+  * Watermark: 35 days — deliberately ≥ the full span of the `events`
+  * table, because the file source imposes no cross-FILE event-time order
+  * (a later-listed file may hold earlier events, and incremental day-N
+  * catch-up runs replay whole directories).  A production stream with
+  * bounded disorder would use minutes; the knob is the SAME code path,
+  * and StreamSinkSpec drives the multi-batch + restart semantics.
+  *
+  * The streaming run executes on EVERY call (the pipeline is the judged
+  * operator — memoizing it would time a parquet re-read instead); out/
+  * checkpoint dirs are per-run temporaries.
+  */
+object StreamSink {
+
+  private def runTumblingSink(spark: SparkSession, eventsPath: String,
+      outDir: String, ckptDir: String, maxFilesPerTrigger: Option[Int]): Unit = {
+    // schema comes from a metadata-only batch read; nanosAsLong must be on
+    // before either read so both see the same `ts` type
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchShape = spark.read.parquet(eventsPath)
+    var reader = spark.readStream.schema(batchShape.schema)
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val raw = reader.parquet(eventsPath)
+    val ev = raw
+      .withColumn("ts_us", graft.io.Tables.tsUsColFor(raw))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "35 days")
+    val agg = graft.time.EventWindows.tumblingOnTs(ev)
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          b.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("wstart_us", "event_type")
+            .parquet(outDir)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drive the tumbling pipeline over `eventsPath` to completion and read
+    * the sink back.  Exposed for the spec's staged/incremental runs (which
+    * pass their own dirs + per-file batching); the judged query uses fresh
+    * temp dirs and the default one-batch AvailableNow plan. */
+  private[graft] def tumblingViaSink(spark: SparkSession, eventsPath: String,
+      outDir: String, ckptDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    runTumblingSink(spark, eventsPath, outDir, ckptDir, maxFilesPerTrigger)
+    // the partition column comes back typed by inference; cast to the batch
+    // twin's BIGINT and column order so the two frames are interchangeable
+    spark.read.parquet(outDir)
+      .select(col("wstart_us").cast("long"), col("event_type"), col("n"),
+        col("sum_val"))
+  }
+
+  /** The file stream source requires a DIRECTORY (its file index treats
+    * the path as a basePath); driver testdata ships `events.parquet` as a
+    * single file, so it is byte-copied once per sfDir into a /tmp landing
+    * directory — exactly the landing-zone layout a production file stream
+    * watches.  A directory-shaped events table streams as-is. */
+  private val srcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def stagedEventsDir(sfDir: String): String =
+    srcCache.computeIfAbsent(sfDir, _ => {
+      val src = new java.io.File(s"$sfDir/events.parquet")
+      if (src.isDirectory) src.getAbsolutePath
+      else {
+        val key = java.util.Base64.getUrlEncoder.withoutPadding
+          .encodeToString(sfDir.getBytes("UTF-8"))
+        val dir = new java.io.File(s"/tmp/graft_stream_src/$key")
+        val target = new java.io.File(dir, "events-000.parquet")
+        if (!target.exists()) {
+          val tmp = new java.io.File(s"/tmp/graft_stream_src/.tmp-${java.util.UUID.randomUUID()}")
+          tmp.mkdirs()
+          java.nio.file.Files.copy(src.toPath,
+            new java.io.File(tmp, "events-000.parquet").toPath)
+          if (!tmp.renameTo(dir) && !target.exists())
+            throw new IllegalStateException(s"staging rename failed for $dir")
+        }
+        dir.getAbsolutePath
+      }
+    })
+
+  val tumblingSink: GraftQuery = GraftQuery("q_stream_tumbling_sink",
+    s"""SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS wstart_us,
+       |  event_type, count(*) AS n, ${exactSumSql("value", 4)} AS sum_val
+       |FROM events GROUP BY 1, 2""".stripMargin) { (spark, sfDir) =>
+    val run = s"/tmp/graft_stream_sink/${java.util.UUID.randomUUID()}"
+    tumblingViaSink(spark, stagedEventsDir(sfDir), s"$run/out", s"$run/ckpt")
+  }
+
+  val all: Seq[GraftQuery] = Seq(tumblingSink)
+}
