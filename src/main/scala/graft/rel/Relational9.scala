@@ -52,9 +52,27 @@ object Relational9 {
       |         100 + (p_partkey * 13 + k * 29) % 99900 AS ps_supplycost_cents
       |  FROM part CROSS JOIN ks)""".stripMargin
 
-  private def registerViews(spark: SparkSession, sfDir: String): Unit =
+  /** Guard on the derived-partsupp convention: these oracle twins are
+    * only comparable while BOTH engines synthesize the SAME partsupp CTE.
+    * If a driver testdata refresh ever ships a real `partsupp.parquet`,
+    * silently keeping the stand-in would de-sync the 8 TPC-H twins from
+    * the real table — fail LOUDLY with the migration path instead.
+    * (Relational9GuardSpec plants the file and pins the failure.) */
+  private[rel] def assertNoRealPartsupp(sfDir: String): Unit = {
+    if (new java.io.File(s"$sfDir/partsupp.parquet").exists())
+      throw new IllegalStateException(
+        s"$sfDir/partsupp.parquet exists, but the TPC-H queries derive a " +
+          "synthetic partsupp stand-in (Relational9.psCte). Migrate before " +
+          "re-running: register the real table as the `partsupp` view, drop " +
+          "psCte from the shared SQL texts (they run verbatim in Spark AND " +
+          "the DuckDB oracle), and re-verify q_sql_tpch_{q2,q9,q11,q16,q20}.")
+  }
+
+  private def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    assertNoRealPartsupp(sfDir)
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
+  }
 
   private def sqlQuery(name: String, sql: String): GraftQuery =
     GraftQuery(name, sql) { (spark, sfDir) =>
