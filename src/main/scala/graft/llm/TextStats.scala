@@ -246,7 +246,90 @@ object TextStats {
           .cast(LongType)) / 1000000.0).as("nll2"))
   }
 
+  /** Interpolated TRIGRAM language-model score with bigram/unigram
+    * backoff — the KenLM-shape generalization of `q_llm_bigram_nll` (CCNet
+    * filters corpora with a 5-gram LM of exactly this family; Jelinek-
+    * Mercer fixed-λ interpolation is the SQL-expressible member, where
+    * Katz/Kneser-Ney discounts would need per-context statistics):
+    * per-doc sum of −ln p(w3|w1w2) with
+    *
+    *   p = λ3·c3(w1w2w3)/h2(w1w2) + λ2·c2(w2w3)/h1(w2) + λ1·(c1(w3)+1)/(N+V)
+    *
+    * (λ = 0.7/0.2/0.1); every count table is corpus-derived, scoring
+    * trigrams come FROM the corpus so all joins hit (inner-join safe).
+    *
+    * 100 TB posture follows the bigram query: the c3/h2/c2/h1/c1 tables
+    * are built by map-side-combined aggregates and joined with NO
+    * broadcast hint (the trigram table grows O(V³) worst-case — AQE
+    * broadcasts when it fits, shuffles when it doesn't); only the 1-row
+    * (N, V) rides a forced broadcast.  Per-trigram ln rounded to 1e-6 and
+    * summed as exact longs => order-independent, bit-identical to DuckDB. */
+  val trigramNll: GraftQuery = GraftQuery("q_llm_trigram_nll",
+    s"""WITH x AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |tg AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(t) - 1),
+       |                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS p
+       |      FROM x WHERE len(t) >= 3),
+       |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+       |                                    i -> t[i] || ' ' || t[i+1])) AS b
+       |       FROM x WHERE len(t) >= 2),
+       |c3 AS (SELECT p, count(*) AS c3 FROM tg GROUP BY p),
+       |h2 AS (SELECT split_part(p, ' ', 1) || ' ' || split_part(p, ' ', 2) AS k2,
+       |              count(*) AS h2 FROM tg GROUP BY 1),
+       |c2 AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
+       |h1 AS (SELECT split_part(b, ' ', 1) AS w, count(*) AS h1 FROM bg GROUP BY 1),
+       |c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM x) GROUP BY w),
+       |nv AS (SELECT count(*) AS n, count(DISTINCT w) AS v
+       |       FROM (SELECT unnest(t) AS w FROM x))
+       |SELECT tg.doc_id, count(*) AS n_tg,
+       |  CAST(CAST(sum(CAST(round(ln(1.0 / (0.7 * c3.c3 / h2.h2 + 0.2 * c2.c2 / h1.h1
+       |                                     + 0.1 * (c1.c1 + 1) / (nv.n + nv.v)))
+       |                          * 1000000, 0) AS BIGINT)) AS BIGINT)
+       |       / 1000000.0 AS DOUBLE) AS nll3
+       |FROM tg
+       |JOIN c3 USING (p)
+       |JOIN h2 ON split_part(tg.p, ' ', 1) || ' ' || split_part(tg.p, ' ', 2) = h2.k2
+       |JOIN c2 ON split_part(tg.p, ' ', 2) || ' ' || split_part(tg.p, ' ', 3) = c2.b
+       |JOIN h1 ON split_part(tg.p, ' ', 2) = h1.w
+       |JOIN c1 ON split_part(tg.p, ' ', 3) = c1.w
+       |CROSS JOIN nv
+       |GROUP BY tg.doc_id""".stripMargin) { (spark, sfDir) =>
+    val x = documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
+    val tgP = transform(sequence(lit(1), size(col("t")) - 2),
+      i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1),
+        lit(" "), element_at(col("t"), i + 2)))
+    val bgP = transform(sequence(lit(1), size(col("t")) - 1),
+      i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1)))
+    val tg = x.filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(tgP).as("p"))
+      .localCheckpoint() // consumers: c3, h2, scoring
+    val bg = x.filter(size(col("t")) >= 2)
+      .select(explode(bgP).as("b"))
+      .localCheckpoint() // consumers: c2, h1
+    val c3 = tg.groupBy("p").agg(count(lit(1)).as("c3"))
+    val h2 = tg.select(substring_index(col("p"), " ", 2).as("k2"))
+      .groupBy("k2").agg(count(lit(1)).as("h2"))
+    val c2 = bg.groupBy("b").agg(count(lit(1)).as("c2"))
+    val h1 = bg.select(substring_index(col("b"), " ", 1).as("w1h"))
+      .groupBy("w1h").agg(count(lit(1)).as("h1"))
+    val c1 = x.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val nv = x.select(explode(col("t")).as("w"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("v"))
+    val p = (lit(0.7) * col("c3") / col("h2") + lit(0.2) * col("c2") / col("h1")
+      + lit(0.1) * (col("c1") + lit(1)) / (col("n") + col("v")))
+    tg.join(c3, "p")
+      .join(h2, substring_index(col("p"), " ", 2) === col("k2"))
+      .join(c2, substring_index(col("p"), " ", -2) === col("b"))
+      .join(h1, substring_index(substring_index(col("p"), " ", 2), " ", -1) === col("w1h"))
+      .join(c1, substring_index(col("p"), " ", -1) === col("w"))
+      .crossJoin(broadcast(nv))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tg"),
+        (sum(round(log(lit(1.0) / p) * 1000000).cast(LongType)) / 1000000.0).as("nll3"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(textStats, tokens, langid, quality, fingerprint, unigramNll, bigramNll,
-      bpeMerges)
+      trigramNll, bpeMerges)
 }

@@ -31,6 +31,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_llm_unigram_nll",     // crossJoin(broadcast(1-row corpus total))
     "q_llm_dsir",            // crossJoin(broadcast(1-row bucket totals))
     "q_llm_bigram_nll",      // crossJoin(broadcast(1-row vocabulary size))
+    "q_llm_trigram_nll",     // crossJoin(broadcast(1-row (N, V) totals))
+    "q_llm_embed_curate",    // composes the semantic-seed cell assignment
     "q_llm_curate2",         // composes the semantic-seed + vocab-size broadcasts
     // derived-partsupp TPC-H shapes: part CROSS JOIN (4-row constant
     // relation) — a broadcast of a literal, map-only on the scan side
