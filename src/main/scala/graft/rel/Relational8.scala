@@ -329,7 +329,125 @@ object Relational8 {
       .withColumn("satisfied", col("n_violations") === 0L)
   }
 
+  /** INCREMENTAL constraint verification — Deequ's "incremental metrics"
+    * analog, the day-2 shape of [[qualityConstraints]]: yesterday's
+    * corpus is summarized once into staged, MERGEABLE metric states, and
+    * today's verdict touches only the NEW batch plus those states.
+    *
+    * State design (what makes each constraint mergeable):
+    *  - counting constraints (completeness/positivity/domain/set/bounds)
+    *    → one row of additive counts per table per day;
+    *  - uniqueness → a per-key frequency table (violations = Σcount −
+    *    #keys after merging day tables by key) — the keyed state store a
+    *    real incremental checker carries, same artifact shape as
+    *    DedupIncr's compacted postings;
+    *  - referential integrity → additive per-day anti-join counts against
+    *    the (static) dimension.
+    *
+    * The deterministic batch split (key % 5 == 0 ≙ today) stands in for
+    * the arrival date the driver schema lacks.  The ORACLE is the
+    * full-table recompute: hash-equality of the merged verdict against it
+    * IS the incremental-correctness proof, on a suite whose
+    * `bound_l_quantity_le30` row is genuinely violated in both day
+    * slices.  At 100 TB the staged states are yesterday's artifacts and
+    * only today's batch is scanned; here both sides are derived from the
+    * same parquet, staged via [[graft.io.Staged]] so repeat runs reuse
+    * the day-1 summaries. */
+  val qualityConstraintsIncr: GraftQuery = GraftQuery("q_quality_constraints_incr",
+    """SELECT cname, n_violations, n_violations = 0 AS satisfied FROM (
+      |SELECT 'completeness_o_custkey' AS cname,
+      |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations FROM orders
+      |UNION ALL SELECT 'unique_o_orderkey',
+      |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+      |UNION ALL SELECT 'positive_o_totalprice',
+      |  CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) FROM orders
+      |UNION ALL SELECT 'ri_orders_customer', CAST(count(*) AS BIGINT)
+      |  FROM orders o WHERE NOT EXISTS (
+      |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL SELECT 'domain_l_discount',
+      |  CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'set_l_returnflag',
+      |  CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'positive_l_quantity',
+      |  CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'bound_l_quantity_le30',
+      |  CAST(count(*) FILTER (WHERE l_quantity > 30) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'nonempty_lineitem',
+      |  CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS BIGINT) FROM lineitem)""".stripMargin
+      ) { (spark, sfDir) => qualityConstraintsIncrDf(spark, sfDir) }
+
+  private def oStateOf(df: org.apache.spark.sql.DataFrame) = df.agg(
+    count(when(col("o_custkey").isNull, 1)).as("c_compl"),
+    count(when(col("o_totalprice") <= 0, 1)).as("c_pos"))
+  private def lStateOf(df: org.apache.spark.sql.DataFrame) = df.agg(
+    count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)).as("c_dom"),
+    count(when(!col("l_returnflag").isin("A", "N", "R"), 1)).as("c_set"),
+    count(when(col("l_quantity") <= 0, 1)).as("c_qpos"),
+    count(when(col("l_quantity") > 30, 1)).as("c_qle30"),
+    count(lit(1)).as("n_rows"))
+
+  private def qualityConstraintsIncrDf(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import graft.io.Staged
+    val day2o = pmod(col("o_orderkey"), lit(5L)) === 0L
+    val day2l = pmod(col("l_orderkey"), lit(5L)) === 0L
+    // ---- staged day-1 states (yesterday's artifacts)
+    val o1 = Staged(spark, s"qcIncr|o1|$sfDir") {
+      oStateOf(orders(spark, sfDir).filter(!day2o)) }
+    val oKeys1 = Staged(spark, s"qcIncr|ok1|$sfDir") {
+      orders(spark, sfDir).filter(!day2o)
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("c")) }
+    val ri1 = Staged(spark, s"qcIncr|ri1|$sfDir") {
+      orders(spark, sfDir).filter(!day2o)
+        .join(customer(spark, sfDir), col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("c_ri")) }
+    val l1 = Staged(spark, s"qcIncr|l1|$sfDir") {
+      lStateOf(lineitem(spark, sfDir).filter(!day2l)) }
+    // ---- today's batch only
+    val o2 = oStateOf(orders(spark, sfDir).filter(day2o))
+    val oKeys2 = orders(spark, sfDir).filter(day2o)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("c"))
+    val ri2 = orders(spark, sfDir).filter(day2o)
+      .join(customer(spark, sfDir), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("c_ri2"))
+    val l2 = lStateOf(lineitem(spark, sfDir).filter(day2l))
+    // ---- merge: counts add; key tables merge by key; verdict shape is
+    // identical to the full recompute (= the oracle)
+    val oM = o1.select(col("c_compl").as("a1"), col("c_pos").as("b1"))
+      .crossJoin(o2)
+      .select((col("a1") + col("c_compl")).as("c_compl"),
+        (col("b1") + col("c_pos")).as("c_pos")).localCheckpoint()
+    val uniq = oKeys1.unionByName(oKeys2).groupBy("k").agg(sum(col("c")).as("c"))
+      .agg((sum(col("c")) - count(lit(1))).as("c_uniq")).localCheckpoint()
+    val riM = ri1.crossJoin(ri2)
+      .select((col("c_ri") + col("c_ri2")).as("c_ri")).localCheckpoint()
+    val lM = l1.select(col("c_dom").as("a1"), col("c_set").as("a2"),
+        col("c_qpos").as("a3"), col("c_qle30").as("a4"), col("n_rows").as("a5"))
+      .crossJoin(l2)
+      .select((col("a1") + col("c_dom")).as("c_dom"),
+        (col("a2") + col("c_set")).as("c_set"),
+        (col("a3") + col("c_qpos")).as("c_qpos"),
+        (col("a4") + col("c_qle30")).as("c_qle30"),
+        when(col("a5") + col("n_rows") === 0, 1L).otherwise(0L).as("c_nonempty"))
+      .localCheckpoint()
+    def row(src: org.apache.spark.sql.DataFrame, name: String, c: String) =
+      src.select(lit(name).as("cname"), col(c).cast(LongType).as("n_violations"))
+    Seq(
+      row(oM, "completeness_o_custkey", "c_compl"),
+      row(uniq, "unique_o_orderkey", "c_uniq"),
+      row(oM, "positive_o_totalprice", "c_pos"),
+      row(riM, "ri_orders_customer", "c_ri"),
+      row(lM, "domain_l_discount", "c_dom"),
+      row(lM, "set_l_returnflag", "c_set"),
+      row(lM, "positive_l_quantity", "c_qpos"),
+      row(lM, "bound_l_quantity_le30", "c_qle30"),
+      row(lM, "nonempty_lineitem", "c_nonempty"))
+      .reduce(_ unionByName _)
+      .withColumn("satisfied", col("n_violations") === 0L)
+  }
+
   val all: Seq[GraftQuery] = Seq(eventsFunnel, scd2Intervals, scanXmlRoundtrip,
-    profileColumns, profileColumnsFast, tableChecksum, qualityConstraints)
+    profileColumns, profileColumnsFast, tableChecksum, qualityConstraints,
+    qualityConstraintsIncr)
 }
 
