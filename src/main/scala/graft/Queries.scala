@@ -38,6 +38,7 @@ object Queries {
       llm.Relevance.all ++
       llm.SpanDedup.all ++
       llm.Curate.all ++
+      llm.EmbedCurate.all ++
       llm.Importance.all ++
       llm.Multimodal.all
 
