@@ -18,6 +18,7 @@ object Queries {
       rel.Relational9.all ++
       rel.Relational10.all ++
       graph.Graphs.all ++
+      io.CatalogTables.all ++
       joins.BloomPrune.all ++
       fns.Scalars.all ++
       time.EventWindows.all ++
