@@ -32,6 +32,7 @@ object Queries {
       llm.SemanticDedup.all ++
       llm.Similarity.all ++
       llm.AnnAuto.all ++
+      llm.GraphAnn.all ++
       llm.KnnJoin.all ++
       llm.TextStats.all ++
       llm.Bpe.all ++

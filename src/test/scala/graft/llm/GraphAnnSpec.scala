@@ -1,0 +1,54 @@
+package graft.llm
+
+import graft.{Queries, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the graph-ANN path (q_llm_ann_graph): beam-search recall
+  * against the exact brute top-5, the index's degree bound, determinism
+  * of the whole build+search, and that NN-descent refinement does not
+  * degrade the graph's neighbor quality. */
+class GraphAnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("qid").cast("long"), col("nid").cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  test("beam search recall@5 >= 0.8 vs brute force; deterministic") {
+    val g1 = Queries.queries("q_llm_ann_graph")(spark, TestSpark.sf)
+    val got = pairs(g1)
+    val brute = pairs(Queries.queries("q_llm_similarity_topk")(spark, TestSpark.sf))
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"graph-ANN recall@5 $recall")
+    val again = pairs(Queries.queries("q_llm_ann_graph")(spark, TestSpark.sf))
+    assert(got == again, "build+search must be deterministic")
+  }
+
+  test("graph degree bounded by m; NN-descent keeps or improves quality") {
+    val base = Similarity.quantized(spark, TestSpark.sf)
+    val blocked = GraphAnn.multiBlocked(spark, TestSpark.sf)
+    val adj0 = GraphAnn.knnGraphOn(spark, "gspec:r0", base, blocked, m = 8, rounds = 0)
+    val adj2 = GraphAnn.knnGraphOn(spark, "gspec:r2", base, blocked, m = 8, rounds = 2)
+    // m similarity links + 2 structural small-world links per node
+    val maxDeg = adj2.groupBy("src").count().agg(max("count")).as[Long].first()
+    assert(maxDeg <= 10, s"degree bound violated: $maxDeg")
+    // quality metric: mean neighbor similarity per node can only go up
+    // when NN-descent re-ranks a strictly larger candidate pool
+    def meanSim(adj: org.apache.spark.sql.DataFrame): Double =
+      adj.agg(avg("sim")).as[Double].first()
+    val (q0, q2) = (meanSim(adj0), meanSim(adj2))
+    assert(q2 >= q0 - 1e-12, s"NN-descent degraded the graph: $q0 -> $q2")
+    // and the refined graph covers MORE of the true top-5 as out-edges:
+    // current edges stay candidates every round, so a node's top-m can
+    // only improve by similarity — true-neighbor out-edge coverage is
+    // monotone (the walk's mean-sim is NOT: path dynamics shift)
+    val brute = Queries.queries("q_llm_similarity_topk")(spark, TestSpark.sf)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def coverage(adj: org.apache.spark.sql.DataFrame): Int =
+      (adj.select(col("src"), col("dst")).as[(Long, Long)].collect().toSet & brute).size
+    val (c0, c2) = (coverage(adj0), coverage(adj2))
+    assert(c2 >= c0, s"NN-descent lost true-neighbor edges: $c0 -> $c2")
+  }
+}
