@@ -136,12 +136,23 @@ object GraphAnn {
     }
 
   /** Beam search over a staged adjacency: per query, greedy frontier
-    * expansion from fixed entry points; returns top-k of all visited. */
+    * expansion from fixed entry points; returns top-k of all visited.
+    * The family's query convention (vec_id < 10). */
   private[graft] def searchGraphOn(spark: SparkSession, base: DataFrame,
       adj: DataFrame, k: Int = 5, entryK: Int = EntryK, beam: Int = Beam,
-      hops: Int = Hops): DataFrame = {
-    val queries = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("qv").as("qa"), col("nrm").as("na"))
+      hops: Int = Hops): DataFrame =
+    searchOn(spark, base,
+      base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"), col("nrm").as("na")),
+      adj, k, entryK, beam, hops)
+
+  /** Beam search for an ARBITRARY query frame (qid, qa, na) — also the
+    * append path's neighbor finder (each new node queries the frozen
+    * graph).  `base` supplies node vectors and entry points; queries need
+    * not be graph members. */
+  private[graft] def searchOn(spark: SparkSession, base: DataFrame,
+      queries: DataFrame, adj: DataFrame, k: Int = 5, entryK: Int = EntryK,
+      beam: Int = Beam, hops: Int = Hops): DataFrame = {
     // hash-spread entry points (not the lowest ids — those can all fall
     // in one cluster and strand the walk)
     val entries = base.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(entryK)
@@ -201,6 +212,55 @@ object GraphAnn {
       emb.select(col("vec_id"), lit(t).as("tb"), blkT.as("blk"))
     }.reduce(_ unionByName _)
   }
+
+  /** Day-2 graph accretion — the graph-ANN member of the engine's
+    * incremental-index family (pqAppendOn / lshPostingsAppendOn /
+    * ivfPqAppendOn / DedupIncr.compactIndex): day-1 edges are FROZEN
+    * byte-identical; each batch node finds its neighbors by beam-searching
+    * the frozen graph (hops·beam·degree lookups — batch-linear, never a
+    * rebuild), gets a hash-order cycle through the batch for
+    * connectivity, and one NN-descent-style re-rank over its candidate
+    * pool bounds its degree to m.  Day-1 nodes keep their out-edges
+    * unchanged; batch nodes are reachable through UNDIRECTED navigation
+    * of their own out-edges (the search walks both directions by
+    * design). */
+  private[graft] def graphAppendOn(spark: SparkSession, newTag: String,
+      baseFull: DataFrame, adj1: DataFrame, batch: DataFrame,
+      m: Int = M): DataFrame =
+    graft.io.Staged(spark, s"graphannIncr|$newTag|$m") {
+      val batchQ = batch.select(col("vec_id").as("qid"), col("qv").as("qa"),
+        col("nrm").as("na"))
+      val found = searchOn(spark, baseFull, batchQ, adj1, k = m)
+        .select(col("qid").as("src"), col("nid").as("dst"))
+      // batch-internal hash cycle: same-day near-duplicates may be each
+      // other's true neighbors, and the cycle guarantees the batch joins
+      // the connected component even if every search went far afield
+      val nB = batch.count()
+      val ranked = batch.select(col("vec_id"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))) - 1)
+      val cycle = ranked.select(col("vec_id").as("src"), col("rn"))
+        .join(ranked.select(col("vec_id").as("dst"), col("rn").as("rn2")),
+          col("rn2") === pmod(col("rn") + 1, lit(nB)))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      // one bounded refinement: candidates = searched + cycle + their
+      // neighbors-of-neighbors through the combined undirected edges
+      val startEdges = found.unionByName(cycle)
+      val und = adj1.select("src", "dst").unionByName(startEdges)
+        .unionByName(adj1.select(col("dst").as("src"), col("src").as("dst")))
+        .unionByName(startEdges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val batchIds = batch.select(col("vec_id").as("src"))
+      val non = und.join(batchIds, "src")
+        .select(col("src"), col("dst").as("mid"))
+        .join(und.select(col("src").as("mid"), col("dst")), "mid")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      val batchAdj = topMEdges(spark,
+        startEdges.unionByName(non).join(batchIds, "src"), baseFull, m)
+      adj1.unionByName(batchAdj)
+    }
 
   /** Blocking off the QUANTIZED vectors for corpora with no raw-float
     * embedding column (stress generators); `bits` is the occupancy knob —
