@@ -31,22 +31,8 @@ object AnnAutoStress {
     val spark = DevSession.local()
     val dim = 64
 
-    def withNrm(df: DataFrame): DataFrame = df
-      .withColumn("nrm",
-        graft.fns.VecExpressions.vecDot(spark, col("qv"), col("qv")).cast(DoubleType))
-      .localCheckpoint()
-    val cl = {
-      val cluster = col("vec_id") % 32L
-      val comp = transform(sequence(lit(0), lit(dim - 1)), i =>
-        (pmod(xxhash64(cluster * dim + i), lit(2000001L)) - 1000000L) +
-          (pmod(xxhash64(col("vec_id") * dim + i, lit(7L)), lit(200001L)) - 100000L))
-      withNrm(spark.range(n).select(col("id").as("vec_id"), comp.as("qv")))
-    }
-    val iso = {
-      val comp = transform(sequence(lit(0), lit(dim - 1)), i =>
-        pmod(xxhash64(col("vec_id") * dim + i, lit(13L)), lit(2000001L)) - 1000000L)
-      withNrm(spark.range(n).select(col("id").as("vec_id"), comp.as("qv")))
-    }
+    val cl = StressCorpora.clustered(spark, n, dim).localCheckpoint()
+    val iso = StressCorpora.isotropic(spark, n, dim, seed = 13L).localCheckpoint()
 
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("qid", "nid").collect()

@@ -26,14 +26,7 @@ object GraphAnnStress {
     val spark = DevSession.local()
     val dim = 64
 
-    val cluster = col("vec_id") % 32L
-    val comp = transform(sequence(lit(0), lit(dim - 1)), i =>
-      (pmod(xxhash64(cluster * dim + i), lit(2000001L)) - 1000000L) +
-        (pmod(xxhash64(col("vec_id") * dim + i, lit(7L)), lit(200001L)) - 100000L))
-    val base = spark.range(n).select(col("id").as("vec_id"), comp.as("qv"))
-      .withColumn("nrm",
-        graft.fns.VecExpressions.vecDot(spark, col("qv"), col("qv")).cast(DoubleType))
-      .localCheckpoint()
+    val base = StressCorpora.clustered(spark, n, dim).localCheckpoint()
 
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -32,16 +32,7 @@ object IvfStress {
     val dim = 64
     val nClusters = 32L
 
-    // centroid component i of cluster c: xxhash-derived in ±1e6; vector
-    // noise ±1e5 — inter-centroid distance >> noise, clusters separable
-    val cluster = col("vec_id") % nClusters
-    val comp = transform(sequence(lit(0), lit(dim - 1)), i =>
-      (pmod(xxhash64(cluster * dim + i), lit(2000001L)) - 1000000L) +
-        (pmod(xxhash64(col("vec_id") * dim + i, lit(7L)), lit(200001L)) - 100000L))
-    val base = spark.range(n).select(col("id").as("vec_id"), comp.as("qv"))
-      .withColumn("nrm",
-        graft.fns.VecExpressions.vecDot(spark, col("qv"), col("qv")).cast(DoubleType))
-      .localCheckpoint()
+    val base = StressCorpora.clustered(spark, n, dim, nClusters).localCheckpoint()
 
     // exact brute-force top-5 for the 10 query vectors
     val queries = base.filter(col("vec_id") < 10)

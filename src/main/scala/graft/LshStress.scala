@@ -31,11 +31,7 @@ object LshStress {
 
     // deterministic isotropic corpus: component i of vector v is a
     // xxhash64-derived integer in [-1e6, 1e6]
-    val comp = transform(sequence(lit(0), lit(dim - 1)),
-      i => pmod(xxhash64(col("vec_id") * dim + i), lit(2000001L)) - 1000000L)
-    val base = spark.range(n).select(col("id").as("vec_id"), comp.as("qv"))
-      .withColumn("nrm",
-        graft.fns.VecExpressions.vecDot(spark, col("qv"), col("qv")).cast(DoubleType))
+    val base = StressCorpora.isotropic(spark, n, dim)
       .localCheckpoint()
 
     // exact brute-force top-5 for the 10 query vectors: one corpus scan

@@ -34,20 +34,9 @@ object PqStress {
     val spark = DevSession.local()
     val dim = 64
 
-    val comp =
-      if (!clustered)
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => pmod(xxhash64(col("vec_id") * dim + i), lit(2000001L)) - 1000000L)
-      else {
-        // IvfStress's separable corpus: centroid ±1e6, noise ±1e5
-        val cluster = col("vec_id") % 32L
-        transform(sequence(lit(0), lit(dim - 1)), i =>
-          (pmod(xxhash64(cluster * dim + i), lit(2000001L)) - 1000000L) +
-            (pmod(xxhash64(col("vec_id") * dim + i, lit(7L)), lit(200001L)) - 100000L))
-      }
-    val base = spark.range(n).select(col("id").as("vec_id"), comp.as("qv"))
-      .withColumn("nrm",
-        graft.fns.VecExpressions.vecDot(spark, col("qv"), col("qv")).cast(DoubleType))
+    val base =
+      (if (clustered) StressCorpora.clustered(spark, n, dim)
+       else StressCorpora.isotropic(spark, n, dim))
       .localCheckpoint()
 
     // exact brute-force top-5 for the 10 query vectors: one corpus scan

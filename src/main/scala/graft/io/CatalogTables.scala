@@ -2,13 +2,13 @@ package graft.io
 
 import graft.GraftQuery
 import graft.fns.Exact.{exactSum, exactSumSql}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Catalog-table surface (B1 bucketing row, judged): the judged queries
   * elsewhere read parquet paths; this one goes through the CATALOG —
-  * `saveAsTable` with `bucketBy`/`sortBy`, then `spark.table(name)` — the
-  * way a production deployment actually shares co-located fact tables.
+  * bucketed data published once, then `spark.table(name)` — the way a
+  * production deployment actually shares co-located fact tables.
   *
   * The two fact tables are bucketed 8-ways on the join key, so the join
   * AND the aggregation grouped on that key plan with ZERO Exchange (the
@@ -16,36 +16,79 @@ import org.apache.spark.sql.functions._
   * aggregate's distribution — CatalogQuerySpec pins the plan with
   * broadcast disabled).  At 100 TB this is the difference between
   * re-shuffling two fact tables per query and never shuffling them at
-  * all.  Tables are EXTERNAL (explicit /tmp path) so the judged run does
-  * not depend on a writable warehouse dir, created once per sfDir and
-  * reused by table name thereafter — the catalog is the cache.
+  * all.
+  *
+  * Publication follows [[Staged]]'s discipline, because the /tmp data
+  * dirs are SHARED across JVMs while each JVM has its own in-memory
+  * catalog: the bucketed files are written to a `.tmp-<uuid>` sibling
+  * via a throwaway external table (dropping an external table keeps its
+  * files), renamed into place through the POSIX-strict
+  * `FileContext.rename` (exactly one concurrent writer lands; losers
+  * delete their temp and read the winner), and only then registered in
+  * THIS session's catalog with a bucketed `CREATE TABLE … LOCATION`
+  * DDL.  The path key folds in the SOURCE fingerprint, so regenerated
+  * testdata republishes instead of serving stale buckets.
   */
 object CatalogTables {
 
   private val created = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  private[graft] def ensureBucketed(spark: SparkSession, sfDir: String): (String, String) =
-    created.computeIfAbsent(sfDir, _ => {
+  private def publishBucketed(spark: SparkSession, df: DataFrame, key: String,
+      bucketCol: String, h: String): String = {
+    val name = s"graft_${key}_bucketed_$h"
+    if (!spark.catalog.tableExists(name)) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dir = new org.apache.hadoop.fs.Path(s"/tmp/graft_catalog/${key}_$h")
+      val fs = dir.getFileSystem(conf)
+      val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      if (!fs.exists(marker)) {
+        val uuid = java.util.UUID.randomUUID().toString
+        val tmp = new org.apache.hadoop.fs.Path(s"/tmp/graft_catalog/.tmp-$uuid")
+        val tmpTable = s"${name}_build_${uuid.replace("-", "_")}"
+        df.write.mode("overwrite")
+          .bucketBy(8, bucketCol).sortBy(bucketCol)
+          .option("path", tmp.toString)
+          .saveAsTable(tmpTable)
+        spark.sql(s"DROP TABLE `$tmpTable`") // external: files remain
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+        def publish(): Boolean =
+          try { fc.rename(tmp, dir); true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case e: java.io.IOException => fs.delete(tmp, true); throw e
+          }
+        if (!publish()) {
+          // dst exists: a concurrent winner's artifact or a torn leftover
+          if (!fs.exists(marker)) {
+            fs.delete(dir, true)
+            if (!publish()) fs.delete(tmp, true)
+          } else fs.delete(tmp, true)
+        }
+      }
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS `$name` (${df.schema.toDDL})
+           |USING parquet
+           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO 8 BUCKETS
+           |LOCATION '$dir'""".stripMargin)
+    }
+    name
+  }
+
+  private[graft] def ensureBucketed(spark: SparkSession, sfDir: String): (String, String) = {
+    val fp = Staged.fingerprint(spark, s"$sfDir/lineitem.parquet") + "|" +
+      Staged.fingerprint(spark, s"$sfDir/orders.parquet")
+    created.computeIfAbsent(s"$sfDir|$fp", _ => {
       val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val li = s"graft_li_bucketed_$h"
-      val ord = s"graft_ord_bucketed_$h"
-      if (!spark.catalog.tableExists(li)) {
-        Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
-          .write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"/tmp/graft_catalog/li_$h")
-          .saveAsTable(li)
-      }
-      if (!spark.catalog.tableExists(ord)) {
-        Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
-          .write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"/tmp/graft_catalog/ord_$h")
-          .saveAsTable(ord)
-      }
+        .digest(s"$sfDir|$fp".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val li = publishBucketed(spark,
+        Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+        "li", "l_orderkey", h)
+      val ord = publishBucketed(spark,
+        Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
+        "ord", "o_orderkey", h)
       (li, ord)
     })
+  }
 
   /** Per-order line stats off the co-bucketed catalog tables: join on the
     * bucket key, aggregate grouped on it — the whole plan is

@@ -173,18 +173,27 @@ object GraphAnn {
       .distinct().localCheckpoint(true)
     var visited = score(queries.select("qid").crossJoin(broadcast(entries)))
       .localCheckpoint(true)
+    var expanded = visited.select(col("qid"), col("node")).limit(0)
+      .localCheckpoint(true)
     val wBeam = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("node"))
     for (_ <- 1 to hops) {
-      // classic best-first: expand the best `beam` of EVERYTHING visited
-      // (an already-expanded node contributes nothing new via the
-      // left-anti, so re-selecting it is harmless)
-      val expand = visited
+      // best-first with an EXPANDED set (the HNSW ef-search discipline):
+      // each hop expands the best `beam` visited-but-unexpanded nodes.
+      // Without the expanded tracking, already-expanded nodes permanently
+      // occupy the beam once they outrank everything newly found and the
+      // walk stalls hops early (measured: a query landing near the entry
+      // cluster stopped improving after hop 2).
+      val frontier = visited
+        .join(expanded, Seq("qid", "node"), "left_anti")
         .withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= beam)
         .select(col("qid"), col("node"))
+        .localCheckpoint(true)
+      val expand = frontier
         .join(und, "node")
         .select(col("qid"), col("dst").as("node"))
         .join(visited.select(col("qid"), col("node")), Seq("qid", "node"), "left_anti")
         .distinct()
+      expanded = expanded.unionByName(frontier).localCheckpoint(true)
       visited = visited.unionByName(score(expand)).localCheckpoint(true)
     }
     visited.filter(col("qid") =!= col("node"))

@@ -418,7 +418,10 @@ object Relational8 {
       .select((col("a1") + col("c_compl")).as("c_compl"),
         (col("b1") + col("c_pos")).as("c_pos")).localCheckpoint()
     val uniq = oKeys1.unionByName(oKeys2).groupBy("k").agg(sum(col("c")).as("c"))
-      .agg((sum(col("c")) - count(lit(1))).as("c_uniq")).localCheckpoint()
+      // coalesce: over an EMPTY orders table sum() is NULL while the
+      // oracle's count(*) - count(DISTINCT) is 0
+      .agg(coalesce(sum(col("c")) - count(lit(1)), lit(0L)).as("c_uniq"))
+      .localCheckpoint()
     val riM = ri1.crossJoin(ri2)
       .select((col("c_ri") + col("c_ri2")).as("c_ri")).localCheckpoint()
     val lM = l1.select(col("c_dom").as("a1"), col("c_set").as("a2"),

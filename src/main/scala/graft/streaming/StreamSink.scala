@@ -59,12 +59,13 @@ object StreamSink {
       .outputMode("update")
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty) {
-          b.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("wstart_us", "event_type")
-            .parquet(outDir)
-        }
+        // no emptiness pre-check: `isEmpty` would execute the batch's
+        // aggregation a second time, and an empty frame under dynamic
+        // partition overwrite touches zero partitions anyway
+        b.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("wstart_us", "event_type")
+          .parquet(outDir)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -88,17 +89,23 @@ object StreamSink {
 
   /** The file stream source requires a DIRECTORY (its file index treats
     * the path as a basePath); driver testdata ships `events.parquet` as a
-    * single file, so it is byte-copied once per sfDir into a /tmp landing
-    * directory — exactly the landing-zone layout a production file stream
-    * watches.  A directory-shaped events table streams as-is. */
+    * single file, so it is byte-copied once per source CONTENT into a
+    * /tmp landing directory — exactly the landing-zone layout a
+    * production file stream watches.  The landing key folds in
+    * [[graft.io.Staged.fingerprint]] (size+mtime+count) so a regenerated
+    * testdata file restages instead of being served stale to the judged
+    * query while the oracle reads the fresh bytes.  A directory-shaped
+    * events table streams as-is. */
   private val srcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[graft] def stagedEventsDir(sfDir: String): String =
-    srcCache.computeIfAbsent(sfDir, _ => {
-      val src = new java.io.File(s"$sfDir/events.parquet")
+  private[graft] def stagedEventsDir(spark: SparkSession, sfDir: String): String = {
+    val srcPath = s"$sfDir/events.parquet"
+    val fp = graft.io.Staged.fingerprint(spark, srcPath)
+    srcCache.computeIfAbsent(s"$srcPath|$fp", _ => {
+      val src = new java.io.File(srcPath)
       if (src.isDirectory) src.getAbsolutePath
       else {
         val key = java.util.Base64.getUrlEncoder.withoutPadding
-          .encodeToString(sfDir.getBytes("UTF-8"))
+          .encodeToString(s"$srcPath|$fp".getBytes("UTF-8"))
         val dir = new java.io.File(s"/tmp/graft_stream_src/$key")
         val target = new java.io.File(dir, "events-000.parquet")
         if (!target.exists()) {
@@ -112,13 +119,14 @@ object StreamSink {
         dir.getAbsolutePath
       }
     })
+  }
 
   val tumblingSink: GraftQuery = GraftQuery("q_stream_tumbling_sink",
     s"""SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS wstart_us,
        |  event_type, count(*) AS n, ${exactSumSql("value", 4)} AS sum_val
        |FROM events GROUP BY 1, 2""".stripMargin) { (spark, sfDir) =>
     val run = s"/tmp/graft_stream_sink/${java.util.UUID.randomUUID()}"
-    tumblingViaSink(spark, stagedEventsDir(sfDir), s"$run/out", s"$run/ckpt")
+    tumblingViaSink(spark, stagedEventsDir(spark, sfDir), s"$run/out", s"$run/ckpt")
   }
 
   val all: Seq[GraftQuery] = Seq(tumblingSink)

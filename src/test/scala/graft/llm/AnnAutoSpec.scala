@@ -39,28 +39,11 @@ class AnnAutoSpec extends AnyFunSuite {
     assert(annStrategy(st(100000000L, ceiling)) == "lsh")
   }
 
-  /** IvfStress-shape clustered corpus: 32 planted centroids in ±1e6 with
-    * per-component noise ±1e5 — tight, separable, deterministic. */
-  private def clusteredBase(n: Long): DataFrame = {
-    val dim = 64
-    val cluster = col("vec_id") % 32L
-    val comp = transform(sequence(lit(0), lit(dim - 1)), i =>
-      (pmod(xxhash64(cluster * dim + i), lit(2000001L)) - 1000000L) +
-        (pmod(xxhash64(col("vec_id") * dim + i, lit(7L)), lit(200001L)) - 100000L))
-    spark.range(n).select(col("id").as("vec_id"), comp.as("qv"))
-      .withColumn("nrm",
-        graft.fns.VecExpressions.vecDot(spark, col("qv"), col("qv")).cast(DoubleType))
-  }
-
-  /** LshStress-shape isotropic corpus: every component hash-uniform. */
-  private def isotropicBase(n: Long): DataFrame = {
-    val dim = 64
-    val comp = transform(sequence(lit(0), lit(dim - 1)), i =>
-      pmod(xxhash64(col("vec_id") * dim + i, lit(13L)), lit(2000001L)) - 1000000L)
-    spark.range(n).select(col("id").as("vec_id"), comp.as("qv"))
-      .withColumn("nrm",
-        graft.fns.VecExpressions.vecDot(spark, col("qv"), col("qv")).cast(DoubleType))
-  }
+  /** Shared generators — see [[graft.StressCorpora]]. */
+  private def clusteredBase(n: Long): DataFrame =
+    graft.StressCorpora.clustered(spark, n)
+  private def isotropicBase(n: Long): DataFrame =
+    graft.StressCorpora.isotropic(spark, n, seed = 13L)
 
   test("clusteredness statistic separates the planted extremes around the bar") {
     val cl = annStats(clusteredBase(4000L))

@@ -22,18 +22,26 @@ SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 WORK=/tmp/graft_ab
 mkdir -p "$WORK"
 
+# jars are cached BY COMMIT SHA (never by A/B role): reusing a role-named
+# jar across invocations with different refs would silently bench the
+# previous run's binaries
 build_jar() {
-  local ref=$1 out=$2
-  if [[ -f "$out" ]]; then echo "reusing $out"; return; fi
-  local wt="$WORK/wt_$ref"
-  if [[ ! -d "$wt" ]]; then git -C /root/repo worktree add --detach "$wt" "$ref"; fi
-  (cd "$wt" && sbt -batch package > "$WORK/build_$ref.log" 2>&1)
-  cp "$wt"/target/scala-2.13/*.jar "$out"
-  echo "built $out from $ref"
+  local ref=$1
+  local sha
+  sha=$(git -C /root/repo rev-parse "$ref")
+  local out="$WORK/jar_$sha.jar"
+  if [[ ! -f "$out" ]]; then
+    local wt="$WORK/wt_$sha"
+    if [[ ! -d "$wt" ]]; then git -C /root/repo worktree add --detach "$wt" "$sha" >&2; fi
+    (cd "$wt" && sbt -batch package > "$WORK/build_$sha.log" 2>&1)
+    cp "$wt"/target/scala-2.13/*.jar "$out"
+    echo "built $out from $ref" >&2
+  fi
+  echo "$out"
 }
 
-build_jar "$A_REF" "$WORK/a.jar"
-build_jar "$B_REF" "$WORK/b.jar"
+A_JAR=$(build_jar "$A_REF")
+B_JAR=$(build_jar "$B_REF")
 
 run_one() {
   local tag=$1 jar=$2
@@ -58,6 +66,6 @@ run_one() {
 echo "=== A=$A_REF B=$B_REF query=$QUERY rounds=$ROUNDS cpus=$CPUS sf=$SF_DIR ==="
 for i in $(seq 1 "$ROUNDS"); do
   echo "--- round $i ---"
-  run_one A "$WORK/a.jar"
-  run_one B "$WORK/b.jar"
+  run_one A "$A_JAR"
+  run_one B "$B_JAR"
 done
