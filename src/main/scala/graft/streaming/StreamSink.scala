@@ -129,5 +129,67 @@ object StreamSink {
     tumblingViaSink(spark, stagedEventsDir(spark, sfDir), s"$run/out", s"$run/ckpt")
   }
 
-  val all: Seq[GraftQuery] = Seq(tumblingSink)
+  /** Persisted STREAM-STREAM NON-EQUI join — the reference's theta-join
+    * semantics on live streams, driver-scored: purchases and clicks are
+    * two independent file-source streams over the same landing dir, both
+    * watermarked, joined on user + an event-time RANGE (click within the
+    * hour before the purchase), written through Spark's NATIVE append
+    * file sink (the `_spark_metadata` commit log makes the sink
+    * exactly-once across restarts — the second sink shape next to
+    * `tumblingSink`'s foreachBatch upsert).  Inner stream-stream joins
+    * emit matches as soon as both rows have arrived, so a bounded
+    * `AvailableNow` run produces exactly the batch join; the watermarks
+    * bound STATE, not emission.  StreamSink2Spec drives the day-2 resume:
+    * day-1 purchases held in checkpointed state match day-2 clicks. */
+  private[graft] def joinViaSink(spark: SparkSession, eventsPath: String,
+      outDir: String, ckptDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shape = spark.read.parquet(eventsPath)
+    def src(): DataFrame = {
+      var reader = spark.readStream.schema(shape.schema)
+      maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+      val raw = reader.parquet(eventsPath)
+      raw.withColumn("ts_us", graft.io.Tables.tsUsColFor(raw))
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+    }
+    val p = src().filter(col("event_type") === "purchase")
+      .withWatermark("ts", "35 days")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val c = src().filter(col("event_type") === "click")
+      .withWatermark("ts", "35 days")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val joined = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("c_ts")).as("c_ts_us"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .option("path", outDir)
+      .format("parquet")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select("user_id", "purchase_id", "click_id", "p_ts_us", "c_ts_us")
+  }
+
+  val streamJoinSink: GraftQuery = GraftQuery("q_stream_join_sink",
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |       epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin) {
+    (spark, sfDir) =>
+      val run = s"/tmp/graft_stream_sink/${java.util.UUID.randomUUID()}"
+      joinViaSink(spark, stagedEventsDir(spark, sfDir), s"$run/out", s"$run/ckpt")
+  }
+
+  val all: Seq[GraftQuery] = Seq(tumblingSink, streamJoinSink)
 }
