@@ -209,5 +209,140 @@ object Curate {
         col("n_tok"), col("nll_milli"))
   }
 
-  val all: Seq[GraftQuery] = Seq(curate, curate2)
+  /** Curation v3 — v2's manifest with the perplexity stage upgraded to
+    * the TRIGRAM LM (`q_llm_trigram_nll`'s interpolated/backoff scorer,
+    * the closest SQL-expressible relative of CCNet's 5-gram filter) and
+    * the band made CORPUS-RELATIVE: keep docs between the corpus's own
+    * q05 and q95 of per-trigram NLL — CCNet's actual form (perplexity
+    * PERCENTILES, not absolute nats), which is what stays meaningful when
+    * vocabulary growth shifts the absolute NLL scale between corpus
+    * sizes (measured: per-trigram medians 2.94 at sf0.01 vs 3.36 at
+    * sf0.1 — no fixed band brackets both).  The quantile bounds come
+    * from the engine's exact distributed quantile search
+    * ([[graft.fns.ExactQuantiles]], DuckDB `quantile_cont` parity proven
+    * by `q_agg_percentiles`), so the COMPOSED pipeline stays
+    * hash-checked end-to-end like v1/v2. */
+  val curate3: GraftQuery = GraftQuery("q_llm_curate3",
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |${Dedup.pairCtesSql},
+       |drop_near AS (
+       |  SELECT DISTINCT ib AS doc_id
+       |  FROM p JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
+       |  WHERE common / (x.n + y.n - common) >= $TAU),
+       |exact_keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |    FROM documents) WHERE doc_id = keep_id),
+       |q AS (
+       |  SELECT doc_id,
+       |         CAST(len(t) AS BIGINT) AS n_tok,
+       |         CAST(round(CAST(1000 AS DOUBLE)
+       |                    - CAST(1000 * len($shinglesSql) AS BIGINT)
+       |                      / CAST(len(t) - 2 AS DOUBLE), 0) AS BIGINT) AS rep_milli
+       |  FROM toks WHERE len(t) >= 3),
+       |sq AS (SELECT vec_id,
+       |  list_transform(embedding[1:16],
+       |                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |sn AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM sq),
+       |ss AS (SELECT qv AS sv, nrm AS snrm,
+       |             row_number() OVER (ORDER BY vec_id) - 1 AS cell
+       |      FROM (SELECT * FROM sn ORDER BY vec_id LIMIT 16)),
+       |sa AS (SELECT vec_id, cell, qv, nrm FROM (
+       |        SELECT sn.vec_id, ss.cell, sn.qv, sn.nrm,
+       |          row_number() OVER (PARTITION BY sn.vec_id
+       |            ORDER BY list_dot_product(sn.qv, ss.sv) / (sqrt(sn.nrm) * sqrt(ss.snrm)) DESC,
+       |                     ss.cell) AS rn
+       |        FROM sn CROSS JOIN ss) WHERE rn = 1),
+       |sd AS (SELECT DISTINCT y.vec_id AS doc_id
+       |      FROM sa x JOIN sa y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |      WHERE list_dot_product(x.qv, y.qv) / (sqrt(x.nrm) * sqrt(y.nrm)) >= 0.7),
+       |tg AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(t) - 1),
+       |                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS p3
+       |      FROM toks WHERE len(t) >= 3),
+       |bgx AS (SELECT unnest(list_transform(range(1, len(t)),
+       |                                     i -> t[i] || ' ' || t[i+1])) AS b
+       |        FROM toks WHERE len(t) >= 2),
+       |c3 AS (SELECT p3, count(*) AS c3 FROM tg GROUP BY p3),
+       |h2 AS (SELECT split_part(p3, ' ', 1) || ' ' || split_part(p3, ' ', 2) AS k2,
+       |              count(*) AS h2 FROM tg GROUP BY 1),
+       |c2x AS (SELECT b, count(*) AS c2 FROM bgx GROUP BY b),
+       |h1 AS (SELECT split_part(b, ' ', 1) AS w, count(*) AS h1 FROM bgx GROUP BY 1),
+       |c1x AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |nvx AS (SELECT count(*) AS n, count(DISTINCT w) AS v
+       |        FROM (SELECT unnest(t) AS w FROM toks)),
+       |sc3 AS (SELECT tg.doc_id, count(*) AS n_tg,
+       |  CAST(CAST(sum(CAST(round(ln(1.0 / (0.7 * c3.c3 / h2.h2 + 0.2 * c2x.c2 / h1.h1
+       |                                     + 0.1 * (c1x.c1 + 1) / (nvx.n + nvx.v)))
+       |                          * 1000000, 0) AS BIGINT)) AS BIGINT)
+       |       / 1000000.0 AS DOUBLE) AS nll3
+       |  FROM tg
+       |  JOIN c3 USING (p3)
+       |  JOIN h2 ON split_part(tg.p3, ' ', 1) || ' ' || split_part(tg.p3, ' ', 2) = h2.k2
+       |  JOIN c2x ON split_part(tg.p3, ' ', 2) || ' ' || split_part(tg.p3, ' ', 3) = c2x.b
+       |  JOIN h1 ON split_part(tg.p3, ' ', 2) = h1.w
+       |  JOIN c1x ON split_part(tg.p3, ' ', 3) = c1x.w
+       |  CROSS JOIN nvx
+       |  GROUP BY tg.doc_id),
+       |nl3 AS (SELECT doc_id, CAST(round(nll3 * 1000 / n_tg, 0) AS BIGINT) AS nll3_milli
+       |        FROM sc3),
+       |bnd AS (SELECT quantile_cont(nll3_milli, 0.05) AS q05,
+       |               quantile_cont(nll3_milli, 0.95) AS q95 FROM nl3)
+       |SELECT q.doc_id,
+       |  CASE WHEN ${md5LongSql("q.doc_id")} % 100 < 80 THEN 'train'
+       |       WHEN ${md5LongSql("q.doc_id")} % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  q.n_tok, nl3.nll3_milli
+       |FROM q
+       |JOIN exact_keep k ON q.doc_id = k.doc_id
+       |JOIN nl3 ON q.doc_id = nl3.doc_id
+       |CROSS JOIN bnd
+       |WHERE q.doc_id NOT IN (SELECT doc_id FROM drop_near)
+       |  AND q.doc_id NOT IN (SELECT doc_id FROM sd)
+       |  AND q.n_tok >= 20 AND q.rep_milli <= 300
+       |  AND nl3.nll3_milli BETWEEN bnd.q05 AND bnd.q95""".stripMargin) { (spark, sfDir) =>
+    val docs = documents(spark, sfDir)
+    val dropNear = Dedup.jaccardPairs(cappedShingles(spark, sfDir))
+      .filter(col("jacc") >= TAU)
+      .select(col("ib").as("doc_id"))
+      .distinct()
+    val exactKeep = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val t = toks(col("text"))
+    val nDistinct = size(graft.fns.TextKernelCols.shingleHashes(spark, col("text")))
+    val q = docs.filter(size(t) >= 3)
+      .select(col("doc_id"),
+        size(t).cast(LongType).as("n_tok"),
+        round(lit(1000.0) -
+          (lit(1000L) * nDistinct.cast(LongType)).cast(DoubleType) /
+            (size(t) - 2).cast(DoubleType), 0).cast(LongType).as("rep_milli"))
+    val semDropped = SemanticDedup.dedupSemantic.fn(spark, sfDir)
+      .filter(!col("kept"))
+      .select(col("vec_id").as("doc_id"))
+    // per-trigram NLL in milli-nats (the judged trigram LM, reused)
+    val nl3 = TextStats.trigramNll.fn(spark, sfDir)
+      .select(col("doc_id"),
+        round(col("nll3") * 1000 / col("n_tg"), 0).cast(LongType).as("nll3_milli"))
+      .localCheckpoint() // consumers: quantile pass 0 + band filter
+    val band = graft.fns.ExactQuantiles.groupQuantiles(
+      nl3.select(lit("all").as("g"), col("nll3_milli").as("__v")),
+      "g", "__v", Seq("q05" -> 0.05, "q95" -> 0.95))
+      .select(col("q05"), col("q95"))
+    val h = pmod(md5Long(col("doc_id")), lit(100L))
+    q.join(exactKeep, "doc_id")
+      .join(dropNear, Seq("doc_id"), "left_anti")
+      .join(semDropped, Seq("doc_id"), "left_anti")
+      .join(nl3, "doc_id")
+      .crossJoin(broadcast(band))
+      .filter(col("n_tok") >= 20L && col("rep_milli") <= 300L &&
+        col("nll3_milli") >= col("q05") && col("nll3_milli") <= col("q95"))
+      .select(col("doc_id"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+        col("n_tok"), col("nll3_milli"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(curate, curate2, curate3)
 }
