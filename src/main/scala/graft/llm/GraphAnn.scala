@@ -53,6 +53,20 @@ object GraphAnn {
     vecDot(spark, col("qa"), col("qb")).cast(DoubleType) /
       (sqrt(col("na")) * sqrt(col("nb")))
 
+  /** 0-based rank of `ids` (a vec_id frame) in hash-random order, computed
+    * DISTRIBUTED via [[graft.fns.TotalOrder.globalRank]] (range-partitioned
+    * sort + exact per-partition offsets).  The previous shape — a
+    * partitionless `Window.orderBy(...)` row_number — planned an
+    * `Exchange SinglePartition`: a one-task sort of the full id set, which
+    * at 10⁹ vectors is exactly the bottleneck class TotalOrder was built
+    * to remove from pack/select_budget/SNM.  Rank values are identical
+    * (total order by (xxhash64(id), id)); GraphAnnSpec pins the plan. */
+  private[graft] def hashOrderRank(spark: SparkSession, ids: DataFrame): DataFrame =
+    graft.fns.TotalOrder.globalRank(ids,
+        graft.fns.TotalOrder.defaultParts(spark),
+        xxhash64(col("vec_id")), col("vec_id"))
+      .withColumn("rn", col("rn") - 1)
+
   /** Score candidate (src, dst) pairs against `base` and keep the best
     * `m` per src (ties to the lower dst id). */
   private def topMEdges(spark: SparkSession, cand: DataFrame, base: DataFrame,
@@ -78,8 +92,8 @@ object GraphAnn {
     * what NSW gets from random insertion order and HNSW from its upper
     * layers — guaranteed connectivity plus O(log n)-ish reach, at +2
     * degree.  Staged per (tag, m, rounds) — the republishable artifact.
-    * (The backbone's global row_number shuffles only (vec_id, hash)
-    * pairs — bytes, not vectors.) */
+    * The backbone's hash-order rank is DISTRIBUTED ([[hashOrderRank]] —
+    * range-partitioned, no single-task sort anywhere in the build). */
   private[graft] def knnGraphOn(spark: SparkSession, tag: String, base: DataFrame,
       blocked: DataFrame, m: Int = M, rounds: Int = Rounds): DataFrame =
     graft.io.Staged(spark, s"graphann|$tag|$m|$rounds") {
@@ -115,9 +129,7 @@ object GraphAnn {
         adj = topMEdges(spark, und.unionByName(non), base, m).localCheckpoint(true)
       }
       val n = base.count()
-      val ranked = base.select(col("vec_id"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))) - 1)
+      val ranked = hashOrderRank(spark, base.select(col("vec_id")))
         .localCheckpoint(true)
       def skipLinks(step: Long): DataFrame =
         ranked.select(col("vec_id").as("src"), col("rn"))
@@ -149,13 +161,21 @@ object GraphAnn {
   /** Beam search for an ARBITRARY query frame (qid, qa, na) — also the
     * append path's neighbor finder (each new node queries the frozen
     * graph).  `base` supplies node vectors and entry points; queries need
-    * not be graph members. */
+    * not be graph members.  `entryPool` (a vec_id frame) restricts entry
+    * points to a subset of `base` — the append path passes the frozen
+    * adjacency's OWN nodes, because an entry point absent from the
+    * adjacency is a dead beam slot (nothing to expand) that quietly
+    * weakens the searched neighbor set. */
   private[graft] def searchOn(spark: SparkSession, base: DataFrame,
       queries: DataFrame, adj: DataFrame, k: Int = 5, entryK: Int = EntryK,
-      beam: Int = Beam, hops: Int = Hops): DataFrame = {
+      beam: Int = Beam, hops: Int = Hops,
+      entryPool: Option[DataFrame] = None): DataFrame = {
     // hash-spread entry points (not the lowest ids — those can all fall
     // in one cluster and strand the walk)
-    val entries = base.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(entryK)
+    val entryBase = entryPool
+      .map(p => base.join(p.select("vec_id").distinct(), "vec_id"))
+      .getOrElse(base)
+    val entries = entryBase.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(entryK)
       .select(col("vec_id").as("node"))
     def score(cand: DataFrame): DataFrame = {
       val b = base.select(col("vec_id").as("node2"), col("qv").as("qb"),
@@ -239,15 +259,18 @@ object GraphAnn {
     graft.io.Staged(spark, s"graphannIncr|$newTag|$m") {
       val batchQ = batch.select(col("vec_id").as("qid"), col("qv").as("qa"),
         col("nrm").as("na"))
-      val found = searchOn(spark, baseFull, batchQ, adj1, k = m)
+      // entry points from the ADJACENCY's own nodes, not baseFull: batch
+      // nodes are in baseFull but absent from the frozen day-1 graph, and
+      // a batch-node entry point cannot expand (no out-edges) — a dead
+      // beam slot that quietly weakens every appended node's neighbors
+      val found = searchOn(spark, baseFull, batchQ, adj1, k = m,
+          entryPool = Some(adj1.select(col("src").as("vec_id"))))
         .select(col("qid").as("src"), col("nid").as("dst"))
       // batch-internal hash cycle: same-day near-duplicates may be each
       // other's true neighbors, and the cycle guarantees the batch joins
       // the connected component even if every search went far afield
       val nB = batch.count()
-      val ranked = batch.select(col("vec_id"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))) - 1)
+      val ranked = hashOrderRank(spark, batch.select(col("vec_id")))
       val cycle = ranked.select(col("vec_id").as("src"), col("rn"))
         .join(ranked.select(col("vec_id").as("dst"), col("rn").as("rn2")),
           col("rn2") === pmod(col("rn") + 1, lit(nB)))

@@ -57,9 +57,14 @@ object Relational9 {
     * If a driver testdata refresh ever ships a real `partsupp.parquet`,
     * silently keeping the stand-in would de-sync the 8 TPC-H twins from
     * the real table — fail LOUDLY with the migration path instead.
-    * (Relational9GuardSpec plants the file and pins the failure.) */
-  private[rel] def assertNoRealPartsupp(sfDir: String): Unit = {
-    if (new java.io.File(s"$sfDir/partsupp.parquet").exists())
+    * Probed through the Hadoop FileSystem of the path (like
+    * [[graft.io.Staged.fingerprint]]), NOT java.io.File: on an hdfs://
+    * or s3a:// sfDir a local-disk probe always answers "absent" and the
+    * guard would silently wave through the exact divergence it exists to
+    * stop.  (Relational9GuardSpec plants the file and pins the failure.) */
+  private[rel] def assertNoRealPartsupp(spark: SparkSession, sfDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/partsupp.parquet")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       throw new IllegalStateException(
         s"$sfDir/partsupp.parquet exists, but the TPC-H queries derive a " +
           "synthetic partsupp stand-in (Relational9.psCte). Migrate before " +
@@ -69,7 +74,7 @@ object Relational9 {
   }
 
   private def registerViews(spark: SparkSession, sfDir: String): Unit = {
-    assertNoRealPartsupp(sfDir)
+    assertNoRealPartsupp(spark, sfDir)
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
   }

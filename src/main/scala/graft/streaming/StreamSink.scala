@@ -41,6 +41,36 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamSink {
 
+  /** Per-run out/checkpoint dirs are temporaries, but the judged query's
+    * RESULT is a lazy read over the sink — deleting eagerly after the
+    * call would pull the files out from under the not-yet-consumed
+    * DataFrame.  Instead every run dir is tracked and a single JVM
+    * shutdown hook removes them: a 3-rep bench plus warm-up and outlier
+    * re-runs no longer accumulates dozens of abandoned checkpoint dirs
+    * per round (they previously leaked until /tmp was cleared). */
+  private val runDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val it = runDirs.iterator()
+      while (it.hasNext) {
+        val root = java.nio.file.Paths.get(it.next())
+        try {
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () } // best-effort: never fail exit
+      }
+    }))
+    true
+  }
+  private[graft] def newRunDir(): String = {
+    require(cleanupHookInstalled)
+    val d = s"/tmp/graft_stream_sink/${java.util.UUID.randomUUID()}"
+    runDirs.add(d)
+    d
+  }
+
   private def runTumblingSink(spark: SparkSession, eventsPath: String,
       outDir: String, ckptDir: String, maxFilesPerTrigger: Option[Int]): Unit = {
     // schema comes from a metadata-only batch read; nanosAsLong must be on
@@ -125,7 +155,7 @@ object StreamSink {
     s"""SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS wstart_us,
        |  event_type, count(*) AS n, ${exactSumSql("value", 4)} AS sum_val
        |FROM events GROUP BY 1, 2""".stripMargin) { (spark, sfDir) =>
-    val run = s"/tmp/graft_stream_sink/${java.util.UUID.randomUUID()}"
+    val run = newRunDir()
     tumblingViaSink(spark, stagedEventsDir(spark, sfDir), s"$run/out", s"$run/ckpt")
   }
 
@@ -187,7 +217,7 @@ object StreamSink {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
       |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin) {
     (spark, sfDir) =>
-      val run = s"/tmp/graft_stream_sink/${java.util.UUID.randomUUID()}"
+      val run = newRunDir()
       joinViaSink(spark, stagedEventsDir(spark, sfDir), s"$run/out", s"$run/ckpt")
   }
 

@@ -27,7 +27,7 @@ class Relational9GuardSpec extends AnyFunSuite {
   }
 
   test("today's layout (no partsupp.parquet) passes the guard") {
-    Relational9.assertNoRealPartsupp(TestSpark.sf)
+    Relational9.assertNoRealPartsupp(spark, TestSpark.sf)
     assert(Queries.queries("q_sql_tpch_q2")(spark, TestSpark.sf).count() > 0)
   }
 }
