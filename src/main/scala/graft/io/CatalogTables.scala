@@ -74,36 +74,33 @@ object CatalogTables {
     name
   }
 
+  /** Publish BOTH bucketed fact tables for one (sfDir, fingerprint) —
+    * shared by the first-build path and the per-call catalog re-verify so
+    * the select lists and bucket keys live in exactly one place. */
+  private def publishBoth(spark: SparkSession, sfDir: String, fp: String): (String, String) = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|$fp".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val li = publishBucketed(spark,
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+      "li", "l_orderkey", h)
+    val ord = publishBucketed(spark,
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
+      "ord", "o_orderkey", h)
+    (li, ord)
+  }
+
   private[graft] def ensureBucketed(spark: SparkSession, sfDir: String): (String, String) = {
     val fp = Staged.fingerprint(spark, s"$sfDir/lineitem.parquet") + "|" +
       Staged.fingerprint(spark, s"$sfDir/orders.parquet")
-    val names = created.computeIfAbsent(s"$sfDir|$fp", _ => {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$sfDir|$fp".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      val li = publishBucketed(spark,
-        Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
-        "li", "l_orderkey", h)
-      val ord = publishBucketed(spark,
-        Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
-        "ord", "o_orderkey", h)
-      (li, ord)
-    })
+    val names = created.computeIfAbsent(s"$sfDir|$fp", _ => publishBoth(spark, sfDir, fp))
     // The map is JVM-wide but REGISTRATION lives in a SparkSession's
     // catalog: a later session in the same JVM (new context, same sfDir
     // fingerprint) hits the cache and would get names its own catalog has
     // never seen — spark.table() then fails on a "cached" success.  The
     // data dirs are durable, so re-verify per call and re-issue the
     // idempotent DDL against THIS session when a name is absent.
-    if (!spark.catalog.tableExists(names._1) || !spark.catalog.tableExists(names._2)) {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$sfDir|$fp".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      publishBucketed(spark,
-        Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
-        "li", "l_orderkey", h)
-      publishBucketed(spark,
-        Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
-        "ord", "o_orderkey", h)
-    }
+    if (!spark.catalog.tableExists(names._1) || !spark.catalog.tableExists(names._2))
+      publishBoth(spark, sfDir, fp)
     names
   }
 

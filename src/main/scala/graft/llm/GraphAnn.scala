@@ -256,7 +256,12 @@ object GraphAnn {
   private[graft] def graphAppendOn(spark: SparkSession, newTag: String,
       baseFull: DataFrame, adj1: DataFrame, batch: DataFrame,
       m: Int = M): DataFrame =
-    graft.io.Staged(spark, s"graphannIncr|$newTag|$m") {
+    // "2" is a builder-semantics version token: round 12 changed the
+    // output (entry points restricted to adj1 nodes) without changing the
+    // tag, so a persistent staging root would have served the OLD
+    // artifact and silently masked the fix.  Bump it whenever this
+    // builder's semantics change.
+    graft.io.Staged(spark, s"graphannIncr2|$newTag|$m") {
       val batchQ = batch.select(col("vec_id").as("qid"), col("qv").as("qa"),
         col("nrm").as("na"))
       // entry points from the ADJACENCY's own nodes, not baseFull: batch

@@ -54,11 +54,16 @@ object StreamSink {
       val it = runDirs.iterator()
       while (it.hasNext) {
         val root = java.nio.file.Paths.get(it.next())
+        // per-dir try so one failed walk doesn't abandon the rest, and the
+        // walk stream is CLOSED (Files.walk holds an open dir handle)
         try {
-          if (java.nio.file.Files.exists(root))
-            java.nio.file.Files.walk(root)
+          if (java.nio.file.Files.exists(root)) {
+            val walk = java.nio.file.Files.walk(root)
+            try walk
               .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
               .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+            finally walk.close()
+          }
         } catch { case _: Throwable => () } // best-effort: never fail exit
       }
     }))

@@ -59,6 +59,15 @@ class GraphAnnSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!rankPlan.contains("SinglePartition"),
       s"hashOrderRank plans an Exchange SinglePartition:\n$rankPlan")
+    // COVERAGE LIMIT: searchOn localCheckpoints every hop eagerly at
+    // construction, so this executedPlan covers only the FINAL fragment
+    // (top-k over the visited set); the per-hop join plans are already
+    // executed by the time we inspect.  Those intermediates are all
+    // equi joins / windows partitioned by qid or node — shapes that only
+    // plan SinglePartition through a partitionless total order, and the
+    // one total order in the family (hashOrderRank) is pinned above on
+    // its own plan.  Full-pipeline pinning would need searchOn to expose
+    // each hop's frame pre-checkpoint; not worth the API surface.
     val searchPlan = Queries.queries("q_llm_ann_graph")(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
     assert(!searchPlan.contains("SinglePartition"),
