@@ -264,6 +264,59 @@ object TextStats {
     * broadcasts when it fits, shuffles when it doesn't); only the 1-row
     * (N, V) rides a forced broadcast.  Per-trigram ln rounded to 1e-6 and
     * summed as exact longs => order-independent, bit-identical to DuckDB. */
+  /** The trigram LM's count tables as STAGED ARTIFACTS — the durable
+    * "train once, score many" form (the BM25 token-table pattern,
+    * [[TextOps.tokenTable]]): c3/c2/c1 are one map-side-combined
+    * aggregate each over the corpus token stream, and the head tables
+    * are PREFIX SUMS OVER THE COUNT TABLES (h2 = c3 re-aggregated by its
+    * leading bigram, h1 = c2 by its leading word, (N, V) = one pass over
+    * c1) — so a cold build costs three corpus passes, not five, and the
+    * derived tables never touch the corpus at all.  Tags fold the
+    * documents fingerprint: in staging-dir mode a regenerated corpus
+    * republishes instead of serving stale counts.  Shared by
+    * `q_llm_trigram_nll`, curation v3 and the tuned-λ scorer — within a
+    * session (or a staging root) the LM is trained exactly once. */
+  private[graft] final case class LmCounts(
+      c3: org.apache.spark.sql.DataFrame, h2: org.apache.spark.sql.DataFrame,
+      c2: org.apache.spark.sql.DataFrame, h1: org.apache.spark.sql.DataFrame,
+      c1: org.apache.spark.sql.DataFrame, nv: org.apache.spark.sql.DataFrame)
+
+  private[graft] def lmCounts(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): LmCounts = {
+    import graft.io.Staged
+    val fp = Staged.fingerprint(spark, s"$sfDir/documents.parquet")
+    def x = documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
+    def tgP = transform(sequence(lit(1), size(col("t")) - 2),
+      i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1),
+        lit(" "), element_at(col("t"), i + 2)))
+    def bgP = transform(sequence(lit(1), size(col("t")) - 1),
+      i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1)))
+    val c3 = Staged(spark, s"lm3|c3|$sfDir|$fp") {
+      x.filter(size(col("t")) >= 3).select(explode(tgP).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c3"))
+    }
+    val c2 = Staged(spark, s"lm3|c2|$sfDir|$fp") {
+      x.filter(size(col("t")) >= 2).select(explode(bgP).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c2"))
+    }
+    val c1 = Staged(spark, s"lm3|c1|$sfDir|$fp") {
+      x.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+    }
+    val h2 = Staged(spark, s"lm3|h2|$sfDir|$fp") {
+      c3.groupBy(substring_index(col("p"), " ", 2).as("k2"))
+        .agg(sum(col("c3")).cast(LongType).as("h2"))
+    }
+    val h1 = Staged(spark, s"lm3|h1|$sfDir|$fp") {
+      c2.groupBy(substring_index(col("b"), " ", 1).as("w1h"))
+        .agg(sum(col("c2")).cast(LongType).as("h1"))
+    }
+    val nv = Staged(spark, s"lm3|nv|$sfDir|$fp") {
+      c1.agg(sum(col("c1")).cast(LongType).as("n"), count(lit(1)).as("v"))
+    }
+    LmCounts(c3, h2, c2, h1, c1, nv)
+  }
+
   val trigramNll: GraftQuery = GraftQuery("q_llm_trigram_nll",
     s"""WITH x AS (SELECT doc_id, $toksSql AS t FROM documents),
        |tg AS (SELECT doc_id,
@@ -298,32 +351,20 @@ object TextStats {
     val tgP = transform(sequence(lit(1), size(col("t")) - 2),
       i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1),
         lit(" "), element_at(col("t"), i + 2)))
-    val bgP = transform(sequence(lit(1), size(col("t")) - 1),
-      i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1)))
+    // the count tables are the STAGED artifacts ([[lmCounts]] — trained
+    // once per corpus, shared with curation v3 and the tuned-λ scorer);
+    // only the per-doc scoring stream is built per run
+    val lm = lmCounts(spark, sfDir)
     val tg = x.filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(tgP).as("p"))
-      .localCheckpoint() // consumers: c3, h2, scoring
-    val bg = x.filter(size(col("t")) >= 2)
-      .select(explode(bgP).as("b"))
-      .localCheckpoint() // consumers: c2, h1
-    val c3 = tg.groupBy("p").agg(count(lit(1)).as("c3"))
-    val h2 = tg.select(substring_index(col("p"), " ", 2).as("k2"))
-      .groupBy("k2").agg(count(lit(1)).as("h2"))
-    val c2 = bg.groupBy("b").agg(count(lit(1)).as("c2"))
-    val h1 = bg.select(substring_index(col("b"), " ", 1).as("w1h"))
-      .groupBy("w1h").agg(count(lit(1)).as("h1"))
-    val c1 = x.select(explode(col("t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-    val nv = x.select(explode(col("t")).as("w"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("v"))
     val p = (lit(0.7) * col("c3") / col("h2") + lit(0.2) * col("c2") / col("h1")
       + lit(0.1) * (col("c1") + lit(1)) / (col("n") + col("v")))
-    tg.join(c3, "p")
-      .join(h2, substring_index(col("p"), " ", 2) === col("k2"))
-      .join(c2, substring_index(col("p"), " ", -2) === col("b"))
-      .join(h1, substring_index(substring_index(col("p"), " ", 2), " ", -1) === col("w1h"))
-      .join(c1, substring_index(col("p"), " ", -1) === col("w"))
-      .crossJoin(broadcast(nv))
+    tg.join(lm.c3, "p")
+      .join(lm.h2, substring_index(col("p"), " ", 2) === col("k2"))
+      .join(lm.c2, substring_index(col("p"), " ", -2) === col("b"))
+      .join(lm.h1, substring_index(substring_index(col("p"), " ", 2), " ", -1) === col("w1h"))
+      .join(lm.c1, substring_index(col("p"), " ", -1) === col("w"))
+      .crossJoin(broadcast(lm.nv))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tg"),
         (sum(round(log(lit(1.0) / p) * 1000000).cast(LongType)) / 1000000.0).as("nll3"))
