@@ -237,6 +237,76 @@ object EventStreams {
       }
   }
 
+  final case class SessionList(sessions: List[SessionState])
+
+  /** EXACT cross-batch sessionizer with UPSERT emission — the state shape
+    * behind the judged session-window sink (`q_stream_session_sink`).
+    *
+    * Why not the built-in: `session_window` streaming aggregation supports
+    * only APPEND output (Spark raises STREAMING_OUTPUT_MODE.UNSUPPORTED_
+    * OPERATION for update), and append's emit-on-finalize contract emits a
+    * session only after the watermark passes its end — under this engine's
+    * deliberately long file-source watermark nothing would ever flush.
+    * And unlike [[sessionize]] (append mode, one emission per closed
+    * session, with the documented can't-reopen lateness approximation),
+    * an upsert sink needs every session RE-emitted when it changes —
+    * merges included — so the sink can retract swallowed siblings.
+    *
+    * State per user = the LIVE session set (start/last/n each).  A batch
+    * folds its time-sorted events into that set (a point extends a
+    * session, bridges two, or opens a new one — the gap rule only ever
+    * compares time-adjacent items, so folding pre-merged runs with points
+    * is exact); the batch emits exactly the sessions the fold CHANGED.
+    * Sessions whose gap-extended end the watermark has passed can never
+    * change again (any future event is ≥ the watermark ⇒ ≥ gap away ⇒ a
+    * new session) — they are evicted after their final emission, so state
+    * is bounded by the WATERMARK HORIZON, not the stream; the event-time
+    * timeout clears users who go quiet entirely. */
+  def sessionizeUpserts(events: Dataset[SEv]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionList, SessionOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SEv], state: GroupState[SessionList]) =>
+          if (!evs.hasNext) {
+            // event-time timeout: the watermark passed every session's
+            // gap-extended end — all already emitted, nothing can change
+            state.remove()
+            Iterator.empty
+          } else {
+            val old = state.getOption.map(_.sessions).getOrElse(Nil)
+            val pts = evs.map(e => micros(e.ts)).toArray
+            java.util.Arrays.sort(pts)
+            // fold sessions-as-runs and events-as-points in start order;
+            // a point INSIDE a run sorts after the run's start and merges
+            // via max(last, t), so late-but-in-watermark events are exact
+            val items = (old ++ pts.map(t => SessionState(t, t, 1L)))
+              .sortBy(s => (s.start, s.last))
+            val merged = items.tail.foldLeft(List(items.head)) {
+              case (cur :: done, it) =>
+                if (it.start - cur.last >= GAP_US) it :: cur :: done
+                else SessionState(cur.start, math.max(cur.last, it.last),
+                  cur.n + it.n) :: done
+              case (Nil, _) => Nil // unreachable
+            }.reverse
+            val oldSet = old.toSet
+            val changed = merged.filterNot(oldSet.contains)
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val live = merged.filter(s => s.last + GAP_US > wmUs)
+            if (live.isEmpty) state.remove()
+            else {
+              state.update(SessionList(live))
+              // +1 ms: the µs→ms floor may land exactly ON the watermark,
+              // which setTimeoutTimestamp rejects
+              state.setTimeoutTimestamp(
+                (live.map(_.last).max + GAP_US) / 1000L + 1L)
+            }
+            changed.iterator.map(s => SessionOut(uid, s.start, s.last + GAP_US, s.n))
+          }
+      }
+  }
+
   final case class Change(key: Long, version: Long, payload: String, deleted: Boolean)
 
   /** Streaming CDC apply — latest-wins materialization of a change stream

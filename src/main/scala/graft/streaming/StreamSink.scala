@@ -226,5 +226,124 @@ object StreamSink {
       joinViaSink(spark, stagedEventsDir(spark, sfDir), s"$run/out", s"$run/ckpt")
   }
 
-  val all: Seq[GraftQuery] = Seq(tumblingSink, streamJoinSink)
+  /** Persisted SESSION-WINDOW aggregation — the third and hardest judged
+    * sink shape.  Session windows break BOTH simpler sink disciplines:
+    *
+    *  - `tumblingSink`'s full-group-key dynamic overwrite (partition by
+    *    (user, session_start)) fails on MERGES: when a late event bridges
+    *    two already-written sessions, update mode emits only the MERGED
+    *    row (whose start equals the earlier session's) and never retracts
+    *    the swallowed sibling — the (user, later_start) partition goes
+    *    permanently stale (measured while building this: the merge spec's
+    *    user kept 2 rows where the batch twin has 1).
+    *  - Partitioning by user alone and writing just the batch's rows
+    *    deletes the user's UNTOUCHED sessions (the tumbling sink's
+    *    documented sibling-row-deletion trap, one level up).
+    *
+    * The correct shape is a per-user MERGE: partition the sink by
+    * user_id; per micro-batch, rewrite ONLY the touched users'
+    * partitions with (their existing rows that do NOT time-overlap any
+    * updated session) ∪ (the updated rows).  Overlap is the exact stale
+    * test — Spark's merged session interval contains every swallowed
+    * sibling's interval, and distinct final sessions of one user never
+    * overlap (next.start ≥ prev.end by the gap definition), so
+    * replaying a batch replaces rows with identical rows (idempotent,
+    * exactly-once across restarts).  This is `foreachBatch` + MERGE INTO
+    * re-expressed on plain parquet partitions — the lakehouse-native
+    * sibling of the same pattern.
+    *
+    * 100 TB posture: per batch the sink reads and rewrites only the
+    * touched users' partitions (the collected id list is bounded control
+    * data — at most one id per batch row, the same class as the ANN
+    * probe keys, and the explicit IN filter is what guarantees partition
+    * PRUNING on the read-back); state is bounded by the watermark
+    * horizon; the merged frame is localCheckpointed because its plan
+    * reads the same files the write replaces. */
+  private[graft] def sessionViaSink(spark: SparkSession, eventsPath: String,
+      outDir: String, ckptDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shape = spark.read.parquet(eventsPath)
+    var reader = spark.readStream.schema(shape.schema)
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val raw = reader.parquet(eventsPath)
+    val ev = raw
+      .withColumn("ts_us", graft.io.Tables.tsUsColFor(raw))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "35 days")
+    // NOT sessionOnTs: session_window streaming aggregation is
+    // append-only (Spark rejects update mode), and append's
+    // emit-on-finalize never flushes under this source's long watermark.
+    // The upsert emitter is the custom-state escalation — see
+    // EventStreams.sessionizeUpserts for the full contract.
+    import spark.implicits._
+    val agg = EventStreams.sessionizeUpserts(
+      ev.select(col("user_id"), col("ts")).as[EventStreams.SEv]).toDF()
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ss = b.sparkSession
+        // two consumers (affected ids + union) ⇒ materialize once; also
+        // pins the batch's rows before the partition rewrite below
+        val updates = b.select("user_id", "session_start_us",
+          "session_end_us", "n_events").localCheckpoint(true)
+        val affected = updates.select("user_id").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (affected.nonEmpty) {
+          val outPath = new org.apache.hadoop.fs.Path(outDir)
+          val fs = outPath.getFileSystem(ss.sparkContext.hadoopConfiguration)
+          val existing =
+            if (fs.exists(outPath))
+              ss.read.parquet(outDir)
+                .filter(col("user_id").isInCollection(affected))
+                .select(col("user_id").cast("long"),
+                  col("session_start_us").cast("long"),
+                  col("session_end_us").cast("long"),
+                  col("n_events").cast("long"))
+            else updates.limit(0)
+          val stale = updates.select(col("user_id").as("u_uid"),
+            col("session_start_us").as("u_s"), col("session_end_us").as("u_e"))
+          val keep = existing.join(stale,
+            col("user_id") === col("u_uid") &&
+              col("session_start_us") < col("u_e") &&
+              col("u_s") < col("session_end_us"), "left_anti")
+          keep.unionByName(updates)
+            .localCheckpoint(true) // source files == overwrite target
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("user_id")
+            .parquet(outDir)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select(col("user_id").cast("long"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+  }
+
+  /** Judged session-window sink — oracle is `q_stream_session`'s
+    * gap-and-island twin (EventWindows.scala), sink semantics above. */
+  val sessionSink: GraftQuery = GraftQuery("q_stream_session_sink",
+    """WITH x AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |y AS (SELECT user_id, t,
+      |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+      |                  >= 1800000000
+      |               OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM x),
+      |z AS (SELECT user_id, t,
+      |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+      |                       ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM y)
+      |SELECT user_id, min(t) AS session_start_us,
+      |       max(t) + 1800000000 AS session_end_us, count(*) AS n_events
+      |FROM z GROUP BY user_id, sid""".stripMargin) { (spark, sfDir) =>
+    val run = newRunDir()
+    sessionViaSink(spark, stagedEventsDir(spark, sfDir), s"$run/out", s"$run/ckpt")
+  }
+
+  val all: Seq[GraftQuery] = Seq(tumblingSink, streamJoinSink, sessionSink)
 }
