@@ -5,8 +5,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Dev-only deployment-scale demonstration that the ANN chooser's four
-  * non-brute routes are genuinely TAKEN and USEFUL at 1 M×64 — not just
+/** Dev-only deployment-scale demonstration that the ANN chooser's five
+  * non-brute routes are genuinely TAKEN and USEFUL at scale — not just
   * unit-routed on synthetic stats (AnnAutoSpec covers that at spec
   * scale).  Two corpora (the IvfStress clustered shape and the LshStress
   * isotropic shape), each driven through `annTopkAuto` with the stats
@@ -55,17 +55,19 @@ object AnnAutoStress {
 
     def drive(route: String, corpus: String, base: DataFrame,
         brute: Set[(Long, Long)], flopsBar: Double, budget: Double,
-        topR: Int = 64): Unit = {
+        topR: Int = 64, walkBar: Double = 1.1e9, nTag: Long = n): Unit = {
       // rep 1 pays index build; rep 2 is the steady state over staged artifacts
       val (r1, t1) = time {
-        val out = AnnAuto.annTopkAuto(spark, s"aas:$route:$topR:$n", base,
-          flopsBar = flopsBar, scanBytesBudget = budget, pqTopR = topR)
+        val out = AnnAuto.annTopkAuto(spark, s"aas:$route:$topR:$nTag", base,
+          flopsBar = flopsBar, scanBytesBudget = budget, pqTopR = topR,
+          walkBar = walkBar)
         (out.select("route").distinct().collect().map(_.getString(0)).toSeq, pairs(out))
       }
       require(r1._1 == Seq(route), s"expected $route, got ${r1._1}")
       val (_, t2) = time {
-        AnnAuto.annTopkAuto(spark, s"aas:$route:$topR:$n", base,
-          flopsBar = flopsBar, scanBytesBudget = budget, pqTopR = topR).count()
+        AnnAuto.annTopkAuto(spark, s"aas:$route:$topR:$nTag", base,
+          flopsBar = flopsBar, scanBytesBudget = budget, pqTopR = topR,
+          walkBar = walkBar).count()
       }
       val recall = (brute & r1._2).size.toDouble / brute.size
       println(f"ANNAUTO route=$route%-6s corpus=$corpus%-9s topR=$topR%-6d index+query ${t1}%.1f s steady ${t2}%.1f s recall $recall%.3f")
@@ -80,6 +82,16 @@ object AnnAutoStress {
     drive("ivfpq", "clustered", cl, bruteCl, flopsBar = 0.0, budget = 1e6, topR = occ)
     drive("pq", "isotropic", iso, bruteIso, flopsBar = 0.0, budget = 1e6)
     drive("pq", "isotropic", iso, bruteIso, flopsBar = 0.0, budget = 1e6, topR = 256)
+    // graph route: walkBar forced to 0 pushes the clustered corpus past
+    // the beam-walk crossover (organically the bar sits at N ≈ 1.4e7 —
+    // GraphAnnStress documents the O(n·m²) NN-descent build is the cost
+    // that amortizes there; driven here at 100 k so the stress stays
+    // minutes, with the chooser's own rounds=4/beam=16 measured-gate row)
+    val nG = math.min(n, 100000L)
+    val clG = StressCorpora.clustered(spark, nG, dim).localCheckpoint()
+    val (bruteClG, _) = time(pairs(Similarity.bruteTopkOn(spark, clG)))
+    drive("graph", "clustered", clG, bruteClG, flopsBar = 0.0,
+      budget = Double.MaxValue, walkBar = 0.0, nTag = nG)
     spark.stop()
   }
 }

@@ -40,6 +40,7 @@ object Queries {
       llm.Relevance.all ++
       llm.SpanDedup.all ++
       llm.Curate.all ++
+      llm.CurateIncr.all ++
       llm.EmbedCurate.all ++
       llm.Importance.all ++
       llm.Multimodal.all

@@ -5,12 +5,12 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Stats-driven ANN strategy chooser — the similarity-search counterpart of
-  * [[graft.joins.NonEquiJoins.lessThanJoinAuto]]: the engine ships four
+  * [[graft.joins.NonEquiJoins.lessThanJoinAuto]]: the engine ships five
   * measured top-k shapes (exact brute scan, IVF cell probe, multi-table
-  * sign-LSH, PQ/IVFADC byte-bound scan; BASELINE.md "ANN" sections) chosen
-  * by the caller; this entry point samples the corpus and routes to the
-  * measured-best shape so the 100 TB user gets the right plan without
-  * reading the crossover tables.
+  * sign-LSH, PQ/IVFADC byte-bound scan, NN-descent graph + beam walk;
+  * BASELINE.md "ANN" sections) chosen by the caller; this entry point
+  * samples the corpus and routes to the measured-best shape so the 100 TB
+  * user gets the right plan without reading the crossover tables.
   *
   * Routing law (each constant is a MEASURED number from BASELINE.md, not a
   * guess):
@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   *    corpus with a small trainer cost — the measured first choice on
   *    clustered corpora), else "lsh" (sign-LSH is the isotropic fallback
   *    where coarse cells cannot separate, BASELINE.md crossover section);
+  *  - on the clustered branch, "graph" once even the IVF PROBE outgrows
+  *    the beam walk's fixed cost — Q·N·d·(nprobe/k) > `walkBar`, the
+  *    walk's measured corpus-size-independent per-batch cost in the same
+  *    madd currency (see [[annStrategy]]'s scaladoc for the derivation);
+  *    bounded candidates per query is the graph family's scale claim and
+  *    the regime no scanning index can reach;
   *  - the "ivfpq"/"pq" pair replaces either once the RAW VECTOR scan bytes
   *    N·d·8 exceed `scanBytesBudget` — the memory axis: the ADC pass reads
   *    an 8-byte code word per vector instead of d·8 bytes, so a corpus
@@ -108,16 +114,41 @@ object AnnAuto {
     AnnStats(n, nQueries, dim, stat, math.min(sampleSize, vecs.length))
   }
 
+  /** Probed fraction of the corpus the judged IVF settings scan per query
+    * (nprobe=2 of k=16 cells — BASELINE.md IVF sections: ≈ nprobe/k on a
+    * clustered corpus).  The graph-route crossover is computed against
+    * THIS scan, because the graph route only competes on the clustered
+    * branch (see [[annStrategy]]). */
+  private val IvfProbeFrac = 2.0 / 16.0
+
   /** Pure routing law over the sampled stats — unit-tested against every
     * branch in AnnAutoSpec; see the object scaladoc for the measured
-    * provenance of each constant. */
+    * provenance of each constant.
+    *
+    * `walkBar` is the graph route's crossover: the beam walk's measured
+    * per-batch cost (BASELINE.md round-11 GraphAnnStress table: steady
+    * search 4.6–6.0 s FLAT from 20 k to 100 k vectors — hops·beam·degree
+    * lookups, corpus-size independent once the graph artifact exists)
+    * expressed in the same multiply-add currency as `flopsBar` via the
+    * a ≈ 5×10⁻⁹ s/madd constant: ≈ 5.7 s / a ≈ 1.1×10⁹.  On a CLUSTERED
+    * corpus above the brute bar, once the IVF probe's scan work
+    * Q·N·d·(nprobe/k) exceeds the walk's fixed cost, the bounded-candidate
+    * beam walk is the measured-cheaper shape at family-gate recall
+    * (GraphAnnStress rounds=4/beam=16 row: recall 0.800 — level with the
+    * IVF property gate) — at Q=10, d=64 the crossover sits at
+    * N ≈ 1.4×10⁷ vectors.  The ISOTROPIC branch keeps sign-LSH: BASELINE
+    * has no isotropic graph recall curve, and this chooser routes only
+    * onto measured curves.  The memory axis still preempts everything —
+    * the beam walk re-ranks on raw vectors, so a corpus over the byte
+    * budget belongs to the PQ family regardless of walk economics. */
   def annStrategy(st: AnnStats,
       flopsBar: Double = 7e9,
-      scanBytesBudget: Double = Double.MaxValue): String = {
+      scanBytesBudget: Double = Double.MaxValue,
+      walkBar: Double = 1.1e9): String = {
     val clustered = !st.clusteredness.isNaN && st.clusteredness >= st.clusterBar
     if (st.rawScanBytes > scanBytesBudget) { if (clustered) "ivfpq" else "pq" }
     else if (st.flops <= flopsBar) "brute"
-    else if (clustered) "ivf"
+    else if (clustered) { if (st.flops * IvfProbeFrac > walkBar) "graph" else "ivf" }
     else "lsh"
   }
 
@@ -131,12 +162,15 @@ object AnnAuto {
       flopsBar: Double = 7e9,
       scanBytesBudget: Double = Double.MaxValue,
       sampleSize: Int = 512,
-      pqTopR: Int = 64): DataFrame = {
+      pqTopR: Int = 64,
+      walkBar: Double = 1.1e9,
+      graphRounds: Int = 4,
+      graphBeam: Int = 16): DataFrame = {
     val cheap = annStats(base, withClusteredness = false, sampleSize = sampleSize)
     val needGeometry =
       cheap.flops > flopsBar || cheap.rawScanBytes > scanBytesBudget
     val st = if (needGeometry) annStats(base, sampleSize = sampleSize) else cheap
-    val route = annStrategy(st, flopsBar, scanBytesBudget)
+    val route = annStrategy(st, flopsBar, scanBytesBudget, walkBar)
     // pqTopR is the PQ family's measured escape knob (BASELINE.md
     // noise-floor law: on a worst-case corpus recall@5 ≈ topR/occupancy
     // until topR reaches the cell population, where the exact re-rank
@@ -148,6 +182,21 @@ object AnnAuto {
       case "lsh" => Similarity.lshTopkOn(spark, tag, base, nprobe = 8, tables = 16)
       case "pq" => Similarity.pqTopkOn(spark, tag, base, topR = pqTopR)
       case "ivfpq" => Similarity.ivfPqTopkOn(spark, tag, base, nprobe = 2, topR = pqTopR)
+      case "graph" =>
+        // Seed-block bits sized for ~100-row expected occupancy
+        // (GraphAnnStress's sizing note: occupancy ≈ n / 2^bits; the
+        // measured 0.800-recall row at 100 k used bits=10 ⇒ occupancy
+        // ~98, and one bit tighter measurably cost recall — chooser-driven
+        // bits=11 measured 0.640), capped so 4 tables of `bits` sign dims
+        // fit a 64-dim vector.  Defaults rounds=4 / beam=16 are the same
+        // measured family-gate row; the graph artifact is staged per tag
+        // like every other index this chooser dispatches to.
+        val bits = math.min(14, math.max(4,
+          math.ceil(math.log(math.max(2L, st.nCorpus) / 100.0) / math.log(2.0)).toInt))
+        val blocked = GraphAnn.blockedOfQv(base, bits, tables = 4)
+        val adj = GraphAnn.knnGraphOn(spark, s"auto|$tag|$bits", base, blocked,
+          rounds = graphRounds)
+        GraphAnn.searchGraphOn(spark, base, adj, beam = graphBeam)
     }
     out.withColumn("route", lit(route))
   }

@@ -322,15 +322,13 @@ object Curate {
     val semDropped = SemanticDedup.dedupSemantic.fn(spark, sfDir)
       .filter(!col("kept"))
       .select(col("vec_id").as("doc_id"))
-    // per-trigram NLL in milli-nats (the judged trigram LM, reused)
-    val nl3 = TextStats.trigramNll.fn(spark, sfDir)
-      .select(col("doc_id"),
-        round(col("nll3") * 1000 / col("n_tg"), 0).cast(LongType).as("nll3_milli"))
-      .localCheckpoint() // consumers: quantile pass 0 + band filter
-    val band = graft.fns.ExactQuantiles.groupQuantiles(
-      nl3.select(lit("all").as("g"), col("nll3_milli").as("__v")),
-      "g", "__v", Seq("q05" -> 0.05, "q95" -> 0.95))
-      .select(col("q05"), col("q95"))
+    // per-trigram NLL in milli-nats and its corpus band — STAGED durable
+    // artifacts ([[stagedNl3]]/[[stagedBand]]): the all-doc scoring pass
+    // and the two exact quantile searches run once per corpus and are
+    // shared with `q_llm_curate_incremental`; a warm run joins the staged
+    // score table and broadcasts the 1-row staged band
+    val nl3 = stagedNl3(spark, sfDir)
+    val band = stagedBand(spark, sfDir)
     val h = pmod(md5Long(col("doc_id")), lit(100L))
     q.join(exactKeep, "doc_id")
       .join(dropNear, Seq("doc_id"), "left_anti")
@@ -342,6 +340,36 @@ object Curate {
       .select(col("doc_id"),
         when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
         col("n_tok"), col("nll3_milli"))
+  }
+
+  /** Every doc's per-trigram NLL in milli-nats under the corpus trigram
+    * LM ([[TextStats.trigramNll]]'s scorer over the staged count tables)
+    * as a STAGED artifact — the "score table" a day-2 pipeline reads
+    * instead of re-scoring the corpus.  Tag folds the documents
+    * fingerprint like the lm3 tables it derives from. */
+  private[graft] def stagedNl3(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val fp = graft.io.Staged.fingerprint(spark, s"$sfDir/documents.parquet")
+    graft.io.Staged(spark, s"lm3nl3|$sfDir|$fp") {
+      TextStats.trigramNll.fn(spark, sfDir)
+        .select(col("doc_id"),
+          round(col("nll3") * 1000 / col("n_tg"), 0).cast(LongType).as("nll3_milli"))
+    }
+  }
+
+  /** The corpus-relative perplexity band (q05, q95 of [[stagedNl3]], via
+    * the exact distributed quantile search) as a 1-row STAGED artifact —
+    * curation's frozen day-1 acceptance band. */
+  private[graft] def stagedBand(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val fp = graft.io.Staged.fingerprint(spark, s"$sfDir/documents.parquet")
+    graft.io.Staged(spark, s"lm3band|$sfDir|$fp") {
+      graft.fns.ExactQuantiles.groupQuantiles(
+        stagedNl3(spark, sfDir)
+          .select(lit("all").as("g"), col("nll3_milli").as("__v")),
+        "g", "__v", Seq("q05" -> 0.05, "q95" -> 0.95))
+        .select(col("q05"), col("q95"))
+    }
   }
 
   val all: Seq[GraftQuery] = Seq(curate, curate2, curate3)

@@ -69,6 +69,19 @@ object SemanticDedup {
       .select(col("vec_id"), col("cell"), col("qv"), col("nrm"))
   }
 
+  /** The judged fixed-seed cell assignments (vec_id, cell, qv, nrm) as a
+    * STAGED artifact — the frozen day-1 state `q_llm_curate_incremental`
+    * probes: a day-2 batch is assigned against these cells and pruned
+    * against these members, never re-clustering the corpus.  Tag folds
+    * the embeddings fingerprint (regenerated corpus republishes). */
+  private[graft] def stagedAssignments(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val fp = graft.io.Staged.fingerprint(spark, s"$sfDir/embeddings.parquet")
+    graft.io.Staged(spark, s"semassign|$sfDir|$fp") {
+      seedCells(sketch(spark, sfDir))
+    }
+  }
+
   /** The kept/dropped decision per row under the leader-by-id rule over
     * an assigned base (vec_id, cell, qv, nrm). */
   private[graft] def pruneWithinCells(assigned: DataFrame, tau: Double = Tau): DataFrame = {
@@ -214,7 +227,7 @@ object SemanticDedup {
        |      WHERE list_dot_product(x.qv, y.qv) / (sqrt(x.nrm) * sqrt(y.nrm)) >= $Tau)
        |SELECT a.vec_id, a.cell, d.dup_id IS NULL AS kept
        |FROM a LEFT JOIN d ON a.vec_id = d.dup_id""".stripMargin) { (spark, sfDir) =>
-    pruneWithinCells(seedCells(sketch(spark, sfDir)))
+    pruneWithinCells(stagedAssignments(spark, sfDir))
   }
 
   val all: Seq[GraftQuery] = Seq(dedupSemantic)

@@ -281,40 +281,51 @@ object TextStats {
       c2: org.apache.spark.sql.DataFrame, h1: org.apache.spark.sql.DataFrame,
       c1: org.apache.spark.sql.DataFrame, nv: org.apache.spark.sql.DataFrame)
 
-  private[graft] def lmCounts(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): LmCounts = {
+  /** Trigram / bigram token expressions shared by the LM builders. */
+  private def tgP = transform(sequence(lit(1), size(col("t")) - 2),
+    i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1),
+      lit(" "), element_at(col("t"), i + 2)))
+  private def bgP = transform(sequence(lit(1), size(col("t")) - 1),
+    i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1)))
+
+  /** Count-table builder over an arbitrary (doc_id, t) token frame; `tag`
+    * maps a table name to its staging key so full-corpus and train-split
+    * models stage as distinct durable artifacts. */
+  private def lmCountsOf(spark: org.apache.spark.sql.SparkSession,
+      tag: String => String, mkX: => org.apache.spark.sql.DataFrame): LmCounts = {
     import graft.io.Staged
-    val fp = Staged.fingerprint(spark, s"$sfDir/documents.parquet")
-    def x = documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
-    def tgP = transform(sequence(lit(1), size(col("t")) - 2),
-      i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1),
-        lit(" "), element_at(col("t"), i + 2)))
-    def bgP = transform(sequence(lit(1), size(col("t")) - 1),
-      i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1)))
-    val c3 = Staged(spark, s"lm3|c3|$sfDir|$fp") {
+    def x = mkX
+    val c3 = Staged(spark, tag("c3")) {
       x.filter(size(col("t")) >= 3).select(explode(tgP).as("p"))
         .groupBy("p").agg(count(lit(1)).as("c3"))
     }
-    val c2 = Staged(spark, s"lm3|c2|$sfDir|$fp") {
+    val c2 = Staged(spark, tag("c2")) {
       x.filter(size(col("t")) >= 2).select(explode(bgP).as("b"))
         .groupBy("b").agg(count(lit(1)).as("c2"))
     }
-    val c1 = Staged(spark, s"lm3|c1|$sfDir|$fp") {
+    val c1 = Staged(spark, tag("c1")) {
       x.select(explode(col("t")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c1"))
     }
-    val h2 = Staged(spark, s"lm3|h2|$sfDir|$fp") {
+    val h2 = Staged(spark, tag("h2")) {
       c3.groupBy(substring_index(col("p"), " ", 2).as("k2"))
         .agg(sum(col("c3")).cast(LongType).as("h2"))
     }
-    val h1 = Staged(spark, s"lm3|h1|$sfDir|$fp") {
+    val h1 = Staged(spark, tag("h1")) {
       c2.groupBy(substring_index(col("b"), " ", 1).as("w1h"))
         .agg(sum(col("c2")).cast(LongType).as("h1"))
     }
-    val nv = Staged(spark, s"lm3|nv|$sfDir|$fp") {
+    val nv = Staged(spark, tag("nv")) {
       c1.agg(sum(col("c1")).cast(LongType).as("n"), count(lit(1)).as("v"))
     }
     LmCounts(c3, h2, c2, h1, c1, nv)
+  }
+
+  private[graft] def lmCounts(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): LmCounts = {
+    val fp = graft.io.Staged.fingerprint(spark, s"$sfDir/documents.parquet")
+    lmCountsOf(spark, name => s"lm3|$name|$sfDir|$fp",
+      documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t")))
   }
 
   val trigramNll: GraftQuery = GraftQuery("q_llm_trigram_nll",
@@ -370,7 +381,193 @@ object TextStats {
         (sum(round(log(lit(1.0) / p) * 1000000).cast(LongType)) / 1000000.0).as("nll3"))
   }
 
+  /** Deleted-interpolation EM machinery for `q_llm_trigram_nll_tuned`.
+    *
+    * The fixed λ = 0.7/0.2/0.1 of [[trigramNll]] is a prior, not an
+    * estimate; the public Jelinek-Mercer recipe (Jelinek & Mercer 1980;
+    * Chen & Goodman 1996 §2.5) tunes λ by EM on HELD-OUT data: hash-split
+    * the corpus, train the component models on the train split, and
+    * iterate over the held-out trigram events
+    *
+    *   r_j = λ_j·p_j / Σ_k λ_k·p_k      (responsibilities)
+    *   λ_j ← Σ_events r_j / #events     (normalized expected counts)
+    *
+    * which monotonically improves held-out likelihood (it is EM on a
+    * 3-component mixture — TrigramTunedSpec pins tuned-beats-fixed).
+    *
+    * Cross-engine determinism discipline: the split is `doc_id % 10`
+    * (engine-identical integer arithmetic); per-event responsibilities
+    * are rounded to 1e-6 and summed as exact longs (order-independent);
+    * λ is re-quantized to 1e-6 after every round, so the five EM rounds
+    * produce bit-identical λ in Spark and DuckDB and the judged output
+    * pins λ as literal columns.
+    *
+    * 100 TB posture: the train-split count tables are staged durable
+    * artifacts like the full-corpus LM ([[lmCounts]]); each EM round is
+    * ONE map-side-combined aggregate over the held-out event frame
+    * (localCheckpointed once), returning 3 longs to the driver — the
+    * distributed-EM shape, 5 bounded passes over ~10% of the corpus. */
+  private[graft] def heldoutEvents(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val fp = graft.io.Staged.fingerprint(spark, s"$sfDir/documents.parquet")
+    def xAll = documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
+    val tr = lmCountsOf(spark, name => s"lm3t|$name|$sfDir|$fp",
+      xAll.filter(col("doc_id") % 10 =!= 0))
+    xAll.filter(col("doc_id") % 10 === 0)
+      .filter(size(col("t")) >= 3).select(explode(tgP).as("p"))
+      .join(tr.c3, Seq("p"), "left")
+      .join(tr.h2, substring_index(col("p"), " ", 2) === col("k2"), "left")
+      .join(tr.c2, substring_index(col("p"), " ", -2) === col("b"), "left")
+      .join(tr.h1,
+        substring_index(substring_index(col("p"), " ", 2), " ", -1) === col("w1h"),
+        "left")
+      .join(tr.c1, substring_index(col("p"), " ", -1) === col("w"), "left")
+      .crossJoin(broadcast(tr.nv))
+      .select(
+        coalesce(col("c3").cast(DoubleType) / col("h2"), lit(0.0)).as("p3"),
+        coalesce(col("c2").cast(DoubleType) / col("h1"), lit(0.0)).as("p2"),
+        ((coalesce(col("c1"), lit(0L)) + lit(1)).cast(DoubleType)
+          / (col("n") + col("v"))).as("p1"))
+  }
+
+  private val EmRounds = 5
+  private val FixedL = (0.7, 0.2, 0.1)
+
+  /** One EM round over a (p3, p2, p1) event frame: quantized responsibility
+    * sums → re-quantized λ.  Exposed for the spec's monotonicity check. */
+  private[graft] def emRound(ev: org.apache.spark.sql.DataFrame,
+      l: (Double, Double, Double)): (Double, Double, Double) = {
+    def den = lit(l._1) * col("p3") + lit(l._2) * col("p2") + lit(l._3) * col("p1")
+    def s(lam: Double, pc: String) =
+      sum(when(den > lit(0.0),
+        round(lit(lam) * col(pc) / den * lit(1000000)).cast(LongType))
+        .otherwise(lit(0L)))
+    val r = ev.agg(s(l._1, "p3").as("s3"), s(l._2, "p2").as("s2"),
+      s(l._3, "p1").as("s1")).collect()(0)
+    val (s3, s2, s1) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val tot = s3 + s2 + s1
+    require(tot > 0, "empty held-out split: cannot tune λ")
+    def q(sv: Long) = math.round(sv.toDouble / tot * 1000000) / 1000000.0
+    (q(s3), q(s2), q(s1))
+  }
+
+  private[graft] def tunedLambdas(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (Double, Double, Double) = {
+    val ev = heldoutEvents(spark, sfDir).localCheckpoint()
+    (1 to EmRounds).foldLeft(FixedL)((l, _) => emRound(ev, l))
+  }
+
+  /** The DuckDB mirror of the EM chain: train-split CTEs, the held-out
+    * event frame, and [[EmRounds]] unrolled rounds — the same quantized
+    * arithmetic at every step. */
+  private def tunedOracleSql: String = {
+    val rounds = (1 to EmRounds).map { r =>
+      val prev = if (r == 1) "l0" else s"lr${r - 1}"
+      def sj(num: String, pc: String) =
+        s"""CAST(sum(CASE WHEN l3 * p3 + l2 * p2 + l1 * p1 > 0.0
+           |    THEN CAST(round($num * $pc / (l3 * p3 + l2 * p2 + l1 * p1) * 1000000, 0) AS BIGINT)
+           |    ELSE 0 END) AS BIGINT)""".stripMargin
+      s"""e$r AS (SELECT ${sj("l3", "p3")} AS s3,
+         |  ${sj("l2", "p2")} AS s2,
+         |  ${sj("l1", "p1")} AS s1 FROM ev CROSS JOIN $prev),
+         |lr$r AS (SELECT
+         |  CAST(round(CAST(s3 AS DOUBLE) / (s3 + s2 + s1) * 1000000, 0) AS BIGINT) / 1000000.0 AS l3,
+         |  CAST(round(CAST(s2 AS DOUBLE) / (s3 + s2 + s1) * 1000000, 0) AS BIGINT) / 1000000.0 AS l2,
+         |  CAST(round(CAST(s1 AS DOUBLE) / (s3 + s2 + s1) * 1000000, 0) AS BIGINT) / 1000000.0 AS l1
+         |  FROM e$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |xt AS (SELECT * FROM x WHERE doc_id % 10 <> 0),
+       |tgt AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+       |                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS p
+       |        FROM xt WHERE len(t) >= 3),
+       |bgt AS (SELECT unnest(list_transform(range(1, len(t)),
+       |                      i -> t[i] || ' ' || t[i+1])) AS b
+       |        FROM xt WHERE len(t) >= 2),
+       |c3t AS (SELECT p, count(*) AS c3 FROM tgt GROUP BY p),
+       |h2t AS (SELECT split_part(p, ' ', 1) || ' ' || split_part(p, ' ', 2) AS k2,
+       |               count(*) AS h2 FROM tgt GROUP BY 1),
+       |c2t AS (SELECT b, count(*) AS c2 FROM bgt GROUP BY b),
+       |h1t AS (SELECT split_part(b, ' ', 1) AS w1h, count(*) AS h1 FROM bgt GROUP BY 1),
+       |c1t AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM xt) GROUP BY w),
+       |nvt AS (SELECT count(*) AS n, count(DISTINCT w) AS v
+       |        FROM (SELECT unnest(t) AS w FROM xt)),
+       |tgh AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+       |                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS p
+       |        FROM x WHERE doc_id % 10 = 0 AND len(t) >= 3),
+       |ev AS (SELECT
+       |  COALESCE(CAST(c3t.c3 AS DOUBLE) / h2t.h2, 0.0) AS p3,
+       |  COALESCE(CAST(c2t.c2 AS DOUBLE) / h1t.h1, 0.0) AS p2,
+       |  CAST(COALESCE(c1t.c1, 0) + 1 AS DOUBLE) / (nvt.n + nvt.v) AS p1
+       |  FROM tgh
+       |  LEFT JOIN c3t ON tgh.p = c3t.p
+       |  LEFT JOIN h2t ON split_part(tgh.p, ' ', 1) || ' ' || split_part(tgh.p, ' ', 2) = h2t.k2
+       |  LEFT JOIN c2t ON split_part(tgh.p, ' ', 2) || ' ' || split_part(tgh.p, ' ', 3) = c2t.b
+       |  LEFT JOIN h1t ON split_part(tgh.p, ' ', 2) = h1t.w1h
+       |  LEFT JOIN c1t ON split_part(tgh.p, ' ', 3) = c1t.w
+       |  CROSS JOIN nvt),
+       |l0 AS (SELECT CAST(0.7 AS DOUBLE) AS l3, CAST(0.2 AS DOUBLE) AS l2,
+       |              CAST(0.1 AS DOUBLE) AS l1),
+       |$rounds,
+       |tg AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(t) - 1),
+       |                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS p
+       |      FROM x WHERE len(t) >= 3),
+       |c3 AS (SELECT p, count(*) AS c3 FROM tg GROUP BY p),
+       |h2 AS (SELECT split_part(p, ' ', 1) || ' ' || split_part(p, ' ', 2) AS k2,
+       |              count(*) AS h2 FROM tg GROUP BY 1),
+       |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+       |                                    i -> t[i] || ' ' || t[i+1])) AS b
+       |       FROM x WHERE len(t) >= 2),
+       |c2 AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
+       |h1 AS (SELECT split_part(b, ' ', 1) AS w, count(*) AS h1 FROM bg GROUP BY 1),
+       |c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM x) GROUP BY w),
+       |nv AS (SELECT count(*) AS n, count(DISTINCT w) AS v
+       |       FROM (SELECT unnest(t) AS w FROM x))
+       |SELECT tg.doc_id, count(*) AS n_tg,
+       |  CAST(CAST(sum(CAST(round(ln(1.0 / (l3 * c3.c3 / h2.h2 + l2 * c2.c2 / h1.h1
+       |                                     + l1 * (c1.c1 + 1) / (nv.n + nv.v)))
+       |                          * 1000000, 0) AS BIGINT)) AS BIGINT)
+       |       / 1000000.0 AS DOUBLE) AS nll3t,
+       |  l3, l2, l1
+       |FROM tg
+       |JOIN c3 USING (p)
+       |JOIN h2 ON split_part(tg.p, ' ', 1) || ' ' || split_part(tg.p, ' ', 2) = h2.k2
+       |JOIN c2 ON split_part(tg.p, ' ', 2) || ' ' || split_part(tg.p, ' ', 3) = c2.b
+       |JOIN h1 ON split_part(tg.p, ' ', 2) = h1.w
+       |JOIN c1 ON split_part(tg.p, ' ', 3) = c1.w
+       |CROSS JOIN nv
+       |CROSS JOIN lr$EmRounds
+       |GROUP BY tg.doc_id, l3, l2, l1""".stripMargin
+  }
+
+  /** Judged tuned-λ trigram scorer: the [[trigramNll]] pipeline with λ
+    * estimated by deleted interpolation instead of fixed — the tuned λ is
+    * pinned as literal output columns, so the DuckDB hash check verifies
+    * the whole EM chain, not just the final scoring join. */
+  val trigramNllTuned: GraftQuery =
+    GraftQuery("q_llm_trigram_nll_tuned", tunedOracleSql) { (spark, sfDir) =>
+      val (l3, l2, l1v) = tunedLambdas(spark, sfDir)
+      val x = documents(spark, sfDir).select(col("doc_id"), toks(col("text")).as("t"))
+      val lm = lmCounts(spark, sfDir)
+      val tg = x.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(tgP).as("p"))
+      val p = (lit(l3) * col("c3") / col("h2") + lit(l2) * col("c2") / col("h1")
+        + lit(l1v) * (col("c1") + lit(1)) / (col("n") + col("v")))
+      tg.join(lm.c3, "p")
+        .join(lm.h2, substring_index(col("p"), " ", 2) === col("k2"))
+        .join(lm.c2, substring_index(col("p"), " ", -2) === col("b"))
+        .join(lm.h1,
+          substring_index(substring_index(col("p"), " ", 2), " ", -1) === col("w1h"))
+        .join(lm.c1, substring_index(col("p"), " ", -1) === col("w"))
+        .crossJoin(broadcast(lm.nv))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tg"),
+          (sum(round(log(lit(1.0) / p) * 1000000).cast(LongType)) / 1000000.0).as("nll3t"))
+        .withColumn("l3", lit(l3)).withColumn("l2", lit(l2)).withColumn("l1", lit(l1v))
+    }
+
   val all: Seq[GraftQuery] =
     Seq(textStats, tokens, langid, quality, fingerprint, unigramNll, bigramNll,
-      trigramNll, bpeMerges)
+      trigramNll, trigramNllTuned, bpeMerges)
 }

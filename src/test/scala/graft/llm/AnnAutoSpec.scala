@@ -23,11 +23,19 @@ class AnnAutoSpec extends AnyFunSuite {
     // sub-crossover work => brute regardless of geometry (exact and cheapest)
     assert(annStrategy(st(2000L, 0.99)) == "brute")
     assert(annStrategy(st(2000L, Double.NaN)) == "brute")
-    // above the crossover: geometry decides ivf vs lsh
-    assert(annStrategy(st(100000000L, 0.95)) == "ivf")
+    // above the crossover: geometry decides ivf vs lsh — the clustered
+    // branch stays ivf only while the probe scan Q·N·d/8 is under the
+    // walk bar (1.1e9 madds ⇒ N ≲ 1.4e7 at Q=10, d=64)
+    assert(annStrategy(st(12000000L, 0.95)) == "ivf")
     assert(annStrategy(st(100000000L, 0.30)) == "lsh")
+    // past the walk bar the clustered branch hands over to the beam walk
+    // (corpus-size-independent candidates); isotropic keeps lsh — no
+    // measured isotropic graph curve exists to route onto
+    assert(annStrategy(st(15000000L, 0.95)) == "graph")
+    assert(annStrategy(st(100000000L, 0.95)) == "graph")
     // byte-budget exceeded: PQ family, residual-encoded iff clustered,
-    // and it preempts even sub-crossover flops (the axis is memory)
+    // and it preempts even sub-crossover flops (the axis is memory) AND
+    // the graph route (the walk re-ranks on raw vectors)
     val budget = 1e6
     assert(annStrategy(st(100000000L, 0.95), scanBytesBudget = budget) == "ivfpq")
     assert(annStrategy(st(100000000L, 0.30), scanBytesBudget = budget) == "pq")
@@ -96,12 +104,21 @@ class AnnAutoSpec extends AnyFunSuite {
     // rows per route live in BASELINE.md via graft.AnnAutoStress at 1M
     val rIvfPq = (bruteCl & topSet(autoPq)).size.toDouble / bruteCl.size
     assert(rIvfPq >= 0.4, s"ivfpq-routed recall $rIvfPq")
-    // ...and flat PQ on the isotropic corpus — with this, all four
-    // non-brute routes execute end-to-end through the chooser
+    // ...and flat PQ on the isotropic corpus
     val autoPqIso = annTopkAuto(spark, "annauto:iso", iso, flopsBar = 0.0,
       scanBytesBudget = 1e3)
     assert(autoPqIso.select("route").distinct().as[String].collect().toSeq == Seq("pq"))
     val rPq = (bruteIso & topSet(autoPqIso)).size.toDouble / bruteIso.size
     assert(rPq >= 0.3, s"pq-routed recall $rPq")
+    // ...and the walk bar forced to 0 pushes the clustered corpus past
+    // the graph crossover: the chooser builds the staged NN-descent
+    // graph and beam-searches it — all five non-brute routes now execute
+    // end-to-end through the chooser
+    val autoGraph = annTopkAuto(spark, "annauto:cl", cl, flopsBar = 0.0,
+      walkBar = 0.0)
+    assert(autoGraph.select("route").distinct().as[String].collect().toSeq ==
+      Seq("graph"))
+    val rGraph = (bruteCl & topSet(autoGraph)).size.toDouble / bruteCl.size
+    assert(rGraph >= 0.8, s"graph-routed recall $rGraph")
   }
 }
