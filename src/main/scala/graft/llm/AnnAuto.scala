@@ -134,8 +134,8 @@ object AnnAuto {
     * corpus above the brute bar, once the IVF probe's scan work
     * Q·N·d·(nprobe/k) exceeds the walk's fixed cost, the bounded-candidate
     * beam walk is the measured-cheaper shape at family-gate recall
-    * (GraphAnnStress rounds=4/beam=16 row: recall 0.800 — level with the
-    * IVF property gate) — at Q=10, d=64 the crossover sits at
+    * (GraphAnnStress rounds=6/beam=24 row: recall 0.800 at 100 k — level
+    * with the IVF property gate) — at Q=10, d=64 the crossover sits at
     * N ≈ 1.4×10⁷ vectors.  The ISOTROPIC branch keeps sign-LSH: BASELINE
     * has no isotropic graph recall curve, and this chooser routes only
     * onto measured curves.  The memory axis still preempts everything —
@@ -164,8 +164,8 @@ object AnnAuto {
       sampleSize: Int = 512,
       pqTopR: Int = 64,
       walkBar: Double = 1.1e9,
-      graphRounds: Int = 4,
-      graphBeam: Int = 16): DataFrame = {
+      graphRounds: Int = 6,
+      graphBeam: Int = 24): DataFrame = {
     val cheap = annStats(base, withClusteredness = false, sampleSize = sampleSize)
     val needGeometry =
       cheap.flops > flopsBar || cheap.rawScanBytes > scanBytesBudget
@@ -183,14 +183,15 @@ object AnnAuto {
       case "pq" => Similarity.pqTopkOn(spark, tag, base, topR = pqTopR)
       case "ivfpq" => Similarity.ivfPqTopkOn(spark, tag, base, nprobe = 2, topR = pqTopR)
       case "graph" =>
-        // Seed-block bits sized for ~100-row expected occupancy
-        // (GraphAnnStress's sizing note: occupancy ≈ n / 2^bits; the
-        // measured 0.800-recall row at 100 k used bits=10 ⇒ occupancy
-        // ~98, and one bit tighter measurably cost recall — chooser-driven
-        // bits=11 measured 0.640), capped so 4 tables of `bits` sign dims
-        // fit a 64-dim vector.  Defaults rounds=4 / beam=16 are the same
-        // measured family-gate row; the graph artifact is staged per tag
-        // like every other index this chooser dispatches to.
+        // Seed-block bits sized for ~100-row expected occupancy —
+        // GraphAnnStress's sizing convention (occupancy ≈ n / 2^bits; its
+        // measured rows use bits=10 at 100 k; recall is insensitive to
+        // one bit either way: 0.640 at bits=11 vs 0.620 at bits=10,
+        // rounds=4), capped so 4 tables of `bits` sign dims
+        // fit a 64-dim vector.  Defaults rounds=6 / beam=24 are the
+        // measured family-gate row (recall 0.800 at 100 k, re-measured
+        // 2026-08-15); the graph artifact is staged per tag like every
+        // other index this chooser dispatches to.
         val bits = math.min(14, math.max(4,
           math.ceil(math.log(math.max(2L, st.nCorpus) / 100.0) / math.log(2.0)).toInt))
         val blocked = GraphAnn.blockedOfQv(base, bits, tables = 4)
