@@ -451,10 +451,19 @@ object TextStats {
     (q(s3), q(s2), q(s1))
   }
 
+  /** The tuned λ as a 1-row STAGED artifact: the EM chain (held-out event
+    * frame + [[EmRounds]] aggregates) runs once per corpus; warm scoring
+    * runs read three quantized doubles (exact parquet roundtrip).  Tag
+    * folds the documents fingerprint like the count tables. */
   private[graft] def tunedLambdas(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): (Double, Double, Double) = {
-    val ev = heldoutEvents(spark, sfDir).localCheckpoint()
-    (1 to EmRounds).foldLeft(FixedL)((l, _) => emRound(ev, l))
+    val fp = graft.io.Staged.fingerprint(spark, s"$sfDir/documents.parquet")
+    val row = graft.io.Staged(spark, s"lm3lambda|$sfDir|$fp") {
+      val ev = heldoutEvents(spark, sfDir).localCheckpoint()
+      val (l3, l2, l1) = (1 to EmRounds).foldLeft(FixedL)((l, _) => emRound(ev, l))
+      spark.range(1).select(lit(l3).as("l3"), lit(l2).as("l2"), lit(l1).as("l1"))
+    }.collect()(0)
+    (row.getDouble(0), row.getDouble(1), row.getDouble(2))
   }
 
   /** The DuckDB mirror of the EM chain: train-split CTEs, the held-out
