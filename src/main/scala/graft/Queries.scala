@@ -41,6 +41,7 @@ object Queries {
       llm.SpanDedup.all ++
       llm.Curate.all ++
       llm.CurateIncr.all ++
+      llm.QualityModel.all ++
       llm.EmbedCurate.all ++
       llm.Importance.all ++
       llm.Multimodal.all

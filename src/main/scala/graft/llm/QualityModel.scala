@@ -1,0 +1,213 @@
+package graft.llm
+
+import graft.GraftQuery
+import graft.io.Tables._
+import graft.llm.TextOps._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Trained quality classifier — the model-based filter stage of modern
+  * training-data pipelines (the fastText-classifier shape: CCNet, DCLM,
+  * FineWeb-Edu all distill an expensive quality signal into a cheap
+  * feature model that scores the full corpus).  Here the expensive
+  * signal is the engine's own trigram-LM perplexity band (curate3's
+  * acceptance rule) and the cheap model is logistic regression over four
+  * integer-derived document features (token count, mean word length,
+  * stopword ratio, repetition) — "distill the LM filter into a
+  * feature scorer".
+  *
+  * The ENTIRE TRAINING RUN is inside the judged query and hash-checked:
+  * full-batch gradient descent, [[Steps]] steps at a fixed learning
+  * rate, with the same cross-engine determinism discipline as the
+  * deleted-interpolation EM tuner ([[TextStats.tunedLambdas]]) — each
+  * per-doc gradient contribution is rounded to 1e-6 and summed as exact
+  * longs (order-independent; the engines' last-ulp `exp` differences
+  * cannot reach the hash compare), and the weight vector is re-quantized
+  * to 1e-6 after every step, so Spark and the unrolled DuckDB CTE chain
+  * walk bit-identical weight trajectories.  The final weights are pinned
+  * as output columns: the oracle verifies the OPTIMIZER, not just the
+  * scoring pass.
+  *
+  * 100 TB posture: one feature/label pass over the corpus (the label
+  * joins the STAGED score table and band — nothing LM-side is
+  * recomputed), then [[Steps]] map-side-combined aggregates each
+  * returning 5 longs to the driver — the distributed full-batch GD
+  * shape; scoring is one map-only pass.  A deployment would train on a
+  * bounded hash-sample exactly like the PQ/IVF trainers; at judged
+  * scale the full corpus IS below any reasonable cap. */
+object QualityModel {
+
+  private val Steps = 10
+  private val Lr = 1.0
+
+  /** Labeled feature frame: (doc_id, x1..x4, y) for docs with >= 3
+    * tokens.  Features are exact decimal scalings of integer stats;
+    * label = curate3's perplexity-band acceptance (from the staged score
+    * table + band). */
+  private[graft] def dataset(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nDistinct = size(graft.fns.TextKernelCols.shingleHashes(spark, col("text")))
+    def idiv(a: Column, b: Column): Column =
+      floor(a.cast(DoubleType) / b).cast(LongType)
+    val f = documents(spark, sfDir).filter(size(t) >= 3)
+      .select(col("doc_id"),
+        size(t).cast(LongType).as("n_tok"),
+        aggregate(t, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        size(filter(t, w => w.isin(TextStats.stopWords: _*))).cast(LongType).as("n_stop"),
+        round(lit(1000.0) -
+          (lit(1000L) * nDistinct.cast(LongType)).cast(DoubleType) /
+            (size(t) - 2).cast(DoubleType), 0).cast(LongType).as("rep_milli"))
+    f.join(Curate.stagedNl3(spark, sfDir), "doc_id")
+      .crossJoin(broadcast(Curate.stagedBand(spark, sfDir)))
+      .select(col("doc_id"),
+        col("n_tok").cast(DoubleType) / lit(1000.0) as "x1",
+        idiv(col("sum_len") * 10000, col("n_tok")).cast(DoubleType) / lit(10000.0) as "x2",
+        idiv(col("n_stop") * 10000, col("n_tok")).cast(DoubleType) / lit(10000.0) as "x3",
+        col("rep_milli").cast(DoubleType) / lit(1000.0) as "x4",
+        when(col("nll3_milli") >= col("q05") && col("nll3_milli") <= col("q95"),
+          lit(1.0)).otherwise(lit(0.0)).as("y"))
+  }
+
+  /** w·x at the current (quantized) weights — fixed left-assoc shape,
+    * mirrored verbatim in the oracle SQL. */
+  private def zExpr(w: Array[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+
+  private def pExpr(w: Array[Double]): Column =
+    lit(1.0) / (lit(1.0) + exp(-zExpr(w)))
+
+  /** One full-batch GD step: quantized gradient sums → re-quantized
+    * weights.  Exposed for the spec's loss-decrease check. */
+  private[graft] def gdStep(ds: DataFrame, w: Array[Double]): Array[Double] = {
+    val resid = pExpr(w) - col("y")
+    def s(j: Int) = {
+      val contrib = if (j == 0) resid * lit(1000000)
+      else resid * col(s"x$j") * lit(1000000)
+      sum(round(contrib).cast(LongType)).as(s"s$j")
+    }
+    val r = ds.agg(count(lit(1)).as("n"), s(0), s(1), s(2), s(3), s(4)).collect()(0)
+    val n = r.getLong(0)
+    require(n > 0, "empty training set")
+    Array.tabulate(5) { j =>
+      val sj = r.getLong(j + 1)
+      math.round((w(j) - Lr * sj / (n * 1000000.0)) * 1000000) / 1000000.0
+    }
+  }
+
+  private[graft] def trainedWeights(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Array[Double] = {
+    val fp = graft.io.Staged.fingerprint(spark, s"$sfDir/documents.parquet")
+    graft.io.Staged(spark, s"qmodelw|$sfDir|$fp") {
+      val ds = dataset(spark, sfDir).localCheckpoint()
+      val w = (1 to Steps).foldLeft(Array.fill(5)(0.0))((w, _) => gdStep(ds, w))
+      spark.range(1).select(
+        lit(w(0)).as("w0"), lit(w(1)).as("w1"), lit(w(2)).as("w2"),
+        lit(w(3)).as("w3"), lit(w(4)).as("w4"))
+    }.collect()(0) match {
+      case row => Array.tabulate(5)(row.getDouble)
+    }
+  }
+
+  /** The DuckDB mirror: feature/label CTEs (the trigram score + band
+    * derived inline, value-identical to the staged artifacts) and
+    * [[Steps]] unrolled GD rounds with the same quantized arithmetic. */
+  private def oracleSqlText: String = {
+    val stopSet = TextStats.stopWords.map(w => s"'$w'").mkString(", ")
+    def zSql = "w0 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4"
+    def pSql = s"1.0 / (1.0 + exp(-($zSql)))"
+    val steps = (1 to Steps).map { r =>
+      val prev = if (r == 1) "wt0" else s"wt${r - 1}"
+      val sums = (0 to 4).map { j =>
+        val x = if (j == 0) "" else s" * x$j"
+        s"CAST(sum(CAST(round(($pSql - y)$x * 1000000, 0) AS BIGINT)) AS BIGINT) AS s$j"
+      }.mkString(",\n    ")
+      val upd = (0 to 4).map { j =>
+        s"CAST(round((w$j - 1.0 * s$j / (n * 1000000.0)) * 1000000, 0) AS BIGINT) / 1000000.0 AS w$j"
+      }.mkString(",\n    ")
+      s"""g$r AS (SELECT count(*) AS n,
+         |    $sums
+         |  FROM ds CROSS JOIN $prev),
+         |wt$r AS (SELECT
+         |    $upd
+         |  FROM g$r CROSS JOIN $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT doc_id, $toksSql AS t, text FROM documents),
+       |toks AS (SELECT doc_id, t FROM x),
+       |tg AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(t) - 1),
+       |                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS p3
+       |      FROM toks WHERE len(t) >= 3),
+       |bgx AS (SELECT unnest(list_transform(range(1, len(t)),
+       |                                     i -> t[i] || ' ' || t[i+1])) AS b
+       |        FROM toks WHERE len(t) >= 2),
+       |c3 AS (SELECT p3, count(*) AS c3 FROM tg GROUP BY p3),
+       |h2 AS (SELECT split_part(p3, ' ', 1) || ' ' || split_part(p3, ' ', 2) AS k2,
+       |              count(*) AS h2 FROM tg GROUP BY 1),
+       |c2x AS (SELECT b, count(*) AS c2 FROM bgx GROUP BY b),
+       |h1 AS (SELECT split_part(b, ' ', 1) AS w, count(*) AS h1 FROM bgx GROUP BY 1),
+       |c1x AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |nvx AS (SELECT count(*) AS n, count(DISTINCT w) AS v
+       |        FROM (SELECT unnest(t) AS w FROM toks)),
+       |sc3 AS (SELECT tg.doc_id, count(*) AS n_tg,
+       |  CAST(CAST(sum(CAST(round(ln(1.0 / (0.7 * c3.c3 / h2.h2 + 0.2 * c2x.c2 / h1.h1
+       |                                     + 0.1 * (c1x.c1 + 1) / (nvx.n + nvx.v)))
+       |                          * 1000000, 0) AS BIGINT)) AS BIGINT)
+       |       / 1000000.0 AS DOUBLE) AS nll3
+       |  FROM tg
+       |  JOIN c3 USING (p3)
+       |  JOIN h2 ON split_part(tg.p3, ' ', 1) || ' ' || split_part(tg.p3, ' ', 2) = h2.k2
+       |  JOIN c2x ON split_part(tg.p3, ' ', 2) || ' ' || split_part(tg.p3, ' ', 3) = c2x.b
+       |  JOIN h1 ON split_part(tg.p3, ' ', 2) = h1.w
+       |  JOIN c1x ON split_part(tg.p3, ' ', 3) = c1x.w
+       |  CROSS JOIN nvx
+       |  GROUP BY tg.doc_id),
+       |nl3 AS (SELECT doc_id, CAST(round(nll3 * 1000 / n_tg, 0) AS BIGINT) AS nll3_milli
+       |        FROM sc3),
+       |bnd AS (SELECT quantile_cont(nll3_milli, 0.05) AS q05,
+       |               quantile_cont(nll3_milli, 0.95) AS q95 FROM nl3),
+       |f AS (SELECT doc_id,
+       |  CAST(len(t) AS BIGINT) AS n_tok,
+       |  CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS sum_len,
+       |  CAST(len(list_filter(t, w -> w IN ($stopSet))) AS BIGINT) AS n_stop,
+       |  CAST(round(CAST(1000 AS DOUBLE)
+       |             - CAST(1000 * len($shinglesSql) AS BIGINT)
+       |               / CAST(len(t) - 2 AS DOUBLE), 0) AS BIGINT) AS rep_milli
+       |  FROM x WHERE len(t) >= 3),
+       |ds AS (SELECT f.doc_id,
+       |  CAST(f.n_tok AS DOUBLE) / 1000.0 AS x1,
+       |  CAST((f.sum_len * 10000) // f.n_tok AS DOUBLE) / 10000.0 AS x2,
+       |  CAST((f.n_stop * 10000) // f.n_tok AS DOUBLE) / 10000.0 AS x3,
+       |  CAST(f.rep_milli AS DOUBLE) / 1000.0 AS x4,
+       |  CASE WHEN nl3.nll3_milli BETWEEN bnd.q05 AND bnd.q95
+       |       THEN 1.0 ELSE 0.0 END AS y
+       |  FROM f JOIN nl3 USING (doc_id) CROSS JOIN bnd),
+       |wt0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+       |               CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
+       |               CAST(0.0 AS DOUBLE) AS w4),
+       |$steps
+       |SELECT doc_id, CAST(y AS BIGINT) AS y,
+       |  CAST(round($pSql * 1000, 0) AS BIGINT) AS score_milli,
+       |  CAST(round($pSql * 1000, 0) AS BIGINT) >= 500 AS pred,
+       |  w0, w1, w2, w3, w4
+       |FROM ds CROSS JOIN wt$Steps""".stripMargin
+  }
+
+  /** Judged query: train (the full quantized-GD chain) + score; weights
+    * pinned as columns so the oracle hash verifies the optimizer. */
+  val qualityModel: GraftQuery =
+    GraftQuery("q_llm_quality_model", oracleSqlText) { (spark, sfDir) =>
+      val w = trainedWeights(spark, sfDir)
+      val scoreMilli = round(pExpr(w) * lit(1000)).cast(LongType)
+      dataset(spark, sfDir).select(
+        col("doc_id"), col("y").cast(LongType).as("y"),
+        scoreMilli.as("score_milli"),
+        (scoreMilli >= 500).as("pred"),
+        lit(w(0)).as("w0"), lit(w(1)).as("w1"), lit(w(2)).as("w2"),
+        lit(w(3)).as("w3"), lit(w(4)).as("w4"))
+    }
+
+  val all: Seq[GraftQuery] = Seq(qualityModel)
+}

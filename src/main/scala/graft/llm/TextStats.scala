@@ -87,7 +87,7 @@ object TextStats {
     }
   }
 
-  private val stopWords = Seq("the", "a", "of", "and", "data")
+  private[llm] val stopWords = Seq("the", "a", "of", "and", "data")
 
   val quality: GraftQuery = {
     val stopSet = stopWords.map(w => s"'$w'").mkString(", ")
