@@ -93,9 +93,16 @@ object QualityModel {
     require(n > 0, "empty training set")
     Array.tabulate(5) { j =>
       val sj = r.getLong(j + 1)
-      math.round((w(j) - Lr * sj / (n * 1000000.0)) * 1000000) / 1000000.0
+      roundHalfAway((w(j) - Lr * sj / (n * 1000000.0)) * 1000000) / 1000000.0
     }
   }
+
+  /** Half-away-from-zero rounding, matching Spark's `round` column and
+    * DuckDB's `round()` on negatives (Scala `math.round` rounds half
+    * toward +infinity, which would diverge on a negative update landing
+    * exactly on a 1e-6 half-boundary). */
+  private def roundHalfAway(y: Double): Double =
+    if (y < 0) -math.round(-y).toDouble else math.round(y).toDouble
 
   private[graft] def trainedWeights(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Array[Double] = {
@@ -113,7 +120,11 @@ object QualityModel {
 
   /** The DuckDB mirror: feature/label CTEs (the trigram score + band
     * derived inline, value-identical to the staged artifacts) and
-    * [[Steps]] unrolled GD rounds with the same quantized arithmetic. */
+    * [[Steps]] unrolled GD rounds with the same quantized arithmetic.
+    * The shared CTEs are marked MATERIALIZED: DuckDB inlines CTEs per
+    * reference, and the 10 GD rounds reference `ds` (→ the full trigram
+    * chain) ten times each, which un-materialized explodes into >20,000
+    * parquet opens and an fd-exhaustion crash in the driver's gate. */
   private def oracleSqlText: String = {
     val stopSet = TextStats.stopWords.map(w => s"'$w'").mkString(", ")
     def zSql = "w0 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4"
@@ -134,9 +145,9 @@ object QualityModel {
          |    $upd
          |  FROM g$r CROSS JOIN $prev)""".stripMargin
     }.mkString(",\n")
-    s"""WITH x AS (SELECT doc_id, $toksSql AS t, text FROM documents),
-       |toks AS (SELECT doc_id, t FROM x),
-       |tg AS (SELECT doc_id,
+    s"""WITH x AS MATERIALIZED (SELECT doc_id, $toksSql AS t, text FROM documents),
+       |toks AS MATERIALIZED (SELECT doc_id, t FROM x),
+       |tg AS MATERIALIZED (SELECT doc_id,
        |        unnest(list_transform(range(1, len(t) - 1),
        |                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS p3
        |      FROM toks WHERE len(t) >= 3),
@@ -151,7 +162,7 @@ object QualityModel {
        |c1x AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
        |nvx AS (SELECT count(*) AS n, count(DISTINCT w) AS v
        |        FROM (SELECT unnest(t) AS w FROM toks)),
-       |sc3 AS (SELECT tg.doc_id, count(*) AS n_tg,
+       |sc3 AS MATERIALIZED (SELECT tg.doc_id, count(*) AS n_tg,
        |  CAST(CAST(sum(CAST(round(ln(1.0 / (0.7 * c3.c3 / h2.h2 + 0.2 * c2x.c2 / h1.h1
        |                                     + 0.1 * (c1x.c1 + 1) / (nvx.n + nvx.v)))
        |                          * 1000000, 0) AS BIGINT)) AS BIGINT)
@@ -164,11 +175,11 @@ object QualityModel {
        |  JOIN c1x ON split_part(tg.p3, ' ', 3) = c1x.w
        |  CROSS JOIN nvx
        |  GROUP BY tg.doc_id),
-       |nl3 AS (SELECT doc_id, CAST(round(nll3 * 1000 / n_tg, 0) AS BIGINT) AS nll3_milli
+       |nl3 AS MATERIALIZED (SELECT doc_id, CAST(round(nll3 * 1000 / n_tg, 0) AS BIGINT) AS nll3_milli
        |        FROM sc3),
-       |bnd AS (SELECT quantile_cont(nll3_milli, 0.05) AS q05,
+       |bnd AS MATERIALIZED (SELECT quantile_cont(nll3_milli, 0.05) AS q05,
        |               quantile_cont(nll3_milli, 0.95) AS q95 FROM nl3),
-       |f AS (SELECT doc_id,
+       |f AS MATERIALIZED (SELECT doc_id,
        |  CAST(len(t) AS BIGINT) AS n_tok,
        |  CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS sum_len,
        |  CAST(len(list_filter(t, w -> w IN ($stopSet))) AS BIGINT) AS n_stop,
@@ -176,7 +187,7 @@ object QualityModel {
        |             - CAST(1000 * len($shinglesSql) AS BIGINT)
        |               / CAST(len(t) - 2 AS DOUBLE), 0) AS BIGINT) AS rep_milli
        |  FROM x WHERE len(t) >= 3),
-       |ds AS (SELECT f.doc_id,
+       |ds AS MATERIALIZED (SELECT f.doc_id,
        |  CAST(f.n_tok AS DOUBLE) / 1000.0 AS x1,
        |  CAST((f.sum_len * 10000) // f.n_tok AS DOUBLE) / 10000.0 AS x2,
        |  CAST((f.n_stop * 10000) // f.n_tok AS DOUBLE) / 10000.0 AS x3,
