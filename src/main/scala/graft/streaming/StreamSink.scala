@@ -240,25 +240,40 @@ object StreamSink {
     *    deletes the user's UNTOUCHED sessions (the tumbling sink's
     *    documented sibling-row-deletion trap, one level up).
     *
-    * The correct shape is a per-user MERGE: partition the sink by
-    * user_id; per micro-batch, rewrite ONLY the touched users'
-    * partitions with (their existing rows that do NOT time-overlap any
-    * updated session) ∪ (the updated rows).  Overlap is the exact stale
-    * test — Spark's merged session interval contains every swallowed
-    * sibling's interval, and distinct final sessions of one user never
-    * overlap (next.start ≥ prev.end by the gap definition), so
-    * replaying a batch replaces rows with identical rows (idempotent,
+    * The correct shape is a per-user MERGE under a BOUNDED partition
+    * key: the sink is partitioned by `bucket = pmod(hash(user_id),
+    * [[SessionSinkBuckets]])` — NOT by user_id.  Partitioning by raw
+    * user_id is the 100 TB scale-killer the round-13 review flagged:
+    * one directory per user is 10⁷–10⁹ directories at deployment
+    * cardinality, a file-system-metadata explosion no object store
+    * survives.  A fixed bucket count caps the sink at 4096 directories
+    * forever, at the cost of per-batch write amplification bounded by
+    * (touched buckets) × (bucket size) — the standard lakehouse
+    * bucketed-merge trade.
+    *
+    * Per micro-batch: rewrite each TOUCHED bucket with (its existing
+    * rows that do NOT time-overlap an updated session of the same user)
+    * ∪ (the updated rows).  Untouched users sharing a touched bucket
+    * never match the user-equality overlap anti-join, so they are
+    * carried through verbatim.  Overlap is the exact stale test —
+    * Spark's merged session interval contains every swallowed sibling's
+    * interval, and distinct final sessions of one user never overlap
+    * (next.start ≥ prev.end by the gap definition), so replaying a
+    * batch replaces bucket contents with identical contents (idempotent,
     * exactly-once across restarts).  This is `foreachBatch` + MERGE INTO
     * re-expressed on plain parquet partitions — the lakehouse-native
     * sibling of the same pattern.
     *
     * 100 TB posture: per batch the sink reads and rewrites only the
-    * touched users' partitions (the collected id list is bounded control
-    * data — at most one id per batch row, the same class as the ANN
-    * probe keys, and the explicit IN filter is what guarantees partition
-    * PRUNING on the read-back); state is bounded by the watermark
-    * horizon; the merged frame is localCheckpointed because its plan
-    * reads the same files the write replaces. */
+    * touched buckets (the collected bucket list is bounded control data
+    * — at most [[SessionSinkBuckets]] ints regardless of stream size,
+    * strictly tighter than the per-user id list it replaces, and the
+    * explicit IN filter on the partition column is what guarantees
+    * partition PRUNING on the read-back); state is bounded by the
+    * watermark horizon; the merged frame is localCheckpointed because
+    * its plan reads the same files the write replaces. */
+  private[graft] val SessionSinkBuckets = 4096
+
   private[graft] def sessionViaSink(spark: SparkSession, eventsPath: String,
       outDir: String, ckptDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -284,23 +299,26 @@ object StreamSink {
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (b: DataFrame, _: Long) =>
         val ss = b.sparkSession
-        // two consumers (affected ids + union) ⇒ materialize once; also
-        // pins the batch's rows before the partition rewrite below
+        // two consumers (touched buckets + union) ⇒ materialize once;
+        // also pins the batch's rows before the partition rewrite below
         val updates = b.select("user_id", "session_start_us",
-          "session_end_us", "n_events").localCheckpoint(true)
-        val affected = updates.select("user_id").distinct()
-          .collect().map(_.getLong(0)).toSeq
-        if (affected.nonEmpty) {
+          "session_end_us", "n_events")
+          .withColumn("bucket", pmod(hash(col("user_id")), lit(SessionSinkBuckets)))
+          .localCheckpoint(true)
+        val touched = updates.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (touched.nonEmpty) {
           val outPath = new org.apache.hadoop.fs.Path(outDir)
           val fs = outPath.getFileSystem(ss.sparkContext.hadoopConfiguration)
           val existing =
             if (fs.exists(outPath))
               ss.read.parquet(outDir)
-                .filter(col("user_id").isInCollection(affected))
+                .filter(col("bucket").isInCollection(touched))
                 .select(col("user_id").cast("long"),
                   col("session_start_us").cast("long"),
                   col("session_end_us").cast("long"),
-                  col("n_events").cast("long"))
+                  col("n_events").cast("long"),
+                  col("bucket").cast("int"))
             else updates.limit(0)
           val stale = updates.select(col("user_id").as("u_uid"),
             col("session_start_us").as("u_s"), col("session_end_us").as("u_e"))
@@ -312,7 +330,7 @@ object StreamSink {
             .localCheckpoint(true) // source files == overwrite target
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("user_id")
+            .partitionBy("bucket")
             .parquet(outDir)
         }
       }

@@ -62,6 +62,13 @@ class StreamSessionSinkSpec extends AnyFunSuite {
     val day2 = canon(StreamSink.sessionViaSink(spark, src, out, ckpt))
     assert(day2 == Seq((99L, t0, t0 + 80L * min, 3L)),
       s"merged session must replace BOTH day-1 rows, got $day2")
+    // bounded sink layout: partition dirs are hash buckets, never raw
+    // user ids — the cap is what makes the sink survive 10^9 users
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_"))
+    assert(dirs.nonEmpty && dirs.forall(_.matches("bucket=\\d+")),
+      s"sink must partition by bounded bucket, got ${dirs.take(3).mkString(",")}")
+    assert(dirs.length <= StreamSink.SessionSinkBuckets)
   }
 
   test("incremental day-2 catch-up + exactly-once idle restart") {
