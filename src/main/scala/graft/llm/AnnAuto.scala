@@ -187,12 +187,15 @@ object AnnAuto {
         // GraphAnnStress's sizing convention (occupancy ≈ n / 2^bits; its
         // measured rows use bits=10 at 100 k; recall is insensitive to
         // one bit either way: 0.640 at bits=11 vs 0.620 at bits=10,
-        // rounds=4), capped so 4 tables of `bits` sign dims
-        // fit a 64-dim vector.  Defaults rounds=6 / beam=24 are the
-        // measured family-gate row (recall 0.800 at 100 k, re-measured
-        // 2026-08-15); the graph artifact is staged per tag like every
-        // other index this chooser dispatches to.
-        val bits = math.min(14, math.max(4,
+        // rounds=4), capped so 4 tables of `bits` sign dims fit the
+        // CORPUS dimensionality (st.dim / tables, not a hardcoded 64 —
+        // blockedOfQv's element_at past the vector end yields null →
+        // constant sign bits → collapsed block selectivity).  Defaults
+        // rounds=6 / beam=24 are the measured family-gate row (recall
+        // 0.800 at 100 k, re-measured 2026-08-15); the graph artifact is
+        // staged per tag like every other index this chooser dispatches
+        // to.
+        val bits = math.min(math.min(14, math.max(1, st.dim / 4)), math.max(4,
           math.ceil(math.log(math.max(2L, st.nCorpus) / 100.0) / math.log(2.0)).toInt))
         val blocked = GraphAnn.blockedOfQv(base, bits, tables = 4)
         val adj = GraphAnn.knnGraphOn(spark, s"auto|$tag|$bits", base, blocked,
