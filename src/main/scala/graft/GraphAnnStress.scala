@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   * (amortized, incremental-append-able) index cost, like IVF's trainer or
   * PQ's encode.
   *
-  * `sbt "runMain graft.GraphAnnStress [nVectors] [blockBits] [rounds] [beam] [hops]"`
-  * (blockBits sizes seed blocks: occupancy ≈ n / 2^bits; default 10)
+  * `sbt "runMain graft.GraphAnnStress [nVectors] [blockBits] [rounds] [beam] [hops] [corpus]"`
+  * (blockBits sizes seed blocks: occupancy ≈ n / 2^bits; default 10;
+  * corpus = clustered | isotropic — the isotropic row is what the ANN
+  * chooser's isotropic branch decision rests on)
   */
 object GraphAnnStress {
   def main(args: Array[String]): Unit = {
@@ -23,10 +25,14 @@ object GraphAnnStress {
     val rounds = if (args.length > 2) args(2).toInt else 2
     val beam = if (args.length > 3) args(3).toInt else 8
     val hops = if (args.length > 4) args(4).toInt else 5
+    val corpus = if (args.length > 5) args(5) else "clustered"
     val spark = DevSession.local()
     val dim = 64
 
-    val base = StressCorpora.clustered(spark, n, dim).localCheckpoint()
+    val base = (corpus match {
+      case "isotropic" => StressCorpora.isotropic(spark, n, dim)
+      case _ => StressCorpora.clustered(spark, n, dim)
+    }).localCheckpoint()
 
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -37,8 +43,8 @@ object GraphAnnStress {
     val (brute, tBrute) = time(pairs(Similarity.bruteTopkOn(spark, base)))
     val blocked = GraphAnn.blockedOfQv(base, bits, tables = 4).localCheckpoint()
     val (adj, tBuild) = time {
-      val a = GraphAnn.knnGraphOn(spark, s"gstress:$n:$bits:$rounds", base, blocked,
-        rounds = rounds)
+      val a = GraphAnn.knnGraphOn(spark, s"gstress:$corpus:$n:$bits:$rounds", base,
+        blocked, rounds = rounds)
       a.count(); a
     }
     val (got, tSearch1) = time(pairs(
@@ -46,7 +52,7 @@ object GraphAnnStress {
     val (_, tSearch2) = time(
       GraphAnn.searchGraphOn(spark, base, adj, beam = beam, hops = hops).count())
     val recall = (brute & got).size.toDouble / brute.size
-    println(f"GRAPHANN n=$n bits=$bits rounds=$rounds beam=$beam hops=$hops " +
+    println(f"GRAPHANN corpus=$corpus n=$n bits=$bits rounds=$rounds beam=$beam hops=$hops " +
       f"build ${tBuild}%.1f s search ${tSearch1}%.1f/${tSearch2}%.1f s " +
       f"recall $recall%.3f brute ${tBrute}%.1f s")
     spark.stop()

@@ -136,9 +136,16 @@ object AnnAuto {
     * beam walk is the measured-cheaper shape at family-gate recall
     * (GraphAnnStress rounds=6/beam=24 row: recall 0.800 at 100 k — level
     * with the IVF property gate) — at Q=10, d=64 the crossover sits at
-    * N ≈ 1.4×10⁷ vectors.  The ISOTROPIC branch keeps sign-LSH: BASELINE
-    * has no isotropic graph recall curve, and this chooser routes only
-    * onto measured curves.  The memory axis still preempts everything —
+    * N ≈ 1.4×10⁷ vectors.  The ISOTROPIC branch keeps sign-LSH — now a
+    * MEASURED exclusion, not an absence of data (GraphAnnStress isotropic
+    * rows, 2026-08-15): at the family-gate walk (rounds=6/beam=24) recall
+    * is 0.420 at 20 k and collapses to 0.100 at 100 k, and a ~2× heavier
+    * walk (rounds=8/beam=48/hops=7) only reaches 0.280 — NN-descent's
+    * neighbors-of-neighbors refinement has no gradient to climb when
+    * true neighbors sit at the isotropic concentration cosine, and the
+    * failure grows with n, the opposite of a curve the chooser could buy
+    * with rounds.  Sign-LSH measures 0.980 on the same geometry
+    * (LshStress).  The memory axis still preempts everything —
     * the beam walk re-ranks on raw vectors, so a corpus over the byte
     * budget belongs to the PQ family regardless of walk economics. */
   def annStrategy(st: AnnStats,

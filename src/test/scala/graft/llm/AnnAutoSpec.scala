@@ -29,10 +29,13 @@ class AnnAutoSpec extends AnyFunSuite {
     assert(annStrategy(st(12000000L, 0.95)) == "ivf")
     assert(annStrategy(st(100000000L, 0.30)) == "lsh")
     // past the walk bar the clustered branch hands over to the beam walk
-    // (corpus-size-independent candidates); isotropic keeps lsh — no
-    // measured isotropic graph curve exists to route onto
+    // (corpus-size-independent candidates); isotropic keeps lsh at EVERY
+    // n — a measured exclusion (GraphAnnStress isotropic rows: recall
+    // 0.42@20k → 0.10@100k at the family-gate walk, 0.28 with a 2×
+    // heavier walk, vs sign-LSH's 0.98 on the same geometry)
     assert(annStrategy(st(15000000L, 0.95)) == "graph")
     assert(annStrategy(st(100000000L, 0.95)) == "graph")
+    assert(annStrategy(st(15000000L, 0.30)) == "lsh")
     // byte-budget exceeded: PQ family, residual-encoded iff clustered,
     // and it preempts even sub-crossover flops (the axis is memory) AND
     // the graph route (the walk re-ranks on raw vectors)
