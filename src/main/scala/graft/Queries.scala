@@ -42,6 +42,7 @@ object Queries {
       llm.Curate.all ++
       llm.CurateIncr.all ++
       llm.QualityModel.all ++
+      llm.Drift.all ++
       llm.EmbedCurate.all ++
       llm.Importance.all ++
       llm.Multimodal.all

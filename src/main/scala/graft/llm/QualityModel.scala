@@ -124,7 +124,11 @@ object QualityModel {
     * The shared CTEs are marked MATERIALIZED: DuckDB inlines CTEs per
     * reference, and the 10 GD rounds reference `ds` (→ the full trigram
     * chain) ten times each, which un-materialized explodes into >20,000
-    * parquet opens and an fd-exhaustion crash in the driver's gate. */
+    * parquet opens and an fd-exhaustion crash in the driver's gate.
+    * The WITH-chain prefix (features, labels, trained weights) is shared
+    * by the evaluation queries' oracles ([[qualityAuc]],
+    * [[qualityCalibration]]) so model and evaluators verify against the
+    * SAME training run. */
   private def oracleSqlText: String = {
     val stopSet = TextStats.stopWords.map(w => s"'$w'").mkString(", ")
     def zSql = "w0 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4"
@@ -206,6 +210,91 @@ object QualityModel {
        |FROM ds CROSS JOIN wt$Steps""".stripMargin
   }
 
+  /** The oracle WITH-chain prefix through the trained weights plus a
+    * `scq` CTE of (score_milli, y) — the shared front end of the
+    * evaluation oracles. */
+  private def oracleScoredCtes: String = {
+    val full = oracleSqlText
+    val head = full.substring(0, full.lastIndexOf("SELECT doc_id,"))
+      .trim.stripPrefix("WITH ")
+    def zSql = "w0 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4"
+    def pSql = s"1.0 / (1.0 + exp(-($zSql)))"
+    s"""$head,
+       |scq AS MATERIALIZED (SELECT CAST(round($pSql * 1000, 0) AS BIGINT) AS s,
+       |         CAST(y AS BIGINT) AS y FROM ds CROSS JOIN wt$Steps)""".stripMargin
+  }
+
+  /** Scored frame (score_milli `s`, label `y`) at the trained weights —
+    * the Spark front end the evaluators share. */
+  private def scored(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val w = trainedWeights(spark, sfDir)
+    dataset(spark, sfDir).select(
+      round(pExpr(w) * lit(1000)).cast(LongType).as("s"),
+      col("y").cast(LongType).as("y"))
+  }
+
+  /** Exact ROC-AUC of the trained classifier — the model-evaluation rank
+    * statistic (Mann-Whitney U with the standard half-credit for ties),
+    * computed WITHOUT a global sort: `score_milli` lives in a bounded
+    * domain (0..1000), so the corpus reduces to one map-side-combined
+    * groupBy over ≤ 1001 score cells, and U folds over a ≤ 1001×1001
+    * broadcast inequality self-join — corpus-size-independent past the
+    * first aggregate, the same bounded-domain trick as the exact
+    * quantile search.  All arithmetic stays in exact longs:
+    * auc_micro = ⌊(10⁶·U₂ + P·N) / (2·P·N)⌋ where U₂ = 2·Σ_{s>t} P_s·N_t
+    * + Σ_s P_s·N_s — round-half-up without ever touching a float, so
+    * Spark and DuckDB agree bit-for-bit by construction. */
+  val qualityAuc: GraftQuery = GraftQuery("q_llm_quality_auc",
+    s"""WITH ${oracleScoredCtes},
+       |g AS MATERIALIZED (SELECT s, CAST(sum(y) AS BIGINT) AS np,
+       |       CAST(count(*) - sum(y) AS BIGINT) AS nn FROM scq GROUP BY s),
+       |u AS (SELECT CAST(sum(a.np * b.nn *
+       |               (CASE WHEN b.s < a.s THEN 2 ELSE 1 END)) AS BIGINT) AS u2
+       |      FROM g a JOIN g b ON b.s <= a.s),
+       |t AS (SELECT CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS n
+       |      FROM g)
+       |SELECT p AS n_pos, n AS n_neg,
+       |  (u2 * 1000000 + p * n) // (2 * p * n) AS auc_micro
+       |FROM u CROSS JOIN t""".stripMargin) { (spark, sfDir) =>
+    aucOf(scored(spark, sfDir))
+  }
+
+  /** AUC of an arbitrary (s, y) scored frame — the evaluator body, exposed
+    * for the spec's planted-extreme checks (perfect / inverted / all-tied
+    * separations have closed-form AUC). */
+  private[graft] def aucOf(sc: DataFrame): DataFrame = {
+    val g = sc.groupBy("s")
+      .agg(sum("y").as("np"), (count(lit(1)) - sum("y")).as("nn"))
+      .localCheckpoint()
+    val a = g.select(col("s").as("a_s"), col("np").as("a_np"))
+    val b = g.select(col("s").as("b_s"), col("nn").as("b_nn"))
+    val u = a.join(broadcast(b), col("b_s") <= col("a_s"))
+      .agg(sum(col("a_np") * col("b_nn") *
+        when(col("b_s") < col("a_s"), 2L).otherwise(1L)).as("u2"))
+    val t = g.agg(sum("np").cast(LongType).as("p"), sum("nn").cast(LongType).as("n"))
+    u.crossJoin(broadcast(t)).select(
+      col("p").as("n_pos"), col("n").as("n_neg"),
+      expr("(u2 * 1000000L + p * n) div (2L * p * n)").as("auc_micro"))
+  }
+
+  /** Calibration table of the trained classifier: score deciles
+    * (`score_milli // 100`) vs empirical label rate, integer-exact —
+    * (bucket, n, n_pos, sum_score_milli) is everything a reliability
+    * diagram needs and nothing a float can smudge.  One map-side-combined
+    * aggregate over ≤ 11 buckets. */
+  val qualityCalibration: GraftQuery = GraftQuery("q_llm_quality_calibration",
+    s"""WITH ${oracleScoredCtes}
+       |SELECT s // 100 AS bucket, count(*) AS n,
+       |  CAST(sum(y) AS BIGINT) AS n_pos,
+       |  CAST(sum(s) AS BIGINT) AS sum_score_milli
+       |FROM scq GROUP BY 1""".stripMargin) { (spark, sfDir) =>
+    scored(spark, sfDir)
+      .groupBy(expr("s div 100").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("s").as("sum_score_milli"))
+  }
+
   /** Judged query: train (the full quantized-GD chain) + score; weights
     * pinned as columns so the oracle hash verifies the optimizer. */
   val qualityModel: GraftQuery =
@@ -220,5 +309,5 @@ object QualityModel {
         lit(w(3)).as("w3"), lit(w(4)).as("w4"))
     }
 
-  val all: Seq[GraftQuery] = Seq(qualityModel)
+  val all: Seq[GraftQuery] = Seq(qualityModel, qualityAuc, qualityCalibration)
 }

@@ -35,6 +35,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_llm_trigram_nll_tuned", // same 1-row (N, V) broadcast, tuned-λ scorer
     "q_llm_curate_incremental", // curate3's 1-row (N, V) + quantile-band broadcasts
     "q_llm_quality_model",   // 1-row quantile-band + weight-vector broadcasts
+    "q_llm_quality_auc",     // ≤1001-row score-cell inequality self-join (U statistic)
+    "q_llm_quality_calibration", // composes quality_model's 1-row broadcasts
+    "q_llm_drift_kl",        // crossJoin(broadcast(1-row corpus/batch totals))
     "q_llm_embed_curate",    // composes the semantic-seed cell assignment
     "q_llm_curate2",         // composes the semantic-seed + vocab-size broadcasts
     "q_llm_curate3",         // same composition + the 1-row quantile-band broadcast
