@@ -225,13 +225,18 @@ object QualityModel {
   }
 
   /** Scored frame (score_milli `s`, label `y`) at the trained weights —
-    * the Spark front end the evaluators share. */
+    * the Spark front end the evaluators share, staged per corpus
+    * fingerprint (AUC and calibration read the same scoring pass instead
+    * of each re-deriving the feature/label joins). */
   private def scored(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
-    val w = trainedWeights(spark, sfDir)
-    dataset(spark, sfDir).select(
-      round(pExpr(w) * lit(1000)).cast(LongType).as("s"),
-      col("y").cast(LongType).as("y"))
+    val fp = graft.io.Staged.fingerprint(spark, s"$sfDir/documents.parquet")
+    graft.io.Staged(spark, s"qmodelsc|$sfDir|$fp") {
+      val w = trainedWeights(spark, sfDir)
+      dataset(spark, sfDir).select(
+        round(pExpr(w) * lit(1000)).cast(LongType).as("s"),
+        col("y").cast(LongType).as("y"))
+    }
   }
 
   /** Exact ROC-AUC of the trained classifier — the model-evaluation rank
@@ -241,21 +246,25 @@ object QualityModel {
     * groupBy over ≤ 1001 score cells, and U folds over a ≤ 1001×1001
     * broadcast inequality self-join — corpus-size-independent past the
     * first aggregate, the same bounded-domain trick as the exact
-    * quantile search.  All arithmetic stays in exact longs:
+    * quantile search.  All arithmetic stays exact-integer:
     * auc_micro = ⌊(10⁶·U₂ + P·N) / (2·P·N)⌋ where U₂ = 2·Σ_{s>t} P_s·N_t
     * + Σ_s P_s·N_s — round-half-up without ever touching a float, so
-    * Spark and DuckDB agree bit-for-bit by construction. */
+    * Spark and DuckDB agree bit-for-bit by construction.  The U fold and
+    * the final division run in DECIMAL(38,0) (DuckDB: the native HUGEINT
+    * of sum(BIGINT)) because 10⁶·U₂ overflows a long once the corpus
+    * passes ~10⁹ pair-weight — caught by `graft.AucStress` at 10⁸ rows,
+    * where ANSI mode fails loudly instead of wrapping. */
   val qualityAuc: GraftQuery = GraftQuery("q_llm_quality_auc",
     s"""WITH ${oracleScoredCtes},
        |g AS MATERIALIZED (SELECT s, CAST(sum(y) AS BIGINT) AS np,
        |       CAST(count(*) - sum(y) AS BIGINT) AS nn FROM scq GROUP BY s),
-       |u AS (SELECT CAST(sum(a.np * b.nn *
-       |               (CASE WHEN b.s < a.s THEN 2 ELSE 1 END)) AS BIGINT) AS u2
+       |u AS (SELECT sum(a.np * b.nn *
+       |               (CASE WHEN b.s < a.s THEN 2 ELSE 1 END)) AS u2
        |      FROM g a JOIN g b ON b.s <= a.s),
        |t AS (SELECT CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS n
        |      FROM g)
        |SELECT p AS n_pos, n AS n_neg,
-       |  (u2 * 1000000 + p * n) // (2 * p * n) AS auc_micro
+       |  CAST((u2 * 1000000 + p * n) // (2 * p * n) AS BIGINT) AS auc_micro
        |FROM u CROSS JOIN t""".stripMargin) { (spark, sfDir) =>
     aucOf(scored(spark, sfDir))
   }
@@ -269,13 +278,17 @@ object QualityModel {
       .localCheckpoint()
     val a = g.select(col("s").as("a_s"), col("np").as("a_np"))
     val b = g.select(col("s").as("b_s"), col("nn").as("b_nn"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val u = a.join(broadcast(b), col("b_s") <= col("a_s"))
-      .agg(sum(col("a_np") * col("b_nn") *
+      .agg(sum(col("a_np").cast(dec) * col("b_nn") *
         when(col("b_s") < col("a_s"), 2L).otherwise(1L)).as("u2"))
     val t = g.agg(sum("np").cast(LongType).as("p"), sum("nn").cast(LongType).as("n"))
     u.crossJoin(broadcast(t)).select(
       col("p").as("n_pos"), col("n").as("n_neg"),
-      expr("(u2 * 1000000L + p * n) div (2L * p * n)").as("auc_micro"))
+      expr("""CAST((CAST(u2 AS DECIMAL(38,0)) * 1000000
+             |      + CAST(p AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+             |     div (2 * CAST(p AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+             |     AS BIGINT)""".stripMargin).as("auc_micro"))
   }
 
   /** Calibration table of the trained classifier: score deciles
