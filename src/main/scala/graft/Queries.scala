@@ -19,6 +19,7 @@ object Queries {
       rel.Relational10.all ++
       graph.Graphs.all ++
       io.CatalogTables.all ++
+      io.Versioned.all ++
       joins.BloomPrune.all ++
       fns.Scalars.all ++
       time.EventWindows.all ++

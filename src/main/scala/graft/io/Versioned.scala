@@ -1,0 +1,252 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned tables — the lakehouse commit-log primitive a training-data
+  * pipeline needs for reproducibility: "train run X read corpus version
+  * 12" must stay answerable (and re-readable) after versions 13..N land.
+  *
+  * Layout under a table root:
+  *
+  * {{{
+  *   <root>/data/<uuid>/part-*.parquet   immutable data dirs (+ _SUCCESS)
+  *   <root>/log/v00012.json              one commit record per version
+  * }}}
+  *
+  * A commit record is a dir-level MANIFEST: `{"version":12,
+  * "dirs":["data/<uuid>", ...]}`.  Data dirs are write-once and never
+  * mutated or deleted by commits, so
+  *
+  *  - **time travel** is just reading an old manifest's dir list;
+  *  - **append is O(new data)**: [[commitAppend]] writes ONLY the new
+  *    rows' dir and records parent.dirs :+ newDir — at 100 TB the daily
+  *    ingest never rewrites history (the same day-2 economics as the
+  *    staged ANN/dedup indexes), while [[commit]] is the full-snapshot
+  *    (compaction) path;
+  *  - the manifest is O(#dirs) driver-side metadata, not O(rows).
+  *
+  * **Atomicity + concurrency**: the record is written to a temp file and
+  * renamed into `log/vNNNNN.json` through `FileContext` — the
+  * POSIX-strict API whose no-OVERWRITE rename THROWS if the destination
+  * exists (the [[Staged]] publication discipline; `FileSystem.rename`
+  * cannot arbitrate).  Exactly one writer lands any given version; a
+  * loser re-resolves the new head and retries against it, so concurrent
+  * committers serialize into consecutive versions and no update is lost
+  * (optimistic concurrency, spec-driven by two racing threads).  Readers
+  * only ever see fully-written manifests, and a crashed writer leaves an
+  * orphan data dir that no manifest references — garbage, never
+  * corruption.  On rename-is-copy object stores, front an atomic-commit
+  * layer, as with [[Staged]].
+  *
+  * [[diff]] is the snapshot comparator (multiset `EXCEPT ALL` both ways,
+  * tagged added/removed) — the review primitive for "what changed
+  * between corpus v1 and v2" and the judged `q_table_diff` below. */
+object Versioned {
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(root: String) = new org.apache.hadoop.fs.Path(s"$root/log")
+
+  private val V = """v(\d{5})\.json""".r
+
+  /** Highest committed version, 0 if the table has none. */
+  def currentVersion(spark: SparkSession, root: String): Int = {
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    if (!f.exists(ld)) 0
+    else f.listStatus(ld).map(_.getPath.getName).collect {
+      case V(n) => n.toInt
+    }.foldLeft(0)(math.max)
+  }
+
+  /** Dir list of a committed version (paths relative to the root). */
+  private[graft] def manifest(spark: SparkSession, root: String, v: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(logDir(root), f"v$v%05d.json")
+    val in = fs(spark, p).open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"dirs":\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt) match {
+      case Some(m) =>
+        m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+      case None => throw new IllegalStateException(s"malformed commit record $p")
+    }
+  }
+
+  /** Write `df` as one immutable data dir; returns the root-relative path. */
+  private def writeDataDir(spark: SparkSession, root: String, df: DataFrame): String = {
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    df.write.mode("errorifexists").parquet(s"$root/$rel")
+    rel
+  }
+
+  /** Publish the next version after the (re-resolved) head.  Retries
+    * against the moving head until the rename lands (bounded); `recOf`
+    * yields the dir list plus extra record fields for a given head;
+    * `abortIf` lets a caller bail out when a racing commit made this one
+    * redundant (the batchId fence) — None is returned ONLY on abort. */
+  private def publishRecord(spark: SparkSession, root: String,
+      recOf: Int => (Seq[String], String),
+      abortIf: Int => Boolean = _ => false): Option[Int] = {
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      ld.toUri, spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < 50) {
+      attempt += 1
+      val head = currentVersion(spark, root)
+      if (abortIf(head)) return None
+      val v = head + 1
+      val (dirs, extra) = recOf(head)
+      val rec = s"""{"version":$v,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]$extra}"""
+      val tmp = new org.apache.hadoop.fs.Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(rec.getBytes("UTF-8")) finally out.close()
+      val dst = new org.apache.hadoop.fs.Path(ld, f"v$v%05d.json")
+      try { fc.rename(tmp, dst); return Some(v) }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          f.delete(tmp, false) // lost the race: re-resolve head and retry
+        case e: java.io.IOException => f.delete(tmp, false); throw e
+      }
+    }
+    throw new IllegalStateException(s"commit contention not resolving at $root")
+  }
+
+  private def publish(spark: SparkSession, root: String,
+      dirsOf: Int => Seq[String]): Int =
+    publishRecord(spark, root, head => (dirsOf(head), "")).get
+
+  /** Full-snapshot commit (also the compaction path): the new version's
+    * manifest references exactly one fresh data dir. */
+  def commit(spark: SparkSession, root: String, df: DataFrame): Int = {
+    val rel = writeDataDir(spark, root, df)
+    publish(spark, root, _ => Seq(rel))
+  }
+
+  /** Append commit: writes ONLY `df`'s rows; the manifest is the current
+    * head's dirs plus the new one — history is never rewritten. */
+  def commitAppend(spark: SparkSession, root: String, df: DataFrame): Int = {
+    val rel = writeDataDir(spark, root, df)
+    publish(spark, root, head =>
+      (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel)
+  }
+
+  /** Time-travel read of version `v` (dir-list union; schema from the
+    * footers). */
+  def readAt(spark: SparkSession, root: String, v: Int): DataFrame = {
+    val dirs = manifest(spark, root, v)
+    require(dirs.nonEmpty, s"version $v of $root has no data")
+    spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+  }
+
+  /** Retention: keep the newest `keep` versions' manifests; delete older
+    * log records and every data dir no surviving manifest references.
+    * Data dirs are write-once, so the only deletable state is (a) log
+    * records past retention and (b) orphaned dirs — a crashed writer's
+    * leftovers or dirs only historical manifests referenced.  Readers of
+    * surviving versions are untouched (their dirs are all retained); at
+    * 100 TB this is the storage-reclaim knob that makes copy-on-write
+    * snapshots affordable. */
+  def vacuum(spark: SparkSession, root: String, keep: Int): Unit = {
+    require(keep >= 1, "must keep at least the head version")
+    val head = currentVersion(spark, root)
+    if (head == 0) return
+    val floor = math.max(1, head - keep + 1)
+    val live: Set[String] =
+      (floor to head).flatMap(v => manifest(spark, root, v)).toSet
+    val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
+    val f = fs(spark, dataDir)
+    if (f.exists(dataDir))
+      f.listStatus(dataDir).foreach { st =>
+        if (!live.contains(s"data/${st.getPath.getName}"))
+          f.delete(st.getPath, true)
+      }
+    val ld = logDir(root)
+    f.listStatus(ld).foreach { st =>
+      st.getPath.getName match {
+        case V(n) if n.toInt < floor => f.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Exactly-once streaming ingest: append `df` as the commit for
+    * micro-batch `batchId`, SKIPPING the write if a commit carrying this
+    * (or a later) batchId already landed — the transactional-sink fence
+    * that makes `foreachBatch { (b, id) => commitBatch(root, id, b) }`
+    * idempotent across micro-batch replays after a crash between sink
+    * write and checkpoint advance.  The fence piggybacks on the manifest
+    * (`"batchId":N` in the record), so it needs no extra storage and is
+    * arbitration-safe: the rename that publishes the version also
+    * publishes the fence. */
+  def commitBatch(spark: SparkSession, root: String, batchId: Long,
+      df: DataFrame): Option[Int] = {
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    val rel = writeDataDir(spark, root, df)
+    val v = publishRecord(spark, root, head =>
+      ((if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel,
+        s""","batchId":$batchId"""),
+      abortIf = head => lastBatchId(spark, root).exists(_ >= batchId))
+    if (v.isEmpty) { // lost to a racing replay that carried our batch
+      val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+      fs(spark, p).delete(p, true)
+    }
+    v
+  }
+
+  /** Highest batchId any manifest carries, scanning newest-first. */
+  private[graft] def lastBatchId(spark: SparkSession, root: String): Option[Long] = {
+    val head = currentVersion(spark, root)
+    (head to 1 by -1).iterator.flatMap { v =>
+      val p = new org.apache.hadoop.fs.Path(logDir(root), f"v$v%05d.json")
+      val in = fs(spark, p).open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"batchId":\s*(-?\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    }.nextOption()
+  }
+
+  /** Row-level snapshot diff `va → vb`: multiset EXCEPT ALL both ways,
+    * tagged with `op` ∈ {added, removed}. */
+  def diff(spark: SparkSession, root: String, va: Int, vb: Int): DataFrame = {
+    val a = readAt(spark, root, va)
+    val b = readAt(spark, root, vb)
+    b.exceptAll(a).withColumn("op", lit("added"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("removed")))
+  }
+
+  /** Judged query: documents v1 = the corpus slice, v2 = an upsert (every
+    * 7th doc's text rewritten + the day-2 batch inserted) committed
+    * through the REAL log (temp root per run, cleaned at JVM exit via the
+    * stream-sink dir tracker); output = the row-level diff.  The oracle
+    * reconstructs both versions by expression — the machinery under test
+    * is the commit/time-travel path producing the same relation. */
+  val tableDiff: graft.GraftQuery = graft.GraftQuery("q_table_diff",
+    """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+      |v2 AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+      |       FROM documents WHERE doc_id % 10 < 8
+      |       UNION ALL
+      |       SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8)
+      |SELECT 'added' AS op, doc_id, md5(text) AS text_md5
+      |FROM (FROM v2 EXCEPT ALL FROM v1)
+      |UNION ALL
+      |SELECT 'removed' AS op, doc_id, md5(text) AS text_md5
+      |FROM (FROM v1 EXCEPT ALL FROM v2)""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val v1 = docs.filter(col("doc_id") % 10 < 8)
+    Versioned.commit(spark, root, v1)
+    val v2 = v1.withColumn("text",
+      when(col("doc_id") % 7 === 0, upper(col("text"))).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 >= 8))
+    Versioned.commit(spark, root, v2)
+    Versioned.diff(spark, root, 1, 2)
+      .select(col("op"), col("doc_id"), md5(col("text")).as("text_md5"))
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(tableDiff)
+}
