@@ -63,6 +63,20 @@ class QualityEvalSpec extends AnyFunSuite {
       col("sum_score_milli") > (col("bucket") * 100 + 99) * col("n")).count() == 0)
   }
 
+  test("embedding drift: full (label × component) grid, exact cross-multiplied shift") {
+    val d = Queries.queries("q_llm_drift_embed")(spark, TestSpark.sf)
+      .localCheckpoint()
+    val labels = graft.io.Tables.embeddings(spark, TestSpark.sf)
+      .select(countDistinct("label")).collect()(0).getLong(0)
+    assert(d.count() == labels * 64, "one row per (label, component)")
+    assert(d.filter(col("n_batch") > col("n_corpus")).count() == 0)
+    assert(d.filter(abs(col("n_corpus") * col("s_batch") -
+      col("n_batch") * col("s_corpus")) =!= col("shift_num")).count() == 0)
+    // the batch slice is non-degenerate and some genuine shift exists
+    assert(d.filter(col("n_batch") > 0).count() > 0)
+    assert(d.agg(max("shift_num")).collect()(0).getLong(0) > 0L)
+  }
+
   test("KL decomposition: Gibbs bound, slice domination, vocab coverage") {
     val kl = Queries.queries("q_llm_drift_kl")(spark, TestSpark.sf)
       .localCheckpoint()
