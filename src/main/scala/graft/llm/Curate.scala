@@ -59,28 +59,13 @@ object Curate {
        |JOIN exact_keep k ON q.doc_id = k.doc_id
        |WHERE q.doc_id NOT IN (SELECT doc_id FROM drop_near)
        |  AND q.n_tok >= 20 AND q.rep_milli <= 300""".stripMargin) { (spark, sfDir) =>
-    val docs = documents(spark, sfDir)
-    // stage 2: near-dup victims (larger id of each qualifying pair)
-    val dropNear = Dedup.jaccardPairs(cappedShingles(spark, sfDir))
-      .filter(col("jacc") >= TAU)
-      .select(col("ib").as("doc_id"))
-      .distinct()
-    // stage 1: exact-dup keepers — groupBy on the hash, so the shuffle
-    // carries (hash, id) pairs, never the document text
-    val exactKeep = docs
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    // stage 3: quality stats — distinct-shingle counts via the codegen'd
-    // kernel (the interpreted shingle lambda is ~5x slower per doc)
-    val t = toks(col("text"))
-    val nDistinct = size(graft.fns.TextKernelCols.shingleHashes(spark, col("text")))
-    val q = docs.filter(size(t) >= 3)
-      .select(col("doc_id"),
-        size(t).cast(LongType).as("n_tok"),
-        round(lit(1000.0) -
-          (lit(1000L) * nDistinct.cast(LongType)).cast(DoubleType) /
-            (size(t) - 2).cast(DoubleType), 0).cast(LongType).as("rep_milli"))
+    // stages 1-3 are the STAGED shared curation artifacts (near-dup
+    // victims / min-id exact keepers / per-doc integer stats) — built
+    // once per corpus fingerprint, shared with v2/v3 and the quality
+    // classifier
+    val dropNear = stagedDropNear(spark, sfDir)
+    val exactKeep = stagedExactKeep(spark, sfDir)
+    val q = stagedDocStats(spark, sfDir).select("doc_id", "n_tok", "rep_milli")
     // stage 4: split + final manifest
     val h = pmod(md5Long(col("doc_id")), lit(100L))
     q.join(exactKeep, "doc_id")
@@ -172,23 +157,10 @@ object Curate {
        |  AND q.doc_id NOT IN (SELECT doc_id FROM sd)
        |  AND q.n_tok >= 20 AND q.rep_milli <= 300
        |  AND nl.nll_milli BETWEEN 3300 AND 3450""".stripMargin) { (spark, sfDir) =>
-    val docs = documents(spark, sfDir)
-    val dropNear = Dedup.jaccardPairs(cappedShingles(spark, sfDir))
-      .filter(col("jacc") >= TAU)
-      .select(col("ib").as("doc_id"))
-      .distinct()
-    val exactKeep = docs
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val t = toks(col("text"))
-    val nDistinct = size(graft.fns.TextKernelCols.shingleHashes(spark, col("text")))
-    val q = docs.filter(size(t) >= 3)
-      .select(col("doc_id"),
-        size(t).cast(LongType).as("n_tok"),
-        round(lit(1000.0) -
-          (lit(1000L) * nDistinct.cast(LongType)).cast(DoubleType) /
-            (size(t) - 2).cast(DoubleType), 0).cast(LongType).as("rep_milli"))
+    // shared staged stages (see curate v1)
+    val dropNear = stagedDropNear(spark, sfDir)
+    val exactKeep = stagedExactKeep(spark, sfDir)
+    val q = stagedDocStats(spark, sfDir).select("doc_id", "n_tok", "rep_milli")
     // stage 5: semantic-dedup victims (judged rule, doc_id = vec_id)
     val semDropped = SemanticDedup.dedupSemantic.fn(spark, sfDir)
       .filter(!col("kept"))
@@ -302,23 +274,10 @@ object Curate {
        |  AND q.doc_id NOT IN (SELECT doc_id FROM sd)
        |  AND q.n_tok >= 20 AND q.rep_milli <= 300
        |  AND nl3.nll3_milli BETWEEN bnd.q05 AND bnd.q95""".stripMargin) { (spark, sfDir) =>
-    val docs = documents(spark, sfDir)
-    val dropNear = Dedup.jaccardPairs(cappedShingles(spark, sfDir))
-      .filter(col("jacc") >= TAU)
-      .select(col("ib").as("doc_id"))
-      .distinct()
-    val exactKeep = docs
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val t = toks(col("text"))
-    val nDistinct = size(graft.fns.TextKernelCols.shingleHashes(spark, col("text")))
-    val q = docs.filter(size(t) >= 3)
-      .select(col("doc_id"),
-        size(t).cast(LongType).as("n_tok"),
-        round(lit(1000.0) -
-          (lit(1000L) * nDistinct.cast(LongType)).cast(DoubleType) /
-            (size(t) - 2).cast(DoubleType), 0).cast(LongType).as("rep_milli"))
+    // shared staged stages (see curate v1)
+    val dropNear = stagedDropNear(spark, sfDir)
+    val exactKeep = stagedExactKeep(spark, sfDir)
+    val q = stagedDocStats(spark, sfDir).select("doc_id", "n_tok", "rep_milli")
     val semDropped = SemanticDedup.dedupSemantic.fn(spark, sfDir)
       .filter(!col("kept"))
       .select(col("vec_id").as("doc_id"))
@@ -340,6 +299,53 @@ object Curate {
       .select(col("doc_id"),
         when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
         col("n_tok"), col("nll3_milli"))
+  }
+
+  /** Near-dup victims (larger id of every capped-shingle pair at
+    * Jaccard ≥ [[TAU]]) as a STAGED artifact — the pair-generation
+    * self-join is the single most expensive shared stage of the three
+    * curation versions, and its victim set is a tiny pure function of
+    * the corpus.  Day-2 batches probe the staged INDEX instead
+    * ([[CurateIncr]]); this artifact serves the full-corpus manifests. */
+  private[graft] def stagedDropNear(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val fp = graft.io.Staged.fingerprint(spark, s"$sfDir/documents.parquet")
+    graft.io.Staged(spark, s"neardrop|$sfDir|$fp") {
+      Dedup.jaccardPairs(cappedShingles(spark, sfDir))
+        .filter(col("jacc") >= TAU)
+        .select(col("ib").as("doc_id"))
+        .distinct()
+    }
+  }
+
+  /** Exact-dup keepers — read off the staged min-id hash index
+    * ([[CurateIncr.stagedMinIdByHash]]); one doc per md5(text). */
+  private[graft] def stagedExactKeep(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    CurateIncr.stagedMinIdByHash(spark, sfDir)
+      .select(col("keep_id").as("doc_id"))
+
+  /** Per-doc integer stats over docs with ≥ 3 tokens — token count, char
+    * sum, stopword count, and the distinct-shingle repetition score — as
+    * ONE staged artifact shared by every curation manifest and the
+    * quality classifier's feature frame (each previously re-ran the
+    * shingle kernel + token aggregates over the full corpus). */
+  private[graft] def stagedDocStats(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val fp = graft.io.Staged.fingerprint(spark, s"$sfDir/documents.parquet")
+    graft.io.Staged(spark, s"docstats|$sfDir|$fp") {
+      val t = toks(col("text"))
+      val nDistinct = size(graft.fns.TextKernelCols.shingleHashes(spark, col("text")))
+      documents(spark, sfDir).filter(size(t) >= 3)
+        .select(col("doc_id"),
+          size(t).cast(LongType).as("n_tok"),
+          aggregate(t, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+          size(filter(t, w => w.isin(TextStats.stopWords: _*)))
+            .cast(LongType).as("n_stop"),
+          round(lit(1000.0) -
+            (lit(1000L) * nDistinct.cast(LongType)).cast(DoubleType) /
+              (size(t) - 2).cast(DoubleType), 0).cast(LongType).as("rep_milli"))
+    }
   }
 
   /** Every doc's per-trigram NLL in milli-nats under the corpus trigram

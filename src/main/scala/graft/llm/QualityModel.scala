@@ -47,18 +47,12 @@ object QualityModel {
     * table + band). */
   private[graft] def dataset(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
-    val t = toks(col("text"))
-    val nDistinct = size(graft.fns.TextKernelCols.shingleHashes(spark, col("text")))
     def idiv(a: Column, b: Column): Column =
       floor(a.cast(DoubleType) / b).cast(LongType)
-    val f = documents(spark, sfDir).filter(size(t) >= 3)
-      .select(col("doc_id"),
-        size(t).cast(LongType).as("n_tok"),
-        aggregate(t, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
-        size(filter(t, w => w.isin(TextStats.stopWords: _*))).cast(LongType).as("n_stop"),
-        round(lit(1000.0) -
-          (lit(1000L) * nDistinct.cast(LongType)).cast(DoubleType) /
-            (size(t) - 2).cast(DoubleType), 0).cast(LongType).as("rep_milli"))
+    // the four integer stats come from the STAGED shared curation
+    // artifact (Curate.stagedDocStats) — one corpus pass, shared with
+    // every curation manifest
+    val f = Curate.stagedDocStats(spark, sfDir)
     f.join(Curate.stagedNl3(spark, sfDir), "doc_id")
       .crossJoin(broadcast(Curate.stagedBand(spark, sfDir)))
       .select(col("doc_id"),
