@@ -378,5 +378,78 @@ object Curate {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(curate, curate2, curate3)
+  /** Curation v4 — the DISTILLATION DEPLOYED: v2's dedup/heuristic
+    * stages with the perplexity band replaced by the trained quality
+    * classifier's score ([[QualityModel]], threshold 500 milli = the
+    * 0.5 decision boundary).  This is what the fastText-classifier
+    * pipelines (CCNet, DCLM, FineWeb-Edu) actually run over the full
+    * corpus: the expensive LM signal was distilled into a 4-feature
+    * scorer at train time, and the scoring pass here is ONE map-only
+    * read of the staged score table — no LM joins, no quantile search,
+    * per-batch cost O(batch).  Every stage reads a staged artifact, so
+    * the warm manifest is join-only.  The oracle composes the quality
+    * model's full trained-weights CTE chain with the dedup CTEs, so the
+    * COMPOSED pipeline (training run included) stays hash-checked
+    * end-to-end. */
+  val curateModel: GraftQuery = GraftQuery("q_llm_curate_model",
+    s"""WITH ${QualityModel.oracleScoredCtesShared},
+       |${Dedup.pairCtesSql},
+       |drop_near AS (
+       |  SELECT DISTINCT ib AS doc_id
+       |  FROM p JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
+       |  WHERE common / (x.n + y.n - common) >= $TAU),
+       |exact_keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |    FROM documents) WHERE doc_id = keep_id),
+       |sq AS (SELECT vec_id,
+       |  list_transform(embedding[1:16],
+       |                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |sn AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM sq),
+       |ss AS (SELECT qv AS sv, nrm AS snrm,
+       |             row_number() OVER (ORDER BY vec_id) - 1 AS cell
+       |      FROM (SELECT * FROM sn ORDER BY vec_id LIMIT 16)),
+       |sa AS (SELECT vec_id, cell, qv, nrm FROM (
+       |        SELECT sn.vec_id, ss.cell, sn.qv, sn.nrm,
+       |          row_number() OVER (PARTITION BY sn.vec_id
+       |            ORDER BY list_dot_product(sn.qv, ss.sv) / (sqrt(sn.nrm) * sqrt(ss.snrm)) DESC,
+       |                     ss.cell) AS rn
+       |        FROM sn CROSS JOIN ss) WHERE rn = 1),
+       |sd AS (SELECT DISTINCT y.vec_id AS doc_id
+       |      FROM sa x JOIN sa y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |      WHERE list_dot_product(x.qv, y.qv) / (sqrt(x.nrm) * sqrt(y.nrm)) >= 0.7)
+       |SELECT f.doc_id,
+       |  CASE WHEN ${md5LongSql("f.doc_id")} % 100 < 80 THEN 'train'
+       |       WHEN ${md5LongSql("f.doc_id")} % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  f.n_tok, scq.s AS score_milli
+       |FROM f
+       |JOIN scq USING (doc_id)
+       |JOIN exact_keep k ON f.doc_id = k.doc_id
+       |WHERE f.doc_id NOT IN (SELECT doc_id FROM drop_near)
+       |  AND f.doc_id NOT IN (SELECT doc_id FROM sd)
+       |  AND f.n_tok >= 20 AND f.rep_milli <= 300
+       |  AND scq.s >= 500""".stripMargin) { (spark, sfDir) =>
+    val dropNear = stagedDropNear(spark, sfDir)
+    val exactKeep = stagedExactKeep(spark, sfDir)
+    val q = stagedDocStats(spark, sfDir).select("doc_id", "n_tok", "rep_milli")
+    val semDropped = SemanticDedup.dedupSemantic.fn(spark, sfDir)
+      .filter(!col("kept"))
+      .select(col("vec_id").as("doc_id"))
+    val sc = QualityModel.scored(spark, sfDir)
+      .select(col("doc_id"), col("s").as("score_milli"))
+    val h = pmod(md5Long(col("doc_id")), lit(100L))
+    q.join(exactKeep, "doc_id")
+      .join(dropNear, Seq("doc_id"), "left_anti")
+      .join(semDropped, Seq("doc_id"), "left_anti")
+      .join(sc, "doc_id")
+      .filter(col("n_tok") >= 20L && col("rep_milli") <= 300L &&
+        col("score_milli") >= 500L)
+      .select(col("doc_id"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+        col("n_tok"), col("score_milli"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(curate, curate2, curate3, curateModel)
 }

@@ -214,20 +214,27 @@ object QualityModel {
     def zSql = "w0 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4"
     def pSql = s"1.0 / (1.0 + exp(-($zSql)))"
     s"""$head,
-       |scq AS MATERIALIZED (SELECT CAST(round($pSql * 1000, 0) AS BIGINT) AS s,
+       |scq AS MATERIALIZED (SELECT doc_id,
+       |         CAST(round($pSql * 1000, 0) AS BIGINT) AS s,
        |         CAST(y AS BIGINT) AS y FROM ds CROSS JOIN wt$Steps)""".stripMargin
   }
 
-  /** Scored frame (score_milli `s`, label `y`) at the trained weights —
-    * the Spark front end the evaluators share, staged per corpus
-    * fingerprint (AUC and calibration read the same scoring pass instead
-    * of each re-deriving the feature/label joins). */
-  private def scored(spark: org.apache.spark.sql.SparkSession,
+  /** The shared oracle chain, exposed for the model-filtered curation's
+    * oracle ([[Curate.curateModel]]) — `scq` carries (doc_id, s, y) at
+    * the trained weights. */
+  private[graft] def oracleScoredCtesShared: String = oracleScoredCtes
+
+  /** Scored frame (doc_id, score_milli `s`, label `y`) at the trained
+    * weights — the Spark front end the evaluators and the model-filtered
+    * curation share, staged per corpus fingerprint (each reads the same
+    * scoring pass instead of re-deriving the feature/label joins). */
+  private[graft] def scored(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
     val fp = graft.io.Staged.fingerprint(spark, s"$sfDir/documents.parquet")
-    graft.io.Staged(spark, s"qmodelsc|$sfDir|$fp") {
+    graft.io.Staged(spark, s"qmodelsc2|$sfDir|$fp") {
       val w = trainedWeights(spark, sfDir)
       dataset(spark, sfDir).select(
+        col("doc_id"),
         round(pExpr(w) * lit(1000)).cast(LongType).as("s"),
         col("y").cast(LongType).as("y"))
     }

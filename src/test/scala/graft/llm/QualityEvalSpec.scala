@@ -63,6 +63,22 @@ class QualityEvalSpec extends AnyFunSuite {
       col("sum_score_milli") > (col("bucket") * 100 + 99) * col("n")).count() == 0)
   }
 
+  test("model-filtered curation composes the gates and the classifier consistently") {
+    val vm = Queries.queries("q_llm_curate_model")(spark, TestSpark.sf)
+      .localCheckpoint()
+    assert(vm.count() > 0)
+    // every kept doc is above the decision boundary, and its score is
+    // exactly the judged model's score (same staged training run)
+    assert(vm.filter(col("score_milli") < 500).count() == 0)
+    val model = Queries.queries("q_llm_quality_model")(spark, TestSpark.sf)
+      .select(col("doc_id"), col("score_milli").as("m_score"))
+    assert(vm.join(model, "doc_id")
+      .filter(col("score_milli") =!= col("m_score")).count() == 0)
+    // the dedup/heuristic gates are curate v1's: kept ids ⊆ v1's manifest
+    val v1 = Queries.queries("q_llm_curate")(spark, TestSpark.sf).select("doc_id")
+    assert(vm.select("doc_id").exceptAll(v1).count() == 0)
+  }
+
   test("embedding drift: full (label × component) grid, exact cross-multiplied shift") {
     val d = Queries.queries("q_llm_drift_embed")(spark, TestSpark.sf)
       .localCheckpoint()

@@ -38,6 +38,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_llm_quality_auc",     // ≤1001-row score-cell inequality self-join (U statistic)
     "q_llm_quality_calibration", // composes quality_model's 1-row broadcasts
     "q_llm_drift_kl",        // crossJoin(broadcast(1-row corpus/batch totals))
+    "q_llm_curate_model",    // composes quality_model's 1-row broadcasts
     "q_llm_embed_curate",    // composes the semantic-seed cell assignment
     "q_llm_curate2",         // composes the semantic-seed + vocab-size broadcasts
     "q_llm_curate3",         // same composition + the 1-row quantile-band broadcast
