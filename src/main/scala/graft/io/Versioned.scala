@@ -210,10 +210,23 @@ object Versioned {
   }
 
   /** Row-level snapshot diff `va → vb`: multiset EXCEPT ALL both ways,
-    * tagged with `op` ∈ {added, removed}. */
+    * tagged with `op` ∈ {added, removed}.
+    *
+    * MANIFEST-PRUNED: a dir present in BOTH manifests contributes the
+    * identical row multiset to both sides, and identical multisets
+    * cancel exactly under EXCEPT ALL — so only the non-shared dirs are
+    * read.  This is what makes the 100 TB day-2 case affordable: diffing
+    * an append commit against its parent reads ONLY the appended dirs
+    * (zero full-table scan), while two unrelated full snapshots degrade
+    * gracefully to the complete compare. */
   def diff(spark: SparkSession, root: String, va: Int, vb: Int): DataFrame = {
-    val a = readAt(spark, root, va)
-    val b = readAt(spark, root, vb)
+    val da = manifest(spark, root, va)
+    val db = manifest(spark, root, vb)
+    def read(only: Seq[String]): DataFrame =
+      if (only.isEmpty) readAt(spark, root, va).limit(0)
+      else spark.read.parquet(only.map(d => s"$root/$d"): _*)
+    val a = read(da.filterNot(db.toSet))
+    val b = read(db.filterNot(da.toSet))
     b.exceptAll(a).withColumn("op", lit("added"))
       .unionByName(a.exceptAll(b).withColumn("op", lit("removed")))
   }

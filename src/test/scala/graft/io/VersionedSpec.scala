@@ -120,6 +120,36 @@ class VersionedSpec extends AnyFunSuite {
       .as[(Long, String)].collect().sorted.toSeq == rows)
   }
 
+  test("manifest-pruned diff: shared dirs cancel, append diff = the batch") {
+    val root = newRoot()
+    Versioned.commit(spark, root, (1L to 50L).map(i => (i, s"a$i")).toDF("id", "s"))
+    Versioned.commitAppend(spark, root, Seq((100L, "new")).toDF("id", "s"))
+    // v1 and v2 share v1's dir: the diff must be exactly the appended
+    // batch, and it must come from reading ONLY the new dir (the scan's
+    // plan carries one file path, not two)
+    val d = Versioned.diff(spark, root, 1, 2).localCheckpoint()
+    assert(d.as[(Long, String, String)].collect().toSeq ==
+      Seq((100L, "new", "added")))
+    val planned = Versioned.diff(spark, root, 1, 2)
+      .queryExecution.executedPlan.toString
+    val m1 = Versioned.manifest(spark, root, 1)
+    assert(!planned.contains(m1.head.stripPrefix("data/")),
+      s"diff plan must not scan the shared dir ${m1.head}")
+    // equivalence with the naive full-read diff on a non-trivial case
+    Versioned.commit(spark, root, (25L to 75L).map(i => (i, s"a$i")).toDF("id", "s"))
+    val pruned = Versioned.diff(spark, root, 2, 3)
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val naiveAdded = Versioned.readAt(spark, root, 3)
+      .exceptAll(Versioned.readAt(spark, root, 2))
+      .withColumn("op", org.apache.spark.sql.functions.lit("added"))
+    val naiveRemoved = Versioned.readAt(spark, root, 2)
+      .exceptAll(Versioned.readAt(spark, root, 3))
+      .withColumn("op", org.apache.spark.sql.functions.lit("removed"))
+    val naive = naiveAdded.unionByName(naiveRemoved)
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(pruned == naive)
+  }
+
   test("judged diff equals the planted upsert construction") {
     val out = Queries.queries("q_table_diff")(spark, TestSpark.sf).localCheckpoint()
     val docs = Tables.documents(spark, TestSpark.sf)
