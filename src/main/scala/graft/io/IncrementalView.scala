@@ -1,0 +1,88 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance over the [[Versioned]]
+  * commit log — the aggregate counterpart of the staged-index day-2
+  * story: a corpus-wide GROUP BY that a 100 TB deployment keeps fresh
+  * must NOT be recomputed from the full table when a daily append (or a
+  * copy-on-write upsert touching one dir) lands.  The classic
+  * self-maintainable algebra is the SUM group: every measure is a SUM
+  * of a row-level expression (count = sum(1)), so any snapshot change
+  * folds in as an op-signed delta — `added` rows contribute +expr,
+  * `removed` rows −expr — and [[Versioned.diff]]'s manifest pruning
+  * makes that delta O(changed dirs).  MIN/MAX are NOT in the algebra
+  * under deletes (a removed extremum forces a per-group recompute);
+  * callers wanting them re-derive from the refreshed groups they
+  * touched.
+  *
+  * The judged `q_mv_incremental` drives the full lifecycle — two append
+  * commits, the initial MV build (the ONE full scan), a day-2 append
+  * refresh, a [[Versioned.commitUpdate]] that migrates rows between
+  * groups, a second refresh — and its oracle is the direct GROUP BY
+  * over the final relation: the chained incremental path must land
+  * bit-exactly on the full recompute. */
+object IncrementalView {
+
+  /** Fold a snapshot diff into a SUM-algebra MV.
+    *
+    * `mv` holds `keys ++ measures.map(_._1)`; each measure is the SUM
+    * of its row expression over the group, as longs.  The FIRST measure
+    * must be the group's row count (`lit(1L)`): a group whose count
+    * reaches zero has vanished from the snapshot and is dropped, exactly
+    * as a full recompute would never produce it.  New groups enter via
+    * the full-outer join with zero-coalesced old sums.
+    *
+    * Shuffle shape at scale: the delta aggregate is map-side-combined
+    * over ONLY the diff (changed dirs), and the merge join is
+    * MV-cardinality work — corpus-size independent on both sides. */
+  def refresh(mv: DataFrame, diffDf: DataFrame, keys: Seq[String],
+      measures: Seq[(String, Column)]): DataFrame = {
+    require(measures.nonEmpty, "need at least the count measure")
+    val sign = when(col("op") === "added", lit(1L)).otherwise(lit(-1L))
+    val aggs = measures.map { case (n, e) => sum(sign * e).as(s"_d_$n") }
+    val delta = diffDf.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val merged = measures.foldLeft(mv.join(delta, keys, "full_outer")) {
+      case (df, (n, _)) =>
+        df.withColumn(n, coalesce(col(n), lit(0L)) + coalesce(col(s"_d_$n"), lit(0L)))
+    }
+    merged.filter(col(measures.head._1) > 0)
+      .select((keys ++ measures.map(_._1)).map(col): _*)
+  }
+
+  /** Judged query: per-(lang, source) doc counts + character sums kept
+    * fresh across the table's life WITHOUT rescanning it.  v1/v2 = the
+    * base slice in two append commits; the MV's initial build at v2 is
+    * the one full read; v3 appends the day-2 batch (refresh #1 reads
+    * ONLY the appended dir); v4 is a copy-on-write update relabelling
+    * every 7th day-2 doc's lang to 'xx' (rewrites ONLY the day-2 dir;
+    * refresh #2 reads the old and new day-2 dirs — rows the update left
+    * alone cancel in the multiset diff, so the delta is just the
+    * relabelled rows migrating between lang groups).  The oracle
+    * recomputes the final relation's GROUP BY directly. */
+  val mvIncremental: graft.GraftQuery = graft.GraftQuery("q_mv_incremental",
+    """SELECT CASE WHEN doc_id % 10 >= 8 AND doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+      |       source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY 1, 2""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    Versioned.commitAppend(spark, root, base.filter(col("doc_id") % 2 === 0)) // v1
+    Versioned.commitAppend(spark, root, base.filter(col("doc_id") % 2 === 1)) // v2
+    val keys = Seq("lang", "source")
+    val measures = Seq("cnt" -> lit(1L), "sum_chars" -> col("n_chars"))
+    val mv2 = Versioned.readAt(spark, root, 2).groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+    Versioned.commitAppend(spark, root, docs.filter(col("doc_id") % 10 >= 8)) // v3
+    val mv3 = refresh(mv2, Versioned.diff(spark, root, 2, 3), keys, measures)
+    val touch = col("doc_id") % 10 >= 8 && col("doc_id") % 7 === 0
+    Versioned.commitUpdate(spark, root, touch,
+      d => d.withColumn("lang", when(touch, lit("xx")).otherwise(col("lang")))) // v4
+    refresh(mv3, Versioned.diff(spark, root, 3, 4), keys, measures)
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(mvIncremental)
+}

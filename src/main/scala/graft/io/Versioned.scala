@@ -135,6 +135,38 @@ object Versioned {
       (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel)
   }
 
+  /** Copy-on-write update: rewrite ONLY the data dirs containing rows
+    * matching `pred`; every other dir carries into the new manifest
+    * verbatim.  `transform` receives a touched dir's FULL content and
+    * returns its replacement — apply the update with
+    * `when(pred, ...).otherwise(...)`, or `filter(!pred)` for a delete.
+    * Cost is O(touched dirs) read + write, never O(table): at 100 TB an
+    * upsert confined to yesterday's ingest rewrites yesterday's dirs
+    * only.  Touched-dir discovery is one pruned scan (`pred` pushes to
+    * the parquet row groups) collecting DISTINCT file names — bounded
+    * by file count, not row count.  Concurrent APPENDS compose (publish
+    * re-resolves the head, and an appended dir contains no `pred` rows
+    * this update saw, so it carries through the untouched set); two
+    * updates rewriting the same dir are a write-write conflict this log
+    * does not arbitrate — coordinate above it, as the lakehouse formats
+    * do. */
+  def commitUpdate(spark: SparkSession, root: String, pred: org.apache.spark.sql.Column,
+      transform: DataFrame => DataFrame): Int = {
+    val head0 = currentVersion(spark, root)
+    require(head0 > 0, s"no committed version at $root")
+    val dirs0 = manifest(spark, root, head0)
+    val touchedFiles = readAt(spark, root, head0)
+      .filter(pred).select(input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0))
+    val touched = dirs0.filter(d => touchedFiles.exists(_.contains(s"/$d/"))).toSet
+    val rewritten = dirs0.filter(touched).map { d =>
+      writeDataDir(spark, root, transform(spark.read.parquet(s"$root/$d")))
+    }
+    publish(spark, root, head =>
+      (if (head == 0) Seq.empty else manifest(spark, root, head))
+        .filterNot(touched) ++ rewritten)
+  }
+
   /** Time-travel read of version `v` (dir-list union; schema from the
     * footers). */
   def readAt(spark: SparkSession, root: String, v: Int): DataFrame = {
