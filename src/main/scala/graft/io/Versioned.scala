@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * }}}
   *
   * A commit record is a dir-level MANIFEST: `{"version":12,
-  * "dirs":["data/<uuid>", ...]}`.  Data dirs are write-once and never
-  * mutated or deleted by commits, so
+  * "dirs":["data/<uuid>", ...], "ts":<epochMs>}` plus, when the table
+  * declares a zone-map column, per-dir `"stats"` [min,max] entries
+  * ([[readRange]] prunes on them before any file listing), and the
+  * `"batchId"` fence for streaming ingest.  Data dirs are write-once and
+  * never mutated or deleted by commits, so
   *
   *  - **time travel** is just reading an old manifest's dir list;
   *  - **append is O(new data)**: [[commitAppend]] writes ONLY the new
@@ -61,17 +64,76 @@ object Versioned {
     }.foldLeft(0)(math.max)
   }
 
-  /** Dir list of a committed version (paths relative to the root). */
-  private[graft] def manifest(spark: SparkSession, root: String, v: Int): Seq[String] = {
+  private def recordText(spark: SparkSession, root: String, v: Int): String = {
     val p = new org.apache.hadoop.fs.Path(logDir(root), f"v$v%05d.json")
     val in = fs(spark, p).open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Dir list of a committed version (paths relative to the root).
+    * Version 0 is the canonical empty table (no dirs), so diffing from
+    * birth — `diff(root, 0, v)` — needs no special case. */
+  private[graft] def manifest(spark: SparkSession, root: String, v: Int): Seq[String] = {
+    if (v == 0) return Seq.empty
+    val txt = recordText(spark, root, v)
     """"dirs":\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt) match {
       case Some(m) =>
         m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSeq
-      case None => throw new IllegalStateException(s"malformed commit record $p")
+      case None => throw new IllegalStateException(s"malformed commit record v$v of $root")
     }
+  }
+
+  /** Commit-time wall clock of a version (epoch ms, monotone along the
+    * log: a commit stamps max(now, parent's ts)). */
+  private[graft] def tsOf(spark: SparkSession, root: String, v: Int): Long =
+    """"ts":\s*(\d+)""".r.findFirstMatchIn(recordText(spark, root, v))
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"v$v of $root has no ts"))
+
+  /** The table's designated zone-map column, if any version declared one. */
+  private[graft] def statsColOf(spark: SparkSession, root: String, v: Int): Option[String] =
+    if (v == 0) None
+    else """"statsCol":\s*"([^"]+)"""".r
+      .findFirstMatchIn(recordText(spark, root, v)).map(_.group(1))
+
+  /** Per-dir [min,max] zone map of the stats column at version `v`. */
+  private[graft] def dirStats(spark: SparkSession, root: String, v: Int): Map[String, (Long, Long)] =
+    if (v == 0) Map.empty
+    else """"stats":\{([^}]*)\}""".r
+      .findFirstMatchIn(recordText(spark, root, v)).map { m =>
+        """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> (x.group(2).toLong, x.group(3).toLong)).toMap
+      }.getOrElse(Map.empty)
+
+  /** Min/max of `colName` in one data dir — O(new data), and parquet
+    * aggregate pushdown usually answers it from the footers. None for an
+    * empty dir (absent stats = conservatively read). */
+  private def statsFor(spark: SparkSession, root: String, rel: String,
+      colName: String): Option[(Long, Long)] = {
+    val r = spark.read.parquet(s"$root/$rel")
+      .agg(min(col(colName)).cast("long"), max(col(colName)).cast("long")).head()
+    if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+  }
+
+  /** The record fields beyond `dirs`: the monotone commit timestamp plus
+    * — when this table keeps a zone map — the stats column and per-dir
+    * [min,max] entries (parent entries reused verbatim for carried dirs,
+    * computed only for new ones). */
+  private def extraFields(spark: SparkSession, root: String, head: Int,
+      dirs: Seq[String], statsCol: Option[String], more: String = ""): String = {
+    val sc = statsCol.orElse(statsColOf(spark, root, head))
+    val ts = math.max(System.currentTimeMillis(),
+      if (head == 0) 0L else tsOf(spark, root, head))
+    val statsJson = sc.map { c =>
+      val parent = dirStats(spark, root, head)
+      val entries = dirs.flatMap { d =>
+        parent.get(d).orElse(statsFor(spark, root, d, c))
+          .map { case (lo, hi) => s""""$d":[$lo,$hi]""" }
+      }
+      s""","statsCol":"$c","stats":{${entries.mkString(",")}}"""
+    }.getOrElse("")
+    s""","ts":$ts$statsJson$more"""
   }
 
   /** Write `df` as one immutable data dir; returns the root-relative path. */
@@ -117,22 +179,31 @@ object Versioned {
   }
 
   private def publish(spark: SparkSession, root: String,
-      dirsOf: Int => Seq[String]): Int =
-    publishRecord(spark, root, head => (dirsOf(head), "")).get
+      dirsOf: Int => Seq[String], statsCol: Option[String] = None): Int =
+    publishRecord(spark, root, head => {
+      val dirs = dirsOf(head)
+      (dirs, extraFields(spark, root, head, dirs, statsCol))
+    }).get
 
   /** Full-snapshot commit (also the compaction path): the new version's
-    * manifest references exactly one fresh data dir. */
-  def commit(spark: SparkSession, root: String, df: DataFrame): Int = {
+    * manifest references exactly one fresh data dir.  `statsCol`
+    * declares (or re-declares) the table's zone-map column — see
+    * [[readRange]]; once declared, later commits inherit it. */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+      statsCol: Option[String] = None): Int = {
     val rel = writeDataDir(spark, root, df)
-    publish(spark, root, _ => Seq(rel))
+    publish(spark, root, _ => Seq(rel), statsCol)
   }
 
   /** Append commit: writes ONLY `df`'s rows; the manifest is the current
-    * head's dirs plus the new one — history is never rewritten. */
-  def commitAppend(spark: SparkSession, root: String, df: DataFrame): Int = {
+    * head's dirs plus the new one — history is never rewritten.  Zone-map
+    * entries for carried dirs are copied from the parent record; only the
+    * new dir is measured. */
+  def commitAppend(spark: SparkSession, root: String, df: DataFrame,
+      statsCol: Option[String] = None): Int = {
     val rel = writeDataDir(spark, root, df)
     publish(spark, root, head =>
-      (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel)
+      (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel, statsCol)
   }
 
   /** Copy-on-write update: rewrite ONLY the data dirs containing rows
@@ -174,6 +245,40 @@ object Versioned {
     require(dirs.nonEmpty, s"version $v of $root has no data")
     spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
   }
+
+  /** Zone-map-pruned range read: `statsCol BETWEEN lo AND hi` over
+    * version `v`, reading ONLY the dirs whose manifest [min,max] entry
+    * overlaps the range (a dir with no entry is conservatively read).
+    * The pruning happens on driver-side manifest metadata BEFORE any
+    * file listing or footer I/O — at 10⁵ dirs that listing is itself the
+    * scan bottleneck parquet row-group stats can't save you from.  The
+    * range filter is still applied to the rows read, so the result is
+    * correct whatever the zone map prunes. */
+  def readRange(spark: SparkSession, root: String, v: Int, lo: Long, hi: Long): DataFrame = {
+    val colName = statsColOf(spark, root, v).getOrElse(
+      throw new IllegalArgumentException(s"$root has no zone-map column; commit with statsCol"))
+    val st = dirStats(spark, root, v)
+    val keep = manifest(spark, root, v)
+      .filter(d => st.get(d).forall { case (a, b) => b >= lo && a <= hi })
+    val base =
+      if (keep.isEmpty) readAt(spark, root, v).limit(0)
+      else spark.read.parquet(keep.map(d => s"$root/$d"): _*)
+    base.filter(col(colName).between(lo, hi))
+  }
+
+  /** Highest version whose commit timestamp is ≤ `ts` (epoch ms) — the
+    * `AS OF TIMESTAMP` resolution.  Commit timestamps are monotone along
+    * the log by construction (each stamps max(now, parent ts)), so the
+    * scan-from-head finds the unique boundary. */
+  def versionAt(spark: SparkSession, root: String, ts: Long): Int = {
+    val head = currentVersion(spark, root)
+    (head to 1 by -1).find(v => tsOf(spark, root, v) <= ts).getOrElse(
+      throw new IllegalArgumentException(s"no version of $root existed at $ts"))
+  }
+
+  /** Time-travel read by wall clock: the snapshot live at `ts`. */
+  def readAsOf(spark: SparkSession, root: String, ts: Long): DataFrame =
+    readAt(spark, root, versionAt(spark, root, ts))
 
   /** Retention: keep the newest `keep` versions' manifests; delete older
     * log records and every data dir no surviving manifest references.
@@ -219,9 +324,10 @@ object Versioned {
       df: DataFrame): Option[Int] = {
     if (lastBatchId(spark, root).exists(_ >= batchId)) return None
     val rel = writeDataDir(spark, root, df)
-    val v = publishRecord(spark, root, head =>
-      ((if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel,
-        s""","batchId":$batchId"""),
+    val v = publishRecord(spark, root, head => {
+        val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel
+        (dirs, extraFields(spark, root, head, dirs, None, s""","batchId":$batchId"""))
+      },
       abortIf = head => lastBatchId(spark, root).exists(_ >= batchId))
     if (v.isEmpty) { // lost to a racing replay that carried our batch
       val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
@@ -254,8 +360,10 @@ object Versioned {
   def diff(spark: SparkSession, root: String, va: Int, vb: Int): DataFrame = {
     val da = manifest(spark, root, va)
     val db = manifest(spark, root, vb)
+    require((da ++ db).nonEmpty, s"diff of two empty versions of $root")
     def read(only: Seq[String]): DataFrame =
-      if (only.isEmpty) readAt(spark, root, va).limit(0)
+      if (only.isEmpty) // schema from whichever side has data dirs
+        spark.read.parquet((da ++ db).map(d => s"$root/$d"): _*).limit(0)
       else spark.read.parquet(only.map(d => s"$root/$d"): _*)
     val a = read(da.filterNot(db.toSet))
     val b = read(db.filterNot(da.toSet))
@@ -293,5 +401,27 @@ object Versioned {
       .select(col("op"), col("doc_id"), md5(col("text")).as("text_md5"))
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableDiff)
+  /** Judged query: the zone-map read path.  The corpus lands in four
+    * doc_id-range append commits with `statsCol = doc_id`, so the
+    * manifest carries a per-dir [min,max]; `readRange` over a window
+    * inside the second quartile prunes three of the four dirs on
+    * driver-side metadata BEFORE any file listing (the spec asserts the
+    * single-dir scan via inputFiles).  The oracle is the plain range
+    * filter over the same relation — pruning must never change rows. */
+  val tableZonemap: graft.GraftQuery = graft.GraftQuery("q_table_zonemap",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id >= 260 AND doc_id <= 490""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    (0 until 4).foreach { qtr =>
+      Versioned.commitAppend(spark, root,
+        docs.filter(col("doc_id") >= qtr * n / 4 && col("doc_id") < (qtr + 1) * n / 4),
+        statsCol = Some("doc_id"))
+    }
+    Versioned.readRange(spark, root, 4, 260L, 490L)
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(tableDiff, tableZonemap)
 }

@@ -94,6 +94,86 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(Versioned.diff(spark, root, 1, 2).count() == 0)
   }
 
+  test("streaming MV: foreachBatch ingest keeps the MV fresh, replays are no-ops") {
+    val root = newRoot()
+    val src = s"$root/src"; val table = s"$root/table"
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"k${i % 2}", i.toLong)).toDF("id", "k", "m").coalesce(1)
+        .write.mode("append").parquet(src)
+    }
+    // MV state on the driver; refreshed ONLY when the fence admits the batch
+    var mv = build(Seq.empty[(Long, String, Long)].toDF("id", "k", "m"))
+    var refreshes = 0
+    def ingest(cp: String): Unit = {
+      val q = spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Versioned.commitBatch(spark, table, id, b).foreach { v =>
+            mv = IncrementalView.refresh(mv,
+              Versioned.diff(spark, table, v - 1, v), keys, measures)
+              .localCheckpoint()
+            refreshes += 1
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    ingest(s"$root/ckpt")
+    val head = Versioned.currentVersion(spark, table)
+    assert(refreshes == head && head >= 1)
+    assert(asMap(mv) == asMap(build(Versioned.readAt(spark, table, head))))
+    assert(asMap(mv) == Map("k0" -> (2L, 6L), "k1" -> (2L, 4L)))
+    ingest(s"$root/ckpt2") // wiped checkpoint: every batch replays from 0
+    assert(refreshes == head, "fenced replays must not refresh the MV")
+    assert(asMap(mv) == Map("k0" -> (2L, 6L), "k1" -> (2L, 4L)))
+  }
+
+  test("zone map: readRange prunes non-overlapping dirs before any file I/O") {
+    val root = newRoot()
+    Versioned.commitAppend(spark, root,
+      (1L to 100L).map(i => (i, "a", i)).toDF("id", "k", "m"), statsCol = Some("id"))
+    Versioned.commitAppend(spark, root,
+      (101L to 200L).map(i => (i, "b", i)).toDF("id", "k", "m"))
+    Versioned.commitAppend(spark, root,
+      (201L to 300L).map(i => (i, "c", i)).toDF("id", "k", "m"))
+    // statsCol inherited by later commits; stats cover all three dirs
+    assert(Versioned.statsColOf(spark, root, 3).contains("id"))
+    val st = Versioned.dirStats(spark, root, 3)
+    assert(st.size == 3 && st.values.toSet == Set((1L, 100L), (101L, 200L), (201L, 300L)))
+    val r = Versioned.readRange(spark, root, 3, 120L, 180L)
+    assert(r.as[(Long, String, Long)].collect().map(_._1).sorted.toSeq == (120L to 180L))
+    // the scan must touch ONLY the middle dir's files
+    val m3 = Versioned.manifest(spark, root, 3)
+    val middle = m3.find(d => st(d) == (101L, 200L)).get
+    assert(r.inputFiles.nonEmpty && r.inputFiles.forall(_.contains(s"/$middle/")),
+      s"expected a single-dir scan, got ${r.inputFiles.mkString(",")}")
+    // a miss range reads nothing but stays a well-typed empty relation
+    assert(Versioned.readRange(spark, root, 3, 1000L, 2000L).count() == 0)
+    // CoW update re-measures the rewritten dir's stats
+    Versioned.commitUpdate(spark, root, col("id") === 150L,
+      d => d.withColumn("id", when(col("id") === 150L, lit(5000L)).otherwise(col("id"))))
+    val st4 = Versioned.dirStats(spark, root, 4)
+    assert(st4.values.toSet.contains((101L, 5000L)))
+    assert(Versioned.readRange(spark, root, 4, 4999L, 5001L)
+      .as[(Long, String, Long)].collect().map(_._1).toSeq == Seq(5000L))
+  }
+
+  test("AS OF timestamp resolves the snapshot live at that wall clock") {
+    val root = newRoot()
+    Versioned.commit(spark, root, Seq((1L, "a", 1L)).toDF("id", "k", "m"))
+    val t1 = Versioned.tsOf(spark, root, 1)
+    Thread.sleep(5)
+    Versioned.commitAppend(spark, root, Seq((2L, "b", 2L)).toDF("id", "k", "m"))
+    val t2 = Versioned.tsOf(spark, root, 2)
+    assert(t1 <= t2, "commit timestamps must be monotone along the log")
+    assert(Versioned.versionAt(spark, root, t1) == 1)
+    assert(Versioned.versionAt(spark, root, t2 + 1000) == 2)
+    assert(Versioned.readAsOf(spark, root, t1).count() == 1)
+    assert(Versioned.readAsOf(spark, root, t2).count() == 2)
+    intercept[IllegalArgumentException](Versioned.versionAt(spark, root, t1 - 1000000))
+  }
+
   test("judged q_mv_incremental equals the direct group-by at sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     val got = graft.Queries.queries("q_mv_incremental")(spark, sfDir)
