@@ -280,6 +280,30 @@ object Versioned {
   def readAsOf(spark: SparkSession, root: String, ts: Long): DataFrame =
     readAt(spark, root, versionAt(spark, root, ts))
 
+  /** The commit history as a DataFrame (DESCRIBE HISTORY parity):
+    * version, commit timestamp, dir count, batchId if the commit was
+    * streaming-fenced.  O(#versions) driver-side record reads. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    (1 to currentVersion(spark, root)).map { v =>
+      val txt = recordText(spark, root, v)
+      val ts = """"ts":\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      val bid = """"batchId":\s*(-?\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      (v, ts, manifest(spark, root, v).size, bid)
+    }.toDF("version", "ts_ms", "n_dirs", "batch_id")
+  }
+
+  /** Range-clustered append: `repartitionByRange` on the zone-map column
+    * before the write, so sibling dirs get TIGHT, near-disjoint [min,max]
+    * entries and [[readRange]] pruning stays sharp as the table grows —
+    * the zone map is only as good as the layout under it (the same
+    * reasoning as the z-order path, one column at a time). */
+  def commitAppendClustered(spark: SparkSession, root: String, df: DataFrame,
+      statsCol: String): Int =
+    commitAppend(spark, root,
+      df.repartitionByRange(col(statsCol)).sortWithinPartitions(statsCol),
+      Some(statsCol))
+
   /** Retention: keep the newest `keep` versions' manifests; delete older
     * log records and every data dir no surviving manifest references.
     * Data dirs are write-once, so the only deletable state is (a) log

@@ -174,6 +174,19 @@ class IncrementalViewSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Versioned.versionAt(spark, root, t1 - 1000000))
   }
 
+  test("history lists every commit with its timestamp and batch fence") {
+    val root = newRoot()
+    Versioned.commit(spark, root, Seq((1L, "a", 1L)).toDF("id", "k", "m"))
+    Versioned.commitAppend(spark, root, Seq((2L, "b", 2L)).toDF("id", "k", "m"))
+    Versioned.commitBatch(spark, root, 7L, Seq((3L, "c", 3L)).toDF("id", "k", "m"))
+    val h = Versioned.history(spark, root)
+      .as[(Int, Option[Long], Int, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(h.map(_._1) == Seq(1, 2, 3))
+    assert(h.map(_._3) == Seq(1, 2, 3), "dir counts grow with each append")
+    assert(h.forall(_._2.isDefined), "every commit carries a timestamp")
+    assert(h.map(_._4) == Seq(None, None, Some(7L)))
+  }
+
   test("judged q_mv_incremental equals the direct group-by at sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     val got = graft.Queries.queries("q_mv_incremental")(spark, sfDir)
