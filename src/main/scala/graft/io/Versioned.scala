@@ -293,16 +293,28 @@ object Versioned {
     }.toDF("version", "ts_ms", "n_dirs", "batch_id")
   }
 
-  /** Range-clustered append: `repartitionByRange` on the zone-map column
-    * before the write, so sibling dirs get TIGHT, near-disjoint [min,max]
-    * entries and [[readRange]] pruning stays sharp as the table grows —
-    * the zone map is only as good as the layout under it (the same
-    * reasoning as the z-order path, one column at a time). */
+  /** Range-clustered append: ONE range shuffle on the zone-map column,
+    * then each range bucket lands as its OWN manifest dir — so the
+    * manifest carries `buckets` tight, near-disjoint [min,max] entries
+    * and [[readRange]] prunes at dir level even inside a single ingest.
+    * The zone map is only as good as the layout under it (the z-order
+    * reasoning, one column at a time): a hash-shuffled plain append
+    * would give every dir the full value span and prune nothing.
+    * Cost over a plain append: the range exchange plus `buckets` min/max
+    * footer reads. */
   def commitAppendClustered(spark: SparkSession, root: String, df: DataFrame,
-      statsCol: String): Int =
-    commitAppend(spark, root,
-      df.repartitionByRange(col(statsCol)).sortWithinPartitions(statsCol),
+      statsCol: String, buckets: Int = 16): Int = {
+    val base = s"data/${java.util.UUID.randomUUID()}"
+    df.repartitionByRange(buckets, col(statsCol))
+      .withColumn("_b", spark_partition_id())
+      .write.mode("errorifexists").partitionBy("_b").parquet(s"$root/$base")
+    val bp = new org.apache.hadoop.fs.Path(s"$root/$base")
+    val rels = fs(spark, bp).listStatus(bp).filter(_.isDirectory)
+      .map(st => s"$base/${st.getPath.getName}").sorted.toSeq
+    publish(spark, root, head =>
+      (if (head == 0) Seq.empty else manifest(spark, root, head)) ++ rels,
       Some(statsCol))
+  }
 
   /** Retention: keep the newest `keep` versions' manifests; delete older
     * log records and every data dir no surviving manifest references.
@@ -323,7 +335,10 @@ object Versioned {
     val f = fs(spark, dataDir)
     if (f.exists(dataDir))
       f.listStatus(dataDir).foreach { st =>
-        if (!live.contains(s"data/${st.getPath.getName}"))
+        // a top-level dir is live if any surviving manifest references it
+        // directly OR one of its clustered bucket subdirs ("data/<uuid>/_b=N")
+        val rel = s"data/${st.getPath.getName}"
+        if (!live.contains(rel) && !live.exists(_.startsWith(s"$rel/")))
           f.delete(st.getPath, true)
       }
     val ld = logDir(root)

@@ -174,6 +174,62 @@ class IncrementalViewSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Versioned.versionAt(spark, root, t1 - 1000000))
   }
 
+  test("clustered append: shuffled input lands as near-disjoint bucket dirs") {
+    val root = newRoot()
+    // adversarial layout: ids arrive hash-shuffled, so a plain append
+    // would give one dir spanning [0,3999] and zone maps would prune
+    // nothing inside the ingest
+    val shuffled = spark.range(0, 4000)
+      .select(col("id"), lit("x").as("k"), (col("id") % 7).as("m"))
+      .repartition(8, expr("hash(id)"))
+    Versioned.commitAppendClustered(spark, root, shuffled, "id", buckets = 8)
+    val st = Versioned.dirStats(spark, root, 1)
+    assert(st.size == 8, s"each range bucket must be its own manifest dir, got ${st.size}")
+    // buckets tile [0,3999] without overlap
+    val spans = st.values.toSeq.sortBy(_._1)
+    assert(spans.head._1 == 0L && spans.last._2 == 3999L)
+    spans.sliding(2).foreach { case Seq((_, hi), (lo, _)) => assert(hi < lo) }
+    val r = Versioned.readRange(spark, root, 1, 100L, 150L)
+    assert(r.as[(Long, String, Long)].collect().map(_._1).sorted.toSeq == (100L to 150L))
+    // dir-level pruning: the window overlaps at most 2 of the 8 buckets
+    val parents = r.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(parents.length <= 2, s"expected <=2 bucket dirs, got ${parents.mkString(",")}")
+    // streaming ingest inherits the declared zone-map column
+    Versioned.commitBatch(spark, root, 1L,
+      Seq((9000L, "y", 1L)).toDF("id", "k", "m"))
+    val st2 = Versioned.dirStats(spark, root, 2)
+    assert(st2.values.toSet.contains((9000L, 9000L)),
+      "commitBatch must measure stats for its new dir via the inherited statsCol")
+    // vacuum understands bucket-nested manifest entries: after a full
+    // compaction only the fresh dir survives on disk
+    Versioned.commit(spark, root, Versioned.readAt(spark, root, 2))
+    Versioned.vacuum(spark, root, keep = 1)
+    assert(new java.io.File(s"$root/data").listFiles().count(_.isDirectory) == 1)
+    assert(Versioned.readAt(spark, root, 3).count() == 4001)
+  }
+
+  test("racing append during a CoW update: neither commit is lost") {
+    val root = newRoot()
+    Versioned.commit(spark, root,
+      (1L to 100L).map(i => (i, "a", i)).toDF("id", "k", "m"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fu = Future(Versioned.commitUpdate(spark, root, col("id") <= 50L,
+      d => d.withColumn("m", when(col("id") <= 50L, col("m") * 100).otherwise(col("m")))))
+    val fa = Future(Versioned.commitAppend(spark, root,
+      Seq((999L, "z", 999L)).toDF("id", "k", "m")))
+    val (vu, va) = (Await.result(fu, 2.minutes), Await.result(fa, 2.minutes))
+    assert(Set(vu, va) == Set(2, 3), s"got versions $vu/$va")
+    val head = Versioned.readAt(spark, root, 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(head.length == 101, "the append must survive the racing update")
+    assert(head.last == ((999L, "z", 999L)))
+    assert(head.take(50).forall { case (i, _, m) => m == i * 100 },
+      "the update must survive the racing append")
+    assert(head.slice(50, 100).forall { case (i, _, m) => m == i })
+  }
+
   test("history lists every commit with its timestamp and batch fence") {
     val root = newRoot()
     Versioned.commit(spark, root, Seq((1L, "a", 1L)).toDF("id", "k", "m"))
