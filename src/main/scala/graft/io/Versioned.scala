@@ -241,6 +241,44 @@ object Versioned {
         .filterNot(touched) ++ rewritten)
   }
 
+  /** Keyed MERGE (upsert): head rows whose `key` matches an update row
+    * are REPLACED by it, unmatched update rows are INSERTED, and every
+    * other row carries through untouched — `MERGE INTO ... WHEN MATCHED
+    * THEN UPDATE WHEN NOT MATCHED THEN INSERT`, copy-on-write at dir
+    * granularity.  `updates` must share the table schema, with at most
+    * one row per key.
+    *
+    * Cost shape at 100 TB: matched-dir discovery is one key semi-join
+    * collecting distinct file names (bounded by file count; on a
+    * key-clustered table the zone-map layout confines it to the
+    * overlapping dirs); each touched dir is rewritten with its matched
+    * keys anti-joined out; the update set lands as ONE new dir —
+    * O(touched dirs + updates) I/O, never O(table).  Concurrent appends
+    * compose exactly as for [[commitUpdate]]. */
+  def commitMerge(spark: SparkSession, root: String, updates: DataFrame,
+      key: String): Int = {
+    val head0 = currentVersion(spark, root)
+    require(head0 > 0, s"no committed version at $root")
+    val dirs0 = manifest(spark, root, head0)
+    val keysDf = updates.select(col(key)).distinct()
+    // file name must be projected directly over the scan (multi-source
+    // plans reject input_file_name), THEN semi-joined against the keys
+    val touchedFiles = readAt(spark, root, head0)
+      .select(col(key), input_file_name().as("f"))
+      .join(keysDf, Seq(key), "left_semi")
+      .select("f").distinct()
+      .collect().map(_.getString(0))
+    val touched = dirs0.filter(d => touchedFiles.exists(_.contains(s"/$d/"))).toSet
+    val rewritten = dirs0.filter(touched).map { d =>
+      writeDataDir(spark, root,
+        spark.read.parquet(s"$root/$d").join(keysDf, Seq(key), "left_anti"))
+    }
+    val newDir = writeDataDir(spark, root, updates)
+    publish(spark, root, head =>
+      (if (head == 0) Seq.empty else manifest(spark, root, head))
+        .filterNot(touched) ++ rewritten :+ newDir)
+  }
+
   /** Time-travel read of version `v` (dir-list union; schema from the
     * footers). */
   def readAt(spark: SparkSession, root: String, v: Int): DataFrame = {
@@ -467,5 +505,29 @@ object Versioned {
     Versioned.readRange(spark, root, v, 260L, 490L)
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableDiff, tableZonemap)
+  /** Judged query: keyed MERGE through the real log.  v1 = the base
+    * slice (doc_id % 10 < 8) clustered into 8 doc_id-bucket dirs;
+    * updates = the [260,490] window's base rows with n_chars bumped
+    * (matched → replaced; the clustered layout confines the rewrite to
+    * the 1–2 overlapping bucket dirs) plus the day-2 slice (unmatched →
+    * inserted).  Output = the merged head; the oracle recomputes the
+    * final relation by expression over the full table. */
+  val tableMerge: graft.GraftQuery = graft.GraftQuery("q_table_merge",
+    """SELECT doc_id, lang,
+      |       CASE WHEN doc_id % 10 < 8 AND doc_id BETWEEN 260 AND 490
+      |            THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |FROM documents""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    Versioned.commitAppendClustered(spark, root, base, "doc_id", buckets = 8)
+    val updates = base.filter(col("doc_id").between(260, 490))
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(docs.filter(col("doc_id") % 10 >= 8))
+    val v = Versioned.commitMerge(spark, root, updates, "doc_id")
+    Versioned.readAt(spark, root, v)
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(tableDiff, tableZonemap, tableMerge)
 }
