@@ -261,13 +261,28 @@ object Versioned {
     require(head0 > 0, s"no committed version at $root")
     val dirs0 = manifest(spark, root, head0)
     val keysDf = updates.select(col(key)).distinct()
+    // when the merge key IS the zone-map column, discovery only needs
+    // the dirs overlapping the updates' key range — O(overlapping dirs)
+    // instead of a full key-column pass over the table
+    val candidates: Seq[String] =
+      if (statsColOf(spark, root, head0).contains(key)) {
+        val r = updates.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
+        if (r.isNullAt(0)) dirs0 // non-numeric key or empty updates: stay conservative
+        else {
+          val (klo, khi) = (r.getLong(0), r.getLong(1))
+          val st = dirStats(spark, root, head0)
+          dirs0.filter(d => st.get(d).forall { case (a, b) => b >= klo && a <= khi })
+        }
+      } else dirs0
     // file name must be projected directly over the scan (multi-source
     // plans reject input_file_name), THEN semi-joined against the keys
-    val touchedFiles = readAt(spark, root, head0)
-      .select(col(key), input_file_name().as("f"))
-      .join(keysDf, Seq(key), "left_semi")
-      .select("f").distinct()
-      .collect().map(_.getString(0))
+    val touchedFiles =
+      if (candidates.isEmpty) Array.empty[String]
+      else spark.read.parquet(candidates.map(d => s"$root/$d"): _*)
+        .select(col(key), input_file_name().as("f"))
+        .join(keysDf, Seq(key), "left_semi")
+        .select("f").distinct()
+        .collect().map(_.getString(0))
     val touched = dirs0.filter(d => touchedFiles.exists(_.contains(s"/$d/"))).toSet
     val rewritten = dirs0.filter(touched).map { d =>
       writeDataDir(spark, root,
