@@ -360,6 +360,32 @@ object Versioned {
     * footer reads. */
   def commitAppendClustered(spark: SparkSession, root: String, df: DataFrame,
       statsCol: String, buckets: Int = 16): Int = {
+    val (rels, pre) = writeClustered(spark, root, df, statsCol, buckets)
+    publish(spark, root, head =>
+      (if (head == 0) Seq.empty else manifest(spark, root, head)) ++ rels,
+      Some(statsCol), pre)
+  }
+
+  /** Clustering-preserving compaction: rewrite the ENTIRE head snapshot
+    * as `buckets` fresh range-clustered dirs and publish a manifest of
+    * only those — history is untouched (old versions stay readable until
+    * [[vacuum]]), and unlike the single-dir [[commit]] compaction this
+    * keeps [[readRange]] pruning sharp afterwards.  The weekly step of
+    * the append-daily / compact-weekly / vacuum-past-retention budget. */
+  def compactClustered(spark: SparkSession, root: String, statsCol: String,
+      buckets: Int = 16): Int = {
+    val head0 = currentVersion(spark, root)
+    require(head0 > 0, s"no committed version at $root")
+    val (rels, pre) = writeClustered(spark, root, readAt(spark, root, head0),
+      statsCol, buckets)
+    publish(spark, root, _ => rels, Some(statsCol), pre)
+  }
+
+  /** One range shuffle, each bucket its own dir, ALL bucket [min,max]
+    * entries in ONE job over the partitioned write (per-dir footer
+    * probes would cost `buckets` scheduler round-trips). */
+  private def writeClustered(spark: SparkSession, root: String, df: DataFrame,
+      statsCol: String, buckets: Int): (Seq[String], Map[String, (Long, Long)]) = {
     val base = s"data/${java.util.UUID.randomUUID()}"
     df.repartitionByRange(buckets, col(statsCol))
       .withColumn("_b", spark_partition_id())
@@ -367,16 +393,12 @@ object Versioned {
     val bp = new org.apache.hadoop.fs.Path(s"$root/$base")
     val rels = fs(spark, bp).listStatus(bp).filter(_.isDirectory)
       .map(st => s"$base/${st.getPath.getName}").sorted.toSeq
-    // ALL bucket [min,max] entries in ONE job over the partitioned write
-    // (per-dir footer probes would cost `buckets` scheduler round-trips)
     val pre = spark.read.parquet(s"$root/$base")
       .groupBy(col("_b"))
       .agg(min(col(statsCol)).cast("long").as("lo"), max(col(statsCol)).cast("long").as("hi"))
       .collect()
       .map(r => s"$base/_b=${r.get(0)}" -> (r.getLong(1), r.getLong(2))).toMap
-    publish(spark, root, head =>
-      (if (head == 0) Seq.empty else manifest(spark, root, head)) ++ rels,
-      Some(statsCol), pre)
+    (rels, pre)
   }
 
   /** Retention: keep the newest `keep` versions' manifests; delete older

@@ -230,6 +230,35 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(head.slice(50, 100).forall { case (i, _, m) => m == i })
   }
 
+  test("clustering-preserving compaction keeps pruning sharp, history intact") {
+    val root = newRoot()
+    // fragmented history: 6 appends + a merge leave many dirs
+    (0 until 6).foreach { i =>
+      Versioned.commitAppendClustered(spark, root,
+        (i * 100L until (i + 1) * 100L).map(j => (j, "a", j)).toDF("id", "k", "m"),
+        "id", buckets = 4)
+    }
+    Versioned.commitMerge(spark, root,
+      Seq((250L, "M", 9999L)).toDF("id", "k", "m"), "id")
+    val vC = Versioned.compactClustered(spark, root, "id", buckets = 4)
+    val mC = Versioned.manifest(spark, root, vC)
+    assert(mC.size == 4, s"compaction must land exactly the bucket dirs, got ${mC.size}")
+    // content identical to the pre-compaction head
+    assert(Versioned.readAt(spark, root, vC)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq ==
+      Versioned.readAt(spark, root, vC - 1)
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq)
+    // pruning stays sharp after compaction: a narrow window reads 1 dir
+    val r = Versioned.readRange(spark, root, vC, 10L, 20L)
+    assert(r.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct.length == 1)
+    assert(r.count() == 11)
+    // old versions still readable until vacuum; vacuum then reclaims
+    assert(Versioned.readAt(spark, root, 3).count() == 300)
+    Versioned.vacuum(spark, root, keep = 1)
+    assert(Versioned.readAt(spark, root, vC).count() == 600)
+    intercept[Exception](Versioned.readAt(spark, root, 3).count())
+  }
+
   test("commitMerge: matched rows replaced, unmatched inserted, other dirs verbatim") {
     val root = newRoot()
     Versioned.commitAppend(spark, root,
