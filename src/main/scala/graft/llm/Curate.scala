@@ -194,8 +194,12 @@ object Curate {
     * ([[graft.fns.ExactQuantiles]], DuckDB `quantile_cont` parity proven
     * by `q_agg_percentiles`), so the COMPOSED pipeline stays
     * hash-checked end-to-end like v1/v2. */
-  val curate3: GraftQuery = GraftQuery("q_llm_curate3",
-    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+  /** curate3's full CTE chain (tokens → dup pairs → doc stats →
+    * semantic cells → trigram LM → corpus band), shared VERBATIM by the
+    * v3 manifest oracle and the attribution oracle below — one chain,
+    * two projections, so the two oracles can never drift. */
+  private lazy val v3CtesSql: String =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        |${Dedup.pairCtesSql},
        |drop_near AS (
        |  SELECT DISTINCT ib AS doc_id
@@ -260,7 +264,10 @@ object Curate {
        |nl3 AS (SELECT doc_id, CAST(round(nll3 * 1000 / n_tg, 0) AS BIGINT) AS nll3_milli
        |        FROM sc3),
        |bnd AS (SELECT quantile_cont(nll3_milli, 0.05) AS q05,
-       |               quantile_cont(nll3_milli, 0.95) AS q95 FROM nl3)
+       |               quantile_cont(nll3_milli, 0.95) AS q95 FROM nl3)""".stripMargin
+
+  val curate3: GraftQuery = GraftQuery("q_llm_curate3",
+    s"""WITH $v3CtesSql
        |SELECT q.doc_id,
        |  CASE WHEN ${md5LongSql("q.doc_id")} % 100 < 80 THEN 'train'
        |       WHEN ${md5LongSql("q.doc_id")} % 100 < 90 THEN 'val'
@@ -378,6 +385,61 @@ object Curate {
     }
   }
 
+  /** Curation attribution — for EVERY document, the first v3 gate that
+    * drops it (or 'kept'): the pipeline-debugging query a 100 TB
+    * curation run needs when someone asks "why is doc X not in the
+    * training set?" and "which gate is eating my corpus?".  Reasons, in
+    * the pipeline's own order: exact_dup → near_dup → semantic_dup →
+    * too_short (< 20 tokens, including the < 3-token docs that never
+    * reach the stats stage) → repetitive → ppl_band → kept.  Warm cost
+    * is join-only over the SAME staged artifacts curate3 reads (no new
+    * corpus pass), and the oracle is a second projection of curate3's
+    * shared CTE chain — the manifest and its explanation can never
+    * disagree.  By construction the 'kept' slice ≡ the v3 manifest
+    * (spec-asserted). */
+  val curateAttribution: GraftQuery = GraftQuery("q_llm_curate_attribution",
+    s"""WITH $v3CtesSql
+       |SELECT d.doc_id,
+       |  CASE WHEN k.doc_id IS NULL THEN 'exact_dup'
+       |       WHEN dn.doc_id IS NOT NULL THEN 'near_dup'
+       |       WHEN sdx.doc_id IS NOT NULL THEN 'semantic_dup'
+       |       WHEN q.doc_id IS NULL OR q.n_tok < 20 THEN 'too_short'
+       |       WHEN q.rep_milli > 300 THEN 'repetitive'
+       |       WHEN nl3.nll3_milli < bnd.q05 OR nl3.nll3_milli > bnd.q95 THEN 'ppl_band'
+       |       ELSE 'kept' END AS reason
+       |FROM documents d
+       |LEFT JOIN exact_keep k ON d.doc_id = k.doc_id
+       |LEFT JOIN drop_near dn ON d.doc_id = dn.doc_id
+       |LEFT JOIN sd sdx ON d.doc_id = sdx.doc_id
+       |LEFT JOIN q ON d.doc_id = q.doc_id
+       |LEFT JOIN nl3 ON d.doc_id = nl3.doc_id
+       |CROSS JOIN bnd""".stripMargin) { (spark, sfDir) =>
+    val docs = documents(spark, sfDir).select("doc_id")
+    val exactKeep = stagedExactKeep(spark, sfDir).withColumn("xk", lit(1))
+    val dropNear = stagedDropNear(spark, sfDir).withColumn("nd", lit(1))
+    val semDropped = SemanticDedup.dedupSemantic.fn(spark, sfDir)
+      .filter(!col("kept"))
+      .select(col("vec_id").as("doc_id"), lit(1).as("sdp"))
+    val q = stagedDocStats(spark, sfDir).select("doc_id", "n_tok", "rep_milli")
+    val nl3 = stagedNl3(spark, sfDir)
+    val band = stagedBand(spark, sfDir)
+    docs
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(dropNear, Seq("doc_id"), "left")
+      .join(semDropped, Seq("doc_id"), "left")
+      .join(q, Seq("doc_id"), "left")
+      .join(nl3, Seq("doc_id"), "left")
+      .crossJoin(broadcast(band))
+      .select(col("doc_id"),
+        when(col("xk").isNull, "exact_dup")
+          .when(col("nd") === 1, "near_dup")
+          .when(col("sdp") === 1, "semantic_dup")
+          .when(col("n_tok").isNull || col("n_tok") < 20L, "too_short")
+          .when(col("rep_milli") > 300L, "repetitive")
+          .when(col("nll3_milli") < col("q05") || col("nll3_milli") > col("q95"), "ppl_band")
+          .otherwise("kept").as("reason"))
+  }
+
   /** Curation v4 — the DISTILLATION DEPLOYED: v2's dedup/heuristic
     * stages with the perplexity band replaced by the trained quality
     * classifier's score ([[QualityModel]], threshold 500 milli = the
@@ -451,5 +513,5 @@ object Curate {
         col("n_tok"), col("score_milli"))
   }
 
-  val all: Seq[GraftQuery] = Seq(curate, curate2, curate3, curateModel)
+  val all: Seq[GraftQuery] = Seq(curate, curate2, curate3, curateAttribution, curateModel)
 }

@@ -1,0 +1,38 @@
+package graft.llm
+
+import graft.{Queries, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for curation attribution: every document gets exactly one
+  * reason, the reason domain is closed, and — the load-bearing law —
+  * the 'kept' slice is EXACTLY the curate3 manifest, so the pipeline's
+  * explanation can never disagree with the pipeline. */
+class CurateAttributionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val attr =
+    Queries.queries("q_llm_curate_attribution")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("total function over the corpus with a closed reason domain") {
+    val nDocs = graft.io.Tables.documents(spark, TestSpark.sf).count()
+    assert(attr.size == nDocs, "exactly one reason per document")
+    val domain = Set("exact_dup", "near_dup", "semantic_dup",
+      "too_short", "repetitive", "ppl_band", "kept")
+    assert(attr.values.toSet.subsetOf(domain))
+    // the attribution is informative at spec scale: several distinct
+    // gates actually fire, including the terminal 'kept'
+    assert(attr.values.toSet.size >= 4, s"degenerate: ${attr.values.toSet}")
+    assert(attr.values.exists(_ == "kept"))
+  }
+
+  test("'kept' slice equals the curate3 manifest exactly") {
+    val kept = attr.collect { case (id, "kept") => id }.toSet
+    val manifest = Queries.queries("q_llm_curate3")(spark, TestSpark.sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == manifest,
+      s"explanation disagrees with the pipeline: " +
+        s"kept-not-in-manifest=${(kept -- manifest).take(5)} " +
+        s"manifest-not-kept=${(manifest -- kept).take(5)}")
+  }
+}
