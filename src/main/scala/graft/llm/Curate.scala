@@ -513,5 +513,82 @@ object Curate {
         col("n_tok"), col("score_milli"))
   }
 
-  val all: Seq[GraftQuery] = Seq(curate, curate2, curate3, curateAttribution, curateModel)
+  /** Attribution for the DEPLOYED pipeline (v4): every doc's first
+    * drop gate with the perplexity band replaced by the trained
+    * classifier's 0.5-boundary — exact_dup → near_dup → semantic_dup →
+    * too_short → repetitive → model_score → kept.  Same join-only warm
+    * cost over the staged artifacts + the staged score table; the
+    * oracle composes the quality model's full trained-weights chain
+    * with the dedup CTEs, so the training run is hash-checked inside
+    * the explanation too.  'kept' ≡ the v4 manifest (spec-asserted). */
+  val curateModelAttribution: GraftQuery = GraftQuery("q_llm_curate_model_attribution",
+    s"""WITH ${QualityModel.oracleScoredCtesShared},
+       |${Dedup.pairCtesSql},
+       |drop_near AS (
+       |  SELECT DISTINCT ib AS doc_id
+       |  FROM p JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
+       |  WHERE common / (x.n + y.n - common) >= $TAU),
+       |exact_keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |    FROM documents) WHERE doc_id = keep_id),
+       |sq AS (SELECT vec_id,
+       |  list_transform(embedding[1:16],
+       |                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |sn AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM sq),
+       |ss AS (SELECT qv AS sv, nrm AS snrm,
+       |             row_number() OVER (ORDER BY vec_id) - 1 AS cell
+       |      FROM (SELECT * FROM sn ORDER BY vec_id LIMIT 16)),
+       |sa AS (SELECT vec_id, cell, qv, nrm FROM (
+       |        SELECT sn.vec_id, ss.cell, sn.qv, sn.nrm,
+       |          row_number() OVER (PARTITION BY sn.vec_id
+       |            ORDER BY list_dot_product(sn.qv, ss.sv) / (sqrt(sn.nrm) * sqrt(ss.snrm)) DESC,
+       |                     ss.cell) AS rn
+       |        FROM sn CROSS JOIN ss) WHERE rn = 1),
+       |sd AS (SELECT DISTINCT y.vec_id AS doc_id
+       |      FROM sa x JOIN sa y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |      WHERE list_dot_product(x.qv, y.qv) / (sqrt(x.nrm) * sqrt(y.nrm)) >= 0.7)
+       |SELECT d.doc_id,
+       |  CASE WHEN k.doc_id IS NULL THEN 'exact_dup'
+       |       WHEN dn.doc_id IS NOT NULL THEN 'near_dup'
+       |       WHEN sdx.doc_id IS NOT NULL THEN 'semantic_dup'
+       |       WHEN f.doc_id IS NULL OR f.n_tok < 20 THEN 'too_short'
+       |       WHEN f.rep_milli > 300 THEN 'repetitive'
+       |       WHEN scq.s IS NULL OR scq.s < 500 THEN 'model_score'
+       |       ELSE 'kept' END AS reason
+       |FROM documents d
+       |LEFT JOIN exact_keep k ON d.doc_id = k.doc_id
+       |LEFT JOIN drop_near dn ON d.doc_id = dn.doc_id
+       |LEFT JOIN sd sdx ON d.doc_id = sdx.doc_id
+       |LEFT JOIN f ON d.doc_id = f.doc_id
+       |LEFT JOIN scq ON d.doc_id = scq.doc_id""".stripMargin) { (spark, sfDir) =>
+    val docs = documents(spark, sfDir).select("doc_id")
+    val exactKeep = stagedExactKeep(spark, sfDir).withColumn("xk", lit(1))
+    val dropNear = stagedDropNear(spark, sfDir).withColumn("nd", lit(1))
+    val semDropped = SemanticDedup.dedupSemantic.fn(spark, sfDir)
+      .filter(!col("kept"))
+      .select(col("vec_id").as("doc_id"), lit(1).as("sdp"))
+    val q = stagedDocStats(spark, sfDir).select("doc_id", "n_tok", "rep_milli")
+    val sc = QualityModel.scored(spark, sfDir)
+      .select(col("doc_id"), col("s").as("score_milli"))
+    docs
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(dropNear, Seq("doc_id"), "left")
+      .join(semDropped, Seq("doc_id"), "left")
+      .join(q, Seq("doc_id"), "left")
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("xk").isNull, "exact_dup")
+          .when(col("nd") === 1, "near_dup")
+          .when(col("sdp") === 1, "semantic_dup")
+          .when(col("n_tok").isNull || col("n_tok") < 20L, "too_short")
+          .when(col("rep_milli") > 300L, "repetitive")
+          .when(col("score_milli").isNull || col("score_milli") < 500L, "model_score")
+          .otherwise("kept").as("reason"))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(curate, curate2, curate3, curateAttribution, curateModel,
+      curateModelAttribution)
 }
