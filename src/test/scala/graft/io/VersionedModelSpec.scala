@@ -1,0 +1,98 @@
+package graft.io
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based property test for the commit log: seeded random traces
+  * of append / clustered-append / CoW-update / keyed-merge / compaction
+  * ops, each step checked against an in-memory multiset model — the
+  * whole-module law no single-op spec composes to.  Also pins history
+  * length, head-version monotonicity, and time travel to a snapshot
+  * taken mid-trace surviving to the end (and dying only at vacuum). */
+class VersionedModelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newRoot() =
+    s"/tmp/graft_versioned_model/${java.util.UUID.randomUUID()}"
+
+  private def toDf(m: Map[Long, (String, Long)]) =
+    m.toSeq.map { case (id, (k, v)) => (id, k, v) }.toDF("id", "k", "m")
+
+  private def readModel(root: String, v: Int): Map[Long, (String, Long)] =
+    Versioned.readAt(spark, root, v).as[(Long, String, Long)]
+      .collect().map { case (i, k, m) => i -> (k, m) }.toMap
+
+  test("random op traces agree with the in-memory model at every step") {
+    val rnd = new scala.util.Random(42)
+    for (trace <- 1 to 3) {
+      val root = newRoot()
+      var model = Map.empty[Long, (String, Long)]
+      var nextId = 0L
+      def freshRows(n: Int): Map[Long, (String, Long)] = {
+        val rows = (0 until n).map { _ =>
+          val id = nextId; nextId += 1
+          id -> (s"k${rnd.nextInt(4)}", rnd.nextInt(1000).toLong)
+        }.toMap
+        rows
+      }
+      // seed commit
+      model = freshRows(40)
+      Versioned.commit(spark, root, toDf(model), statsCol = Some("id"))
+      var checkpointVersion = 0
+      var checkpointModel = Map.empty[Long, (String, Long)]
+      for (step <- 1 to 12) {
+        rnd.nextInt(5) match {
+          case 0 => // append
+            val rows = freshRows(10 + rnd.nextInt(20))
+            model ++= rows
+            Versioned.commitAppend(spark, root, toDf(rows))
+          case 1 => // clustered append
+            val rows = freshRows(10 + rnd.nextInt(20))
+            model ++= rows
+            Versioned.commitAppendClustered(spark, root, toDf(rows), "id",
+              buckets = 1 + rnd.nextInt(4))
+          case 2 => // CoW update of a random id window (bump m)
+            val lo = rnd.nextLong(math.max(1, nextId))
+            val hi = lo + 10
+            model = model.map { case (id, (k, m)) =>
+              id -> (k, if (id >= lo && id <= hi) m + 10000 else m)
+            }
+            Versioned.commitUpdate(spark, root,
+              col("id") >= lo && col("id") <= hi,
+              d => d.withColumn("m",
+                when(col("id") >= lo && col("id") <= hi, col("m") + 10000)
+                  .otherwise(col("m"))))
+          case 3 => // keyed merge: replace some existing, insert some new
+            val existing = model.keys.toSeq.sorted
+              .take(5 + rnd.nextInt(5)).map(id => id -> (s"M$trace", -1L))
+            val inserts = freshRows(5)
+            val ups = existing.toMap ++ inserts
+            model = model ++ ups
+            Versioned.commitMerge(spark, root, toDf(ups), "id")
+          case 4 => // clustering-preserving compaction (content no-op)
+            Versioned.compactClustered(spark, root, "id",
+              buckets = 1 + rnd.nextInt(4))
+        }
+        val head = Versioned.currentVersion(spark, root)
+        assert(head == 1 + step, s"trace $trace step $step: head=$head")
+        assert(readModel(root, head) == model,
+          s"trace $trace step $step diverged from the model")
+        if (step == 6) { checkpointVersion = head; checkpointModel = model }
+      }
+      // the mid-trace snapshot still reads byte-identically at the end
+      assert(readModel(root, checkpointVersion) == checkpointModel,
+        s"trace $trace: time travel to step-6 snapshot broken")
+      // history covers every version with monotone timestamps
+      val h = Versioned.history(spark, root)
+        .as[(Int, Option[Long], Int, Option[Long])].collect().sortBy(_._1)
+      assert(h.map(_._1).toSeq == (1 to 13))
+      assert(h.flatMap(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      // vacuum keeps the head exact and reclaims the rest
+      Versioned.vacuum(spark, root, keep = 1)
+      assert(readModel(root, 13) == model)
+      intercept[Exception](Versioned.readAt(spark, root, checkpointVersion).count())
+    }
+  }
+}

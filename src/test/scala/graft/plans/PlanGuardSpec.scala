@@ -42,6 +42,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_llm_embed_curate",    // composes the semantic-seed cell assignment
     "q_llm_curate2",         // composes the semantic-seed + vocab-size broadcasts
     "q_llm_curate3",         // same composition + the 1-row quantile-band broadcast
+    "q_llm_curate_attribution", // the same 1-row quantile-band broadcast, attribution projection
     // derived-partsupp TPC-H shapes: part CROSS JOIN (4-row constant
     // relation) — a broadcast of a literal, map-only on the scan side
     "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q11",
