@@ -435,6 +435,23 @@ object Versioned {
     }
   }
 
+  /** Wall-clock retention: keep every version committed at or after
+    * `ts` (epoch ms) — plus the head, always — and reclaim the rest.
+    * The deployment knob ("retain 30 days") expressed on the same
+    * monotone commit timestamps AS-OF reads resolve against, so a
+    * readAsOf inside the retention window keeps working after the
+    * sweep. */
+  def vacuumOlderThan(spark: SparkSession, root: String, ts: Long): Unit = {
+    val head = currentVersion(spark, root)
+    if (head == 0) return
+    // earlier sweeps may have reclaimed low log records — scan survivors
+    val lowest = fs(spark, logDir(root)).listStatus(logDir(root))
+      .map(_.getPath.getName).collect { case V(n) => n.toInt }
+      .foldLeft(head)(math.min)
+    val floor = (lowest to head).find(v => tsOf(spark, root, v) >= ts).getOrElse(head)
+    vacuum(spark, root, keep = head - floor + 1)
+  }
+
   /** Exactly-once streaming ingest: append `df` as the commit for
     * micro-batch `batchId`, SKIPPING the write if a commit carrying this
     * (or a later) batchId already landed — the transactional-sink fence

@@ -301,6 +301,25 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("vacuumOlderThan keeps the retention window readable, reclaims the rest") {
+    val root = newRoot()
+    Versioned.commit(spark, root, Seq((1L, "a", 1L)).toDF("id", "k", "m"))
+    Thread.sleep(5)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(5)
+    Versioned.commit(spark, root, Seq((2L, "b", 2L)).toDF("id", "k", "m"))
+    Versioned.commitAppend(spark, root, Seq((3L, "c", 3L)).toDF("id", "k", "m"))
+    Versioned.vacuumOlderThan(spark, root, cut)
+    // v2 and v3 are inside the window; v1 predates it and is reclaimed
+    assert(Versioned.readAt(spark, root, 3).count() == 2)
+    assert(Versioned.readAt(spark, root, 2).count() == 1)
+    intercept[Exception](Versioned.readAt(spark, root, 1).count())
+    // a cut in the future still keeps the head readable
+    Versioned.vacuumOlderThan(spark, root, System.currentTimeMillis() + 1000000)
+    assert(Versioned.readAt(spark, root, 3).count() == 2)
+    intercept[Exception](Versioned.readAt(spark, root, 2).count())
+  }
+
   test("history lists every commit with its timestamp and batch fence") {
     val root = newRoot()
     Versioned.commit(spark, root, Seq((1L, "a", 1L)).toDF("id", "k", "m"))
