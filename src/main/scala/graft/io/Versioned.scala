@@ -583,5 +583,33 @@ object Versioned {
     Versioned.readAt(spark, root, v)
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableDiff, tableZonemap, tableMerge)
+  /** Judged query: transactional streaming ingest through the real log.
+    * The day-2 slice lands as parquet files; a file-source stream
+    * (maxFilesPerTrigger=1, so SEVERAL micro-batches exercise the fence)
+    * ingests each batch via [[commitBatch]] under AvailableNow; output =
+    * the head snapshot.  The batchId fence is what makes this judgeable:
+    * whatever the micro-batch planning or any replay does, the head must
+    * hold each input row exactly once — the oracle is simply the slice. */
+  val tableStreamIngest: graft.GraftQuery = graft.GraftQuery("q_table_stream_ingest",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 10 >= 8""".stripMargin) { (spark, sfDir) =>
+    val run = graft.streaming.StreamSink.newRunDir()
+    val src = s"$run/src"; val table = s"$run/table"; val ckpt = s"$run/ckpt"
+    val day2 = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    day2.repartition(3).write.parquet(src)
+    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Versioned.commitBatch(spark, table, id, b); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    readAt(spark, table, currentVersion(spark, table))
+  }
+
+  val all: Seq[graft.GraftQuery] =
+    Seq(tableDiff, tableZonemap, tableMerge, tableStreamIngest)
 }
