@@ -43,12 +43,18 @@ object IncrementalView {
     val sign = when(col("op") === "added", lit(1L)).otherwise(lit(-1L))
     val aggs = measures.map { case (n, e) => sum(sign * e).as(s"_d_$n") }
     val delta = diffDf.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val merged = measures.foldLeft(mv.join(delta, keys, "full_outer")) {
-      case (df, (n, _)) =>
-        df.withColumn(n, coalesce(col(n), lit(0L)) + coalesce(col(s"_d_$n"), lit(0L)))
+    // the merge join must be NULL-SAFE on the group keys: GROUP BY puts
+    // all null-keyed rows in one group, but an equality full_outer join
+    // would never match that group to its own delta — it would duplicate
+    // instead of merging and its counts could never cancel
+    val cond = keys.map(k => col(s"m.$k") <=> col(s"d.$k")).reduce(_ && _)
+    val joined = mv.alias("m").join(delta.alias("d"), cond, "full_outer")
+    val keyCols = keys.map(k => coalesce(col(s"m.$k"), col(s"d.$k")).as(k))
+    val measureCols = measures.map { case (n, _) =>
+      (coalesce(col(s"m.$n"), lit(0L)) + coalesce(col(s"d._d_$n"), lit(0L))).as(n)
     }
-    merged.filter(col(measures.head._1) > 0)
-      .select((keys ++ measures.map(_._1)).map(col): _*)
+    joined.select(keyCols ++ measureCols: _*)
+      .filter(col(measures.head._1) > 0)
   }
 
   /** Judged query: per-(lang, source) doc counts + character sums kept

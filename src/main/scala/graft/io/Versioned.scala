@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned tables — the lakehouse commit-log primitive a training-data
@@ -64,6 +64,25 @@ object Versioned {
     }.foldLeft(0)(math.max)
   }
 
+  /** Lowest SURVIVING log record (vacuum reclaims from the bottom), so
+    * every log-scanning iterator must stop here, not at v1 — after a
+    * retention sweep the records below the floor are gone and opening
+    * them throws.  Returns 1 for an empty table, so both scan shapes —
+    * `(floor to head)` and `(head to floor by -1)` — are empty ranges
+    * when head == 0. */
+  private[graft] def lowestVersion(spark: SparkSession, root: String, head: Int): Int = {
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    if (head == 0 || !f.exists(ld)) 1
+    else f.listStatus(ld).map(_.getPath.getName).collect { case V(n) => n.toInt }
+      .foldLeft(head)(math.min)
+  }
+
+  /** ANSI-safe numeric view of a column: non-castable values become
+    * NULL (counted by callers to void the stat) instead of throwing —
+    * Spark 4 runs ANSI mode, where a plain cast on "x" kills the job. */
+  private def tryLong(name: String): Column = expr(s"try_cast(`$name` AS BIGINT)")
+
   private def recordText(spark: SparkSession, root: String, v: Int): String = {
     val p = new org.apache.hadoop.fs.Path(logDir(root), f"v$v%05d.json")
     val in = fs(spark, p).open(p)
@@ -111,9 +130,15 @@ object Versioned {
     * empty dir (absent stats = conservatively read). */
   private def statsFor(spark: SparkSession, root: String, rel: String,
       colName: String): Option[(Long, Long)] = {
+    // cast PER ROW, not after min/max: string extrema are lexicographic
+    // ("10" < "9"), so casting the string min/max would record inverted
+    // or wrong bounds.  Any NON-null value that fails the cast voids the
+    // stat (conservative read); rows that are null are safely ignorable
+    // because readRange's BETWEEN filter drops nulls regardless.
+    val c = tryLong(colName)
     val r = spark.read.parquet(s"$root/$rel")
-      .agg(min(col(colName)).cast("long"), max(col(colName)).cast("long")).head()
-    if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      .agg(min(c), max(c), count(when(c.isNull && col(colName).isNotNull, 1))).head()
+    if (r.isNullAt(0) || r.getLong(2) > 0) None else Some((r.getLong(0), r.getLong(1)))
   }
 
   /** The record fields beyond `dirs`: the monotone commit timestamp plus
@@ -266,8 +291,13 @@ object Versioned {
     // instead of a full key-column pass over the table
     val candidates: Seq[String] =
       if (statsColOf(spark, root, head0).contains(key)) {
-        val r = updates.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
-        if (r.isNullAt(0)) dirs0 // non-numeric key or empty updates: stay conservative
+        // conservative unless EVERY update key casts to long: a single
+        // null-casting key (NULL, or a mixed/non-numeric value) would be
+        // invisible to min/max, its matched dirs would be pruned, and
+        // those rows would silently survive the merge as duplicates
+        val ck = tryLong(key)
+        val r = updates.agg(min(ck), max(ck), count(when(ck.isNull, 1))).head()
+        if (r.isNullAt(0) || r.getLong(2) > 0) dirs0
         else {
           val (klo, khi) = (r.getLong(0), r.getLong(1))
           val st = dirStats(spark, root, head0)
@@ -328,8 +358,10 @@ object Versioned {
     * scan-from-head finds the unique boundary. */
   def versionAt(spark: SparkSession, root: String, ts: Long): Int = {
     val head = currentVersion(spark, root)
-    (head to 1 by -1).find(v => tsOf(spark, root, v) <= ts).getOrElse(
-      throw new IllegalArgumentException(s"no version of $root existed at $ts"))
+    val floor = lowestVersion(spark, root, head)
+    (head to floor by -1).find(v => tsOf(spark, root, v) <= ts).getOrElse(
+      throw new IllegalArgumentException(
+        s"no surviving version of $root existed at $ts (retention floor v$floor)"))
   }
 
   /** Time-travel read by wall clock: the snapshot live at `ts`. */
@@ -338,10 +370,12 @@ object Versioned {
 
   /** The commit history as a DataFrame (DESCRIBE HISTORY parity):
     * version, commit timestamp, dir count, batchId if the commit was
-    * streaming-fenced.  O(#versions) driver-side record reads. */
+    * streaming-fenced.  O(#surviving versions) driver-side record reads
+    * — records below the vacuum retention floor are gone, not listed. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    (1 to currentVersion(spark, root)).map { v =>
+    val head = currentVersion(spark, root)
+    (lowestVersion(spark, root, head) to head).map { v =>
       val txt = recordText(spark, root, v)
       val ts = """"ts":\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
       val bid = """"batchId":\s*(-?\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
@@ -393,11 +427,20 @@ object Versioned {
     val bp = new org.apache.hadoop.fs.Path(s"$root/$base")
     val rels = fs(spark, bp).listStatus(bp).filter(_.isDirectory)
       .map(st => s"$base/${st.getPath.getName}").sorted.toSeq
+    val c = tryLong(statsCol)
     val pre = spark.read.parquet(s"$root/$base")
       .groupBy(col("_b"))
-      .agg(min(col(statsCol)).cast("long").as("lo"), max(col(statsCol)).cast("long").as("hi"))
+      .agg(min(c).as("lo"), max(c).as("hi"),
+        count(when(c.isNull && col(statsCol).isNotNull, 1)).as("bad"))
       .collect()
-      .map(r => s"$base/_b=${r.get(0)}" -> (r.getLong(1), r.getLong(2))).toMap
+      .flatMap { r =>
+        // an all-NULL bucket (repartitionByRange sorts nulls together)
+        // has null aggregates, and a bucket holding any non-castable
+        // value has no trustworthy bounds: omit the entry — absent
+        // stats are read conservatively, matching statsFor's None
+        if (r.isNullAt(1) || r.isNullAt(2) || r.getLong(3) > 0) None
+        else Some(s"$base/_b=${r.get(0)}" -> (r.getLong(1), r.getLong(2)))
+      }.toMap
     (rels, pre)
   }
 
@@ -445,10 +488,8 @@ object Versioned {
     val head = currentVersion(spark, root)
     if (head == 0) return
     // earlier sweeps may have reclaimed low log records — scan survivors
-    val lowest = fs(spark, logDir(root)).listStatus(logDir(root))
-      .map(_.getPath.getName).collect { case V(n) => n.toInt }
-      .foldLeft(head)(math.min)
-    val floor = (lowest to head).find(v => tsOf(spark, root, v) >= ts).getOrElse(head)
+    val floor = (lowestVersion(spark, root, head) to head)
+      .find(v => tsOf(spark, root, v) >= ts).getOrElse(head)
     vacuum(spark, root, keep = head - floor + 1)
   }
 
@@ -477,10 +518,14 @@ object Versioned {
     v
   }
 
-  /** Highest batchId any manifest carries, scanning newest-first. */
+  /** Highest batchId any SURVIVING manifest carries, scanning
+    * newest-first down to the vacuum retention floor — so streaming
+    * ingest into a table vacuumed past its last fenced record degrades
+    * to "no fence" (a fresh stream re-ingests) instead of crashing on a
+    * reclaimed log record. */
   private[graft] def lastBatchId(spark: SparkSession, root: String): Option[Long] = {
     val head = currentVersion(spark, root)
-    (head to 1 by -1).iterator.flatMap { v =>
+    (head to lowestVersion(spark, root, head) by -1).iterator.flatMap { v =>
       val p = new org.apache.hadoop.fs.Path(logDir(root), f"v$v%05d.json")
       val in = fs(spark, p).open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()

@@ -39,6 +39,28 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(asMap(mv2) == Map("a" -> (2L, 30L), "b" -> (2L, 12L), "c" -> (1L, 1L)))
   }
 
+  test("null group keys merge instead of duplicating (null-safe join)") {
+    val root = newRoot()
+    val base = Seq((1L, "a", 10L), (2L, null, 20L), (3L, null, 30L))
+      .toDF("id", "k", "m")
+    Versioned.commit(spark, root, base)
+    val mv1 = build(Versioned.readAt(spark, root, 1))
+    // append more null-keyed rows: the null group must FOLD into the
+    // existing null MV row, not appear beside it
+    Versioned.commitAppend(spark, root,
+      Seq((4L, null, 5L), (5L, "a", 1L)).toDF("id", "k", "m"))
+    val mv2 = IncrementalView.refresh(mv1, Versioned.diff(spark, root, 1, 2), keys, measures)
+    assert(mv2.count() == 2, "one row per group, null group included")
+    val nullRow = mv2.filter(col("k").isNull)
+      .select("cnt", "sum_m").as[(Long, Long)].collect().toSeq
+    assert(nullRow == Seq((3L, 55L)))
+    // and the null group's counts CANCEL under delete, vanishing it
+    Versioned.commitUpdate(spark, root, col("k").isNull, d => d.filter(col("k").isNotNull))
+    val mv3 = IncrementalView.refresh(mv2, Versioned.diff(spark, root, 2, 3), keys, measures)
+    assert(asMap(mv3) == Map("a" -> (2L, 11L)))
+    assert(asMap(mv3) == asMap(build(Versioned.readAt(spark, root, 3))))
+  }
+
   test("group-migrating update: old group vanishes, new group is born") {
     val root = newRoot()
     Versioned.commit(spark, root,

@@ -150,6 +150,70 @@ class VersionedSpec extends AnyFunSuite {
     assert(pruned == naive)
   }
 
+  test("history/versionAt/lastBatchId survive vacuum (log scans stop at the floor)") {
+    val root = newRoot()
+    Versioned.commitBatch(spark, root, 0L, Seq((1L, "a")).toDF("id", "s"))
+    Versioned.commitBatch(spark, root, 1L, Seq((2L, "b")).toDF("id", "s"))
+    Versioned.commit(spark, root, Seq((9L, "z")).toDF("id", "s"))
+    Versioned.vacuum(spark, root, keep = 2) // reclaims v1's log record
+    // history lists only surviving versions instead of crashing on v1
+    val h = Versioned.history(spark, root).select("version")
+      .as[Int].collect().sorted.toSeq
+    assert(h == Seq(2, 3))
+    // versionAt resolves within the surviving window and reports the
+    // retention floor for timestamps before it
+    assert(Versioned.versionAt(spark, root, Versioned.tsOf(spark, root, 3)) == 3)
+    intercept[IllegalArgumentException](
+      Versioned.versionAt(spark, root, Versioned.tsOf(spark, root, 2) - 1))
+    // the exactly-once ingest path keeps working: lastBatchId scans only
+    // survivors (v2 still carries batchId 1), so the fence holds
+    assert(Versioned.commitBatch(spark, root, 1L,
+      Seq((2L, "b")).toDF("id", "s")).isEmpty)
+    assert(Versioned.commitBatch(spark, root, 2L,
+      Seq((3L, "c")).toDF("id", "s")).contains(4))
+    // and after vacuuming past EVERY batch-fenced record, ingest degrades
+    // to "no fence" instead of throwing on a reclaimed log record
+    Versioned.commit(spark, root, Seq((8L, "y")).toDF("id", "s"))
+    Versioned.vacuum(spark, root, keep = 1)
+    assert(Versioned.lastBatchId(spark, root).isEmpty)
+    assert(Versioned.commitBatch(spark, root, 0L,
+      Seq((4L, "d")).toDF("id", "s")).isDefined)
+  }
+
+  test("merge stays conservative when any update key fails the long cast") {
+    val root = newRoot()
+    // string keys, mostly numeric — clustered so the zone-map fast path
+    // is armed on the merge key
+    val base = ((1 to 6).map(i => (i.toString, s"v$i")) :+ ("x", "vx"))
+      .toDF("k", "s")
+    Versioned.commitAppendClustered(spark, root, base, "k", buckets = 2)
+    // "2" updates a numeric-keyed row, "x" updates the non-castable row
+    // (invisible to min/max — the bug pruned its dir and duplicated it),
+    // "9" is an insert
+    val updates = Seq(("2", "u2"), ("x", "ux"), ("9", "u9")).toDF("k", "s")
+    val v = Versioned.commitMerge(spark, root, updates, "k")
+    val got = Versioned.readAt(spark, root, v)
+      .as[(String, String)].collect().sorted.toSeq
+    val want = (Seq(("1", "v1"), ("3", "v3"), ("4", "v4"), ("5", "v5"),
+      ("6", "v6")) ++ Seq(("2", "u2"), ("x", "ux"), ("9", "u9"))).sorted
+    assert(got == want, "every matched key must be replaced exactly once")
+  }
+
+  test("clustered append tolerates all-null and non-castable stats buckets") {
+    val root = newRoot()
+    import java.lang.{Long => JLong}
+    val rows: Seq[(JLong, String)] =
+      (1L to 20L).map(i => (JLong.valueOf(i), s"r$i")) ++
+        Seq((null: JLong, "n1"), (null: JLong, "n2"))
+    val df = rows.toDF("id", "s")
+    val v = Versioned.commitAppendClustered(spark, root, df, "id", buckets = 4)
+    assert(Versioned.readAt(spark, root, v).count() == 22)
+    // the range read is correct: null ids are dropped by BETWEEN whatever
+    // the (absent) null-bucket stat says
+    assert(Versioned.readRange(spark, root, v, 5L, 8L)
+      .select("id").as[Long].collect().sorted.toSeq == (5L to 8L))
+  }
+
   test("judged diff equals the planted upsert construction") {
     val out = Queries.queries("q_table_diff")(spark, TestSpark.sf).localCheckpoint()
     val docs = Tables.documents(spark, TestSpark.sf)
