@@ -20,6 +20,7 @@ object Queries {
       graph.Graphs.all ++
       io.CatalogTables.all ++
       io.Versioned.all ++
+      io.Zonemap2D.all ++
       io.IncrementalView.all ++
       joins.BloomPrune.all ++
       fns.Scalars.all ++

@@ -90,5 +90,50 @@ object IncrementalView {
     refresh(mv3, Versioned.diff(spark, root, 3, 4), keys, measures)
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(mvIncremental)
+  /** Judged query: the STREAMING materialized view — the round-14
+    * headline features composed under one oracle.  The base slice is
+    * committed and the MV built from it (the one full scan); the MV is
+    * itself a [[Versioned]] table, so each refresh is a bounded-lineage
+    * commit, not a growing plan.  A file-source stream then ingests the
+    * day-2 slice in several micro-batches (maxFilesPerTrigger=1)
+    * through [[Versioned.commitBatch]]'s exactly-once fence, and each
+    * ADMITTED batch folds into the MV via [[refresh]] over the
+    * manifest-pruned diff — O(batch) work per batch, never a rescan.
+    * A fenced replay (crash/duplicate batch) commits nothing and
+    * therefore refreshes nothing — the MV can never double-count (the
+    * wiped-checkpoint spec drives that path explicitly).  Output = the
+    * MV head; oracle = the direct GROUP BY over the full corpus. */
+  val streamMvIncremental: graft.GraftQuery = graft.GraftQuery("q_stream_mv_incremental",
+    """SELECT lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1, 2""".stripMargin) { (spark, sfDir) =>
+    val run = graft.streaming.StreamSink.newRunDir()
+    val src = s"$run/src"; val table = s"$run/table"
+    val ckpt = s"$run/ckpt"; val mvRoot = s"$run/mv"
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val keys = Seq("lang", "source")
+    val measures = Seq("cnt" -> lit(1L), "sum_chars" -> col("n_chars"))
+    Versioned.commit(spark, table, docs.filter(col("doc_id") % 10 < 8))
+    Versioned.commit(spark, mvRoot,
+      Versioned.readAt(spark, table, 1).groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars")))
+    docs.filter(col("doc_id") % 10 >= 8).repartition(3).write.parquet(src)
+    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Versioned.commitBatch(spark, table, id, b).foreach { v =>
+          val mvHead = Versioned.currentVersion(spark, mvRoot)
+          Versioned.commit(spark, mvRoot,
+            refresh(Versioned.readAt(spark, mvRoot, mvHead),
+              Versioned.diff(spark, table, v - 1, v), keys, measures))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    Versioned.readAt(spark, mvRoot, Versioned.currentVersion(spark, mvRoot))
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(mvIncremental, streamMvIncremental)
 }

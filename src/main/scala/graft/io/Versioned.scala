@@ -47,7 +47,7 @@ import org.apache.spark.sql.functions._
   * between corpus v1 and v2" and the judged `q_table_diff` below. */
 object Versioned {
 
-  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+  private[graft] def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def logDir(root: String) = new org.apache.hadoop.fs.Path(s"$root/log")
@@ -83,6 +83,28 @@ object Versioned {
     * Spark 4 runs ANSI mode, where a plain cast on "x" kills the job. */
   private def tryLong(name: String): Column = expr(s"try_cast(`$name` AS BIGINT)")
 
+  /** A 2-D zone map's pseudo stats column: `_z2(xCol,yCol,bits)` — the
+    * Morton interleave of two coordinate columns.  Encoding the spec in
+    * the statsCol string lets the ENTIRE 1-D manifest machinery (stats
+    * carry-forward, per-dir measurement, inheritance) serve the 2-D map
+    * unchanged; only the PRUNING test differs (see [[Zonemap2D]]). */
+  private[graft] val Z2 = """_z2\(([^,()]+),([^,()]+),(\d+)\)""".r
+
+  /** The row expression a stats column measures: the Morton code for a
+    * `_z2(...)` pseudo column, the ANSI-safe long cast otherwise. */
+  private[graft] def statsExpr(colName: String): Column = colName match {
+    case Z2(x, y, b) => graft.rel.Relational7.zInterleave(col(x), col(y), b.toInt)
+    case _           => tryLong(colName)
+  }
+
+  /** True rows are non-ignorable stat violations (a non-null value that
+    * failed the cast).  Morton codes are pure arithmetic — null only
+    * from null coordinates, which range filters drop anyway. */
+  private def statsBad(colName: String, c: Column): Column = colName match {
+    case Z2(_, _, _) => lit(false)
+    case _           => c.isNull && col(colName).isNotNull
+  }
+
   private def recordText(spark: SparkSession, root: String, v: Int): String = {
     val p = new org.apache.hadoop.fs.Path(logDir(root), f"v$v%05d.json")
     val in = fs(spark, p).open(p)
@@ -110,6 +132,22 @@ object Versioned {
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(s"v$v of $root has no ts"))
 
+  /** Schema-evolution entries at version `v`: (column, SQL type, the
+    * data dirs that PREDATE the column and must be null-filled on read).
+    * Encoded in the record as `"alters":{"col|type":"dir1,dir2",...}`
+    * and copied verbatim by every later commit; entries referencing
+    * dirs no longer in a manifest are inert (reads intersect with the
+    * manifest), so compaction naturally retires them. */
+  private[graft] def altersOf(spark: SparkSession, root: String, v: Int): Seq[(String, String, Set[String])] =
+    altersFragOf(spark, root, v).toSeq.flatMap { frag =>
+      """"([^"|]+)\|([^"]+)":"([^"]*)"""".r.findAllMatchIn(frag).map(m =>
+        (m.group(1), m.group(2), m.group(3).split(",").filter(_.nonEmpty).toSet))
+    }
+
+  private def altersFragOf(spark: SparkSession, root: String, v: Int): Option[String] =
+    if (v == 0) None
+    else """"alters":\{([^}]*)\}""".r.findFirstMatchIn(recordText(spark, root, v)).map(_.group(1))
+
   /** The table's designated zone-map column, if any version declared one. */
   private[graft] def statsColOf(spark: SparkSession, root: String, v: Int): Option[String] =
     if (v == 0) None
@@ -135,9 +173,9 @@ object Versioned {
     // or wrong bounds.  Any NON-null value that fails the cast voids the
     // stat (conservative read); rows that are null are safely ignorable
     // because readRange's BETWEEN filter drops nulls regardless.
-    val c = tryLong(colName)
+    val c = statsExpr(colName)
     val r = spark.read.parquet(s"$root/$rel")
-      .agg(min(c), max(c), count(when(c.isNull && col(colName).isNotNull, 1))).head()
+      .agg(min(c), max(c), count(when(statsBad(colName, c), 1))).head()
     if (r.isNullAt(0) || r.getLong(2) > 0) None else Some((r.getLong(0), r.getLong(1)))
   }
 
@@ -147,7 +185,8 @@ object Versioned {
     * computed only for new ones). */
   private def extraFields(spark: SparkSession, root: String, head: Int,
       dirs: Seq[String], statsCol: Option[String], more: String = "",
-      precomputed: Map[String, (Long, Long)] = Map.empty): String = {
+      precomputed: Map[String, (Long, Long)] = Map.empty,
+      alters: Option[String] = None): String = {
     val sc = statsCol.orElse(statsColOf(spark, root, head))
     val ts = math.max(System.currentTimeMillis(),
       if (head == 0) 0L else tsOf(spark, root, head))
@@ -160,11 +199,14 @@ object Versioned {
       }
       s""","statsCol":"$c","stats":{${entries.mkString(",")}}"""
     }.getOrElse("")
-    s""","ts":$ts$statsJson$more"""
+    // schema-evolution entries ride along verbatim on every commit
+    val altersJson = alters.orElse(altersFragOf(spark, root, head))
+      .map(a => s""","alters":{$a}""").getOrElse("")
+    s""","ts":$ts$statsJson$altersJson$more"""
   }
 
   /** Write `df` as one immutable data dir; returns the root-relative path. */
-  private def writeDataDir(spark: SparkSession, root: String, df: DataFrame): String = {
+  private[graft] def writeDataDir(spark: SparkSession, root: String, df: DataFrame): String = {
     val rel = s"data/${java.util.UUID.randomUUID()}"
     df.write.mode("errorifexists").parquet(s"$root/$rel")
     rel
@@ -205,7 +247,7 @@ object Versioned {
     throw new IllegalStateException(s"commit contention not resolving at $root")
   }
 
-  private def publish(spark: SparkSession, root: String,
+  private[graft] def publish(spark: SparkSession, root: String,
       dirsOf: Int => Seq[String], statsCol: Option[String] = None,
       precomputed: Map[String, (Long, Long)] = Map.empty): Int =
     publishRecord(spark, root, head => {
@@ -259,7 +301,11 @@ object Versioned {
       .distinct().collect().map(_.getString(0))
     val touched = dirs0.filter(d => touchedFiles.exists(_.contains(s"/$d/"))).toSet
     val rewritten = dirs0.filter(touched).map { d =>
-      writeDataDir(spark, root, transform(spark.read.parquet(s"$root/$d")))
+      // read through the evolved-schema view: a rewritten pre-alter dir
+      // must come out carrying the full schema (nulls materialized), or
+      // the alter entry — which names the OLD dir — would no longer
+      // cover it and reads would misalign
+      writeDataDir(spark, root, transform(readDirs(spark, root, head0, Seq(d))))
     }
     publish(spark, root, head =>
       (if (head == 0) Seq.empty else manifest(spark, root, head))
@@ -316,7 +362,7 @@ object Versioned {
     val touched = dirs0.filter(d => touchedFiles.exists(_.contains(s"/$d/"))).toSet
     val rewritten = dirs0.filter(touched).map { d =>
       writeDataDir(spark, root,
-        spark.read.parquet(s"$root/$d").join(keysDf, Seq(key), "left_anti"))
+        readDirs(spark, root, head0, Seq(d)).join(keysDf, Seq(key), "left_anti"))
     }
     val newDir = writeDataDir(spark, root, updates)
     publish(spark, root, head =>
@@ -324,12 +370,57 @@ object Versioned {
         .filterNot(touched) ++ rewritten :+ newDir)
   }
 
+  /** Schema evolution: publish a new version with the SAME data (no dir
+    * is touched or rewritten — the alter is a pure metadata commit) plus
+    * a new column of `sqlType`.  Every dir in the current manifest
+    * predates the column and is recorded for null-filling on read; all
+    * data written AFTER the alter (appends, updates, merges) must carry
+    * the full evolved schema.  Time travel to a pre-alter version
+    * returns the old schema untouched — the alter entry lives only in
+    * records from this version on. */
+  def commitAlterAdd(spark: SparkSession, root: String, colName: String,
+      sqlType: String): Int = {
+    require(!colName.contains("|") && !colName.contains("\""),
+      s"unsupported characters in column name $colName")
+    publishRecord(spark, root, head => {
+      require(head > 0, s"no committed version at $root")
+      val dirs = manifest(spark, root, head)
+      val entry = s""""$colName|$sqlType":"${dirs.mkString(",")}""""
+      val frag = altersFragOf(spark, root, head).filter(_.nonEmpty)
+        .map(p => s"$p,$entry").getOrElse(entry)
+      (dirs, extraFields(spark, root, head, dirs, None, "", Map.empty, Some(frag)))
+    }).get
+  }
+
+  /** Read a dir subset under version `v`'s schema: dirs predating an
+    * altered-in column are scanned per missing-column GENERATION and
+    * null-filled, then aligned by name — so a filter on an original
+    * column pushes into every generation's scan, and a filter on an
+    * added column constant-folds the pre-alter generations to an empty
+    * relation (the scan is pruned entirely, not read-and-dropped). */
+  private[graft] def readDirs(spark: SparkSession, root: String, v: Int,
+      dirs: Seq[String]): DataFrame = {
+    val alters = altersOf(spark, root, v)
+    if (alters.isEmpty) spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+    else {
+      val groups = dirs.groupBy(d => alters.filter(_._3.contains(d)).map(a => (a._1, a._2)))
+        .toSeq // oldest generation first, so output column order is stable
+        .sortBy { case (missing, _) => (-missing.size, missing.map(_._1).mkString(",")) }
+      groups.map { case (missing, ds) =>
+        missing.foldLeft(spark.read.parquet(ds.map(d => s"$root/$d"): _*)) {
+          case (df, (c, t)) => df.withColumn(c, lit(null).cast(t))
+        }
+      }.reduce(_.unionByName(_))
+    }
+  }
+
   /** Time-travel read of version `v` (dir-list union; schema from the
-    * footers). */
+    * footers, with pre-alter generations null-filled — see
+    * [[commitAlterAdd]]). */
   def readAt(spark: SparkSession, root: String, v: Int): DataFrame = {
     val dirs = manifest(spark, root, v)
     require(dirs.nonEmpty, s"version $v of $root has no data")
-    spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+    readDirs(spark, root, v, dirs)
   }
 
   /** Zone-map-pruned range read: `statsCol BETWEEN lo AND hi` over
@@ -348,7 +439,7 @@ object Versioned {
       .filter(d => st.get(d).forall { case (a, b) => b >= lo && a <= hi })
     val base =
       if (keep.isEmpty) readAt(spark, root, v).limit(0)
-      else spark.read.parquet(keep.map(d => s"$root/$d"): _*)
+      else readDirs(spark, root, v, keep)
     base.filter(col(colName).between(lo, hi))
   }
 
@@ -547,10 +638,14 @@ object Versioned {
     val da = manifest(spark, root, va)
     val db = manifest(spark, root, vb)
     require((da ++ db).nonEmpty, s"diff of two empty versions of $root")
+    // both sides read under the NEWER version's schema, so a diff across
+    // an alter compares null-filled old rows against full-schema rows
+    // and rows untouched but for the schema change still cancel
+    val vMax = math.max(va, vb)
     def read(only: Seq[String]): DataFrame =
       if (only.isEmpty) // schema from whichever side has data dirs
-        spark.read.parquet((da ++ db).map(d => s"$root/$d"): _*).limit(0)
-      else spark.read.parquet(only.map(d => s"$root/$d"): _*)
+        readDirs(spark, root, vMax, (da ++ db).distinct).limit(0)
+      else readDirs(spark, root, vMax, only)
     val a = read(da.filterNot(db.toSet))
     val b = read(db.filterNot(da.toSet))
     b.exceptAll(a).withColumn("op", lit("added"))
@@ -655,6 +750,63 @@ object Versioned {
     readAt(spark, table, currentVersion(spark, table))
   }
 
+  /** Judged query: schema evolution through the real log.  v1 = the
+    * base slice; v2 = `commitAlterAdd("quality", bigint)` — a pure
+    * metadata commit, no dir rewritten; v3 appends the day-2 slice
+    * WITH the new column populated.  Reading the head must null-fill
+    * the pre-alter generation and carry the appended values — the
+    * oracle expresses exactly that relation. */
+  val tableSchemaEvolution: graft.GraftQuery = graft.GraftQuery("q_table_schema_evolution",
+    """SELECT doc_id, lang, n_chars,
+      |       CASE WHEN doc_id % 10 >= 8 THEN n_chars % 97 ELSE NULL END AS quality
+      |FROM documents""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Versioned.commit(spark, root, docs.filter(col("doc_id") % 10 < 8))
+    Versioned.commitAlterAdd(spark, root, "quality", "bigint")
+    Versioned.commitAppend(spark, root,
+      docs.filter(col("doc_id") % 10 >= 8)
+        .withColumn("quality", col("n_chars") % 97))
+    Versioned.readAt(spark, root, 3)
+  }
+
+  /** Judged query: DELETE + vacuum through the real log.  The base
+    * corpus lands range-clustered; the copy-on-write delete
+    * (`commitUpdate(pred, filter(!pred))`) rewrites only the dirs
+    * holding matched rows; vacuum(keep=1) then reclaims the replaced
+    * dirs and v1's record while every carried dir stays live.  Output =
+    * the head; oracle = the filtered recompute. */
+  val tableDelete: graft.GraftQuery = graft.GraftQuery("q_table_delete",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE NOT (doc_id % 7 = 0 OR doc_id BETWEEN 260 AND 340)""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Versioned.commitAppendClustered(spark, root, docs, "doc_id", buckets = 8)
+    val pred = col("doc_id") % 7 === 0 || col("doc_id").between(260, 340)
+    Versioned.commitUpdate(spark, root, pred, d => d.filter(!pred))
+    Versioned.vacuum(spark, root, keep = 1)
+    Versioned.readAt(spark, root, Versioned.currentVersion(spark, root))
+  }
+
+  /** Judged query: AS-OF read through the real log.  v1 = the base
+    * slice; the query waits out the millisecond so v2's monotone stamp
+    * strictly exceeds t1, appends the day-2 slice, then resolves
+    * `readAsOf(t1)` — which must land on v1 exactly, whatever v2 did.
+    * Oracle = the v1 slice by expression. */
+  val tableAsOf: graft.GraftQuery = graft.GraftQuery("q_table_asof",
+    """SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 < 8""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    Versioned.commit(spark, root, docs.filter(col("doc_id") % 10 < 8))
+    val t1 = Versioned.tsOf(spark, root, 1)
+    while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+    Versioned.commitAppend(spark, root, docs.filter(col("doc_id") % 10 >= 8))
+    Versioned.readAsOf(spark, root, t1)
+  }
+
   val all: Seq[graft.GraftQuery] =
-    Seq(tableDiff, tableZonemap, tableMerge, tableStreamIngest)
+    Seq(tableDiff, tableZonemap, tableMerge, tableStreamIngest,
+      tableSchemaEvolution, tableDelete, tableAsOf)
 }

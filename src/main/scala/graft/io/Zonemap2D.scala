@@ -1,0 +1,144 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 2-D zone maps over the [[Versioned]] commit log: range-cluster an
+  * ingest on the MORTON INTERLEAVE of two coordinate columns, record
+  * per-dir [zmin,zmax] in the manifest, and answer box queries
+  * `x BETWEEN loX AND hiX AND y BETWEEN loY AND hiY` by pruning dirs on
+  * driver-side metadata — the multi-dimensional counterpart of
+  * [[Versioned.readRange]], with the same economics: at 10⁵ dirs the
+  * file LISTING is the scan bottleneck, and a 1-D zone map on x reads
+  * every dir once the query also constrains y (each x-clustered dir
+  * spans the full y domain).  Z-ordering gives each dir a small
+  * RECTANGLE of the (x,y) space, so a point-ish probe touches O(1)
+  * dirs whatever dimension it constrains.
+  *
+  * The pruning test is EXACT, not the coarse z-envelope: a dir's
+  * [zmin,zmax] interval is intersected with the query box by quadtree
+  * descent (the BIGMIN/LITMAX idea expressed recursively), so the
+  * z-curve's jump artifacts — interval ranges that enter and leave the
+  * box — produce no false-positive reads beyond a bounded node budget.
+  * The box filter still applies to the rows read, so results are
+  * correct whatever the pruning keeps.
+  *
+  * The statsCol is the pseudo column `_z2(xCol,yCol,bits)` (see
+  * [[Versioned.Z2]]), so stats carry-forward, inheritance and per-dir
+  * measurement reuse the 1-D manifest machinery verbatim.  Coordinates
+  * must be non-negative and < 2^bits for a box to SEE them: rows
+  * outside that domain get consistent-but-wrapped codes and can never
+  * satisfy an in-domain box filter (queries are required in-domain),
+  * so correctness degrades to invisibility, never to wrong rows. */
+object Zonemap2D {
+
+  /** Range-clustered 2-D append: ONE range shuffle on the Morton code,
+    * each z-range bucket its own manifest dir with tight [zmin,zmax]
+    * measured in ONE job over the written data.  Buckets are z-curve
+    * segments = unions of small (x,y) rectangles. */
+  def commitAppendClustered2(spark: SparkSession, root: String, df: DataFrame,
+      xCol: String, yCol: String, bits: Int = 16, buckets: Int = 16): Int = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    val sc = s"_z2($xCol,$yCol,$bits)"
+    val z = Versioned.statsExpr(sc)
+    val base = s"data/${java.util.UUID.randomUUID()}"
+    df.withColumn("_z", z).repartitionByRange(buckets, col("_z")).drop("_z")
+      .withColumn("_b", spark_partition_id())
+      .write.mode("errorifexists").partitionBy("_b").parquet(s"$root/$base")
+    val bp = new org.apache.hadoop.fs.Path(s"$root/$base")
+    val rels = Versioned.fs(spark, bp).listStatus(bp).filter(_.isDirectory)
+      .map(st => s"$base/${st.getPath.getName}").sorted.toSeq
+    val pre = spark.read.parquet(s"$root/$base")
+      .groupBy(col("_b")).agg(min(z).as("lo"), max(z).as("hi"))
+      .collect()
+      .flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) None // all-null-coordinate bucket
+        else Some(s"$base/_b=${r.get(0)}" -> (r.getLong(1), r.getLong(2)))
+      }.toMap
+    Versioned.publish(spark, root,
+      head => (if (head == 0) Seq.empty
+               else Versioned.manifest(spark, root, head)) ++ rels,
+      Some(sc), pre)
+  }
+
+  /** Box read `xCol BETWEEN loX AND hiX AND yCol BETWEEN loY AND hiY`
+    * over version `v`, reading ONLY the dirs whose manifest [zmin,zmax]
+    * provably contains a Morton code inside the box (a dir with no
+    * entry is conservatively read).  Driver-side pruning before any
+    * file listing; the box filter is re-applied to the rows read. */
+  def readRange2(spark: SparkSession, root: String, v: Int,
+      loX: Long, hiX: Long, loY: Long, hiY: Long): DataFrame = {
+    val sc = Versioned.statsColOf(spark, root, v).getOrElse(
+      throw new IllegalArgumentException(s"$root has no zone-map column"))
+    val (xc, yc, bits) = sc match {
+      case Versioned.Z2(x, y, b) => (x, y, b.toInt)
+      case other => throw new IllegalArgumentException(
+        s"$root keeps a 1-D zone map on $other; use readRange")
+    }
+    val side = 1L << bits
+    require(0 <= loX && hiX < side && 0 <= loY && hiY < side,
+      s"box out of the z-domain [0, $side): ($loX,$hiX)x($loY,$hiY)")
+    val st = Versioned.dirStats(spark, root, v)
+    val keep = Versioned.manifest(spark, root, v).filter(d =>
+      st.get(d).forall { case (zlo, zhi) =>
+        zRangeOverlapsBox(zlo, zhi, loX, hiX, loY, hiY, bits)
+      })
+    val base =
+      if (keep.isEmpty) Versioned.readAt(spark, root, v).limit(0)
+      else Versioned.readDirs(spark, root, v, keep)
+    base.filter(col(xc).between(loX, hiX) && col(yc).between(loY, hiY))
+  }
+
+  /** Does the z-interval [zlo,zhi] contain any Morton code whose
+    * decoded (x,y) lies in the box?  Quadtree descent: a node is a
+    * 2^level-side square covering one CONTIGUOUS z-range; reject it if
+    * its z-range misses the interval or its square misses the box,
+    * accept if both are fully contained, else split into the four
+    * z-ordered quadrants (x in even bits: quadrant order is (x0,y0),
+    * (x1,y0), (x0,y1), (x1,y1)).  Nodes needing descent hug the
+    * interval endpoints and the box boundary, so the visit count stays
+    * small; a defensive budget caps pathological cases at conservative
+    * `true` (read the dir — never wrong, only unpruned). */
+  private[graft] def zRangeOverlapsBox(zlo: Long, zhi: Long,
+      loX: Long, hiX: Long, loY: Long, hiY: Long, bits: Int): Boolean = {
+    var budget = 10000
+    def rec(zbase: Long, xlo: Long, ylo: Long, level: Int): Boolean = {
+      budget -= 1
+      if (budget <= 0) return true
+      val size = 1L << level
+      val zspan = size * size
+      if (zbase > zhi || zbase + zspan - 1 < zlo) return false
+      if (xlo > hiX || xlo + size - 1 < loX ||
+          ylo > hiY || ylo + size - 1 < loY) return false
+      if (zbase >= zlo && zbase + zspan - 1 <= zhi &&
+          xlo >= loX && xlo + size - 1 <= hiX &&
+          ylo >= loY && ylo + size - 1 <= hiY) return true
+      if (level == 0) return true // single in-interval, in-box cell
+      val h = size / 2; val q = zspan / 4
+      rec(zbase, xlo, ylo, level - 1) ||
+        rec(zbase + q, xlo + h, ylo, level - 1) ||
+        rec(zbase + 2 * q, xlo, ylo + h, level - 1) ||
+        rec(zbase + 3 * q, xlo + h, ylo + h, level - 1)
+    }
+    rec(0L, 0L, 0L, bits)
+  }
+
+  /** Judged query: the 2-D ingest + box-read path.  One clustered
+    * append lands the corpus as 16 z-range bucket dirs over
+    * (doc_id, n_chars); the box probe prunes every dir whose z-interval
+    * provably misses the box (the spec asserts the pruned scan via
+    * inputFiles and the point-probe advantage over the 1-D map).  The
+    * oracle is the plain conjunctive range filter. */
+  val tableZonemap2d: graft.GraftQuery = graft.GraftQuery("q_table_zonemap2d",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id BETWEEN 120 AND 380 AND n_chars BETWEEN 100 AND 400""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val v = commitAppendClustered2(spark, root, docs, "doc_id", "n_chars",
+      bits = 16, buckets = 16)
+    readRange2(spark, root, v, 120L, 380L, 100L, 400L)
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(tableZonemap2d)
+}

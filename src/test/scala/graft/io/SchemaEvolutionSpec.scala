@@ -1,0 +1,110 @@
+package graft.io
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for schema evolution on the versioned table: the alter is a
+  * pure metadata commit; pre-alter generations null-fill on read while
+  * time travel to a pre-alter version returns the OLD schema; filters
+  * push into every generation's scan (and constant-fold pre-alter
+  * generations away when they constrain the added column); CoW updates
+  * and diffs stay correct across the alter boundary. */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newRoot() =
+    s"/tmp/graft_schema_evo_spec/${java.util.UUID.randomUUID()}"
+
+  test("alter adds a null-filled column; time travel keeps the old schema") {
+    val root = newRoot()
+    Versioned.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val v2 = Versioned.commitAlterAdd(spark, root, "q", "bigint")
+    assert(v2 == 2)
+    // the alter touched no data: same dirs, no rewrite
+    assert(Versioned.manifest(spark, root, 2) == Versioned.manifest(spark, root, 1))
+    Versioned.commitAppend(spark, root, Seq((3L, "c", 30L)).toDF("id", "s", "q"))
+    val head = Versioned.readAt(spark, root, 3)
+    assert(head.columns.toSeq == Seq("id", "s", "q"))
+    assert(head.as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(30L))))
+    // pre-alter version: OLD schema, no phantom column
+    assert(Versioned.readAt(spark, root, 1).columns.toSeq == Seq("id", "s"))
+    // the alter version itself reads with the new (all-null) column
+    assert(Versioned.readAt(spark, root, 2).filter(col("q").isNotNull).count() == 0)
+  }
+
+  test("filter on the added column prunes pre-alter generations entirely") {
+    val root = newRoot()
+    Versioned.commit(spark, root, (1L to 100L).map(i => (i, s"a$i")).toDF("id", "s"))
+    Versioned.commitAlterAdd(spark, root, "q", "bigint")
+    Versioned.commitAppend(spark, root,
+      (101L to 200L).map(i => (i, s"b$i", i * 10)).toDF("id", "s", "q"))
+    val oldDir = Versioned.manifest(spark, root, 1).head
+    val probe = Versioned.readAt(spark, root, 3).filter(col("q") > 1500L)
+    assert(probe.count() == 50)
+    // the pre-alter generation's q is lit(null): the filter folds it to
+    // an empty relation and its files never appear in the scan
+    assert(probe.inputFiles.nonEmpty && probe.inputFiles.forall(!_.contains(s"/$oldDir/")),
+      "pre-alter generation must be pruned, not read-and-dropped")
+    // a filter on an ORIGINAL column still reads (and pushes into) both
+    val both = Versioned.readAt(spark, root, 3).filter(col("id").between(90L, 110L))
+    assert(both.count() == 21)
+    assert(both.inputFiles.exists(_.contains(s"/$oldDir/")))
+  }
+
+  test("CoW update across the alter boundary rewrites with the evolved schema") {
+    val root = newRoot()
+    Versioned.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Versioned.commitAlterAdd(spark, root, "q", "bigint")
+    // backfill q for one pre-alter row: the touched dir is read through
+    // the evolved view, so the rewrite lands with the full schema
+    Versioned.commitUpdate(spark, root, col("id") === 2L,
+      d => d.withColumn("q", when(col("id") === 2L, lit(20L)).otherwise(col("q"))))
+    assert(Versioned.readAt(spark, root, 3)
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", None), (2L, "b", Some(20L))))
+    // diff across the boundary: rows the rewrite left alone CANCEL in
+    // the multiset compare — only the backfilled row moved
+    val d = Versioned.diff(spark, root, 2, 3)
+    assert(d.filter(col("op") === "added").count() == 1)
+    assert(d.filter(col("op") === "removed").count() == 1)
+    assert(Versioned.diff(spark, root, 2, 3)
+      .filter(col("id") === 2L && col("op") === "added")
+      .select("q").as[Option[Long]].collect().toSeq == Seq(Some(20L)))
+  }
+
+  test("diff across the alter: an append diff is just the appended batch") {
+    val root = newRoot()
+    Versioned.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    Versioned.commitAlterAdd(spark, root, "q", "bigint")
+    Versioned.commitAppend(spark, root, Seq((2L, "b", 20L)).toDF("id", "s", "q"))
+    val d13 = Versioned.diff(spark, root, 1, 3)
+      .as[(Long, String, Option[Long], String)].collect().toSeq
+    assert(d13 == Seq((2L, "b", Some(20L), "added")),
+      "shared pre-alter dir must cancel under the evolved-schema read")
+  }
+
+  test("two alters stack; zone-map reads survive evolution") {
+    val root = newRoot()
+    Versioned.commitAppendClustered(spark, root,
+      (1L to 100L).map(i => (i, s"a$i")).toDF("id", "s"), "id", buckets = 4)
+    Versioned.commitAlterAdd(spark, root, "q", "bigint")
+    Versioned.commitAppendClustered(spark, root,
+      (101L to 200L).map(i => (i, s"b$i", i)).toDF("id", "s", "q"), "id", buckets = 4)
+    Versioned.commitAlterAdd(spark, root, "tag", "string")
+    Versioned.commitAppendClustered(spark, root,
+      (201L to 300L).map(i => (i, s"c$i", i, "t")).toDF("id", "s", "q", "tag"), "id", buckets = 4)
+    val head = Versioned.currentVersion(spark, root)
+    assert(Versioned.readAt(spark, root, head).columns.toSeq ==
+      Seq("id", "s", "q", "tag"))
+    // range read spans all three generations and null-fills each correctly
+    val r = Versioned.readRange(spark, root, head, 95L, 205L)
+      .as[(Long, String, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(r.size == 111)
+    assert(r.head == (95L, "a95", None, None))
+    assert(r.find(_._1 == 150L).get == (150L, "b150", Some(150L), None))
+    assert(r.last == (205L, "c205", Some(205L), Some("t")))
+  }
+}
