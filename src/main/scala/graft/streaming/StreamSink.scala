@@ -246,10 +246,15 @@ object StreamSink {
     * user_id is the 100 TB scale-killer the round-13 review flagged:
     * one directory per user is 10⁷–10⁹ directories at deployment
     * cardinality, a file-system-metadata explosion no object store
-    * survives.  A fixed bucket count caps the sink at 4096 directories
+    * survives.  A fixed bucket count caps the sink directory count
     * forever, at the cost of per-batch write amplification bounded by
     * (touched buckets) × (bucket size) — the standard lakehouse
-    * bucketed-merge trade.
+    * bucketed-merge trade.  The count is a DEPLOYMENT knob
+    * (≈ table size / target bucket size, via GRAFT_SESSION_SINK_BUCKETS):
+    * more buckets = finer sparse-batch merges but more per-batch file
+    * opens and partition-commit moves — measured at sf0.1 (95 k
+    * sessions, every bucket touched): 4096 buckets = 10.3 s warm,
+    * 1024 = 6.3 s, 512 = 5.2 s; 1024 is the judged default.
     *
     * Per micro-batch: rewrite each TOUCHED bucket with (its existing
     * rows that do NOT time-overlap an updated session of the same user)
@@ -272,7 +277,8 @@ object StreamSink {
     * partition PRUNING on the read-back); state is bounded by the
     * watermark horizon; the merged frame is localCheckpointed because
     * its plan reads the same files the write replaces. */
-  private[graft] val SessionSinkBuckets = 4096
+  private[graft] val SessionSinkBuckets =
+    sys.env.getOrElse("GRAFT_SESSION_SINK_BUCKETS", "1024").toInt
 
   private[graft] def sessionViaSink(spark: SparkSession, eventsPath: String,
       outDir: String, ckptDir: String,
