@@ -506,6 +506,59 @@ object Versioned {
     publish(spark, root, _ => rels, Some(statsCol), pre)
   }
 
+  /** Self-scheduling OPTIMIZE: fold only the dirs that actually hurt.
+    *
+    * A range-clustered table stays prunable as long as dir [min,max]
+    * ranges are near-disjoint; every clustered APPEND of
+    * domain-spanning data adds another full-width layer, so a point
+    * probe's touched-dir count grows with the append count — the decay
+    * the weekly `compactClustered` used to fix by rewriting the whole
+    * head on a calendar schedule.  This policy replaces the calendar
+    * with the zone map itself: group the manifest's dirs into CONNECTED
+    * OVERLAPPING COMPONENTS (interval sweep over the driver-side stats
+    * — no data I/O), and fold only components deeper than `maxCover`,
+    * each into `buckets` fresh near-disjoint dirs.  Dirs with no stats
+    * are unprunable and ride along whenever anything folds.
+    *
+    * The shape this buys at 100 TB: time-keyed ingest (each day's
+    * append covers a NEW key range) produces singleton components and
+    * the policy never rewrites anything — compaction cost is zero
+    * because pruning never decayed; domain-spanning ingest triggers a
+    * fold only once `maxCover` layers have accrued, so write
+    * amplification is bounded by 1/maxCover of the rewrite-daily
+    * discipline while point reads stay ≤ maxCover dirs.  Concurrent
+    * appends compose: publish re-resolves the head and carries dirs
+    * this optimize never saw.  Returns the new version, or None when
+    * the layout is already healthy (the common case — and the reason
+    * this can run after EVERY commit). */
+  def optimizeClustered(spark: SparkSession, root: String, statsCol: String,
+      buckets: Int = 16, maxCover: Int = 2): Option[Int] = {
+    val head0 = currentVersion(spark, root)
+    require(head0 > 0, s"no committed version at $root")
+    val dirs0 = manifest(spark, root, head0)
+    val st = dirStats(spark, root, head0)
+    val known = dirs0.flatMap(d => st.get(d).map(d -> _)).sortBy(_._2._1)
+    val comps = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+    var cur = Vector.empty[String]
+    var curHi = Long.MinValue
+    known.foreach { case (d, (lo, hi)) =>
+      if (cur.isEmpty || lo <= curHi) { cur :+= d; curHi = math.max(curHi, hi) }
+      else { comps += cur; cur = Vector(d); curHi = hi }
+    }
+    if (cur.nonEmpty) comps += cur
+    val statless = dirs0.filterNot(st.contains)
+    val fold: Seq[String] = comps.filter(_.size > maxCover).flatten.toSeq ++
+      (if (comps.exists(_.size > maxCover)) statless else Seq.empty)
+    if (fold.isEmpty) return None
+    val (rels, pre) = writeClustered(spark, root,
+      readDirs(spark, root, head0, fold), statsCol, buckets)
+    val foldSet = fold.toSet
+    Some(publish(spark, root, head =>
+      (if (head == 0) Seq.empty else manifest(spark, root, head))
+        .filterNot(foldSet) ++ rels,
+      Some(statsCol), pre))
+  }
+
   /** One range shuffle, each bucket its own dir, ALL bucket [min,max]
     * entries in ONE job over the partitioned write (per-dir footer
     * probes would cost `buckets` scheduler round-trips). */
@@ -806,7 +859,29 @@ object Versioned {
     Versioned.readAsOf(spark, root, t1)
   }
 
+  /** Judged query: the self-scheduling OPTIMIZE.  Three clustered
+    * appends of interleaved corpus slices (each spanning the full
+    * doc_id domain) decay the layout to cover-3; `optimizeClustered`
+    * detects the overlap from the manifest stats alone and folds the
+    * component back to 8 near-disjoint dirs; the output is a pruned
+    * range read over the optimized head.  The oracle is the plain
+    * range filter — folding must never change rows. */
+  val tableOptimize: graft.GraftQuery = graft.GraftQuery("q_table_optimize",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id BETWEEN 260 AND 490""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    (0 until 3).foreach { r =>
+      Versioned.commitAppendClustered(spark, root,
+        docs.filter(col("doc_id") % 3 === r), "doc_id", buckets = 8)
+    }
+    val v = Versioned.optimizeClustered(spark, root, "doc_id", buckets = 8)
+      .getOrElse(sys.error("3 spanning layers must trigger a fold"))
+    Versioned.readRange(spark, root, v, 260L, 490L)
+  }
+
   val all: Seq[graft.GraftQuery] =
     Seq(tableDiff, tableZonemap, tableMerge, tableStreamIngest,
-      tableSchemaEvolution, tableDelete, tableAsOf)
+      tableSchemaEvolution, tableDelete, tableAsOf, tableOptimize)
 }
