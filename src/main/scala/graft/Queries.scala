@@ -21,6 +21,8 @@ object Queries {
       io.CatalogTables.all ++
       io.Versioned.all ++
       io.Zonemap2D.all ++
+      io.ChangeFeed.all ++
+      io.BloomIndex.all ++
       io.IncrementalView.all ++
       joins.BloomPrune.all ++
       fns.Scalars.all ++

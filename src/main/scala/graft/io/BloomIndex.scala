@@ -1,0 +1,104 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-dir bloom filters in the [[Versioned]] manifest: dir-level point
+  * pruning on a column the LAYOUT does not order.  A zone map serves
+  * exactly one clustering order; every other high-cardinality column
+  * (the doc fingerprint, the user id, the upstream batch key) sees its
+  * values scattered across all dirs, so a point lookup must read the
+  * whole table — unless each dir carries a membership sketch.  The
+  * commit records `"bloomCol","bloomBits"` and a per-dir base64 bitset;
+  * [[readPoint]] hashes the probe values driver-side and keeps only the
+  * dirs whose filter claims a hit (absent entry = conservatively read).
+  * False positives cost an extra dir read, never a wrong row — the
+  * equality filter is re-applied to whatever is read.
+  *
+  * Sizing: k=3 hashes into `bits` (default 2^16 = 8 KB per dir, ~11 KB
+  * base64 in the manifest).  At the 100 TB shape — 10⁴–10⁵ dirs of
+  * ~10⁶ distinct keys each — that default runs hot (fpp ~1); size
+  * `bits` to ~10 per expected distinct key per dir (2^23 = 1 MB/dir for
+  * 10⁶ keys, fpp ≈ 3%), or cluster the probe column instead.  The
+  * filter build is one aggregation over the NEW dir only (distinct bit
+  * positions, ≤ `bits` ints to the driver), carried verbatim by every
+  * later commit exactly like zone-map stats; bloom-less commit paths
+  * (plain appends, CoW rewrites) leave their new dirs unindexed —
+  * composition degrades to conservative reads, never to wrong pruning. */
+object BloomIndex {
+
+  private val K = 3
+
+  /** Bit positions of one value.  Hashes the CANONICAL STRING form:
+    * xxhash64 folds the input type into the hash, so an INT column
+    * probed with a LONG literal would otherwise hash differently and
+    * the filter would wrongly prune dirs that hold the value. */
+  private def positions(c: Column, bits: Int): Column =
+    array((0 until K).map(i =>
+      pmod(xxhash64(lit(i), c.cast("string")), lit(bits.toLong))): _*)
+
+  /** Append `df` with a bloom entry for the new dir, declaring (or
+    * re-declaring) `bloomCol`/`bits` for the table. */
+  def commitAppendBloom(spark: SparkSession, root: String, df: DataFrame,
+      bloomCol: String, bits: Int = 1 << 16): Int = {
+    require(Integer.bitCount(bits) == 1 && bits >= 64, s"bits must be a power of 2 >= 64: $bits")
+    val rel = Versioned.writeDataDir(spark, root, df)
+    val staged = spark.read.parquet(s"$root/$rel")
+    val n = staged.count()
+    val set = staged.select(explode(positions(col(bloomCol), bits)).as("p"))
+      .distinct().collect().map(_.getLong(0).toInt)
+    val bytes = new Array[Byte](bits / 8)
+    set.foreach(p => bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bytes)
+    Versioned.publish(spark, root, head =>
+      (if (head == 0) Seq.empty else Versioned.manifest(spark, root, head)) :+ rel,
+      precomputedRows = Map(rel -> n),
+      blooms = Some((bloomCol, bits, Map(rel -> b64))))
+  }
+
+  /** Point read `bloomCol IN (values)` over version `v`, reading only
+    * the dirs whose bloom filter claims at least one probe value (or
+    * that carry no filter).  Probe hashing runs through the SAME Spark
+    * expressions as the build — one 1-row local job — so driver and
+    * executor hashing can never drift. */
+  def readPoint(spark: SparkSession, root: String, v: Int,
+      values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "empty probe set")
+    val (c, bits) = Versioned.bloomColOf(spark, root, v).getOrElse(
+      throw new IllegalArgumentException(s"$root has no bloom index"))
+    import spark.implicits._
+    val probes: Array[Array[Int]] = values.toDF("v")
+      .select(positions(col("v"), bits).as("ps")).collect()
+      .map(_.getSeq[Long](0).map(_.toInt).toArray)
+    val blooms = Versioned.dirBlooms(spark, root, v)
+    def hits(b64: String): Boolean = {
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      probes.exists(_.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0))
+    }
+    val keep = Versioned.manifest(spark, root, v).filter(d => blooms.get(d).forall(hits))
+    val base =
+      if (keep.isEmpty) Versioned.readAt(spark, root, v).limit(0)
+      else Versioned.readDirs(spark, root, v, keep)
+    base.filter(col(c).isin(values: _*))
+  }
+
+  /** Judged query: bloom-pruned point lookup on an UNCLUSTERED key.
+    * Four appends of interleaved corpus slices (doc_id % 4) give every
+    * dir the full doc_id span — a zone map would prune nothing — and
+    * each dir a bloom entry; the 3-key probe must read only the dirs
+    * whose filter fires (the spec asserts ≤ expected dirs via
+    * inputFiles).  Oracle = the plain IN filter. */
+  val tableBloomPoint: graft.GraftQuery = graft.GraftQuery("q_table_bloom_point",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (17, 138, 422)""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    (0 until 4).foreach { r =>
+      commitAppendBloom(spark, root, docs.filter(col("doc_id") % 4 === r), "doc_id")
+    }
+    readPoint(spark, root, Versioned.currentVersion(spark, root), Seq(17L, 138L, 422L))
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(tableBloomPoint)
+}

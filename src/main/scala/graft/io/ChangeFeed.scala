@@ -1,0 +1,81 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyed change data feed over the [[Versioned]] commit log: the CDC
+  * relation `va → vb` with `_change_type ∈ {insert, delete,
+  * update_preimage, update_postimage}` — what a downstream consumer
+  * (an index, an MV, a replica, a feature store) subscribes to instead
+  * of re-diffing snapshots itself.
+  *
+  * Derivation: [[Versioned.diff]] yields the row-level multiset delta,
+  * MANIFEST-PRUNED — dirs shared by both manifests cancel without being
+  * read, so a day-2 append/merge/delete chain feeds the CDC from the
+  * touched dirs only, never a table scan.  The delta's two sides are
+  * then aligned on `key` with ONE full-outer join: a key present only
+  * in the new side is an insert, only in the old side a delete, and in
+  * both an update emitting its pre- and post-image (rows whose payload
+  * did not change cancelled inside the diff and emit nothing).  Keys
+  * must be unique per snapshot and non-null — the same contract a keyed
+  * [[Versioned.commitMerge]] table already lives under; a key-changing
+  * rewrite surfaces as delete + insert, the standard CDC convention. */
+object ChangeFeed {
+
+  /** The change rows `va → vb`, schema = table columns + `_change_type`. */
+  def changes(spark: SparkSession, root: String, va: Int, vb: Int,
+      key: String): DataFrame = {
+    val d = Versioned.diff(spark, root, va, vb)
+    val payload = d.columns.filterNot(c => c == "op" || c == key)
+    def side(op: String) = d.filter(col("op") === op)
+      .select(col(key), struct(payload.map(col): _*).as(s"_$op"))
+    val j = side("removed").join(side("added"), Seq(key), "full_outer")
+    // each joined key explodes into its 1-or-2 change rows
+    val tagged = j.select(col(key), explode(
+      when(col("_removed").isNull, array(struct(col("_added").as("img"), lit("insert").as("t"))))
+        .when(col("_added").isNull, array(struct(col("_removed").as("img"), lit("delete").as("t"))))
+        .otherwise(array(
+          struct(col("_removed").as("img"), lit("update_preimage").as("t")),
+          struct(col("_added").as("img"), lit("update_postimage").as("t"))))).as("ch"))
+    payload.foldLeft(tagged)((df, c) => df.withColumn(c, col(s"ch.img.$c")))
+      .withColumn("_change_type", col("ch.t"))
+      .drop("ch")
+  }
+
+  /** Judged query: the CDC relation across a realistic day-2 write
+    * chain.  v1 = the clustered base slice; v2 = keyed MERGE (the
+    * [260,490] window's n_chars bumped + the day-2 slice inserted);
+    * v3 = copy-on-write DELETE of every 9th doc.  `changes(1, 3)` must
+    * emit exactly the inserts, deletes, and update pre/post images the
+    * oracle derives by expression over the raw corpus. */
+  val tableCdf: graft.GraftQuery = graft.GraftQuery("q_table_cdf",
+    """WITH base AS (SELECT doc_id, lang, n_chars FROM documents)
+      |SELECT doc_id, lang, n_chars, 'insert' AS _change_type
+      |FROM base WHERE doc_id % 10 >= 8 AND doc_id % 9 <> 0
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars, 'delete' AS _change_type
+      |FROM base WHERE doc_id % 10 < 8 AND doc_id % 9 = 0
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars, 'update_preimage' AS _change_type
+      |FROM base WHERE doc_id % 10 < 8 AND doc_id % 9 <> 0
+      |  AND doc_id BETWEEN 260 AND 490
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'update_postimage' AS _change_type
+      |FROM base WHERE doc_id % 10 < 8 AND doc_id % 9 <> 0
+      |  AND doc_id BETWEEN 260 AND 490""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    Versioned.commitAppendClustered(spark, root, base, "doc_id", buckets = 8)
+    val updates = base.filter(col("doc_id").between(260, 490))
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(docs.filter(col("doc_id") % 10 >= 8))
+    Versioned.commitMerge(spark, root, updates, "doc_id")
+    val pred = col("doc_id") % 9 === 0
+    Versioned.commitUpdate(spark, root, pred, d => d.filter(!pred))
+    changes(spark, root, 1, 3, "doc_id")
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(tableCdf)
+}

@@ -48,17 +48,19 @@ object Zonemap2D {
     val bp = new org.apache.hadoop.fs.Path(s"$root/$base")
     val rels = Versioned.fs(spark, bp).listStatus(bp).filter(_.isDirectory)
       .map(st => s"$base/${st.getPath.getName}").sorted.toSeq
-    val pre = spark.read.parquet(s"$root/$base")
-      .groupBy(col("_b")).agg(min(z).as("lo"), max(z).as("hi"))
+    val agg = spark.read.parquet(s"$root/$base")
+      .groupBy(col("_b"))
+      .agg(min(z).as("lo"), max(z).as("hi"), count(lit(1)).as("n"))
       .collect()
-      .flatMap { r =>
+    val pre = agg.flatMap { r =>
         if (r.isNullAt(1) || r.isNullAt(2)) None // all-null-coordinate bucket
         else Some(s"$base/_b=${r.get(0)}" -> (r.getLong(1), r.getLong(2)))
       }.toMap
+    val rows = agg.map(r => s"$base/_b=${r.get(0)}" -> r.getLong(3)).toMap
     Versioned.publish(spark, root,
       head => (if (head == 0) Seq.empty
                else Versioned.manifest(spark, root, head)) ++ rels,
-      Some(sc), pre)
+      Some(sc), pre, rows)
   }
 
   /** Box read `xCol BETWEEN loX AND hiX AND yCol BETWEEN loY AND hiY`

@@ -1,0 +1,148 @@
+package graft.io
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the round-15 table surface: metadata-only row counts
+  * (proven by answering AFTER the data files are deleted), the keyed
+  * change data feed (exact change rows; unchanged rows emit nothing;
+  * key-changing rewrites surface as delete+insert), the bloom dir-index
+  * (prunes unclustered point probes, conservative on unindexed dirs,
+  * never loses rows), and write-audit-publish (a rejected batch leaves
+  * no trace — head, manifest, and data dirs all unchanged). */
+class TableFeaturesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newRoot() =
+    s"/tmp/graft_tablefeat_spec/${java.util.UUID.randomUUID()}"
+
+  test("countAt answers every version from manifest metadata alone") {
+    val root = newRoot()
+    Versioned.commitAppendClustered(spark, root,
+      (1L to 800L).map(i => (i, i % 50)).toDF("id", "p"), "id", buckets = 4)
+    Versioned.commitAppend(spark, root,
+      (801L to 1000L).map(i => (i, i % 50)).toDF("id", "p"))
+    val pred = col("id") % 7 === 0
+    Versioned.commitUpdate(spark, root, pred, d => d.filter(!pred))
+    assert(Versioned.countAt(spark, root, 1) == 800L)
+    assert(Versioned.countAt(spark, root, 2) == 1000L)
+    assert(Versioned.countAt(spark, root, 3) == (1L to 1000L).count(_ % 7 != 0))
+    // the metadata-only proof: delete every parquet file, ask again
+    val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
+    val f = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = f.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) f.delete(st.getPath, false)
+    }
+    assert(Versioned.countAt(spark, root, 3) == (1L to 1000L).count(_ % 7 != 0))
+  }
+
+  test("change feed: exact insert/delete/update rows, silence on unchanged") {
+    val root = newRoot()
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("k", "s", "n")
+    Versioned.commit(spark, root, v1)
+    // k=1 unchanged, k=2 payload update, k=3 deleted, k=5 inserted,
+    // k=4 -> k=6 key-changing rewrite (CDC convention: delete + insert)
+    val v2 = Seq((1L, "a", 10L), (2L, "b", 99L), (5L, "e", 50L), (6L, "d", 40L))
+      .toDF("k", "s", "n")
+    Versioned.commit(spark, root, v2)
+    val ch = ChangeFeed.changes(spark, root, 1, 2, "k")
+      .as[(Long, String, Long, String)].collect().sortBy(r => (r._1, r._4))
+    assert(ch.toSeq == Seq(
+      (2L, "b", 99L, "update_postimage"), (2L, "b", 20L, "update_preimage"),
+      (3L, "c", 30L, "delete"),
+      (4L, "d", 40L, "delete"),
+      (5L, "e", 50L, "insert"),
+      (6L, "d", 40L, "insert")))
+    // self-diff is empty
+    assert(ChangeFeed.changes(spark, root, 2, 2, "k").isEmpty)
+  }
+
+  test("bloom index: point probe prunes unclustered dirs, never loses rows") {
+    val root = newRoot()
+    // 4 interleaved slices: every dir spans the full id domain
+    (0 until 4).foreach { r =>
+      BloomIndex.commitAppendBloom(spark, root,
+        (0L until 4000L).filter(_ % 4 == r).map(i => (i, i % 13)).toDF("id", "p"),
+        "id", bits = 1 << 14)
+    }
+    val v = Versioned.currentVersion(spark, root)
+    def dirsOf(d: org.apache.spark.sql.DataFrame): Int =
+      d.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct.length
+    // two probes living in two specific dirs (mod-4 classes 1 and 2)
+    val hit = BloomIndex.readPoint(spark, root, v, Seq(137L, 1042L))
+    assert(hit.as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((137L, 137L % 13), (1042L, 1042L % 13)))
+    assert(dirsOf(hit) <= 3, "bloom must prune at least one of the 4 dirs")
+    // an absent key: every dir may reject it (fp allowed, rows never)
+    assert(BloomIndex.readPoint(spark, root, v, Seq(999999L)).isEmpty)
+    // an unindexed dir (plain append) is conservatively read
+    Versioned.commitAppend(spark, root, Seq((100001L, 1L)).toDF("id", "p"))
+    val v2 = Versioned.currentVersion(spark, root)
+    assert(BloomIndex.readPoint(spark, root, v2, Seq(100001L))
+      .as[(Long, Long)].collect().toSeq == Seq((100001L, 1L)))
+    assert(BloomIndex.readPoint(spark, root, v2, Seq(137L))
+      .as[(Long, Long)].collect().toSeq == Seq((137L, 137L % 13)))
+  }
+
+  test("shallow clone: zero copy, carried metadata, CoW isolation, vacuum safety") {
+    val base = newRoot()
+    val src = s"$base/src"; val dst = s"$base/clone"
+    Versioned.commitAppendClustered(spark, src,
+      (1L to 1000L).map(i => (i, i % 17)).toDF("id", "p"), "id", buckets = 4)
+    Versioned.cloneAt(spark, src, dst, 1)
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // zero copy: the clone owns no data dir yet
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dst/data")))
+    assert(Versioned.readAt(spark, dst, 1).as[(Long, Long)].collect().sorted.toSeq
+      == (1L to 1000L).map(i => (i, i % 17)))
+    // carried metadata: counts answer without I/O, zone map prunes
+    assert(Versioned.countAt(spark, dst, 1) == 1000L)
+    val pruned = Versioned.readRange(spark, dst, 1, 10L, 20L)
+    assert(pruned.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length == 1)
+    assert(pruned.count() == 11)
+    // CoW isolation: a merge on the clone never touches the source
+    val before = Versioned.readAt(spark, src, 1).as[(Long, Long)].collect().sorted.toSeq
+    Versioned.commitMerge(spark, dst,
+      Seq((5L, 999L), (2000L, 1L)).toDF("id", "p"), "id")
+    assert(Versioned.currentVersion(spark, src) == 1)
+    assert(Versioned.readAt(spark, src, 1).as[(Long, Long)].collect().sorted.toSeq == before)
+    val merged = Versioned.readAt(spark, dst, 2).as[(Long, Long)].collect().toMap
+    assert(merged(5L) == 999L && merged(2000L) == 1L && merged.size == 1001)
+    // vacuum on the clone reclaims only ITS dirs; the source stays whole
+    Versioned.vacuum(spark, dst, keep = 1)
+    assert(Versioned.readAt(spark, dst, 2).count() == 1001)
+    assert(Versioned.readAt(spark, src, 1).count() == 1000)
+  }
+
+  test("write-audit-publish: a rejected batch leaves no trace") {
+    val root = newRoot()
+    val checks = Seq(
+      "n_nonneg" -> (col("n") >= 0),
+      "k_notnull" -> col("k").isNotNull)
+    Versioned.commitAppendChecked(spark, root,
+      (1L to 100L).map(i => (i, i)).toDF("k", "n"), checks)
+    val before = Versioned.manifest(spark, root, 1)
+    val poisoned = (101L to 110L).map(i => (i, if (i % 2 == 0) -i else i)).toDF("k", "n")
+    val e = intercept[Versioned.CommitRejected] {
+      Versioned.commitAppendChecked(spark, root, poisoned, checks)
+    }
+    assert(e.violations == Map("n_nonneg" -> 5L))
+    assert(Versioned.currentVersion(spark, root) == 1)
+    assert(Versioned.manifest(spark, root, 1) == before)
+    // the staged dir was reclaimed: only v1's dir remains under data/
+    val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
+    val f = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.listStatus(dataDir).length == 1)
+    // SQL CHECK semantics: NULL passes (reject explicitly if wanted)
+    val withNull = Seq((Some(200L), None: Option[Long]), (Some(201L), Some(5L)))
+      .toDF("k", "n")
+    Versioned.commitAppendChecked(spark, root, withNull, checks)
+    assert(Versioned.countAt(spark, root, 2) == 102L)
+  }
+}
