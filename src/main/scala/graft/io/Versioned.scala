@@ -556,6 +556,8 @@ object Versioned {
   def readRange(spark: SparkSession, root: String, v: Int, lo: Long, hi: Long): DataFrame = {
     val colName = statsColOf(spark, root, v).getOrElse(
       throw new IllegalArgumentException(s"$root has no zone-map column; commit with statsCol"))
+    require(Z2.findFirstIn(colName).isEmpty,
+      s"$root keeps a 2-D zone map ($colName); use Zonemap2D.readRange2")
     val st = dirStats(spark, root, v)
     val keep = manifest(spark, root, v)
       .filter(d => st.get(d).forall { case (a, b) => b >= lo && a <= hi })
@@ -688,17 +690,22 @@ object Versioned {
       statsCol: String, buckets: Int)
       : (Seq[String], Map[String, (Long, Long)], Map[String, Long]) = {
     val base = s"data/${java.util.UUID.randomUUID()}"
-    df.repartitionByRange(buckets, col(statsCol))
+    // range-shuffle on the MEASURED expression (for a plain column the
+    // ANSI-safe long view; for a `_z2(x,y,bits)` pseudo column the
+    // Morton code) — so clustering, compaction, and OPTIMIZE all serve
+    // 2-D zone-mapped tables through the same path
+    df.withColumn("_sc", statsExpr(statsCol))
+      .repartitionByRange(buckets, col("_sc")).drop("_sc")
       .withColumn("_b", spark_partition_id())
       .write.mode("errorifexists").partitionBy("_b").parquet(s"$root/$base")
     val bp = new org.apache.hadoop.fs.Path(s"$root/$base")
     val rels = fs(spark, bp).listStatus(bp).filter(_.isDirectory)
       .map(st => s"$base/${st.getPath.getName}").sorted.toSeq
-    val c = tryLong(statsCol)
+    val c = statsExpr(statsCol)
     val agg = spark.read.parquet(s"$root/$base")
       .groupBy(col("_b"))
       .agg(min(c).as("lo"), max(c).as("hi"),
-        count(when(c.isNull && col(statsCol).isNotNull, 1)).as("bad"),
+        count(when(statsBad(statsCol, c), 1)).as("bad"),
         count(lit(1)).as("n"))
       .collect()
     val pre = agg.flatMap { r =>

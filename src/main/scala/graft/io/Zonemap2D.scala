@@ -39,28 +39,11 @@ object Zonemap2D {
   def commitAppendClustered2(spark: SparkSession, root: String, df: DataFrame,
       xCol: String, yCol: String, bits: Int = 16, buckets: Int = 16): Int = {
     require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
-    val sc = s"_z2($xCol,$yCol,$bits)"
-    val z = Versioned.statsExpr(sc)
-    val base = s"data/${java.util.UUID.randomUUID()}"
-    df.withColumn("_z", z).repartitionByRange(buckets, col("_z")).drop("_z")
-      .withColumn("_b", spark_partition_id())
-      .write.mode("errorifexists").partitionBy("_b").parquet(s"$root/$base")
-    val bp = new org.apache.hadoop.fs.Path(s"$root/$base")
-    val rels = Versioned.fs(spark, bp).listStatus(bp).filter(_.isDirectory)
-      .map(st => s"$base/${st.getPath.getName}").sorted.toSeq
-    val agg = spark.read.parquet(s"$root/$base")
-      .groupBy(col("_b"))
-      .agg(min(z).as("lo"), max(z).as("hi"), count(lit(1)).as("n"))
-      .collect()
-    val pre = agg.flatMap { r =>
-        if (r.isNullAt(1) || r.isNullAt(2)) None // all-null-coordinate bucket
-        else Some(s"$base/_b=${r.get(0)}" -> (r.getLong(1), r.getLong(2)))
-      }.toMap
-    val rows = agg.map(r => s"$base/_b=${r.get(0)}" -> r.getLong(3)).toMap
-    Versioned.publish(spark, root,
-      head => (if (head == 0) Seq.empty
-               else Versioned.manifest(spark, root, head)) ++ rels,
-      Some(sc), pre, rows)
+    // the `_z2` pseudo statsCol routes the shared clustered-write path
+    // (and compaction/OPTIMIZE with the same statsCol) through the
+    // Morton code — one machinery for 1-D and 2-D layouts
+    Versioned.commitAppendClustered(spark, root, df,
+      s"_z2($xCol,$yCol,$bits)", buckets)
   }
 
   /** Box read `xCol BETWEEN loX AND hiX AND yCol BETWEEN loY AND hiY`

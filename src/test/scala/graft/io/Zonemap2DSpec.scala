@@ -104,6 +104,32 @@ class Zonemap2DSpec extends AnyFunSuite {
     assert(dirs2 <= 8, s"2-D map keeps a y-band to z-curve rows: $dirs2/16 dirs")
   }
 
+  test("OPTIMIZE on a 2-D table: overlapping z-layers fold, box reads stay exact") {
+    val root = newRoot()
+    val side = 64
+    val grid = (0 until side * side)
+      .map(i => ((i % side).toLong, (i / side).toLong, s"cell$i"))
+    // three interleaved full-domain slices: every z-layer spans the
+    // whole curve, so the layout decays to cover-3
+    (0 until 3).foreach { r =>
+      Zonemap2D.commitAppendClustered2(spark, root,
+        grid.filter(_._3.stripPrefix("cell").toInt % 3 == r).toDF("x", "y", "s"),
+        "x", "y", bits = 6, buckets = 8)
+    }
+    val sc = Versioned.statsColOf(spark, root, 3).get
+    val v = Versioned.optimizeClustered(spark, root, sc, buckets = 8)
+      .getOrElse(fail("3 spanning z-layers must trigger a fold"))
+    // folded back to 8 near-disjoint z-segments
+    assert(Versioned.manifest(spark, root, v).size == 8)
+    val probe = Zonemap2D.readRange2(spark, root, v, 10L, 11L, 20L, 21L)
+    assert(probe.count() == 4)
+    val dirs = Versioned.manifest(spark, root, v)
+      .count(d => probe.inputFiles.exists(_.contains(s"/$d/")))
+    assert(dirs <= 2, s"post-OPTIMIZE point probe read $dirs/8 dirs")
+    // a second optimize is a no-op: the layout is healthy
+    assert(Versioned.optimizeClustered(spark, root, sc, buckets = 8).isEmpty)
+  }
+
   test("judged q_table_zonemap2d equals the plain conjunctive filter") {
     val out = Queries.queries("q_table_zonemap2d")(spark, TestSpark.sf).localCheckpoint()
     val docs = Tables.documents(spark, TestSpark.sf)
