@@ -259,11 +259,23 @@ object Versioned {
       s""","statsCol":"$c","stats":{${entries.mkString(",")}}"""
     }.getOrElse("")
     // per-dir row counts: parent entries carried verbatim, only new or
-    // rewritten dirs counted (parquet answers from footers — O(new data))
+    // rewritten dirs counted — ALL missing dirs in ONE footer-only job
+    // (per-file counts grouped driver-side), not a job per dir
     val parentRows = dirRows(spark, root, head)
+    val missing = dirs.filterNot(d =>
+      parentRows.contains(d) || precomputedRows.contains(d))
+    val counted: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val perFile = spark.read.parquet(missing.map(dataPath(root, _)): _*)
+          .groupBy(input_file_name().as("f")).count()
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        missing.map(d =>
+          d -> perFile.filter(fc => fileInDir(root, fc._1, d)).map(_._2).sum).toMap
+      }
     val rowEntries = dirs.map { d =>
       val n = parentRows.get(d).orElse(precomputedRows.get(d))
-        .getOrElse(spark.read.parquet(dataPath(root, d)).count())
+        .getOrElse(counted.getOrElse(d, 0L)) // no files = an empty dir
       s""""$d":$n"""
     }
     val rowsJson = s""","rows":{${rowEntries.mkString(",")}}"""
@@ -422,16 +434,51 @@ object Versioned {
       .filter(pred).select(input_file_name().as("f"))
       .distinct().collect().map(_.getString(0))
     val touched = dirs0.filter(d => touchedFiles.exists(fileInDir(root, _, d))).toSet
-    val rewritten = dirs0.filter(touched).map { d =>
-      // read through the evolved-schema view: a rewritten pre-alter dir
-      // must come out carrying the full schema (nulls materialized), or
-      // the alter entry — which names the OLD dir — would no longer
-      // cover it and reads would misalign
-      writeDataDir(spark, root, transform(readDirs(spark, root, head0, Seq(d))))
-    }
+    // `transform` is applied PER DIR (each dir's full content, read
+    // through the evolved-schema view so a rewritten pre-alter dir comes
+    // out carrying the full schema), but all rewrites land in ONE
+    // partitioned write — dir boundaries preserved as _d=i subdirs, so
+    // a clustered layout keeps its per-dir [min,max] tightness and the
+    // commit costs 2 jobs, not 2 per touched dir.  A dir whose rows all
+    // vanish writes no partition and drops from the manifest.
+    val rewritten = rewriteDirs(spark, root, head0,
+      dirs0.filter(touched).map(d => transform(readDirs(spark, root, head0, Seq(d)))))
     publish(spark, root, head =>
       (if (head == 0) Seq.empty else manifest(spark, root, head))
-        .filterNot(touched) ++ rewritten)
+        .filterNot(touched) ++ rewritten._1,
+      precomputed = rewritten._2, precomputedRows = rewritten._3)
+  }
+
+  /** Land N per-dir replacement frames as ONE partitioned write
+    * (`_d=i` subdirs) and measure each surviving subdir's stats + row
+    * count in ONE grouped job.  Returns (dirs, stats, rows). */
+  private def rewriteDirs(spark: SparkSession, root: String, head0: Int,
+      frames: Seq[DataFrame])
+      : (Seq[String], Map[String, (Long, Long)], Map[String, Long]) = {
+    if (frames.isEmpty) return (Seq.empty, Map.empty, Map.empty)
+    val base = s"data/${java.util.UUID.randomUUID()}"
+    frames.zipWithIndex
+      .map { case (df, i) => df.withColumn("_d", lit(i)) }
+      .reduce(_.unionByName(_))
+      .write.mode("errorifexists").partitionBy("_d").parquet(s"$root/$base")
+    val bp = new org.apache.hadoop.fs.Path(s"$root/$base")
+    val rels = fs(spark, bp).listStatus(bp).filter(_.isDirectory)
+      .map(st => s"$base/${st.getPath.getName}").sorted.toSeq
+    if (rels.isEmpty) return (Seq.empty, Map.empty, Map.empty)
+    val scOpt = statsColOf(spark, root, head0)
+    val c = scOpt.map(statsExpr).getOrElse(lit(0L))
+    val bad = scOpt.map(sc => statsBad(sc, c)).getOrElse(lit(true))
+    val agg = spark.read.parquet(s"$root/$base")
+      .groupBy(col("_d"))
+      .agg(min(c).as("lo"), max(c).as("hi"),
+        count(when(bad, 1)).as("b"), count(lit(1)).as("n"))
+      .collect()
+    val stats = agg.flatMap { r =>
+      if (scOpt.isEmpty || r.isNullAt(1) || r.isNullAt(2) || r.getLong(3) > 0) None
+      else Some(s"$base/_d=${r.get(0)}" -> (r.getLong(1), r.getLong(2)))
+    }.toMap
+    val rows = agg.map(r => s"$base/_d=${r.get(0)}" -> r.getLong(4)).toMap
+    (rels, stats, rows)
   }
 
   /** Keyed MERGE (upsert): head rows whose `key` matches an update row
@@ -482,14 +529,16 @@ object Versioned {
         .select("f").distinct()
         .collect().map(_.getString(0))
     val touched = dirs0.filter(d => touchedFiles.exists(fileInDir(root, _, d))).toSet
-    val rewritten = dirs0.filter(touched).map { d =>
-      writeDataDir(spark, root,
-        readDirs(spark, root, head0, Seq(d)).join(keysDf, Seq(key), "left_anti"))
-    }
+    // all matched-key evictions land in ONE partitioned write (see
+    // rewriteDirs) — 2 jobs however many dirs the keys touch
+    val rewritten = rewriteDirs(spark, root, head0,
+      dirs0.filter(touched).map(d =>
+        readDirs(spark, root, head0, Seq(d)).join(keysDf, Seq(key), "left_anti")))
     val newDir = writeDataDir(spark, root, updates)
     publish(spark, root, head =>
       (if (head == 0) Seq.empty else manifest(spark, root, head))
-        .filterNot(touched) ++ rewritten :+ newDir)
+        .filterNot(touched) ++ rewritten._1 :+ newDir,
+      precomputed = rewritten._2, precomputedRows = rewritten._3)
   }
 
   /** Schema evolution: publish a new version with the SAME data (no dir
