@@ -15,16 +15,18 @@ import org.apache.spark.sql.functions._
   * False positives cost an extra dir read, never a wrong row — the
   * equality filter is re-applied to whatever is read.
   *
-  * Sizing: k=3 hashes into `bits` (default 2^16 = 8 KB per dir, ~11 KB
-  * base64 in the manifest).  At the 100 TB shape — 10⁴–10⁵ dirs of
-  * ~10⁶ distinct keys each — that default runs hot (fpp ~1); size
-  * `bits` to ~10 per expected distinct key per dir (2^23 = 1 MB/dir for
-  * 10⁶ keys, fpp ≈ 3%), or cluster the probe column instead.  The
-  * filter build is one aggregation over the NEW dir only (distinct bit
-  * positions, ≤ `bits` ints to the driver), carried verbatim by every
-  * later commit exactly like zone-map stats; bloom-less commit paths
-  * (plain appends, CoW rewrites) leave their new dirs unindexed —
-  * composition degrades to conservative reads, never to wrong pruning. */
+  * Sizing: k=3 hashes into `bits` (default 2^16 = 8 KB per dir).  Size
+  * `bits` to ~10 per expected distinct key per dir (2^24 = 2 MB/dir for
+  * 10⁶ keys, fpp ≈ 1.4%).  Small filters inline in the record; large
+  * ones become `_bloom.bin` sidecars inside the dir with only a marker
+  * in the log, so commit records stay O(dirs) at any filter size and a
+  * probe's driver I/O is bounded by dirs × filter bytes (BloomStress
+  * measures the law).  The filter build is one aggregation over the NEW
+  * dir only (distinct bit positions, ≤ `bits` longs to the driver),
+  * carried verbatim by every later commit exactly like zone-map stats;
+  * bloom-less commit paths (plain appends, CoW rewrites) leave their
+  * new dirs unindexed — composition degrades to conservative reads,
+  * never to wrong pruning. */
 object BloomIndex {
 
   private val K = 3
@@ -37,6 +39,14 @@ object BloomIndex {
     array((0 until K).map(i =>
       pmod(xxhash64(lit(i), c.cast("string")), lit(bits.toLong))): _*)
 
+  /** Filters at or below this size are inlined (base64) in the commit
+    * record; larger ones land as a `_bloom.bin` SIDECAR inside the data
+    * dir (underscore files are invisible to parquet scans, ride along
+    * with shallow clones, and vacuum reclaims them with their dir) and
+    * the record carries only the `"@"` marker — the log stays O(dirs)
+    * however large the filters grow. */
+  private val InlineMaxBits = 1 << 17 // 16 KB
+
   /** Append `df` with a bloom entry for the new dir, declaring (or
     * re-declaring) `bloomCol`/`bits` for the table. */
   def commitAppendBloom(spark: SparkSession, root: String, df: DataFrame,
@@ -45,15 +55,26 @@ object BloomIndex {
     val rel = Versioned.writeDataDir(spark, root, df)
     val staged = spark.read.parquet(s"$root/$rel")
     val n = staged.count()
+    import spark.implicits._
     val set = staged.select(explode(positions(col(bloomCol), bits)).as("p"))
-      .distinct().collect().map(_.getLong(0).toInt)
+      .distinct().as[Long].collect()
     val bytes = new Array[Byte](bits / 8)
-    set.foreach(p => bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte)
-    val b64 = java.util.Base64.getEncoder.encodeToString(bytes)
+    set.foreach { pl =>
+      val p = pl.toInt
+      bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte
+    }
+    val entry =
+      if (bits <= InlineMaxBits) java.util.Base64.getEncoder.encodeToString(bytes)
+      else {
+        val p = new org.apache.hadoop.fs.Path(s"$root/$rel/_bloom.bin")
+        val out = Versioned.fs(spark, p).create(p, false)
+        try out.write(bytes) finally out.close()
+        "@"
+      }
     Versioned.publish(spark, root, head =>
       (if (head == 0) Seq.empty else Versioned.manifest(spark, root, head)) :+ rel,
       precomputedRows = Map(rel -> n),
-      blooms = Some((bloomCol, bits, Map(rel -> b64))))
+      blooms = Some((bloomCol, bits, Map(rel -> entry))))
   }
 
   /** Point read `bloomCol IN (values)` over version `v`, reading only
@@ -71,11 +92,21 @@ object BloomIndex {
       .select(positions(col("v"), bits).as("ps")).collect()
       .map(_.getSeq[Long](0).map(_.toInt).toArray)
     val blooms = Versioned.dirBlooms(spark, root, v)
-    def hits(b64: String): Boolean = {
-      val bytes = java.util.Base64.getDecoder.decode(b64)
+    def bitsetOf(d: String, entry: String): Array[Byte] =
+      if (entry == "@") {
+        val p = new org.apache.hadoop.fs.Path(s"${Versioned.dataPath(root, d)}/_bloom.bin")
+        val f = Versioned.fs(spark, p)
+        val in = f.open(p)
+        try {
+          val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+          in.readFully(buf); buf
+        } finally in.close()
+      } else java.util.Base64.getDecoder.decode(entry)
+    def hits(d: String, entry: String): Boolean = {
+      val bytes = bitsetOf(d, entry)
       probes.exists(_.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0))
     }
-    val keep = Versioned.manifest(spark, root, v).filter(d => blooms.get(d).forall(hits))
+    val keep = Versioned.manifest(spark, root, v).filter(d => blooms.get(d).forall(hits(d, _)))
     val base =
       if (keep.isEmpty) Versioned.readAt(spark, root, v).limit(0)
       else Versioned.readDirs(spark, root, v, keep)

@@ -42,6 +42,53 @@ object ChangeFeed {
       .drop("ch")
   }
 
+  /** Apply a change feed to a keyed REPLICA table: one CoW commit that
+    * evicts every delete/update key and lands the insert + post-image
+    * rows as the new dir (pre-images are ignored — they exist for
+    * consumers that need the old value, not for replay).  Applying
+    * `changes(va, vb)` to a replica holding snapshot `va` lands it
+    * bit-exactly on snapshot `vb` — CDC replication, the consume side
+    * of the feed; on a key-clustered replica the eviction is zone-map
+    * confined exactly like a MERGE.  At 100 TB the feed is day-2
+    * sized, so replication cost is O(changed dirs), never O(table). */
+  def applyChanges(spark: SparkSession, root: String, ch: DataFrame,
+      key: String): Int = {
+    val ups = ch.filter(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+    val keys = ch.filter(col("_change_type") =!= "update_preimage")
+      .select(col(key)).distinct()
+    Versioned.mergeImpl(spark, root, ups, keys, key)
+  }
+
+  /** Judged query: CDC replication round-trip.  The source table runs
+    * the realistic write chain (clustered base → keyed MERGE → CoW
+    * delete); the REPLICA is a zero-copy clone of v1; `changes(1, 3)`
+    * applied to the replica must land it bit-exactly on the source
+    * head.  Output = the replica's head; the oracle recomputes the
+    * source head by expression — the whole produce-and-consume CDC
+    * loop is hash-checked. */
+  val tableReplica: graft.GraftQuery = graft.GraftQuery("q_table_replica",
+    """SELECT doc_id, lang,
+      |       CASE WHEN doc_id % 10 < 8 AND doc_id BETWEEN 260 AND 490
+      |            THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |FROM documents WHERE doc_id % 9 <> 0""".stripMargin) { (spark, sfDir) =>
+    val run = graft.streaming.StreamSink.newRunDir()
+    val src = s"$run/src"; val rep = s"$run/replica"
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    Versioned.commitAppendClustered(spark, src, base, "doc_id", buckets = 8)
+    Versioned.cloneAt(spark, src, rep, 1)
+    val updates = base.filter(col("doc_id").between(260, 490))
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(docs.filter(col("doc_id") % 10 >= 8))
+    Versioned.commitMerge(spark, src, updates, "doc_id")
+    val pred = col("doc_id") % 9 === 0
+    Versioned.commitUpdate(spark, src, pred, d => d.filter(!pred))
+    val v = applyChanges(spark, rep, changes(spark, src, 1, 3, "doc_id"), "doc_id")
+    Versioned.readAt(spark, rep, v)
+  }
+
   /** Judged query: the CDC relation across a realistic day-2 write
     * chain.  v1 = the clustered base slice; v2 = keyed MERGE (the
     * [260,490] window's n_chars bumped + the day-2 slice inserted);
@@ -77,5 +124,5 @@ object ChangeFeed {
     changes(spark, root, 1, 3, "doc_id")
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableCdf)
+  val all: Seq[graft.GraftQuery] = Seq(tableCdf, tableReplica)
 }

@@ -496,22 +496,31 @@ object Versioned {
     * O(touched dirs + updates) I/O, never O(table).  Concurrent appends
     * compose exactly as for [[commitUpdate]]. */
   def commitMerge(spark: SparkSession, root: String, updates: DataFrame,
-      key: String): Int = {
+      key: String): Int =
+    mergeImpl(spark, root, updates, updates.select(col(key)).distinct(), key)
+
+  /** The shared MERGE body: evict every head row whose `key` is in
+    * `keysDf` (dir-granular CoW, zone-map-confined discovery), land
+    * `upserts` as one new dir.  [[commitMerge]] passes the upserts' own
+    * keys; [[ChangeFeed.applyChanges]] passes upsert ∪ delete keys, so
+    * a CDC delete evicts without reinserting. */
+  private[graft] def mergeImpl(spark: SparkSession, root: String,
+      upserts: DataFrame, keysDf: DataFrame, key: String): Int = {
     val head0 = currentVersion(spark, root)
     require(head0 > 0, s"no committed version at $root")
     val dirs0 = manifest(spark, root, head0)
-    val keysDf = updates.select(col(key)).distinct()
     // when the merge key IS the zone-map column, discovery only needs
-    // the dirs overlapping the updates' key range — O(overlapping dirs)
-    // instead of a full key-column pass over the table
+    // the dirs overlapping the TOUCHED-KEY range (upserts AND deletes —
+    // a delete key outside the upserts' span must still evict) —
+    // O(overlapping dirs) instead of a full key-column pass
     val candidates: Seq[String] =
       if (statsColOf(spark, root, head0).contains(key)) {
-        // conservative unless EVERY update key casts to long: a single
+        // conservative unless EVERY touched key casts to long: a single
         // null-casting key (NULL, or a mixed/non-numeric value) would be
         // invisible to min/max, its matched dirs would be pruned, and
         // those rows would silently survive the merge as duplicates
         val ck = tryLong(key)
-        val r = updates.agg(min(ck), max(ck), count(when(ck.isNull, 1))).head()
+        val r = keysDf.agg(min(ck), max(ck), count(when(ck.isNull, 1))).head()
         if (r.isNullAt(0) || r.getLong(2) > 0) dirs0
         else {
           val (klo, khi) = (r.getLong(0), r.getLong(1))
@@ -534,7 +543,7 @@ object Versioned {
     val rewritten = rewriteDirs(spark, root, head0,
       dirs0.filter(touched).map(d =>
         readDirs(spark, root, head0, Seq(d)).join(keysDf, Seq(key), "left_anti")))
-    val newDir = writeDataDir(spark, root, updates)
+    val newDir = writeDataDir(spark, root, upserts)
     publish(spark, root, head =>
       (if (head == 0) Seq.empty else manifest(spark, root, head))
         .filterNot(touched) ++ rewritten._1 :+ newDir,

@@ -89,6 +89,31 @@ class TableFeaturesSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq == Seq((137L, 137L % 13)))
   }
 
+  test("bloom sidecar: big filters live next to the data, prune identically") {
+    val root = newRoot()
+    (0 until 4).foreach { r =>
+      BloomIndex.commitAppendBloom(spark, root,
+        (0L until 4000L).filter(_ % 4 == r).map(i => (i, i % 13)).toDF("id", "p"),
+        "id", bits = 1 << 20) // > inline max -> sidecar
+    }
+    val v = Versioned.currentVersion(spark, root)
+    // the record carries only markers; the bitsets are _bloom.bin files
+    assert(Versioned.dirBlooms(spark, root, v).values.toSet == Set("@"))
+    val hit = BloomIndex.readPoint(spark, root, v, Seq(137L, 1042L))
+    assert(hit.as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((137L, 137L % 13), (1042L, 1042L % 13)))
+    assert(hit.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length <= 3)
+    // the sidecar is invisible to a plain scan of the dir
+    assert(Versioned.readAt(spark, root, v).count() == 4000)
+    // vacuum after compaction reclaims dir AND sidecar together
+    Versioned.commit(spark, root, Versioned.readAt(spark, root, v))
+    Versioned.vacuum(spark, root, keep = 1)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+    assert(leftover.length == 1, "only the compacted dir survives the vacuum")
+  }
+
   test("shallow clone: zero copy, carried metadata, CoW isolation, vacuum safety") {
     val base = newRoot()
     val src = s"$base/src"; val dst = s"$base/clone"
@@ -118,6 +143,30 @@ class TableFeaturesSpec extends AnyFunSuite {
     Versioned.vacuum(spark, dst, keep = 1)
     assert(Versioned.readAt(spark, dst, 2).count() == 1001)
     assert(Versioned.readAt(spark, src, 1).count() == 1000)
+  }
+
+  test("CDC replication: applying the feed lands the replica on the source head") {
+    val base = newRoot()
+    val src = s"$base/src"; val rep = s"$base/rep"
+    Versioned.commitAppendClustered(spark, src,
+      (1L to 1000L).map(i => (i, i % 17)).toDF("id", "p"), "id", buckets = 4)
+    Versioned.cloneAt(spark, src, rep, 1)
+    // day-2 on the source: merge (update + insert) then a CoW delete
+    Versioned.commitMerge(spark, src,
+      Seq((5L, 999L), (2000L, 1L), (2001L, 2L)).toDF("id", "p"), "id")
+    val pred = col("id") % 13 === 0
+    Versioned.commitUpdate(spark, src, pred, d => d.filter(!pred))
+    def snap(root: String, v: Int) =
+      Versioned.readAt(spark, root, v).as[(Long, Long)].collect().sorted.toSeq
+    ChangeFeed.applyChanges(spark, rep,
+      ChangeFeed.changes(spark, src, 1, 3, "id"), "id")
+    assert(snap(rep, 2) == snap(src, 3))
+    // incremental chaining: a second feed catches the replica up again
+    Versioned.commitUpdate(spark, src, col("id") > 1990,
+      d => d.filter(!(col("id") > 1990)))
+    ChangeFeed.applyChanges(spark, rep,
+      ChangeFeed.changes(spark, src, 3, 4, "id"), "id")
+    assert(snap(rep, 3) == snap(src, 4))
   }
 
   test("write-audit-publish: a rejected batch leaves no trace") {
