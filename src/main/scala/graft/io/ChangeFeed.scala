@@ -57,7 +57,7 @@ object ChangeFeed {
       .drop("_change_type")
     val keys = ch.filter(col("_change_type") =!= "update_preimage")
       .select(col(key)).distinct()
-    Versioned.mergeImpl(spark, root, ups, keys, key)
+    Versioned.mergeImpl(spark, root, ups, keys, key).get
   }
 
   /** Judged query: CDC replication round-trip.  The source table runs

@@ -497,7 +497,23 @@ object Versioned {
     * compose exactly as for [[commitUpdate]]. */
   def commitMerge(spark: SparkSession, root: String, updates: DataFrame,
       key: String): Int =
-    mergeImpl(spark, root, updates, updates.select(col(key)).distinct(), key)
+    mergeImpl(spark, root, updates, updates.select(col(key)).distinct(), key).get
+
+  /** Exactly-once STREAMING MERGE: the keyed upsert as the commit for
+    * micro-batch `batchId`, skipped when a commit carrying this (or a
+    * later) batchId already landed — `foreachBatch { (b, id) =>
+    * commitMergeBatch(root, id, b, key) }` is the transactional
+    * streaming-upsert sink (the Delta foreachBatch-MERGE deployment
+    * shape), idempotent across replays exactly like [[commitBatch]]:
+    * the fence piggybacks on the manifest rename.  A replayed batch is
+    * SKIPPED, so the CoW rewrite cost is paid once per batch, not once
+    * per replay. */
+  def commitMergeBatch(spark: SparkSession, root: String, batchId: Long,
+      updates: DataFrame, key: String): Option[Int] = {
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    mergeImpl(spark, root, updates, updates.select(col(key)).distinct(), key,
+      batchId = Some(batchId))
+  }
 
   /** The shared MERGE body: evict every head row whose `key` is in
     * `keysDf` (dir-granular CoW, zone-map-confined discovery), land
@@ -505,7 +521,8 @@ object Versioned {
     * keys; [[ChangeFeed.applyChanges]] passes upsert ∪ delete keys, so
     * a CDC delete evicts without reinserting. */
   private[graft] def mergeImpl(spark: SparkSession, root: String,
-      upserts: DataFrame, keysDf: DataFrame, key: String): Int = {
+      upserts: DataFrame, keysDf: DataFrame, key: String,
+      batchId: Option[Long] = None): Option[Int] = {
     val head0 = currentVersion(spark, root)
     require(head0 > 0, s"no committed version at $root")
     val dirs0 = manifest(spark, root, head0)
@@ -544,10 +561,22 @@ object Versioned {
       dirs0.filter(touched).map(d =>
         readDirs(spark, root, head0, Seq(d)).join(keysDf, Seq(key), "left_anti")))
     val newDir = writeDataDir(spark, root, upserts)
-    publish(spark, root, head =>
-      (if (head == 0) Seq.empty else manifest(spark, root, head))
-        .filterNot(touched) ++ rewritten._1 :+ newDir,
-      precomputed = rewritten._2, precomputedRows = rewritten._3)
+    val more = batchId.map(b => s""","batchId":$b""").getOrElse("")
+    val v = publishRecord(spark, root, head => {
+        val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
+          .filterNot(touched) ++ rewritten._1 :+ newDir
+        (dirs, extraFields(spark, root, head, dirs, None, more,
+          rewritten._2, None, rewritten._3))
+      },
+      abortIf = head => batchId.exists(b =>
+        lastBatchId(spark, root).exists(_ >= b)))
+    if (v.isEmpty) // lost to a racing replay carrying our batch: reclaim
+      (rewritten._1.map(_.split("/").take(2).mkString("/")).distinct :+ newDir)
+        .foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(s"$root/$d")
+          fs(spark, p).delete(p, true)
+        }
+    v
   }
 
   /** Schema evolution: publish a new version with the SAME data (no dir
@@ -1119,6 +1148,38 @@ object Versioned {
     Versioned.readRange(spark, root, v, 260L, 490L)
   }
 
+  /** Judged query: transactional STREAMING MERGE through the real log.
+    * The full corpus lands clustered; the [100,700] window's rows with
+    * n_chars bumped are split across several files, and a file-source
+    * stream (maxFilesPerTrigger=1 → several micro-batches) merges each
+    * batch via the batchId-fenced [[commitMergeBatch]] under
+    * AvailableNow.  Keys are disjoint across batches, so the head is
+    * batch-order-independent: the base with every update applied,
+    * whatever the planner did — the oracle is that expression. */
+  val tableStreamUpsert: graft.GraftQuery = graft.GraftQuery("q_table_stream_upsert",
+    """SELECT doc_id, lang,
+      |       CASE WHEN doc_id BETWEEN 100 AND 700
+      |            THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |FROM documents""".stripMargin) { (spark, sfDir) =>
+    val run = graft.streaming.StreamSink.newRunDir()
+    val src = s"$run/src"; val table = s"$run/table"; val ckpt = s"$run/ckpt"
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Versioned.commitAppendClustered(spark, table, docs, "doc_id", buckets = 8)
+    docs.filter(col("doc_id").between(100, 700))
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .repartition(3).write.parquet(src)
+    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Versioned.commitMergeBatch(spark, table, id, b, "doc_id"); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    readAt(spark, table, currentVersion(spark, table))
+  }
+
   /** Judged query: metadata-only row counts across the table's life.
     * v1 = the base slice (clustered — counts ride the one stats job),
     * v2 appends the day-2 slice, v3 is a copy-on-write delete; the
@@ -1204,5 +1265,5 @@ object Versioned {
   val all: Seq[graft.GraftQuery] =
     Seq(tableDiff, tableZonemap, tableMerge, tableStreamIngest,
       tableSchemaEvolution, tableDelete, tableAsOf, tableOptimize,
-      tableRowCounts, tableWap, tableClone)
+      tableRowCounts, tableWap, tableClone, tableStreamUpsert)
 }

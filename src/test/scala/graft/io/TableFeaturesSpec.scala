@@ -169,6 +169,35 @@ class TableFeaturesSpec extends AnyFunSuite {
     assert(snap(rep, 3) == snap(src, 4))
   }
 
+  test("streaming MERGE fence: a wiped-checkpoint replay merges nothing") {
+    val base = newRoot()
+    val src = s"$base/src"; val table = s"$base/table"
+    Versioned.commitAppendClustered(spark, table,
+      (1L to 1000L).map(i => (i, i % 17)).toDF("id", "p"), "id", buckets = 4)
+    (300L to 400L).map(i => (i, 999L)).toDF("id", "p")
+      .repartition(2).write.parquet(src)
+    def drive(ckpt: String): Unit = {
+      val q = spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Versioned.commitMergeBatch(spark, table, id, b, "id"); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drive(s"$base/ckpt1")
+    val v1 = Versioned.currentVersion(spark, table)
+    val snap = Versioned.readAt(spark, table, v1)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(snap.count(_._2 == 999L) == 101 && snap.size == 1000)
+    // a fresh checkpoint replays every batch; the fence must skip all
+    drive(s"$base/ckpt2")
+    assert(Versioned.currentVersion(spark, table) == v1)
+    assert(Versioned.readAt(spark, table, v1)
+      .as[(Long, Long)].collect().sorted.toSeq == snap)
+  }
+
   test("write-audit-publish: a rejected batch leaves no trace") {
     val root = newRoot()
     val checks = Seq(
