@@ -83,7 +83,19 @@ object BloomIndex {
     * expressions as the build — one 1-row local job — so driver and
     * executor hashing can never drift. */
   def readPoint(spark: SparkSession, root: String, v: Int,
-      values: Seq[Long]): DataFrame = {
+      values: Seq[Long]): DataFrame =
+    readPointCanonical(spark, root, v, values.map(_.toString))
+
+  /** Point read by canonical string form — for string keys (document
+    * fingerprints, ids); a numeric column's canonical form is its
+    * decimal rendering, so `readPoint(Seq(17L))` ≡
+    * `readPointStrings(Seq("17"))`. */
+  def readPointStrings(spark: SparkSession, root: String, v: Int,
+      values: Seq[String]): DataFrame =
+    readPointCanonical(spark, root, v, values)
+
+  private def readPointCanonical(spark: SparkSession, root: String, v: Int,
+      values: Seq[String]): DataFrame = {
     require(values.nonEmpty, "empty probe set")
     val (c, bits) = Versioned.bloomColOf(spark, root, v).getOrElse(
       throw new IllegalArgumentException(s"$root has no bloom index"))
@@ -110,7 +122,8 @@ object BloomIndex {
     val base =
       if (keep.isEmpty) Versioned.readAt(spark, root, v).limit(0)
       else Versioned.readDirs(spark, root, v, keep)
-    base.filter(col(c).isin(values: _*))
+    // filter on the SAME canonical string form the hashes use
+    base.filter(col(c).cast("string").isin(values: _*))
   }
 
   /** Judged query: bloom-pruned point lookup on an UNCLUSTERED key.

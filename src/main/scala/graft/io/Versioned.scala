@@ -681,8 +681,12 @@ object Versioned {
       val txt = recordText(spark, root, v)
       val ts = """"ts":\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
       val bid = """"batchId":\s*(-?\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-      (v, ts, manifest(spark, root, v).size, bid)
-    }.toDF("version", "ts_ms", "n_dirs", "batch_id")
+      val dirs = manifest(spark, root, v)
+      // metadata row count when every dir carries one (legacy dirs don't)
+      val known = dirRows(spark, root, v)
+      val nRows = if (dirs.forall(known.contains)) Some(dirs.map(known).sum) else None
+      (v, ts, dirs.size, nRows, bid)
+    }.toDF("version", "ts_ms", "n_dirs", "n_rows", "batch_id")
   }
 
   /** Range-clustered append: ONE range shuffle on the zone-map column,
