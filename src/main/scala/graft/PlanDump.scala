@@ -67,7 +67,13 @@ object PlanDump {
     // incremental MV maintenance over the commit log, zone-map range read,
     // keyed MERGE through the clustered log, per-doc curation attribution
     "q_llm_curate_model", "q_mv_incremental", "q_table_zonemap",
-    "q_table_merge", "q_llm_curate_attribution")
+    "q_table_merge", "q_llm_curate_attribution",
+    // round 15 headliners: the lakehouse surface growth — CDC feed +
+    // replication, zero-copy clone, 2-D Morton box read, metadata
+    // counts, bloom point lookup, WAP gate
+    "q_table_cdf", "q_table_replica", "q_table_clone",
+    "q_table_zonemap2d", "q_table_row_counts", "q_table_bloom_point",
+    "q_table_wap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -220,6 +220,21 @@ object Versioned {
        else spark.read.parquet(missing.map(dataPath(root, _)): _*).count())
   }
 
+  /** `SELECT min(statsCol), max(statsCol)` at version `v` from manifest
+    * METADATA — defined only when EVERY dir carries a stats entry (a
+    * statless dir might hide the extremum; callers fall back to the
+    * scan) and the map is 1-D (a Morton min/max is meaningless to
+    * users).  All-null dirs carry no entry, matching SQL min/max
+    * null-ignoring semantics conservatively. */
+  def statsRangeAt(spark: SparkSession, root: String, v: Int): Option[(Long, Long)] = {
+    val sc = statsColOf(spark, root, v)
+    if (sc.isEmpty || Z2.findFirstIn(sc.get).nonEmpty) return None
+    val st = dirStats(spark, root, v)
+    val dirs = manifest(spark, root, v)
+    if (dirs.isEmpty || !dirs.forall(st.contains)) None
+    else Some((dirs.map(st(_)._1).min, dirs.map(st(_)._2).max))
+  }
+
   /** Min/max of `colName` in one data dir — O(new data), and parquet
     * aggregate pushdown usually answers it from the footers. None for an
     * empty dir (absent stats = conservatively read). */
@@ -456,6 +471,8 @@ object Versioned {
       frames: Seq[DataFrame])
       : (Seq[String], Map[String, (Long, Long)], Map[String, Long]) = {
     if (frames.isEmpty) return (Seq.empty, Map.empty, Map.empty)
+    require(!frames.head.columns.contains("_d"),
+      "table column _d collides with the rewrite partitioner")
     val base = s"data/${java.util.UUID.randomUUID()}"
     frames.zipWithIndex
       .map { case (df, i) => df.withColumn("_d", lit(i)) }
@@ -780,6 +797,8 @@ object Versioned {
   private def writeClustered(spark: SparkSession, root: String, df: DataFrame,
       statsCol: String, buckets: Int)
       : (Seq[String], Map[String, (Long, Long)], Map[String, Long]) = {
+    require(!df.columns.contains("_b") && !df.columns.contains("_sc"),
+      "table columns _b/_sc collide with the clustered-write partitioner")
     val base = s"data/${java.util.UUID.randomUUID()}"
     // range-shuffle on the MEASURED expression (for a plain column the
     // ANSI-safe long view; for a `_z2(x,y,bits)` pseudo column the
@@ -1238,6 +1257,27 @@ object Versioned {
     Versioned.readAt(spark, root, Versioned.currentVersion(spark, root))
   }
 
+  /** Judged query: metadata-only aggregates.  The clustered corpus plus
+    * a day-2 clustered append; `countAt` + `statsRangeAt` answer
+    * count/min/max of the zone-map column from the manifest with zero
+    * data I/O.  Oracle = the plain aggregate. */
+  val tableStatsMeta: graft.GraftQuery = graft.GraftQuery("q_table_stats_meta",
+    """SELECT count(*) AS n_rows, CAST(min(doc_id) AS BIGINT) AS min_id,
+      |       CAST(max(doc_id) AS BIGINT) AS max_id
+      |FROM documents""".stripMargin) { (spark, sfDir) =>
+    import spark.implicits._
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    Versioned.commitAppendClustered(spark, root,
+      docs.filter(col("doc_id") % 10 < 8), "doc_id", buckets = 8)
+    val v = Versioned.commitAppendClustered(spark, root,
+      docs.filter(col("doc_id") % 10 >= 8), "doc_id", buckets = 4)
+    val (lo, hi) = Versioned.statsRangeAt(spark, root, v)
+      .getOrElse(sys.error("a fully-clustered table must carry full stats"))
+    Seq((Versioned.countAt(spark, root, v), lo, hi))
+      .toDF("n_rows", "min_id", "max_id")
+  }
+
   /** Judged query: zero-copy clone + copy-on-write isolation.  The
     * corpus lands clustered in a SOURCE table; a shallow clone (pure
     * metadata — absolute refs, no data copied) is then MERGED into (the
@@ -1269,5 +1309,5 @@ object Versioned {
   val all: Seq[graft.GraftQuery] =
     Seq(tableDiff, tableZonemap, tableMerge, tableStreamIngest,
       tableSchemaEvolution, tableDelete, tableAsOf, tableOptimize,
-      tableRowCounts, tableWap, tableClone, tableStreamUpsert)
+      tableRowCounts, tableWap, tableClone, tableStreamUpsert, tableStatsMeta)
 }
