@@ -53,11 +53,23 @@ object ChangeFeed {
     * sized, so replication cost is O(changed dirs), never O(table). */
   def applyChanges(spark: SparkSession, root: String, ch: DataFrame,
       key: String): Int = {
-    val ups = ch.filter(col("_change_type").isin("insert", "update_postimage"))
-      .drop("_change_type")
-    val keys = ch.filter(col("_change_type") =!= "update_preimage")
-      .select(col(key)).distinct()
-    Versioned.mergeImpl(spark, root, ups, keys, key).get
+    // STAGE the feed once: the merge body evaluates its inputs in four
+    // separate actions (key-range agg, discovery semi-join, eviction
+    // anti-join, upsert write) — an unstaged feed plan (a diff chain, a
+    // stream batch) would recompute for each
+    val tmp = s"$root/tmp/${java.util.UUID.randomUUID()}"
+    ch.write.parquet(tmp)
+    try {
+      val staged = spark.read.parquet(tmp)
+      val ups = staged.filter(col("_change_type").isin("insert", "update_postimage"))
+        .drop("_change_type")
+      val keys = staged.filter(col("_change_type") =!= "update_preimage")
+        .select(col(key)).distinct()
+      Versioned.mergeImpl(spark, root, ups, keys, key).get
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      Versioned.fs(spark, p).delete(p, true)
+    }
   }
 
   /** Judged query: CDC replication round-trip.  The source table runs
