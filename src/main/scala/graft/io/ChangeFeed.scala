@@ -52,7 +52,11 @@ object ChangeFeed {
     * confined exactly like a MERGE.  At 100 TB the feed is day-2
     * sized, so replication cost is O(changed dirs), never O(table). */
   def applyChanges(spark: SparkSession, root: String, ch: DataFrame,
-      key: String): Int = {
+      key: String): Int =
+    applyImpl(spark, root, ch, key, batchId = None).get
+
+  private def applyImpl(spark: SparkSession, root: String, ch: DataFrame,
+      key: String, batchId: Option[Long]): Option[Int] = {
     // STAGE the feed once: the merge body evaluates its inputs in four
     // separate actions (key-range agg, discovery semi-join, eviction
     // anti-join, upsert write) — an unstaged feed plan (a diff chain, a
@@ -65,11 +69,32 @@ object ChangeFeed {
         .drop("_change_type")
       val keys = staged.filter(col("_change_type") =!= "update_preimage")
         .select(col(key)).distinct()
-      Versioned.mergeImpl(spark, root, ups, keys, key).get
+      Versioned.mergeImpl(spark, root, ups, keys, key, batchId)
     } finally {
       val p = new org.apache.hadoop.fs.Path(tmp)
       Versioned.fs(spark, p).delete(p, true)
     }
+  }
+
+  /** CDC FOLLOW: catch a replica up to its source's head in ONE fenced
+    * merge.  Progress is durable and replay-safe without extra state:
+    * the replica's applied-source-version rides the batchId fence (the
+    * same manifest field streaming ingest uses — a followed replica
+    * must not double as a streaming-ingest sink, the namespaces would
+    * collide).  `clonedAt` bootstraps a fresh clone that carries no
+    * fence yet.  The jump feed `changes(applied, head)` is manifest-
+    * pruned, so a day's catch-up reads the day's dirs; source retention
+    * must cover the replica's lag (a vacuumed-away `applied` manifest
+    * fails loudly, never silently).  Returns the new replica version,
+    * or None when already current — safe to call on every poll. */
+  def follow(spark: SparkSession, srcRoot: String, repRoot: String,
+      key: String, clonedAt: Int): Option[Int] = {
+    val head = Versioned.currentVersion(spark, srcRoot)
+    val applied = Versioned.lastBatchId(spark, repRoot).getOrElse(clonedAt.toLong)
+    if (applied >= head) None
+    else applyImpl(spark, repRoot,
+      changes(spark, srcRoot, applied.toInt, head, key), key,
+      batchId = Some(head.toLong))
   }
 
   /** Judged query: CDC replication round-trip.  The source table runs
@@ -99,6 +124,37 @@ object ChangeFeed {
     Versioned.commitUpdate(spark, src, pred, d => d.filter(!pred))
     val v = applyChanges(spark, rep, changes(spark, src, 1, 3, "doc_id"), "doc_id")
     Versioned.readAt(spark, rep, v)
+  }
+
+  /** Judged query: STREAMING replication.  A file-source stream ingests
+    * the day-2 slice into the source table through the batchId-fenced
+    * `commitBatch`; after every micro-batch the replica (a zero-copy
+    * clone of v1) is caught up via [[follow]] — ingest and replication
+    * both exactly-once, the replica's progress durable in its own
+    * commit log.  Output = the replica's head, which must equal the
+    * full corpus whatever the micro-batch planning did. */
+  val streamReplica: graft.GraftQuery = graft.GraftQuery("q_stream_replica",
+    """SELECT doc_id, lang, n_chars FROM documents""".stripMargin) { (spark, sfDir) =>
+    val run = graft.streaming.StreamSink.newRunDir()
+    val srcFiles = s"$run/files"; val src = s"$run/src"
+    val rep = s"$run/replica"; val ckpt = s"$run/ckpt"
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Versioned.commitAppendClustered(spark, src,
+      docs.filter(col("doc_id") % 10 < 8), "doc_id", buckets = 8)
+    Versioned.cloneAt(spark, src, rep, 1)
+    docs.filter(col("doc_id") % 10 >= 8).repartition(3).write.parquet(srcFiles)
+    val q = spark.readStream.schema(spark.read.parquet(srcFiles).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcFiles)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Versioned.commitBatch(spark, src, id, b)
+        follow(spark, src, rep, "doc_id", clonedAt = 1); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    follow(spark, src, rep, "doc_id", clonedAt = 1) // idempotent final poll
+    Versioned.readAt(spark, rep, Versioned.currentVersion(spark, rep))
   }
 
   /** Judged query: the CDC relation across a realistic day-2 write
@@ -136,5 +192,5 @@ object ChangeFeed {
     changes(spark, root, 1, 3, "doc_id")
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableCdf, tableReplica)
+  val all: Seq[graft.GraftQuery] = Seq(tableCdf, tableReplica, streamReplica)
 }

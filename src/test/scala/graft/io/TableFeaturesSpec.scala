@@ -169,6 +169,33 @@ class TableFeaturesSpec extends AnyFunSuite {
     assert(snap(rep, 3) == snap(src, 4))
   }
 
+  test("CDC follow: durable fenced progress, idempotent polls") {
+    val base = newRoot()
+    val src = s"$base/src"; val rep = s"$base/rep"
+    Versioned.commitAppendClustered(spark, src,
+      (1L to 1000L).map(i => (i, i % 17)).toDF("id", "p"), "id", buckets = 4)
+    Versioned.cloneAt(spark, src, rep, 1)
+    def snap(root: String) = Versioned
+      .readAt(spark, root, Versioned.currentVersion(spark, root))
+      .as[(Long, Long)].collect().sorted.toSeq
+    // nothing to do: follow is a no-op poll
+    assert(ChangeFeed.follow(spark, src, rep, "id", clonedAt = 1).isEmpty)
+    // source advances twice; ONE follow jumps both versions
+    Versioned.commitMerge(spark, src, Seq((5L, 999L), (1500L, 1L)).toDF("id", "p"), "id")
+    val pred = col("id") % 11 === 0
+    Versioned.commitUpdate(spark, src, pred, d => d.filter(!pred))
+    assert(ChangeFeed.follow(spark, src, rep, "id", clonedAt = 1).nonEmpty)
+    assert(snap(rep) == snap(src))
+    // the progress fence is durable: a replayed poll applies nothing
+    val vRep = Versioned.currentVersion(spark, rep)
+    assert(ChangeFeed.follow(spark, src, rep, "id", clonedAt = 1).isEmpty)
+    assert(Versioned.currentVersion(spark, rep) == vRep)
+    // next source commit: follow picks up from the fenced version
+    Versioned.commitAppend(spark, src, Seq((3000L, 7L)).toDF("id", "p"))
+    assert(ChangeFeed.follow(spark, src, rep, "id", clonedAt = 1).nonEmpty)
+    assert(snap(rep) == snap(src))
+  }
+
   test("streaming MERGE fence: a wiped-checkpoint replay merges nothing") {
     val base = newRoot()
     val src = s"$base/src"; val table = s"$base/table"
