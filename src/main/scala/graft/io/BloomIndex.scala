@@ -52,6 +52,16 @@ object BloomIndex {
   def commitAppendBloom(spark: SparkSession, root: String, df: DataFrame,
       bloomCol: String, bits: Int = 1 << 16): Int = {
     require(Integer.bitCount(bits) == 1 && bits >= 64, s"bits must be a power of 2 >= 64: $bits")
+    // the declaration is table-wide: probes hash with the HEAD record's
+    // (col, bits) against every carried bitset, so a re-declaration
+    // with different values would silently mis-prune (smaller bits) or
+    // crash (larger bits) on the old dirs
+    Versioned.bloomColOf(spark, root, Versioned.currentVersion(spark, root))
+      .foreach { case (c0, m0) =>
+        require(c0 == bloomCol && m0 == bits,
+          s"$root already keeps a bloom index on ($c0, $m0 bits); " +
+            s"re-declaring ($bloomCol, $bits) would corrupt pruning")
+      }
     val rel = Versioned.writeDataDir(spark, root, df)
     val staged = spark.read.parquet(s"$root/$rel")
     val n = staged.count()

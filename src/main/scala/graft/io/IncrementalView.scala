@@ -57,6 +57,27 @@ object IncrementalView {
       .filter(col(measures.head._1) > 0)
   }
 
+  /** Fenced MV catch-up: refresh the MV to its source table's HEAD in
+    * one commit, the applied-source-version riding the MV's own batchId
+    * fence (the [[graft.io.ChangeFeed.follow]] discipline).  This is
+    * the crash-safe shape: a crash between the source commit and the
+    * refresh loses nothing — the next poll's `diff(applied, head)`
+    * jumps the gap, and a replayed poll is fenced out.  Source
+    * retention must cover the MV's lag.  The MV must have been BUILT
+    * with [[Versioned.commitSnapshotBatch]] (batchId = the source
+    * version the build scanned).  Returns the new MV version, or None
+    * when already current. */
+  def refreshTo(spark: org.apache.spark.sql.SparkSession, tableRoot: String,
+      mvRoot: String, keys: Seq[String], measures: Seq[(String, Column)]): Option[Int] = {
+    val head = Versioned.currentVersion(spark, tableRoot)
+    val applied = Versioned.lastBatchId(spark, mvRoot).getOrElse(sys.error(
+      s"$mvRoot carries no applied-version fence; build it with commitSnapshotBatch")).toInt
+    if (applied >= head) return None
+    val mv = Versioned.readAt(spark, mvRoot, Versioned.currentVersion(spark, mvRoot))
+    Versioned.commitSnapshotBatch(spark, mvRoot, head,
+      refresh(mv, Versioned.diff(spark, tableRoot, applied, head), keys, measures))
+  }
+
   /** Judged query: per-(lang, source) doc counts + character sums kept
     * fresh across the table's life WITHOUT rescanning it.  v1/v2 = the
     * base slice in two append commits; the MV's initial build at v2 is
@@ -114,7 +135,8 @@ object IncrementalView {
     val keys = Seq("lang", "source")
     val measures = Seq("cnt" -> lit(1L), "sum_chars" -> col("n_chars"))
     Versioned.commit(spark, table, docs.filter(col("doc_id") % 10 < 8))
-    Versioned.commit(spark, mvRoot,
+    // the initial build's fence records WHICH table version it scanned
+    Versioned.commitSnapshotBatch(spark, mvRoot, 1L,
       Versioned.readAt(spark, table, 1).groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars")))
     docs.filter(col("doc_id") % 10 >= 8).repartition(3).write.parquet(src)
@@ -122,16 +144,17 @@ object IncrementalView {
       .option("maxFilesPerTrigger", 1).parquet(src)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        Versioned.commitBatch(spark, table, id, b).foreach { v =>
-          val mvHead = Versioned.currentVersion(spark, mvRoot)
-          Versioned.commit(spark, mvRoot,
-            refresh(Versioned.readAt(spark, mvRoot, mvHead),
-              Versioned.diff(spark, table, v - 1, v), keys, measures))
-        }
+        Versioned.commitBatch(spark, table, id, b)
+        // crash-safe: refreshTo reconciles applied -> head whatever the
+        // previous attempt managed — a crash between the table commit
+        // and the refresh cannot lose the delta (the fenced replay
+        // skips the table commit but the catch-up still jumps the gap)
+        refreshTo(spark, table, mvRoot, keys, measures)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
+    refreshTo(spark, table, mvRoot, keys, measures) // idempotent final poll
     Versioned.readAt(spark, mvRoot, Versioned.currentVersion(spark, mvRoot))
   }
 

@@ -111,7 +111,8 @@ object Versioned {
     * dirs — zero-copy by construction, and [[vacuum]] can never reclaim
     * them because it only sweeps under this table's own `data/`. */
   private[graft] def dataPath(root: String, d: String): String =
-    if (d.startsWith("/") || d.contains(":/")) d else s"$root/$d"
+    if (d.startsWith("/") || d.contains(":/")) d
+    else s"${root.stripSuffix("/")}/$d"
 
   /** Does `file` (a fully-qualified task-side file name) live inside
     * manifest dir `d` of `root`?  Handles both relative and absolute
@@ -285,7 +286,12 @@ object Versioned {
         val perFile = spark.read.parquet(missing.map(dataPath(root, _)): _*)
           .groupBy(input_file_name().as("f")).count()
           .collect().map(r => (r.getString(0), r.getLong(1)))
-        missing.map(d =>
+        // every file must attribute to exactly one dir; if any doesn't
+        // (a path-form mismatch), fall back to direct per-dir counts —
+        // a silently-wrong 0 would poison the carried metadata forever
+        if (perFile.exists(fc => !missing.exists(fileInDir(root, fc._1, _))))
+          missing.map(d => d -> spark.read.parquet(dataPath(root, d)).count()).toMap
+        else missing.map(d =>
           d -> perFile.filter(fc => fileInDir(root, fc._1, d)).map(_._2).sum).toMap
       }
     val rowEntries = dirs.map { d =>
@@ -442,27 +448,56 @@ object Versioned {
     * do. */
   def commitUpdate(spark: SparkSession, root: String, pred: org.apache.spark.sql.Column,
       transform: DataFrame => DataFrame): Int = {
-    val head0 = currentVersion(spark, root)
-    require(head0 > 0, s"no committed version at $root")
-    val dirs0 = manifest(spark, root, head0)
-    val touchedFiles = readAt(spark, root, head0)
-      .filter(pred).select(input_file_name().as("f"))
-      .distinct().collect().map(_.getString(0))
-    val touched = dirs0.filter(d => touchedFiles.exists(fileInDir(root, _, d))).toSet
-    // `transform` is applied PER DIR (each dir's full content, read
-    // through the evolved-schema view so a rewritten pre-alter dir comes
-    // out carrying the full schema), but all rewrites land in ONE
-    // partitioned write — dir boundaries preserved as _d=i subdirs, so
-    // a clustered layout keeps its per-dir [min,max] tightness and the
-    // commit costs 2 jobs, not 2 per touched dir.  A dir whose rows all
-    // vanish writes no partition and drops from the manifest.
-    val rewritten = rewriteDirs(spark, root, head0,
-      dirs0.filter(touched).map(d => transform(readDirs(spark, root, head0, Seq(d)))))
-    publish(spark, root, head =>
-      (if (head == 0) Seq.empty else manifest(spark, root, head))
-        .filterNot(touched) ++ rewritten._1,
-      precomputed = rewritten._2, precomputedRows = rewritten._3)
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val head0 = currentVersion(spark, root)
+      require(head0 > 0, s"no committed version at $root")
+      val dirs0 = manifest(spark, root, head0)
+      val touchedFiles = readAt(spark, root, head0)
+        .filter(pred).select(input_file_name().as("f"))
+        .distinct().collect().map(_.getString(0))
+      val touched = dirs0.filter(d => touchedFiles.exists(fileInDir(root, _, d))).toSet
+      // `transform` is applied PER DIR (each dir's full content, read
+      // through the evolved-schema view so a rewritten pre-alter dir comes
+      // out carrying the full schema), but all rewrites land in ONE
+      // partitioned write — dir boundaries preserved as _d=i subdirs, so
+      // a clustered layout keeps its per-dir [min,max] tightness and the
+      // commit costs 2 jobs, not 2 per touched dir.  A dir whose rows all
+      // vanish writes no partition and drops from the manifest.
+      val rewritten = rewriteDirs(spark, root, head0,
+        dirs0.filter(touched).map(d => transform(readDirs(spark, root, head0, Seq(d)))))
+      // CONFLICT DETECTION (snapshot isolation): concurrent appends and
+      // CoW commits on OTHER dirs compose (their dirs carry through the
+      // re-resolved head), but a concurrent commit that replaced or
+      // folded one of OUR touched dirs invalidates this rewrite —
+      // publishing it would resurrect pre-conflict rows next to their
+      // successors.  Abort, reclaim the staged rewrite, and RETRY the
+      // whole update against the new head.
+      val v = publishRecord(spark, root,
+        head => {
+          val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
+            .filterNot(touched) ++ rewritten._1
+          (dirs, extraFields(spark, root, head, dirs, None, "",
+            rewritten._2, None, rewritten._3))
+        },
+        abortIf = head => head != head0 &&
+          touched.exists(d => !manifest(spark, root, head).contains(d)))
+      v match {
+        case Some(ver) => return ver
+        case None => reclaimStaged(spark, root, rewritten._1)
+      }
+    }
+    throw new IllegalStateException(s"update conflict not resolving at $root")
   }
+
+  /** Delete the staged base dirs behind a set of `_d=i` rewrite entries
+    * (and/or plain dirs) after a lost publish race. */
+  private def reclaimStaged(spark: SparkSession, root: String, rels: Seq[String]): Unit =
+    rels.map(_.split("/").take(2).mkString("/")).distinct.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(dataPath(root, d))
+      fs(spark, p).delete(p, true)
+    }
 
   /** Land N per-dir replacement frames as ONE partitioned write
     * (`_d=i` subdirs) and measure each surviving subdir's stats + row
@@ -539,7 +574,7 @@ object Versioned {
     * a CDC delete evicts without reinserting. */
   private[graft] def mergeImpl(spark: SparkSession, root: String,
       upserts: DataFrame, keysDf: DataFrame, key: String,
-      batchId: Option[Long] = None): Option[Int] = {
+      batchId: Option[Long] = None, attempt: Int = 0): Option[Int] = {
     val head0 = currentVersion(spark, root)
     require(head0 > 0, s"no committed version at $root")
     val dirs0 = manifest(spark, root, head0)
@@ -563,14 +598,22 @@ object Versioned {
         }
       } else dirs0
     // file name must be projected directly over the scan (multi-source
-    // plans reject input_file_name), THEN semi-joined against the keys
-    val touchedFiles =
-      if (candidates.isEmpty) Array.empty[String]
-      else spark.read.parquet(candidates.map(dataPath(root, _)): _*)
-        .select(col(key), input_file_name().as("f"))
-        .join(keysDf, Seq(key), "left_semi")
-        .select("f").distinct()
-        .collect().map(_.getString(0))
+    // plans reject input_file_name), THEN semi-joined against the keys.
+    // Candidates are scanned per schema GENERATION: a dir predating an
+    // altered-in merge key holds only nulls for it and can never match
+    // (skipped outright); other generations carry the key physically,
+    // so the raw per-group scan resolves it without null-filling.
+    val alters = altersOf(spark, root, head0)
+    val keyless = alters.filter(_._1 == key).flatMap(_._3).toSet
+    val touchedFiles = candidates.filterNot(keyless)
+      .groupBy(d => alters.filter(_._3.contains(d)).map(_._1).toSet)
+      .values.toSeq.flatMap { group =>
+        spark.read.parquet(group.map(dataPath(root, _)): _*)
+          .select(col(key), input_file_name().as("f"))
+          .join(keysDf, Seq(key), "left_semi")
+          .select("f").distinct()
+          .collect().map(_.getString(0))
+      }.toArray
     val touched = dirs0.filter(d => touchedFiles.exists(fileInDir(root, _, d))).toSet
     // all matched-key evictions land in ONE partitioned write (see
     // rewriteDirs) — 2 jobs however many dirs the keys touch
@@ -579,21 +622,27 @@ object Versioned {
         readDirs(spark, root, head0, Seq(d)).join(keysDf, Seq(key), "left_anti")))
     val newDir = writeDataDir(spark, root, upserts)
     val more = batchId.map(b => s""","batchId":$b""").getOrElse("")
+    // abort on (a) a racing replay carrying our batch fence, or (b) a
+    // concurrent commit that replaced one of OUR touched dirs — the
+    // commitUpdate conflict discipline: (a) is terminal, (b) retries
     val v = publishRecord(spark, root, head => {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
           .filterNot(touched) ++ rewritten._1 :+ newDir
         (dirs, extraFields(spark, root, head, dirs, None, more,
           rewritten._2, None, rewritten._3))
       },
-      abortIf = head => batchId.exists(b =>
-        lastBatchId(spark, root).exists(_ >= b)))
-    if (v.isEmpty) // lost to a racing replay carrying our batch: reclaim
-      (rewritten._1.map(_.split("/").take(2).mkString("/")).distinct :+ newDir)
-        .foreach { d =>
-          val p = new org.apache.hadoop.fs.Path(s"$root/$d")
-          fs(spark, p).delete(p, true)
-        }
-    v
+      abortIf = head =>
+        batchId.exists(b => lastBatchId(spark, root).exists(_ >= b)) ||
+          (head != head0 &&
+            touched.exists(d => !manifest(spark, root, head).contains(d))))
+    v match {
+      case Some(_) => v
+      case None =>
+        reclaimStaged(spark, root, rewritten._1 :+ newDir)
+        if (batchId.exists(b => lastBatchId(spark, root).exists(_ >= b))) None // fenced
+        else if (attempt < 5) mergeImpl(spark, root, upserts, keysDf, key, batchId, attempt + 1)
+        else throw new IllegalStateException(s"merge conflict not resolving at $root")
+    }
   }
 
   /** Schema evolution: publish a new version with the SAME data (no dir
@@ -610,6 +659,12 @@ object Versioned {
       s"unsupported characters in column name $colName")
     publishRecord(spark, root, head => {
       require(head > 0, s"no committed version at $root")
+      // a duplicate add would make readDirs null-fill OVER the real
+      // column values of every pre-alter dir — silent data loss
+      require(!altersOf(spark, root, head).exists(_._1 == colName),
+        s"column $colName was already altered into $root")
+      require(!readAt(spark, root, head).columns.contains(colName),
+        s"column $colName already exists in $root's schema")
       val dirs = manifest(spark, root, head)
       val entry = s""""$colName|$sqlType":"${dirs.mkString(",")}""""
       val frag = altersFragOf(spark, root, head).filter(_.nonEmpty)
@@ -730,12 +785,29 @@ object Versioned {
     * keeps [[readRange]] pruning sharp afterwards.  The weekly step of
     * the append-daily / compact-weekly / vacuum-past-retention budget. */
   def compactClustered(spark: SparkSession, root: String, statsCol: String,
-      buckets: Int = 16): Int = {
+      buckets: Int = 16): Option[Int] = {
     val head0 = currentVersion(spark, root)
     require(head0 > 0, s"no committed version at $root")
+    val dirs0 = manifest(spark, root, head0).toSet
     val (rels, pre, rows) = writeClustered(spark, root, readAt(spark, root, head0),
       statsCol, buckets)
-    publish(spark, root, _ => rels, Some(statsCol), pre, rows)
+    // concurrent appends carry through; a concurrent CoW commit that
+    // replaced one of the compacted dirs aborts (publishing would
+    // resurrect its pre-CoW rows) — same discipline as optimize
+    val v = publishRecord(spark, root,
+      head => {
+        val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
+          .filterNot(dirs0) ++ rels
+        (dirs, extraFields(spark, root, head, dirs, Some(statsCol), "", pre, None, rows))
+      },
+      abortIf = head =>
+        head != head0 && !dirs0.subsetOf(manifest(spark, root, head).toSet))
+    if (v.isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(
+        dataPath(root, rels.head.split("/").take(2).mkString("/")))
+      fs(spark, p).delete(p, true)
+    }
+    v
   }
 
   /** Self-scheduling OPTIMIZE: fold only the dirs that actually hurt.
@@ -785,10 +857,26 @@ object Versioned {
     val (rels, pre, rows) = writeClustered(spark, root,
       readDirs(spark, root, head0, fold), statsCol, buckets)
     val foldSet = fold.toSet
-    Some(publish(spark, root, head =>
-      (if (head == 0) Seq.empty else manifest(spark, root, head))
-        .filterNot(foldSet) ++ rels,
-      Some(statsCol), pre, rows))
+    // concurrent APPENDS compose (their dirs carry through), but a
+    // concurrent CoW commit REPLACING a fold dir must abort this
+    // optimize: blindly publishing would re-add the folded copy of the
+    // pre-CoW rows next to their rewritten successors (resurrected
+    // deletes / duplicate keys).  The subset check is re-evaluated
+    // against the head the rename will land on.
+    val v = publishRecord(spark, root,
+      head => {
+        val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
+          .filterNot(foldSet) ++ rels
+        (dirs, extraFields(spark, root, head, dirs, Some(statsCol), "", pre, None, rows))
+      },
+      abortIf = head =>
+        head != head0 && !foldSet.subsetOf(manifest(spark, root, head).toSet))
+    if (v.isEmpty) { // aborted: reclaim the staged fold
+      val p = new org.apache.hadoop.fs.Path(
+        dataPath(root, rels.head.split("/").take(2).mkString("/")))
+      fs(spark, p).delete(p, true)
+    }
+    v
   }
 
   /** One range shuffle, each bucket its own dir, ALL bucket [min,max]
@@ -946,6 +1034,27 @@ object Versioned {
       },
       abortIf = head => lastBatchId(spark, root).exists(_ >= batchId))
     if (v.isEmpty) { // lost to a racing replay that carried our batch
+      val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+      fs(spark, p).delete(p, true)
+    }
+    v
+  }
+
+  /** Fenced full-snapshot commit: like [[commit]] but carrying the
+    * batchId fence — the derived-table counterpart of [[commitBatch]].
+    * A materialized view refreshed to source version N commits its new
+    * snapshot with batchId = N: [[lastBatchId]] then IS the durable
+    * "applied source version", so a crash between the source commit and
+    * the view refresh is healed by the next catch-up instead of losing
+    * the delta (see [[IncrementalView.refreshTo]]). */
+  def commitSnapshotBatch(spark: SparkSession, root: String, batchId: Long,
+      df: DataFrame): Option[Int] = {
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    val rel = writeDataDir(spark, root, df)
+    val v = publishRecord(spark, root, head =>
+        (Seq(rel), extraFields(spark, root, head, Seq(rel), None, s""","batchId":$batchId""")),
+      abortIf = _ => lastBatchId(spark, root).exists(_ >= batchId))
+    if (v.isEmpty) {
       val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
       fs(spark, p).delete(p, true)
     }

@@ -151,6 +151,29 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(asMap(mv) == Map("k0" -> (2L, 6L), "k1" -> (2L, 4L)))
   }
 
+  test("refreshTo: the MV heals a crash between table commit and refresh") {
+    val root = newRoot()
+    val table = s"$root/table"; val mv = s"$root/mv"
+    Versioned.commit(spark, table,
+      (1L to 10L).map(i => (i, s"k${i % 2}", i)).toDF("id", "k", "m"))
+    Versioned.commitSnapshotBatch(spark, mv, 1L,
+      build(Versioned.readAt(spark, table, 1)))
+    // batches 10 and 11 land, but the "process crashed" before any
+    // refresh ran — the MV is two table versions behind
+    Versioned.commitBatch(spark, table, 10L,
+      Seq((11L, "k0", 100L)).toDF("id", "k", "m"))
+    Versioned.commitBatch(spark, table, 11L,
+      Seq((12L, "k1", 200L)).toDF("id", "k", "m"))
+    // one poll jumps the whole gap, fenced at the table head
+    assert(IncrementalView.refreshTo(spark, table, mv, keys, measures).nonEmpty)
+    val mvNow = Versioned.readAt(spark, mv, Versioned.currentVersion(spark, mv))
+    assert(asMap(mvNow) == asMap(build(Versioned.readAt(spark, table, 3))))
+    // a replayed poll is a no-op: version and content unchanged
+    val vMv = Versioned.currentVersion(spark, mv)
+    assert(IncrementalView.refreshTo(spark, table, mv, keys, measures).isEmpty)
+    assert(Versioned.currentVersion(spark, mv) == vMv)
+  }
+
   test("zone map: readRange prunes non-overlapping dirs before any file I/O") {
     val root = newRoot()
     Versioned.commitAppend(spark, root,
@@ -263,6 +286,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     Versioned.commitMerge(spark, root,
       Seq((250L, "M", 9999L)).toDF("id", "k", "m"), "id")
     val vC = Versioned.compactClustered(spark, root, "id", buckets = 4)
+      .getOrElse(fail("uncontended compaction must land"))
     val mC = Versioned.manifest(spark, root, vC)
     assert(mC.size == 4, s"compaction must land exactly the bucket dirs, got ${mC.size}")
     // content identical to the pre-compaction head

@@ -225,6 +225,73 @@ class TableFeaturesSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sorted.toSeq == snap)
   }
 
+  test("merge keyed on an altered-in column skips the pre-alter generation") {
+    val root = newRoot()
+    Versioned.commit(spark, root, (1L to 100L).map(i => (i, s"s$i")).toDF("id", "s"))
+    Versioned.commitAlterAdd(spark, root, "k", "bigint")
+    Versioned.commitAppend(spark, root,
+      (101L to 200L).map(i => (i, s"s$i", i % 10)).toDF("id", "s", "k"))
+    val d1 = Versioned.manifest(spark, root, 1).head
+    // merge on k: pre-alter rows hold only null k and can never match
+    val v = Versioned.commitMerge(spark, root,
+      Seq((300L, "up", 3L)).toDF("id", "s", "k"), "k")
+    val out = Versioned.readAt(spark, root, v)
+    assert(out.count() == 191) // 100 + 100 - 10 evicted (k=3) + 1 upsert
+    assert(out.filter(col("k") === 3).count() == 1)
+    assert(out.filter(col("k").isNull).count() == 100, "pre-alter rows untouched")
+    assert(Versioned.manifest(spark, root, v).contains(d1),
+      "the keyless generation's dir must carry through unrewritten")
+    // duplicate alters are loud, not silent data loss
+    intercept[IllegalArgumentException] {
+      Versioned.commitAlterAdd(spark, root, "s", "string")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.commitAlterAdd(spark, root, "k", "bigint")
+    }
+  }
+
+  test("bloom re-declaration with different parameters is rejected") {
+    val root = newRoot()
+    BloomIndex.commitAppendBloom(spark, root,
+      Seq((1L, 1L)).toDF("id", "p"), "id", bits = 1 << 14)
+    intercept[IllegalArgumentException] {
+      BloomIndex.commitAppendBloom(spark, root,
+        Seq((2L, 2L)).toDF("id", "p"), "id", bits = 1 << 16)
+    }
+    intercept[IllegalArgumentException] {
+      BloomIndex.commitAppendBloom(spark, root,
+        Seq((3L, 3L)).toDF("id", "p"), "p", bits = 1 << 14)
+    }
+    // same declaration composes
+    BloomIndex.commitAppendBloom(spark, root,
+      Seq((4L, 4L)).toDF("id", "p"), "id", bits = 1 << 14)
+    assert(Versioned.countAt(spark, root, 2) == 2L)
+  }
+
+  test("optimize racing a CoW delete never resurrects rows") {
+    (1 to 3).foreach { round =>
+      val root = newRoot()
+      (0 until 3).foreach { r =>
+        Versioned.commitAppendClustered(spark, root,
+          (1L to 900L).filter(_ % 3 == r).map(i => (i, i % 7)).toDF("id", "p"),
+          "id", buckets = 4)
+      }
+      val pred = col("id") % 5 === 0
+      val t1 = new Thread(() =>
+        Versioned.optimizeClustered(spark, root, "id", buckets = 4): Unit)
+      val t2 = new Thread(() =>
+        Versioned.commitUpdate(spark, root, pred, d => d.filter(!pred)): Unit)
+      t1.start(); t2.start(); t1.join(); t2.join()
+      // whatever serialized: the delete must hold at the final head —
+      // an optimize publishing its pre-delete fold would resurrect them
+      val head = Versioned.currentVersion(spark, root)
+      val got = Versioned.readAt(spark, root, head)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == (1L to 900L).filterNot(_ % 5 == 0).map(i => (i, i % 7)),
+        s"round $round: racing optimize corrupted the table")
+    }
+  }
+
   test("write-audit-publish: a rejected batch leaves no trace") {
     val root = newRoot()
     val checks = Seq(
