@@ -70,10 +70,15 @@ object IncrementalView {
   def refreshTo(spark: org.apache.spark.sql.SparkSession, tableRoot: String,
       mvRoot: String, keys: Seq[String], measures: Seq[(String, Column)]): Option[Int] = {
     val head = Versioned.currentVersion(spark, tableRoot)
-    val applied = Versioned.lastBatchId(spark, mvRoot).getOrElse(sys.error(
+    // the fence and the MV content must come from the SAME MV version:
+    // a concurrent refresh landing between two separate reads would
+    // pair a stale fence with fresher content (double-count) or the
+    // reverse (lost delta)
+    val vMv = Versioned.currentVersion(spark, mvRoot)
+    val applied = Versioned.lastBatchIdAt(spark, mvRoot, vMv).getOrElse(sys.error(
       s"$mvRoot carries no applied-version fence; build it with commitSnapshotBatch")).toInt
     if (applied >= head) return None
-    val mv = Versioned.readAt(spark, mvRoot, Versioned.currentVersion(spark, mvRoot))
+    val mv = Versioned.readAt(spark, mvRoot, vMv)
     Versioned.commitSnapshotBatch(spark, mvRoot, head,
       refresh(mv, Versioned.diff(spark, tableRoot, applied, head), keys, measures))
   }

@@ -1066,9 +1066,15 @@ object Versioned {
     * ingest into a table vacuumed past its last fenced record degrades
     * to "no fence" (a fresh stream re-ingests) instead of crashing on a
     * reclaimed log record. */
-  private[graft] def lastBatchId(spark: SparkSession, root: String): Option[Long] = {
+  private[graft] def lastBatchId(spark: SparkSession, root: String): Option[Long] =
+    lastBatchIdAt(spark, root, currentVersion(spark, root))
+
+  /** [[lastBatchId]] as of version `from` — for readers that must pair
+    * the fence with the SAME version's content (a concurrent commit
+    * between two separate reads would make the pair inconsistent). */
+  private[graft] def lastBatchIdAt(spark: SparkSession, root: String, from: Int): Option[Long] = {
     val head = currentVersion(spark, root)
-    (head to lowestVersion(spark, root, head) by -1).iterator.flatMap { v =>
+    (math.min(from, head) to lowestVersion(spark, root, head) by -1).iterator.flatMap { v =>
       val p = new org.apache.hadoop.fs.Path(logDir(root), f"v$v%05d.json")
       val in = fs(spark, p).open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()

@@ -292,6 +292,30 @@ class TableFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("two racing merges on the same dir both land (conflict retry liveness)") {
+    (1 to 3).foreach { round =>
+      val root = newRoot()
+      Versioned.commitAppendClustered(spark, root,
+        (1L to 400L).map(i => (i, 0L)).toDF("id", "p"), "id", buckets = 4)
+      // both update sets live in the same bucket dir -> guaranteed
+      // write-write conflict; the loser must retry and still apply
+      val t1 = new Thread(() =>
+        Versioned.commitMerge(spark, root,
+          (10L to 30L).map(i => (i, 111L)).toDF("id", "p"), "id"): Unit)
+      val t2 = new Thread(() =>
+        Versioned.commitMerge(spark, root,
+          (40L to 60L).map(i => (i, 222L)).toDF("id", "p"), "id"): Unit)
+      t1.start(); t2.start(); t1.join(); t2.join()
+      val got = Versioned
+        .readAt(spark, root, Versioned.currentVersion(spark, root))
+        .as[(Long, Long)].collect().toMap
+      assert(got.size == 400, s"round $round: lost or duplicated keys")
+      assert((10L to 30L).forall(got(_) == 111L), s"round $round: merge 1 lost")
+      assert((40L to 60L).forall(got(_) == 222L), s"round $round: merge 2 lost")
+      assert((61L to 400L).forall(got(_) == 0L))
+    }
+  }
+
   test("write-audit-publish: a rejected batch leaves no trace") {
     val root = newRoot()
     val checks = Seq(
