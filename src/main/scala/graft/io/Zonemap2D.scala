@@ -125,5 +125,29 @@ object Zonemap2D {
     readRange2(spark, root, v, 120L, 380L, 100L, 400L)
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableZonemap2d)
+  /** Judged query: self-scheduling OPTIMIZE on the 2-D layout.  Three
+    * z-clustered appends of interleaved slices (each spanning the full
+    * Morton curve) decay the layout to cover-3; `optimizeClustered` on
+    * the `_z2` pseudo statsCol folds the component back to near-disjoint
+    * z-segments through the SAME machinery as the 1-D path; the output
+    * is a box read over the optimized head — folding must never change
+    * rows (the oracle is the plain conjunctive filter). */
+  val tableOptimize2d: graft.GraftQuery = graft.GraftQuery("q_table_optimize_2d",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id BETWEEN 120 AND 380 AND n_chars BETWEEN 100 AND 400""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    (0 until 3).foreach { r =>
+      commitAppendClustered2(spark, root,
+        docs.filter(col("doc_id") % 3 === r), "doc_id", "n_chars",
+        bits = 16, buckets = 8)
+    }
+    val sc = Versioned.statsColOf(spark, root, 3).get
+    val v = Versioned.optimizeClustered(spark, root, sc, buckets = 8)
+      .getOrElse(sys.error("3 spanning z-layers must trigger a fold"))
+    readRange2(spark, root, v, 120L, 380L, 100L, 400L)
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(tableZonemap2d, tableOptimize2d)
 }
