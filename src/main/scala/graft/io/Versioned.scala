@@ -206,17 +206,47 @@ object Versioned {
           .map(x => x.group(1) -> x.group(2).toLong).toMap
       }.getOrElse(Map.empty)
 
+  /** Merge-on-read DELETION VECTORS at version `v`: per data dir, the
+    * delete-sidecar dirs whose (file, row position) pairs are
+    * anti-joined out on every read of that dir — encoded as
+    * `"dv":{"dir":"side1,side2",...}`.  Entries are scoped to the dir
+    * they delete from, so any commit that REPLACES or folds a dir
+    * (CoW update, MERGE, compaction, OPTIMIZE) retires its vectors for
+    * free: the rewrite reads DV-applied content and the new dir starts
+    * clean.  See [[commitDeleteMOR]]. */
+  private[graft] def dvOf(spark: SparkSession, root: String, v: Int): Map[String, Seq[String]] =
+    if (v == 0) Map.empty
+    else """"dv":\{([^}]*)\}""".r
+      .findFirstMatchIn(recordText(spark, root, v)).map { m =>
+        """"([^"]+)":"([^"]*)"""".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).split(",").filter(_.nonEmpty).toSeq).toMap
+      }.getOrElse(Map.empty)
+
+  /** Per data dir, how many rows its deletion vectors remove — so
+    * [[countAt]]/[[history]] stay metadata-only under MOR deletes. */
+  private[graft] def dvRowsOf(spark: SparkSession, root: String, v: Int): Map[String, Long] =
+    if (v == 0) Map.empty
+    else """"dvRows":\{([^}]*)\}""".r
+      .findFirstMatchIn(recordText(spark, root, v)).map { m =>
+        """"([^"]+)":(\d+)""".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toLong).toMap
+      }.getOrElse(Map.empty)
+
   /** `SELECT count(*)` at version `v` from manifest METADATA — zero data
     * or footer I/O for dirs whose commit recorded a row count (every
     * commit does; only legacy dirs fall back to a parquet count, which
     * parquet answers from footers).  The 100 TB shape: row counts are the
     * most-asked table question (monitoring, planning, sanity gates), and
     * a metadata answer costs O(#dirs) driver-side instead of listing and
-    * opening a million files. */
+    * opening a million files.  Deletion-vector rows subtract from the
+    * metadata side (each dir's dvRows entry was measured against its
+    * LIVE rows at delete time, so the arithmetic is exact). */
   def countAt(spark: SparkSession, root: String, v: Int): Long = {
     val known = dirRows(spark, root, v)
-    val (have, missing) = manifest(spark, root, v).partition(known.contains)
-    have.map(known).sum +
+    val dirs = manifest(spark, root, v)
+    val (have, missing) = dirs.partition(known.contains)
+    val deleted = dvRowsOf(spark, root, v)
+    have.map(known).sum - dirs.flatMap(deleted.get).sum +
       (if (missing.isEmpty) 0L
        else spark.read.parquet(missing.map(dataPath(root, _)): _*).count())
   }
@@ -230,6 +260,10 @@ object Versioned {
   def statsRangeAt(spark: SparkSession, root: String, v: Int): Option[(Long, Long)] = {
     val sc = statsColOf(spark, root, v)
     if (sc.isEmpty || Z2.findFirstIn(sc.get).nonEmpty) return None
+    // deletion vectors make per-dir [min,max] a conservative ENVELOPE
+    // (sound for pruning, wrong as an exact answer: the extremum row may
+    // be deleted) — fall back to the scan while any vector is live
+    if (dvOf(spark, root, v).nonEmpty) return None
     val st = dirStats(spark, root, v)
     val dirs = manifest(spark, root, v)
     if (dirs.isEmpty || !dirs.forall(st.contains)) None
@@ -261,7 +295,8 @@ object Versioned {
       precomputed: Map[String, (Long, Long)] = Map.empty,
       alters: Option[String] = None,
       precomputedRows: Map[String, Long] = Map.empty,
-      blooms: Option[(String, Int, Map[String, String])] = None): String = {
+      blooms: Option[(String, Int, Map[String, String])] = None,
+      dvAdd: Map[String, (Seq[String], Long)] = Map.empty): String = {
     val sc = statsCol.orElse(statsColOf(spark, root, head))
     val ts = math.max(System.currentTimeMillis(),
       if (head == 0) 0L else tsOf(spark, root, head))
@@ -314,7 +349,27 @@ object Versioned {
     // schema-evolution entries ride along verbatim on every commit
     val altersJson = alters.orElse(altersFragOf(spark, root, head))
       .map(a => s""","alters":{$a}""").getOrElse("")
-    s""","ts":$ts$statsJson$rowsJson$bloomJson$altersJson$more"""
+    // deletion vectors: parent entries carried for carried dirs (a
+    // replaced/folded dir's entries drop WITH the dir — the rewrite read
+    // DV-applied content, so its vectors are retired, not lost), plus the
+    // new sidecars a commitDeleteMOR contributes via dvAdd
+    val parentDv = dvOf(spark, root, head)
+    val parentDvRows = dvRowsOf(spark, root, head)
+    val dvEntries = dirs.flatMap { d =>
+      val sides = parentDv.getOrElse(d, Seq.empty) ++
+        dvAdd.get(d).map(_._1).getOrElse(Seq.empty)
+      if (sides.isEmpty) None
+      else Some((d, sides,
+        parentDvRows.getOrElse(d, 0L) + dvAdd.get(d).map(_._2).getOrElse(0L)))
+    }
+    val dvJson =
+      if (dvEntries.isEmpty) ""
+      else {
+        val e = dvEntries.map { case (d, s, _) => s""""$d":"${s.mkString(",")}"""" }
+        val n = dvEntries.map { case (d, _, k) => s""""$d":$k""" }
+        s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
+      }
+    s""","ts":$ts$statsJson$rowsJson$bloomJson$altersJson$dvJson$more"""
   }
 
   /** Write `df` as one immutable data dir; returns the root-relative path. */
@@ -454,8 +509,13 @@ object Versioned {
       val head0 = currentVersion(spark, root)
       require(head0 > 0, s"no committed version at $root")
       val dirs0 = manifest(spark, root, head0)
-      val touchedFiles = readAt(spark, root, head0)
-        .filter(pred).select(input_file_name().as("f"))
+      // file identity comes from the _metadata projection, not
+      // input_file_name(): under live deletion vectors the read is a
+      // JOINED plan, where input_file_name() is undefined (it could name
+      // the sidecar, or nothing — silently touching zero dirs)
+      val touchedFiles = readDirsDv(spark, root, head0, dirs0,
+          keepPos = true, dvV = head0)
+        .filter(pred).select(col("_dvf").as("f"))
         .distinct().collect().map(_.getString(0))
       val touched = dirs0.filter(d => touchedFiles.exists(fileInDir(root, _, d))).toSet
       // `transform` is applied PER DIR (each dir's full content, read
@@ -472,8 +532,13 @@ object Versioned {
       // re-resolved head), but a concurrent commit that replaced or
       // folded one of OUR touched dirs invalidates this rewrite —
       // publishing it would resurrect pre-conflict rows next to their
-      // successors.  Abort, reclaim the staged rewrite, and RETRY the
-      // whole update against the new head.
+      // successors.  A concurrent MOR delete is the same conflict in
+      // metadata clothing: it changes a touched dir's VECTOR state
+      // without moving the manifest, and our rewrite (computed under the
+      // old vectors, dropping the dir and its entries) would resurrect
+      // the freshly-deleted rows.  Abort on either, reclaim the staged
+      // rewrite, and RETRY the whole update against the new head.
+      val dv0 = dvOf(spark, root, head0)
       val v = publishRecord(spark, root,
         head => {
           val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
@@ -481,8 +546,11 @@ object Versioned {
           (dirs, extraFields(spark, root, head, dirs, None, "",
             rewritten._2, None, rewritten._3))
         },
-        abortIf = head => head != head0 &&
-          touched.exists(d => !manifest(spark, root, head).contains(d)))
+        abortIf = head => head != head0 && {
+          val m = manifest(spark, root, head).toSet
+          val dvH = dvOf(spark, root, head)
+          touched.exists(d => !m.contains(d) || dvH.get(d) != dv0.get(d))
+        })
       v match {
         case Some(ver) => return ver
         case None => reclaimStaged(spark, root, rewritten._1)
@@ -498,6 +566,80 @@ object Versioned {
       val p = new org.apache.hadoop.fs.Path(dataPath(root, d))
       fs(spark, p).delete(p, true)
     }
+
+  /** MERGE-ON-READ delete: remove the rows matching `pred` WITHOUT
+    * rewriting any data dir.  The matched rows' (file, row position)
+    * identities land as ONE small delete-sidecar dir; the commit is pure
+    * metadata over the same manifest, attaching the sidecar to each dir
+    * it deletes from (`"dv"` entries).  Readers anti-join the vectors
+    * out ([[readDirsDv]]); [[countAt]]/[[history]] subtract the recorded
+    * cardinalities with zero I/O.
+    *
+    * Positional, not keyed: exactly the rows `pred` matched die — a
+    * later append of identical values is untouched, and no key column
+    * is required.  Cost shape vs the copy-on-write delete
+    * ([[commitUpdate]] with `filter(!pred)`): CoW pays O(touched dirs)
+    * read + WRITE — deleting 0.01% of rows scattered across every dir
+    * rewrites the whole table; MOR pays the same pruned read but writes
+    * O(deleted rows) — the sidecar — deferring the rewrite to the next
+    * compaction/OPTIMIZE/CoW touch of each dir, which reads DV-applied
+    * content and so retires the vectors for free.  The read-side tax
+    * until then is one anti join against the sidecar (broadcast while
+    * small).  This is the Delta/Iceberg deletion-vector trade, chosen
+    * per delete: frequent small deletes → MOR; bulk deletes confined to
+    * few dirs → CoW.
+    *
+    * Concurrency: appends and commits on OTHER dirs compose; a
+    * concurrent commit that replaced one of OUR touched dirs — or raced
+    * another MOR delete onto it — aborts and retries against the new
+    * head (fresh positions, disjoint vectors).  Returns the new version,
+    * or the unchanged head when `pred` matched nothing. */
+  def commitDeleteMOR(spark: SparkSession, root: String,
+      pred: org.apache.spark.sql.Column): Int = {
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val head0 = currentVersion(spark, root)
+      require(head0 > 0, s"no committed version at $root")
+      val dirs0 = manifest(spark, root, head0)
+      val rel = s"data/${java.util.UUID.randomUUID()}"
+      readDirsDv(spark, root, head0, dirs0, keepPos = true, dvV = head0)
+        .filter(pred).select(col("_dvf"), col("_dvp"))
+        .write.mode("errorifexists").parquet(s"$root/$rel")
+      // per-dir deleted counts from the staged sidecar: one tiny job
+      // grouped by file (bounded by file count), attributed driver-side
+      val perFile = spark.read.parquet(s"$root/$rel")
+        .groupBy(col("_dvf")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (perFile.isEmpty) { reclaimStaged(spark, root, Seq(rel)); return head0 }
+      val perDir: Map[String, Long] = perFile.groupBy { case (f, _) =>
+        dirs0.find(fileInDir(root, f, _)).getOrElse(throw new IllegalStateException(
+          s"matched file $f attributes to no manifest dir of $root"))
+      }.map { case (d, fc) => d -> fc.map(_._2).sum }
+      val touched = perDir.keySet
+      val dv0 = dvOf(spark, root, head0)
+      val v = publishRecord(spark, root,
+        head => {
+          val dirs = manifest(spark, root, head)
+          (dirs, extraFields(spark, root, head, dirs, None, "",
+            dvAdd = perDir.map { case (d, n) => d -> (Seq(rel), n) }))
+        },
+        // our positions are only valid against head0's copy AND head0's
+        // vector state of each touched dir: a concurrent rewrite orphans
+        // them (silent resurrect), a concurrent MOR delete could list
+        // the same position twice (dvRows double-count) — retry on both
+        abortIf = head => head != head0 && {
+          val m = manifest(spark, root, head).toSet
+          val dvH = dvOf(spark, root, head)
+          touched.exists(d => !m.contains(d) || dvH.get(d) != dv0.get(d))
+        })
+      v match {
+        case Some(ver) => return ver
+        case None => reclaimStaged(spark, root, Seq(rel))
+      }
+    }
+    throw new IllegalStateException(s"MOR delete conflict not resolving at $root")
+  }
 
   /** Land N per-dir replacement frames as ONE partitioned write
     * (`_d=i` subdirs) and measure each surviving subdir's stats + row
@@ -623,8 +765,11 @@ object Versioned {
     val newDir = writeDataDir(spark, root, upserts)
     val more = batchId.map(b => s""","batchId":$b""").getOrElse("")
     // abort on (a) a racing replay carrying our batch fence, or (b) a
-    // concurrent commit that replaced one of OUR touched dirs — the
-    // commitUpdate conflict discipline: (a) is terminal, (b) retries
+    // concurrent commit that replaced one of OUR touched dirs — or
+    // changed their deletion-vector state (the rewrite would resurrect
+    // those deletes) — the commitUpdate conflict discipline: (a) is
+    // terminal, (b) retries
+    val dv0 = dvOf(spark, root, head0)
     val v = publishRecord(spark, root, head => {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
           .filterNot(touched) ++ rewritten._1 :+ newDir
@@ -633,8 +778,11 @@ object Versioned {
       },
       abortIf = head =>
         batchId.exists(b => lastBatchId(spark, root).exists(_ >= b)) ||
-          (head != head0 &&
-            touched.exists(d => !manifest(spark, root, head).contains(d))))
+          (head != head0 && {
+            val m = manifest(spark, root, head).toSet
+            val dvH = dvOf(spark, root, head)
+            touched.exists(d => !m.contains(d) || dvH.get(d) != dv0.get(d))
+          }))
     v match {
       case Some(_) => v
       case None =>
@@ -680,19 +828,55 @@ object Versioned {
     * added column constant-folds the pre-alter generations to an empty
     * relation (the scan is pruned entirely, not read-and-dropped). */
   private[graft] def readDirs(spark: SparkSession, root: String, v: Int,
-      dirs: Seq[String]): DataFrame = {
+      dirs: Seq[String]): DataFrame =
+    readDirsDv(spark, root, v, dirs, keepPos = false, dvV = v)
+
+  /** [[readDirs]] body with deletion-vector control: `dvV` names the
+    * version whose vectors apply (readers pass `v`; [[diff]] reads each
+    * side's dirs under the NEWER schema but its OWN vectors), and
+    * `keepPos = true` retains the `_dvf`/`_dvp` (file, row position)
+    * identity columns — how [[commitDeleteMOR]] addresses the rows it
+    * deletes.  With no vectors on the requested dirs this is exactly
+    * the plain scan: zero overhead on tables that never MOR-delete. */
+  private def readDirsDv(spark: SparkSession, root: String, v: Int,
+      dirs: Seq[String], keepPos: Boolean, dvV: Int): DataFrame = {
+    val dv = dvOf(spark, root, dvV).filter { case (d, _) => dirs.contains(d) }
+    val withPos = keepPos || dv.nonEmpty
+    def proj(df: DataFrame): DataFrame =
+      if (!withPos) df
+      else {
+        require(!df.columns.contains("_dvf") && !df.columns.contains("_dvp"),
+          "table columns _dvf/_dvp collide with the deletion-vector reader")
+        df.select(col("*"), col("_metadata.file_path").as("_dvf"),
+          col("_metadata.row_index").as("_dvp"))
+      }
     val alters = altersOf(spark, root, v)
-    if (alters.isEmpty) spark.read.parquet(dirs.map(dataPath(root, _)): _*)
-    else {
-      val groups = dirs.groupBy(d => alters.filter(_._3.contains(d)).map(a => (a._1, a._2)))
-        .toSeq // oldest generation first, so output column order is stable
-        .sortBy { case (missing, _) => (-missing.size, missing.map(_._1).mkString(",")) }
-      groups.map { case (missing, ds) =>
-        missing.foldLeft(spark.read.parquet(ds.map(dataPath(root, _)): _*)) {
-          case (df, (c, t)) => df.withColumn(c, lit(null).cast(t))
-        }
-      }.reduce(_.unionByName(_))
-    }
+    val base =
+      if (alters.isEmpty) proj(spark.read.parquet(dirs.map(dataPath(root, _)): _*))
+      else {
+        val groups = dirs.groupBy(d => alters.filter(_._3.contains(d)).map(a => (a._1, a._2)))
+          .toSeq // oldest generation first, so output column order is stable
+          .sortBy { case (missing, _) => (-missing.size, missing.map(_._1).mkString(",")) }
+        groups.map { case (missing, ds) =>
+          missing.foldLeft(proj(spark.read.parquet(ds.map(dataPath(root, _)): _*))) {
+            case (df, (c, t)) => df.withColumn(c, lit(null).cast(t))
+          }
+        }.reduce(_.unionByName(_))
+      }
+    val applied =
+      if (dv.isEmpty) base
+      else {
+        val sides = dv.values.flatten.toSeq.distinct
+        val del = spark.read.parquet(sides.map(dataPath(root, _)): _*)
+          .select(col("_dvf"), col("_dvp"))
+        // sidecars are O(deleted rows); broadcast while the metadata says
+        // they are small, fall back to a shuffled anti join past that
+        val nDel = dvRowsOf(spark, root, dvV)
+          .filter { case (d, _) => dirs.contains(d) }.values.sum
+        val delB = if (nDel <= 2000000L) broadcast(del) else del
+        base.join(delB, Seq("_dvf", "_dvp"), "left_anti")
+      }
+    if (keepPos || dv.isEmpty) applied else applied.drop("_dvf", "_dvp")
   }
 
   /** Time-travel read of version `v` (dir-list union; schema from the
@@ -754,9 +938,14 @@ object Versioned {
       val ts = """"ts":\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
       val bid = """"batchId":\s*(-?\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
       val dirs = manifest(spark, root, v)
-      // metadata row count when every dir carries one (legacy dirs don't)
+      // metadata row count when every dir carries one (legacy dirs don't);
+      // deletion-vector cardinalities subtract, as in countAt
       val known = dirRows(spark, root, v)
-      val nRows = if (dirs.forall(known.contains)) Some(dirs.map(known).sum) else None
+      val deleted = dvRowsOf(spark, root, v)
+      val nRows =
+        if (dirs.forall(known.contains))
+          Some(dirs.map(known).sum - dirs.flatMap(deleted.get).sum)
+        else None
       (v, ts, dirs.size, nRows, bid)
     }.toDF("version", "ts_ms", "n_dirs", "n_rows", "batch_id")
   }
@@ -793,15 +982,22 @@ object Versioned {
       statsCol, buckets)
     // concurrent appends carry through; a concurrent CoW commit that
     // replaced one of the compacted dirs aborts (publishing would
-    // resurrect its pre-CoW rows) — same discipline as optimize
+    // resurrect its pre-CoW rows), and so does a concurrent MOR delete
+    // attaching a vector to one (the fold read the OLD vector state and
+    // would drop the new entry with the dir) — same discipline as
+    // optimize
+    val dvC0 = dvOf(spark, root, head0)
     val v = publishRecord(spark, root,
       head => {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
           .filterNot(dirs0) ++ rels
         (dirs, extraFields(spark, root, head, dirs, Some(statsCol), "", pre, None, rows))
       },
-      abortIf = head =>
-        head != head0 && !dirs0.subsetOf(manifest(spark, root, head).toSet))
+      abortIf = head => head != head0 && {
+        val m = manifest(spark, root, head).toSet
+        val dvH = dvOf(spark, root, head)
+        !dirs0.subsetOf(m) || dirs0.exists(d => dvH.get(d) != dvC0.get(d))
+      })
     if (v.isEmpty) {
       val p = new org.apache.hadoop.fs.Path(
         dataPath(root, rels.head.split("/").take(2).mkString("/")))
@@ -861,16 +1057,23 @@ object Versioned {
     // concurrent CoW commit REPLACING a fold dir must abort this
     // optimize: blindly publishing would re-add the folded copy of the
     // pre-CoW rows next to their rewritten successors (resurrected
-    // deletes / duplicate keys).  The subset check is re-evaluated
-    // against the head the rename will land on.
+    // deletes / duplicate keys).  A concurrent MOR delete VECTORING a
+    // fold dir is the same hazard without a manifest change — the fold
+    // read the old vector state, so publishing would resurrect the new
+    // deletes.  Both checks re-evaluate against the head the rename
+    // will land on.
+    val dvO0 = dvOf(spark, root, head0)
     val v = publishRecord(spark, root,
       head => {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
           .filterNot(foldSet) ++ rels
         (dirs, extraFields(spark, root, head, dirs, Some(statsCol), "", pre, None, rows))
       },
-      abortIf = head =>
-        head != head0 && !foldSet.subsetOf(manifest(spark, root, head).toSet))
+      abortIf = head => head != head0 && {
+        val m = manifest(spark, root, head).toSet
+        val dvH = dvOf(spark, root, head)
+        !foldSet.subsetOf(m) || fold.exists(d => dvH.get(d) != dvO0.get(d))
+      })
     if (v.isEmpty) { // aborted: reclaim the staged fold
       val p = new org.apache.hadoop.fs.Path(
         dataPath(root, rels.head.split("/").take(2).mkString("/")))
@@ -959,10 +1162,79 @@ object Versioned {
       }
       if (entries.isEmpty) "" else s""","alters":{${entries.mkString(",")}}"""
     }
+    // deletion vectors carry over remapped: the clone reads the SAME
+    // physical files, so the sidecars' (file, position) identities stay
+    // valid verbatim — only the manifest names need absolutizing
+    val dvJson = {
+      val dv = dvOf(spark, srcRoot, v)
+      val dvr = dvRowsOf(spark, srcRoot, v)
+      val keep = orig.filter(dv.contains)
+      if (keep.isEmpty) ""
+      else {
+        val e = keep.map(d =>
+          s""""${remap(d)}":"${dv(d).map(remap).mkString(",")}"""")
+        val n = keep.map(d => s""""${remap(d)}":${dvr.getOrElse(d, 0L)}""")
+        s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
+      }
+    }
     publishRecord(spark, dstRoot, head => {
       require(head == 0, s"clone target $dstRoot is not empty")
       (orig.map(remap),
-        s""","ts":${System.currentTimeMillis()}$statsJson$rowsJson$bloomJson$altersJson""")
+        s""","ts":${System.currentTimeMillis()}$statsJson$rowsJson$bloomJson$altersJson$dvJson""")
+    }).get
+  }
+
+  /** RESTORE: make the head snapshot equal version `v` again — rollback
+    * expressed as a FORWARD commit (`RESTORE TABLE ... TO VERSION AS OF`).
+    * Pure metadata: the new record re-publishes v's manifest, zone-map
+    * stats, row counts, bloom entries, schema-evolution state, and
+    * deletion vectors verbatim (data dirs are write-once, so they are
+    * all still there — within vacuum retention, which is the natural
+    * restore window).  History is preserved: the bad versions remain
+    * time-travelable for the post-mortem, `history()` shows the restore
+    * as its own commit, and an MV diff across the restore heals the
+    * rolled-back aggregates exactly.  The batchId fence is deliberately
+    * NOT carried: [[lastBatchId]] scans PAST the restore record to the
+    * original fences, so a restored ingest table neither re-admits a
+    * replayed batch (the old fence still wins) nor invents a fake one.
+    * The 100 TB use: un-shipping a poisoned ingest in O(metadata)
+    * instead of re-materializing a petabyte snapshot. */
+  def restore(spark: SparkSession, root: String, v: Int): Int = {
+    publishRecord(spark, root, head => {
+      require(head > 0, s"no committed version at $root")
+      require(v >= 1 && v <= head, s"cannot restore $root to nonexistent version $v")
+      val dirs = manifest(spark, root, v) // throws if v's record was vacuumed
+      require(dirs.nonEmpty, s"version $v of $root has no data")
+      val ts = math.max(System.currentTimeMillis(), tsOf(spark, root, head))
+      val statsJson = statsColOf(spark, root, v).map { c =>
+        val st = dirStats(spark, root, v)
+        val entries = dirs.flatMap(d =>
+          st.get(d).map { case (a, b) => s""""$d":[$a,$b]""" })
+        s""","statsCol":"$c","stats":{${entries.mkString(",")}}"""
+      }.getOrElse("")
+      val rows = dirRows(spark, root, v)
+      val rowEntries = dirs.flatMap(d => rows.get(d).map(n => s""""$d":$n"""))
+      val rowsJson =
+        if (rowEntries.isEmpty) "" else s""","rows":{${rowEntries.mkString(",")}}"""
+      val bloomJson = bloomColOf(spark, root, v).map { case (c, m) =>
+        val bl = dirBlooms(spark, root, v)
+        val entries = dirs.flatMap(d => bl.get(d).map(b => s""""$d":"$b""""))
+        s""","bloomCol":"$c","bloomBits":$m,"bloom":{${entries.mkString(",")}}"""
+      }.getOrElse("")
+      val altersJson = altersFragOf(spark, root, v)
+        .map(a => s""","alters":{$a}""").getOrElse("")
+      val dvJson = {
+        val dv = dvOf(spark, root, v)
+        val dvr = dvRowsOf(spark, root, v)
+        val keep = dirs.filter(dv.contains)
+        if (keep.isEmpty) ""
+        else {
+          val e = keep.map(d => s""""$d":"${dv(d).mkString(",")}"""")
+          val n = keep.map(d => s""""$d":${dvr.getOrElse(d, 0L)}""")
+          s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
+        }
+      }
+      (dirs, s""","ts":$ts$statsJson$rowsJson$bloomJson$altersJson$dvJson""")
     }).get
   }
 
@@ -979,8 +1251,12 @@ object Versioned {
     val head = currentVersion(spark, root)
     if (head == 0) return
     val floor = math.max(1, head - keep + 1)
+    // delete sidecars are manifest state too: a surviving version's dv
+    // entries reference them, so they live exactly as long as a record
+    // pointing at them does
     val live: Set[String] =
-      (floor to head).flatMap(v => manifest(spark, root, v)).toSet
+      (floor to head).flatMap(v =>
+        manifest(spark, root, v) ++ dvOf(spark, root, v).values.flatten).toSet
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
     val f = fs(spark, dataDir)
     if (f.exists(dataDir))
@@ -1100,12 +1376,20 @@ object Versioned {
     // an alter compares null-filled old rows against full-schema rows
     // and rows untouched but for the schema change still cancel
     val vMax = math.max(va, vb)
-    def read(only: Seq[String]): DataFrame =
+    // a dir shared by both manifests cancels ONLY if its deletion-vector
+    // state also matches: a MOR delete between va and vb changes the
+    // dir's live rows without changing the manifest entry, and each side
+    // must be read under ITS OWN vectors to surface those removals
+    val dvA = dvOf(spark, root, va)
+    val dvB = dvOf(spark, root, vb)
+    val cancel = da.toSet.intersect(db.toSet)
+      .filter(d => dvA.get(d) == dvB.get(d))
+    def read(only: Seq[String], dvV: Int): DataFrame =
       if (only.isEmpty) // schema from whichever side has data dirs
         readDirs(spark, root, vMax, (da ++ db).distinct).limit(0)
-      else readDirs(spark, root, vMax, only)
-    val a = read(da.filterNot(db.toSet))
-    val b = read(db.filterNot(da.toSet))
+      else readDirsDv(spark, root, vMax, only, keepPos = false, dvV = dvV)
+    val a = read(da.filterNot(cancel), va)
+    val b = read(db.filterNot(cancel), vb)
     b.exceptAll(a).withColumn("op", lit("added"))
       .unionByName(a.exceptAll(b).withColumn("op", lit("removed")))
   }
@@ -1246,6 +1530,53 @@ object Versioned {
     Versioned.commitUpdate(spark, root, pred, d => d.filter(!pred))
     Versioned.vacuum(spark, root, keep = 1)
     Versioned.readAt(spark, root, Versioned.currentVersion(spark, root))
+  }
+
+  /** Judged query: MERGE-ON-READ delete (deletion vectors) through the
+    * real log.  The base slice lands range-clustered; `commitDeleteMOR`
+    * removes the scattered pred rows WITHOUT rewriting a single data dir
+    * (pure metadata + one O(deleted rows) sidecar — the spec asserts the
+    * manifest dirs are untouched); a day-2 append then lands rows that
+    * OVERLAP the deleted predicate (every doc_id % 10 >= 8, including
+    * % 7 == 0 ones) — they must all survive, because vectors are
+    * POSITIONAL, scoped to the files that existed at delete time, not
+    * keyed.  Output = the head read, vectors anti-joined out. */
+  val tableDeleteMor: graft.GraftQuery = graft.GraftQuery("q_table_delete_mor",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 10 < 8
+      |  AND NOT (doc_id % 7 = 0 OR doc_id BETWEEN 260 AND 340)
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 10 >= 8""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Versioned.commitAppendClustered(spark, root,
+      docs.filter(col("doc_id") % 10 < 8), "doc_id", buckets = 8)
+    val pred = col("doc_id") % 7 === 0 || col("doc_id").between(260, 340)
+    Versioned.commitDeleteMOR(spark, root, pred)
+    Versioned.commitAppend(spark, root, docs.filter(col("doc_id") % 10 >= 8))
+    Versioned.readAt(spark, root, Versioned.currentVersion(spark, root))
+  }
+
+  /** Judged query: RESTORE through the real log.  v1 = the base corpus;
+    * v2 MOR-deletes every 7th doc (the "bad" operation); v3 appends a
+    * poisoned day-2 batch; `restore(1)` then un-ships both in ONE pure
+    * metadata commit — the head must read byte-identically to v1 while
+    * v2/v3 stay time-travelable underneath.  Oracle = the v1 slice by
+    * expression. */
+  val tableRestore: graft.GraftQuery = graft.GraftQuery("q_table_restore",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 10 < 8""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Versioned.commit(spark, root, docs.filter(col("doc_id") % 10 < 8))
+    Versioned.commitDeleteMOR(spark, root, col("doc_id") % 7 === 0)
+    Versioned.commitAppend(spark, root,
+      docs.filter(col("doc_id") % 10 >= 8).withColumn("n_chars", -col("n_chars")))
+    val v = Versioned.restore(spark, root, 1)
+    Versioned.readAt(spark, root, v)
   }
 
   /** Judged query: AS-OF read through the real log.  v1 = the base
@@ -1423,6 +1754,7 @@ object Versioned {
 
   val all: Seq[graft.GraftQuery] =
     Seq(tableDiff, tableZonemap, tableMerge, tableStreamIngest,
-      tableSchemaEvolution, tableDelete, tableAsOf, tableOptimize,
-      tableRowCounts, tableWap, tableClone, tableStreamUpsert, tableStatsMeta)
+      tableSchemaEvolution, tableDelete, tableDeleteMor, tableRestore,
+      tableAsOf, tableOptimize, tableRowCounts, tableWap, tableClone,
+      tableStreamUpsert, tableStatsMeta)
 }

@@ -6,10 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Model-based property test for the commit log: seeded random traces
   * of append / clustered-append / CoW-update / keyed-merge / compaction
-  * ops, each step checked against an in-memory multiset model — the
-  * whole-module law no single-op spec composes to.  Also pins history
-  * length, head-version monotonicity, and time travel to a snapshot
-  * taken mid-trace surviving to the end (and dying only at vacuum). */
+  * / MOR-delete / restore ops, each step checked against an in-memory
+  * model — the whole-module law no single-op spec composes to (a
+  * deletion vector surviving a compaction, a restore landing on a
+  * vectored version, a CoW update over restored dirs...).  Also pins
+  * history length, head-version monotonicity, metadata row counts at
+  * every step, and time travel to a snapshot taken mid-trace surviving
+  * to the end (and dying only at vacuum). */
 class VersionedModelSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -40,10 +43,12 @@ class VersionedModelSpec extends AnyFunSuite {
       // seed commit
       model = freshRows(40)
       Versioned.commit(spark, root, toDf(model), statsCol = Some("id"))
+      // modelHist(v - 1) = the model at version v, for restore targets
+      var modelHist = Vector(model)
       var checkpointVersion = 0
       var checkpointModel = Map.empty[Long, (String, Long)]
-      for (step <- 1 to 12) {
-        rnd.nextInt(5) match {
+      for (step <- 1 to 14) {
+        rnd.nextInt(7) match {
           case 0 => // append
             val rows = freshRows(10 + rnd.nextInt(20))
             model ++= rows
@@ -74,11 +79,30 @@ class VersionedModelSpec extends AnyFunSuite {
           case 4 => // clustering-preserving compaction (content no-op)
             Versioned.compactClustered(spark, root, "id",
               buckets = 1 + rnd.nextInt(4))
+          case 5 => // MOR delete of a random id window (append if empty)
+            val lo = rnd.nextLong(math.max(1, nextId))
+            val hi = lo + 15
+            if (model.keys.exists(id => id >= lo && id <= hi)) {
+              model = model.filterNot { case (id, _) => id >= lo && id <= hi }
+              Versioned.commitDeleteMOR(spark, root,
+                col("id") >= lo && col("id") <= hi)
+            } else {
+              val rows = freshRows(5)
+              model ++= rows
+              Versioned.commitAppend(spark, root, toDf(rows))
+            }
+          case 6 => // restore to a random earlier version
+            val target = 1 + rnd.nextInt(modelHist.size)
+            model = modelHist(target - 1)
+            Versioned.restore(spark, root, target)
         }
         val head = Versioned.currentVersion(spark, root)
         assert(head == 1 + step, s"trace $trace step $step: head=$head")
         assert(readModel(root, head) == model,
           s"trace $trace step $step diverged from the model")
+        assert(Versioned.countAt(spark, root, head) == model.size,
+          s"trace $trace step $step: metadata count diverged")
+        modelHist :+= model
         if (step == 6) { checkpointVersion = head; checkpointModel = model }
       }
       // the mid-trace snapshot still reads byte-identically at the end
@@ -87,11 +111,11 @@ class VersionedModelSpec extends AnyFunSuite {
       // history covers every version with monotone timestamps
       val h = Versioned.history(spark, root)
         .as[(Int, Option[Long], Int, Option[Long], Option[Long])].collect().sortBy(_._1)
-      assert(h.map(_._1).toSeq == (1 to 13))
+      assert(h.map(_._1).toSeq == (1 to 15))
       assert(h.flatMap(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
       // vacuum keeps the head exact and reclaims the rest
       Versioned.vacuum(spark, root, keep = 1)
-      assert(readModel(root, 13) == model)
+      assert(readModel(root, 15) == model)
       intercept[Exception](Versioned.readAt(spark, root, checkpointVersion).count())
     }
   }
