@@ -841,42 +841,49 @@ object Versioned {
   private def readDirsDv(spark: SparkSession, root: String, v: Int,
       dirs: Seq[String], keepPos: Boolean, dvV: Int): DataFrame = {
     val dv = dvOf(spark, root, dvV).filter { case (d, _) => dirs.contains(d) }
-    val withPos = keepPos || dv.nonEmpty
-    def proj(df: DataFrame): DataFrame =
-      if (!withPos) df
+    // generation-grouped scan of a dir subset, optionally carrying the
+    // (file, row position) identity columns
+    def scanGens(ds: Seq[String], withPos: Boolean): DataFrame = {
+      def proj(df: DataFrame): DataFrame =
+        if (!withPos) df
+        else {
+          require(!df.columns.contains("_dvf") && !df.columns.contains("_dvp"),
+            "table columns _dvf/_dvp collide with the deletion-vector reader")
+          df.select(col("*"), col("_metadata.file_path").as("_dvf"),
+            col("_metadata.row_index").as("_dvp"))
+        }
+      val alters = altersOf(spark, root, v)
+      if (alters.isEmpty) proj(spark.read.parquet(ds.map(dataPath(root, _)): _*))
       else {
-        require(!df.columns.contains("_dvf") && !df.columns.contains("_dvp"),
-          "table columns _dvf/_dvp collide with the deletion-vector reader")
-        df.select(col("*"), col("_metadata.file_path").as("_dvf"),
-          col("_metadata.row_index").as("_dvp"))
-      }
-    val alters = altersOf(spark, root, v)
-    val base =
-      if (alters.isEmpty) proj(spark.read.parquet(dirs.map(dataPath(root, _)): _*))
-      else {
-        val groups = dirs.groupBy(d => alters.filter(_._3.contains(d)).map(a => (a._1, a._2)))
+        val groups = ds.groupBy(d => alters.filter(_._3.contains(d)).map(a => (a._1, a._2)))
           .toSeq // oldest generation first, so output column order is stable
           .sortBy { case (missing, _) => (-missing.size, missing.map(_._1).mkString(",")) }
-        groups.map { case (missing, ds) =>
-          missing.foldLeft(proj(spark.read.parquet(ds.map(dataPath(root, _)): _*))) {
+        groups.map { case (missing, gds) =>
+          missing.foldLeft(proj(spark.read.parquet(gds.map(dataPath(root, _)): _*))) {
             case (df, (c, t)) => df.withColumn(c, lit(null).cast(t))
           }
         }.reduce(_.unionByName(_))
       }
-    val applied =
-      if (dv.isEmpty) base
-      else {
-        val sides = dv.values.flatten.toSeq.distinct
-        val del = spark.read.parquet(sides.map(dataPath(root, _)): _*)
-          .select(col("_dvf"), col("_dvp"))
-        // sidecars are O(deleted rows); broadcast while the metadata says
-        // they are small, fall back to a shuffled anti join past that
-        val nDel = dvRowsOf(spark, root, dvV)
-          .filter { case (d, _) => dirs.contains(d) }.values.sum
-        val delB = if (nDel <= 2000000L) broadcast(del) else del
-        base.join(delB, Seq("_dvf", "_dvp"), "left_anti")
-      }
-    if (keepPos || dv.isEmpty) applied else applied.drop("_dvf", "_dvp")
+    }
+    if (dv.isEmpty) return scanGens(dirs, keepPos)
+    // ONLY the vectored dirs pay the anti join (~200ns/row of (path,pos)
+    // hashing, measured); clean dirs take the plain scan — so at scale
+    // the read tax is proportional to the vectored FRACTION of the
+    // table, not to the table, and is zero again after the next fold
+    val (vecDirs, cleanDirs) = dirs.partition(dv.contains)
+    val sides = dv.values.flatten.toSeq.distinct
+    val del = spark.read.parquet(sides.map(dataPath(root, _)): _*)
+      .select(col("_dvf"), col("_dvp"))
+    // sidecars are O(deleted rows); broadcast while the metadata says
+    // they are small, fall back to a shuffled anti join past that
+    val nDel = dvRowsOf(spark, root, dvV)
+      .filter { case (d, _) => dirs.contains(d) }.values.sum
+    val delB = if (nDel <= 2000000L) broadcast(del) else del
+    val vecApplied = scanGens(vecDirs, withPos = true)
+      .join(delB, Seq("_dvf", "_dvp"), "left_anti")
+    val vec = if (keepPos) vecApplied else vecApplied.drop("_dvf", "_dvp")
+    if (cleanDirs.isEmpty) vec
+    else scanGens(cleanDirs, keepPos).unionByName(vec)
   }
 
   /** Time-travel read of version `v` (dir-list union; schema from the
