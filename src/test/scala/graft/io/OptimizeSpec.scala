@@ -78,4 +78,81 @@ class OptimizeSpec extends AnyFunSuite {
     assert(Versioned.readAt(spark, root, Versioned.currentVersion(spark, root))
       .count() == 8 * 200)
   }
+
+  test("optimizeSmall: healthy layouts are a metadata-only no-op") {
+    val root = newRoot()
+    (0 until 3).foreach { i =>
+      Versioned.commitAppendClustered(spark, root,
+        ((i * 1000L) until ((i + 1) * 1000L)).map(x => (x, x % 7)).toDF("k", "v"),
+        "k", buckets = 1)
+    }
+    // every dir holds 1000 rows: nothing under the small threshold
+    assert(Versioned.optimizeSmall(spark, root, "k",
+      smallRows = 100, targetRows = 5000).isEmpty)
+    assert(Versioned.currentVersion(spark, root) == 3)
+  }
+
+  test("optimizeSmall: tiny disjoint dirs defragment; big dirs carry untouched") {
+    val root = newRoot()
+    // one big dir + 20 tiny disjoint micro-batches
+    Versioned.commitAppendClustered(spark, root,
+      (100000L until 110000L).map(x => (x, x % 7)).toDF("k", "v"), "k", buckets = 1)
+    (0 until 20).foreach { i =>
+      Versioned.commitAppendClustered(spark, root,
+        ((i * 50L) until ((i + 1) * 50L)).map(x => (x, x % 7)).toDF("k", "v"),
+        "k", buckets = 1)
+    }
+    val bigDir = Versioned.manifest(spark, root, 1).head
+    val v = Versioned.optimizeSmall(spark, root, "k",
+      smallRows = 100, targetRows = 500)
+      .getOrElse(fail("20 tiny dirs must fold"))
+    val m = Versioned.manifest(spark, root, v)
+    assert(m.contains(bigDir), "the big dir must carry, not rewrite")
+    assert(m.size <= 1 + 3, s"20 tiny dirs must fold to ~2: got ${m.size}")
+    // content exact, pruning re-established on the folded range
+    assert(Versioned.readAt(spark, root, v).count() == 10000 + 1000)
+    assert(Versioned.readRange(spark, root, v, 0L, 49L).count() == 50)
+    assert(dirsTouched(root, v, 0L, 49L) == 1)
+    // second pass: the folded 500-row dirs are no longer fragments
+    assert(Versioned.optimizeSmall(spark, root, "k", 100, 500).isEmpty)
+  }
+
+  test("optimizeSmall folds deletion vectors with the dirs it rewrites") {
+    val root = newRoot()
+    (0 until 10).foreach { i =>
+      Versioned.commitAppendClustered(spark, root,
+        ((i * 100L) until ((i + 1) * 100L)).map(x => (x, x % 7)).toDF("k", "v"),
+        "k", buckets = 1)
+    }
+    Versioned.commitDeleteMOR(spark, root, col("k") % 10 === 3)
+    val v = Versioned.optimizeSmall(spark, root, "k",
+      smallRows = 150, targetRows = 400)
+      .getOrElse(fail("tiny dirs must fold"))
+    assert(Versioned.dvOf(spark, root, v).isEmpty, "the fold retires the vectors")
+    assert(Versioned.readAt(spark, root, v).count() == 1000 - 100)
+    assert(Versioned.countAt(spark, root, v) == 900)
+  }
+
+  test("re-declaring a different zone-map column never inherits stale ranges") {
+    val root = newRoot()
+    // cluster on k: per-dir [min,max] measured under k
+    Versioned.commitAppendClustered(spark, root,
+      (0L until 1000L).map(x => (x, 999L - x)).toDF("k", "w"), "k", buckets = 4)
+    // re-declare the map on w: carried dirs must be RE-MEASURED under w
+    // (inheriting k's ranges would prune by the wrong values — w runs
+    // exactly opposite to k here, the worst case)
+    Versioned.commitAppendClustered(spark, root,
+      (1000L until 1100L).map(x => (x, 2000L + x)).toDF("k", "w"), "w", buckets = 1)
+    assert(Versioned.statsColOf(spark, root, 2).contains("w"))
+    val got = Versioned.readRange(spark, root, 2, 0L, 99L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == (900L until 1000L), "w in [0,99] is exactly k in [900,999]")
+    // and the optimizer refuses to sweep under a mismatched column
+    intercept[IllegalArgumentException](
+      Versioned.optimizeClustered(spark, root, "k"))
+    intercept[IllegalArgumentException](
+      Versioned.optimizeSmall(spark, root, "k", 10, 100))
+    intercept[IllegalArgumentException](
+      Versioned.optimizeSmall(spark, root, "w", 100, 10)) // threshold > target
+  }
 }

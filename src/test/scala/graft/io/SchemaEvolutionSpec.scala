@@ -107,4 +107,100 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(r.find(_._1 == 150L).get == (150L, "b150", Some(150L), None))
     assert(r.last == (205L, "c205", Some(205L), Some("t")))
   }
+
+  test("rename maps pre-rename generations forward; time travel keeps the old name") {
+    val root = newRoot()
+    Versioned.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Versioned.commitAlterRename(spark, root, "s", "txt")
+    assert(Versioned.manifest(spark, root, 2) == Versioned.manifest(spark, root, 1),
+      "rename is pure metadata")
+    Versioned.commitAppend(spark, root, Seq((3L, "c")).toDF("id", "txt"))
+    val head = Versioned.readAt(spark, root, 3)
+    assert(head.columns.toSeq == Seq("id", "txt"))
+    assert(head.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // filter under the NEW name reaches the old generation's rows
+    assert(head.filter(col("txt") === "a").count() == 1)
+    assert(Versioned.readAt(spark, root, 1).columns.toSeq == Seq("id", "s"))
+  }
+
+  test("event chains compose: add, rename of added, second rename, drop of renamed") {
+    val root = newRoot()
+    Versioned.commit(spark, root, Seq((1L, "x")).toDF("id", "a"))
+    Versioned.commitAlterAdd(spark, root, "q", "bigint") // v2
+    Versioned.commitAlterRename(spark, root, "q", "q2") // v3
+    Versioned.commitAlterRename(spark, root, "a", "b") // v4
+    Versioned.commitAppend(spark, root,
+      Seq((2L, "y", 20L)).toDF("id", "b", "q2")) // v5
+    Versioned.commitAlterDrop(spark, root, "b") // v6
+    val head = Versioned.readAt(spark, root, 6)
+    assert(head.columns.toSeq == Seq("id", "q2"))
+    assert(head.as[(Long, Option[Long])].collect().sortBy(_._1).toSeq ==
+      Seq((1L, None), (2L, Some(20L))))
+    // every intermediate schema is still time-travelable
+    assert(Versioned.readAt(spark, root, 4).columns.toSeq == Seq("id", "b", "q2"))
+    assert(Versioned.readAt(spark, root, 1).columns.toSeq == Seq("id", "a"))
+  }
+
+  test("drop then re-add never leaks pre-drop values") {
+    val root = newRoot()
+    Versioned.commit(spark, root, Seq((1L, 111L), (2L, 222L)).toDF("id", "secret"))
+    Versioned.commitAlterDrop(spark, root, "secret")
+    assert(Versioned.readAt(spark, root, 2).columns.toSeq == Seq("id"))
+    Versioned.commitAlterAdd(spark, root, "secret", "bigint")
+    val head = Versioned.readAt(spark, root, 3)
+    assert(head.columns.toSeq == Seq("id", "secret"))
+    assert(head.filter(col("secret").isNotNull).count() == 0,
+      "pre-drop values must not resurface under the re-added name")
+    assert(Versioned.readAt(spark, root, 1)
+      .as[(Long, Long)].collect().toMap.apply(1L) == 111L)
+  }
+
+  test("merge keyed under the renamed name matches pre-rename generations") {
+    val root = newRoot()
+    Versioned.commit(spark, root,
+      (1L to 100L).map(i => (i, s"a$i")).toDF("old_id", "s"))
+    Versioned.commitAlterRename(spark, root, "old_id", "id")
+    val ups = Seq((50L, "UP"), (101L, "NEW")).toDF("id", "s")
+    val v = Versioned.commitMerge(spark, root, ups, "id")
+    val got = Versioned.readAt(spark, root, v).as[(Long, String)].collect().toMap
+    assert(got.size == 101 && got(50L) == "UP" && got(101L) == "NEW" && got(49L) == "a49")
+  }
+
+  test("a 1-D zone map follows its column's rename; pruning stays engaged") {
+    val root = newRoot()
+    Versioned.commitAppendClustered(spark, root,
+      (1L to 1000L).map(i => (i, i % 7)).toDF("k", "v"), "k", buckets = 4)
+    Versioned.commitAlterRename(spark, root, "k", "key")
+    assert(Versioned.statsColOf(spark, root, 2).contains("key"))
+    val r = Versioned.readRange(spark, root, 2, 10L, 20L)
+    assert(r.count() == 11)
+    assert(r.inputFiles.length < Versioned.readAt(spark, root, 2).inputFiles.length,
+      "the renamed zone map must still prune dirs")
+  }
+
+  test("MOR delete predicated on a renamed column") {
+    val root = newRoot()
+    Versioned.commit(spark, root, (1L to 100L).map(i => (i, s"a$i")).toDF("id", "s"))
+    Versioned.commitAlterRename(spark, root, "s", "txt")
+    Versioned.commitDeleteMOR(spark, root, col("txt") < lit("a2"))
+    val live = (1L to 100L).filter(i => s"a$i" >= "a2")
+    assert(Versioned.readAt(spark, root, 3).count() == live.size)
+  }
+
+  test("alter guards refuse unsafe renames and drops") {
+    val root = newRoot()
+    Versioned.commitAppendClustered(spark, root,
+      (1L to 100L).map(i => (i, i % 5)).toDF("k", "v"), "k", buckets = 2)
+    intercept[IllegalArgumentException](
+      Versioned.commitAlterRename(spark, root, "k", "v")) // target exists
+    intercept[IllegalArgumentException](
+      Versioned.commitAlterRename(spark, root, "nope", "w")) // source missing
+    intercept[IllegalArgumentException](
+      Versioned.commitAlterDrop(spark, root, "k")) // the zone-map column
+    intercept[IllegalArgumentException](
+      Versioned.commitAlterDrop(spark, root, "nope"))
+    assert(Versioned.currentVersion(spark, root) == 1,
+      "refused alters must publish nothing")
+  }
 }
