@@ -1816,8 +1816,8 @@ object Versioned {
     Versioned.readRange(spark, root, v, 260L, 490L)
   }
 
-  /** Judged query: the small-file OPTIMIZE policy.  Twenty tiny
-    * DISJOINT-range clustered commits (the hourly-micro-batch year in
+  /** Judged query: the small-file OPTIMIZE policy.  Ten tiny
+    * DISJOINT-range plain appends (the hourly-micro-batch year in
     * miniature — the layout [[optimizeClustered]] deliberately never
     * touches, since pruning hasn't decayed) fragment the manifest;
     * `optimizeSmall` detects the fragmentation from the metadata row
@@ -1832,18 +1832,19 @@ object Versioned {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val width = mx / 20 + 1
-    (0 until 20).foreach { i =>
-      Versioned.commitAppendClustered(spark, root,
-        docs.filter(col("doc_id") >= i * width && col("doc_id") < (i + 1) * width),
-        "doc_id", buckets = 1)
+    val width = mx / 10 + 1
+    // PLAIN appends, as real micro-batch ingest arrives — no shuffle,
+    // no layout; the optimizer imposes the clustering at fold time
+    (0 until 10).foreach { i =>
+      Versioned.commitAppend(spark, root,
+        docs.filter(col("doc_id") >= i * width && col("doc_id") < (i + 1) * width))
     }
-    val total = Versioned.countAt(spark, root, 20)
-    val before = Versioned.manifest(spark, root, 20).size
-    // each slice holds ~total/20 rows < total/10 = the fragment
+    val total = Versioned.countAt(spark, root, 10)
+    val before = Versioned.manifest(spark, root, 10).size
+    // each slice holds ~total/10 rows < total/5 = the fragment
     // threshold; the fold lands them as ~4 target-sized dirs
     val v = Versioned.optimizeSmall(spark, root, "doc_id",
-      smallRows = math.max(2, total / 10), targetRows = math.max(2, total / 4))
+      smallRows = math.max(2, total / 5), targetRows = math.max(3, total / 4))
       .getOrElse(sys.error("20 tiny dirs must trigger a defragmentation"))
     require(Versioned.manifest(spark, root, v).size < before,
       "the fold must shrink the manifest")
