@@ -91,6 +91,32 @@ object DvStress {
       f"vectored ${tVectoredRead}%.2f s; fold (deferred rewrite, paid once) " +
       f"${tCompact}%.1f s")
 
+    // ---- keyed upsert: MOR merge vs CoW merge on the same scatter ----
+    // 1-in-1000 keys updated, present in EVERY dir: the CoW merge
+    // rewrites the whole table, the MOR merge writes a sidecar + the
+    // update dir
+    val ups = spark.range(0, total).filter(col("id") % 1000 === 7)
+      .select(col("id"), lit(-1L).as("v"), lit("updated").as("s"))
+    val morM = s"/tmp/graft_dv_stress/${java.util.UUID.randomUUID()}"
+    (0 until nDirs).foreach(i => Versioned.commitAppend(spark, morM, batch(i)))
+    val morMBefore = dataBytes(morM)
+    val (_, tMorMerge) = time(Versioned.commitMergeMOR(spark, morM, ups, "id"))
+    val morMergeBytes = dataBytes(morM) - morMBefore
+    val cowM = s"/tmp/graft_dv_stress/${java.util.UUID.randomUUID()}"
+    (0 until nDirs).foreach(i => Versioned.commitAppend(spark, cowM, batch(i)))
+    val cowMBefore = dataBytes(cowM)
+    val (_, tCowMerge) = time(Versioned.commitMerge(spark, cowM, ups, "id"))
+    val cowMergeBytes = dataBytes(cowM) - cowMBefore
+    val a1 = Versioned.readAt(spark, morM, Versioned.currentVersion(spark, morM))
+    val a2 = Versioned.readAt(spark, cowM, Versioned.currentVersion(spark, cowM))
+    assert(a1.count() == total && a2.count() == total)
+    assert(a1.filter(col("s") === "updated").count() == expectLive &&
+      a2.filter(col("s") === "updated").count() == expectLive)
+    println(f"DV upsert 1-in-1000 scatter: MOR merge ${tMorMerge}%.2f s / " +
+      f"${morMergeBytes / 1e6}%.1f MB vs CoW merge ${tCowMerge}%.2f s / " +
+      f"${cowMergeBytes / 1e6}%.1f MB " +
+      f"(write amplification ${cowMergeBytes.toDouble / math.max(1, morMergeBytes)}%.0fx)")
+
     // ---- fractional tax: a delete confined to ONE dir taxes only that
     // dir's scan (clean dirs bypass the anti join entirely) ----
     val oneRoot = s"/tmp/graft_dv_stress/${java.util.UUID.randomUUID()}"

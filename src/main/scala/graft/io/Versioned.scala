@@ -50,6 +50,25 @@ object Versioned {
   private[graft] def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The CHECKSUM-FREE view of the filesystem, for the commit-log
+    * records.  Hadoop's local FS is a ChecksumFileSystem: every file
+    * gets a `.crc` sidecar, and a RENAME moves crc and data as two
+    * separate operations — so two publishers racing the same version
+    * can interleave as (loser renames crc) → (winner renames crc+data)
+    * → (loser's data rename throws FileAlreadyExists), leaving the
+    * WINNER's record bytes under the LOSER's checksum: every later read
+    * of that version dies with ChecksumException (observed ~1-in-3 under
+    * the threaded race specs).  Records are written raw — no sidecar, so
+    * the FileContext rename is single-file atomic and the no-OVERWRITE
+    * arbitration is airtight.  HDFS/object stores are unaffected (their
+    * FileSystem is not a ChecksumFileSystem; checksums live below the
+    * rename primitive). */
+  private def logFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    fs(spark, p) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+
   private def logDir(root: String) = new org.apache.hadoop.fs.Path(s"$root/log")
 
   private val V = """v(\d{5})\.json""".r
@@ -405,7 +424,7 @@ object Versioned {
       recOf: Int => (Seq[String], String),
       abortIf: Int => Boolean = _ => false): Option[Int] = {
     val ld = logDir(root)
-    val f = fs(spark, ld)
+    val f = logFs(spark, ld) // raw: records carry no .crc sidecar (see logFs)
     f.mkdirs(ld)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       ld.toUri, spark.sparkContext.hadoopConfiguration)
@@ -811,6 +830,108 @@ object Versioned {
     }
   }
 
+  /** MERGE-ON-READ keyed upsert: the [[commitMerge]] semantics (matched
+    * keys replaced, unmatched inserted) with ZERO dir rewrites — matched
+    * rows are evicted as positional deletion vectors (one semi-join scan
+    * writing an O(matched rows) sidecar; zone-map-confined when the key
+    * is the stats column) and the update set lands as one clean new dir.
+    * Write cost is O(new data + matched rows) however WIDE the touched
+    * dirs are — the CoW merge pays O(touched dirs) read+write, so on a
+    * 100 TB table where each daily upsert brushes thousands of dirs the
+    * MOR merge is the difference between rewriting terabytes and writing
+    * megabytes.  The read-side tax and its retirement are exactly the
+    * [[commitDeleteMOR]] story: vectored dirs pay one anti join until
+    * any rewrite path folds them.  Chained MOR merges compose: the next
+    * merge's scan sees the PREVIOUS upsert dir as a candidate and
+    * vectors its superseded rows.  `updates` must carry at most one row
+    * per key (the commitMerge contract). */
+  def commitMergeMOR(spark: SparkSession, root: String, updates: DataFrame,
+      key: String): Int =
+    mergeMorImpl(spark, root, updates, key, batchId = None).get
+
+  /** Exactly-once STREAMING MOR merge: [[commitMergeMOR]] fenced by
+    * `batchId` exactly like [[commitMergeBatch]] — the cheap
+    * transactional streaming-upsert sink: each micro-batch costs one
+    * confined semi-join scan + two small writes, never a dir rewrite;
+    * compaction amortizes the deferred rewrites on ITS schedule. */
+  def commitMergeBatchMOR(spark: SparkSession, root: String, batchId: Long,
+      updates: DataFrame, key: String): Option[Int] = {
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    mergeMorImpl(spark, root, updates, key, batchId = Some(batchId))
+  }
+
+  private def mergeMorImpl(spark: SparkSession, root: String,
+      updates: DataFrame, key: String, batchId: Option[Long],
+      attempt: Int = 0): Option[Int] = {
+    val head0 = currentVersion(spark, root)
+    require(head0 > 0, s"no committed version at $root")
+    val dirs0 = manifest(spark, root, head0)
+    val keysDf = updates.select(col(key)).distinct()
+    // zone-map confinement + null-cast conservatism: the commitMerge
+    // discovery discipline verbatim
+    val candidates: Seq[String] =
+      if (statsColOf(spark, root, head0).contains(key)) {
+        val ck = tryLong(key)
+        val r = keysDf.agg(min(ck), max(ck), count(when(ck.isNull, 1))).head()
+        if (r.isNullAt(0) || r.getLong(2) > 0) dirs0
+        else {
+          val (klo, khi) = (r.getLong(0), r.getLong(1))
+          val st = dirStats(spark, root, head0)
+          dirs0.filter(d => st.get(d).forall { case (a, b) => b >= klo && a <= khi })
+        }
+      } else dirs0
+    val keyless = altersOf(spark, root, head0)
+      .filter(a => a._1 == key && a._2 != "#rename" && a._2 != "#drop")
+      .flatMap(_._3).toSet
+    val scanDirs = candidates.filterNot(keyless)
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    val perDir: Map[String, Long] =
+      if (scanDirs.isEmpty) Map.empty
+      else {
+        readDirsDv(spark, root, head0, scanDirs, keepPos = true, dvV = head0)
+          .join(keysDf, Seq(key), "left_semi")
+          .select(col("_dvf"), col("_dvp"))
+          .write.mode("errorifexists").parquet(s"$root/$rel")
+        val perFile = spark.read.parquet(s"$root/$rel")
+          .groupBy(col("_dvf")).count()
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        perFile.groupBy { case (f, _) =>
+          dirs0.find(fileInDir(root, f, _)).getOrElse(throw new IllegalStateException(
+            s"matched file $f attributes to no manifest dir of $root"))
+        }.map { case (d, fc) => d -> fc.map(_._2).sum }
+      }
+    // a scan that matched nothing leaves an EMPTY staged sidecar: no
+    // manifest will ever reference it, reclaim it now rather than
+    // leaving it for vacuum
+    if (scanDirs.nonEmpty && perDir.isEmpty) reclaimStaged(spark, root, Seq(rel))
+    val newDir = writeDataDir(spark, root, updates)
+    val touched = perDir.keySet
+    val dv0 = dvOf(spark, root, head0)
+    val more = batchId.map(b => s""","batchId":$b""").getOrElse("")
+    val v = publishRecord(spark, root,
+      head => {
+        val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ newDir
+        (dirs, extraFields(spark, root, head, dirs, None, more,
+          dvAdd = perDir.map { case (d, n) => d -> (Seq(rel), n) }))
+      },
+      abortIf = head =>
+        batchId.exists(b => lastBatchId(spark, root).exists(_ >= b)) ||
+          (head != head0 && {
+            val m = manifest(spark, root, head).toSet
+            val dvH = dvOf(spark, root, head)
+            touched.exists(d => !m.contains(d) || dvH.get(d) != dv0.get(d))
+          }))
+    v match {
+      case Some(_) => v
+      case None =>
+        reclaimStaged(spark, root,
+          (if (perDir.isEmpty) Seq(newDir) else Seq(rel, newDir)))
+        if (batchId.exists(b => lastBatchId(spark, root).exists(_ >= b))) None // fenced
+        else if (attempt < 5) mergeMorImpl(spark, root, updates, key, batchId, attempt + 1)
+        else throw new IllegalStateException(s"MOR merge conflict not resolving at $root")
+    }
+  }
+
   /** Schema evolution: publish a new version with the SAME data (no dir
     * is touched or rewritten — the alter is a pure metadata commit) plus
     * a new column of `sqlType`.  Every dir in the current manifest
@@ -886,11 +1007,17 @@ object Versioned {
       val entry = s""""$oldName>$newName|#rename":"${dirs.mkString(",")}""""
       val frag = altersFragOf(spark, root, head).filter(_.nonEmpty)
         .map(p => s"$p,$entry").getOrElse(entry)
-      // the 1-D zone map follows the rename in the SAME commit
+      // the 1-D zone map follows the rename in the SAME commit.  The
+      // parent's per-dir [min,max] are passed as PRECOMPUTED entries:
+      // the extraFields re-declaration guard rightly refuses to carry
+      // parent stats across a statsCol name change, but a rename is the
+      // one case where the old entries stay valid verbatim — same
+      // measurements, new name
       val statsFollow = statsColOf(spark, root, head)
         .filter(_ == oldName).map(_ => newName)
       (dirs, extraFields(spark, root, head, dirs, statsFollow, "",
-        Map.empty, Some(frag)))
+        if (statsFollow.isDefined) dirStats(spark, root, head) else Map.empty,
+        Some(frag)))
     }).get
   }
 
@@ -1642,6 +1769,33 @@ object Versioned {
     Versioned.readAt(spark, root, v)
   }
 
+  /** Judged query: MERGE-ON-READ keyed upsert through the real log —
+    * the same relation as `q_table_merge`, produced with ZERO dir
+    * rewrites: matched keys evicted as positional vectors (the [260,490]
+    * window, zone-map-confined to the overlapping bucket dirs), the
+    * update set landed as one clean dir.  The in-query assertion pins
+    * the no-rewrite law: every base dir carries into the head manifest
+    * verbatim. */
+  val tableMergeMor: graft.GraftQuery = graft.GraftQuery("q_table_merge_mor",
+    """SELECT doc_id, lang,
+      |       CASE WHEN doc_id % 10 < 8 AND doc_id BETWEEN 260 AND 490
+      |            THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |FROM documents""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    val v1 = Versioned.commitAppendClustered(spark, root, base, "doc_id", buckets = 8)
+    val updates = base.filter(col("doc_id").between(260, 490))
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(docs.filter(col("doc_id") % 10 >= 8))
+    val v = Versioned.commitMergeMOR(spark, root, updates, "doc_id")
+    require(Versioned.manifest(spark, root, v1)
+        .forall(Versioned.manifest(spark, root, v).contains),
+      "MOR merge must rewrite no base dir")
+    Versioned.readAt(spark, root, v)
+  }
+
   /** Judged query: transactional streaming ingest through the real log.
     * The day-2 slice lands as parquet files; a file-source stream
     * (maxFilesPerTrigger=1, so SEVERAL micro-batches exercise the fence)
@@ -1987,9 +2141,9 @@ object Versioned {
   }
 
   val all: Seq[graft.GraftQuery] =
-    Seq(tableDiff, tableZonemap, tableMerge, tableStreamIngest,
-      tableSchemaEvolution, tableSchemaRenameDrop, tableDelete,
-      tableDeleteMor, tableRestore, tableAsOf, tableOptimize,
-      tableOptimizeSmall, tableRowCounts, tableWap, tableClone,
-      tableStreamUpsert, tableStatsMeta)
+    Seq(tableDiff, tableZonemap, tableMerge, tableMergeMor,
+      tableStreamIngest, tableSchemaEvolution, tableSchemaRenameDrop,
+      tableDelete, tableDeleteMor, tableRestore, tableAsOf,
+      tableOptimize, tableOptimizeSmall, tableRowCounts, tableWap,
+      tableClone, tableStreamUpsert, tableStatsMeta)
 }

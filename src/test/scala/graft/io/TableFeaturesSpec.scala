@@ -292,6 +292,59 @@ class TableFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("optimize racing a MOR delete never resurrects rows") {
+    // the metadata-only flavor of the race above: the MOR delete moves
+    // no manifest dir, only vector state — the optimizer's abort check
+    // must see it (a fold computed under the old vectors would re-add
+    // the deleted rows), and the delete's own abort must see a fold
+    // that replaced its touched dirs (its positions would be orphaned)
+    (1 to 3).foreach { round =>
+      val root = newRoot()
+      (0 until 3).foreach { r =>
+        Versioned.commitAppendClustered(spark, root,
+          (1L to 900L).filter(_ % 3 == r).map(i => (i, i % 7)).toDF("id", "p"),
+          "id", buckets = 4)
+      }
+      val t1 = new Thread(() =>
+        Versioned.optimizeClustered(spark, root, "id", buckets = 4): Unit)
+      val t2 = new Thread(() =>
+        Versioned.commitDeleteMOR(spark, root, col("id") % 5 === 0): Unit)
+      t1.start(); t2.start(); t1.join(); t2.join()
+      val head = Versioned.currentVersion(spark, root)
+      val got = Versioned.readAt(spark, root, head)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == (1L to 900L).filterNot(_ % 5 == 0).map(i => (i, i % 7)),
+        s"round $round: racing optimize corrupted the vectored table")
+      assert(Versioned.countAt(spark, root, head) == got.size,
+        s"round $round: metadata count diverged under the race")
+    }
+  }
+
+  test("two racing MOR merges on the same dirs both land exactly once") {
+    (1 to 3).foreach { round =>
+      val root = newRoot()
+      Versioned.commitAppendClustered(spark, root,
+        (1L to 400L).map(i => (i, 0L)).toDF("id", "p"), "id", buckets = 4)
+      // overlapping touched dirs -> vector-state conflict; the loser
+      // must retry with fresh positions, never double-vector a row
+      val t1 = new Thread(() =>
+        Versioned.commitMergeMOR(spark, root,
+          (10L to 30L).map(i => (i, 111L)).toDF("id", "p"), "id"): Unit)
+      val t2 = new Thread(() =>
+        Versioned.commitMergeMOR(spark, root,
+          (40L to 60L).map(i => (i, 222L)).toDF("id", "p"), "id"): Unit)
+      t1.start(); t2.start(); t1.join(); t2.join()
+      val head = Versioned.currentVersion(spark, root)
+      val got = Versioned.readAt(spark, root, head)
+        .as[(Long, Long)].collect().toMap
+      assert(got.size == 400, s"round $round: lost or duplicated keys")
+      assert((10L to 30L).forall(got(_) == 111L), s"round $round: merge 1 lost")
+      assert((40L to 60L).forall(got(_) == 222L), s"round $round: merge 2 lost")
+      assert(Versioned.countAt(spark, root, head) == 400,
+        s"round $round: dvRows double-counted under the race")
+    }
+  }
+
   test("two racing merges on the same dir both land (conflict retry liveness)") {
     (1 to 3).foreach { round =>
       val root = newRoot()

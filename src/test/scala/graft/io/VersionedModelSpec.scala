@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Model-based property test for the commit log: seeded random traces
   * of append / clustered-append / CoW-update / keyed-merge / compaction
-  * / MOR-delete / restore ops, each step checked against an in-memory
+  * / MOR-delete / MOR-merge / restore ops, each step checked against an in-memory
   * model — the whole-module law no single-op spec composes to (a
   * deletion vector surviving a compaction, a restore landing on a
   * vectored version, a CoW update over restored dirs...).  Also pins
@@ -48,7 +48,7 @@ class VersionedModelSpec extends AnyFunSuite {
       var checkpointVersion = 0
       var checkpointModel = Map.empty[Long, (String, Long)]
       for (step <- 1 to 14) {
-        rnd.nextInt(7) match {
+        rnd.nextInt(8) match {
           case 0 => // append
             val rows = freshRows(10 + rnd.nextInt(20))
             model ++= rows
@@ -95,6 +95,13 @@ class VersionedModelSpec extends AnyFunSuite {
             val target = 1 + rnd.nextInt(modelHist.size)
             model = modelHist(target - 1)
             Versioned.restore(spark, root, target)
+          case 7 => // MERGE-ON-READ keyed upsert (no dir rewrites)
+            val existing = model.keys.toSeq.sorted
+              .take(3 + rnd.nextInt(5)).map(id => id -> (s"R$trace", -2L))
+            val inserts = freshRows(3)
+            val ups = existing.toMap ++ inserts
+            model = model ++ ups
+            Versioned.commitMergeMOR(spark, root, toDf(ups), "id")
         }
         val head = Versioned.currentVersion(spark, root)
         assert(head == 1 + step, s"trace $trace step $step: head=$head")
