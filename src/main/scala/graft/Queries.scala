@@ -20,6 +20,7 @@ object Queries {
       graph.Graphs.all ++
       io.CatalogTables.all ++
       io.Versioned.all ++
+      io.Branches.all ++
       io.Zonemap2D.all ++
       io.ChangeFeed.all ++
       io.BloomIndex.all ++

@@ -179,7 +179,7 @@ object Versioned {
         (m.group(1), m.group(2), m.group(3).split(",").filter(_.nonEmpty).toSet))
     }
 
-  private def altersFragOf(spark: SparkSession, root: String, v: Int): Option[String] =
+  private[io] def altersFragOf(spark: SparkSession, root: String, v: Int): Option[String] =
     if (v == 0) None
     else """"alters":\{([^}]*)\}""".r.findFirstMatchIn(recordText(spark, root, v)).map(_.group(1))
 
@@ -317,7 +317,7 @@ object Versioned {
     * — when this table keeps a zone map — the stats column and per-dir
     * [min,max] entries (parent entries reused verbatim for carried dirs,
     * computed only for new ones). */
-  private def extraFields(spark: SparkSession, root: String, head: Int,
+  private[io] def extraFields(spark: SparkSession, root: String, head: Int,
       dirs: Seq[String], statsCol: Option[String], more: String = "",
       precomputed: Map[String, (Long, Long)] = Map.empty,
       alters: Option[String] = None,
@@ -420,7 +420,7 @@ object Versioned {
     * yields the dir list plus extra record fields for a given head;
     * `abortIf` lets a caller bail out when a racing commit made this one
     * redundant (the batchId fence) — None is returned ONLY on abort. */
-  private def publishRecord(spark: SparkSession, root: String,
+  private[io] def publishRecord(spark: SparkSession, root: String,
       recOf: Int => (Seq[String], String),
       abortIf: Int => Boolean = _ => false): Option[Int] = {
     val ld = logDir(root)
@@ -1557,10 +1557,14 @@ object Versioned {
     val floor = math.max(1, head - keep + 1)
     // delete sidecars are manifest state too: a surviving version's dv
     // entries reference them, so they live exactly as long as a record
-    // pointing at them does
+    // pointing at them does.  Branch refs under refs/ pin parent dirs:
+    // their manifests hold ABSOLUTE paths into this root's data/ (the
+    // zero-copy fork), so reclaiming those would break every branch —
+    // the refs walk below adds them to the live set.
     val live: Set[String] =
       (floor to head).flatMap(v =>
-        manifest(spark, root, v) ++ dvOf(spark, root, v).values.flatten).toSet
+        manifest(spark, root, v) ++ dvOf(spark, root, v).values.flatten).toSet ++
+        Branches.pinnedByRefs(spark, root)
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
     val f = fs(spark, dataDir)
     if (f.exists(dataDir))
