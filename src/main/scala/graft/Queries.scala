@@ -24,6 +24,7 @@ object Queries {
       io.Zonemap2D.all ++
       io.ChangeFeed.all ++
       io.BloomIndex.all ++
+      io.TextIndex.all ++
       io.IncrementalView.all ++
       joins.BloomPrune.all ++
       fns.Scalars.all ++

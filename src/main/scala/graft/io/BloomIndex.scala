@@ -35,7 +35,7 @@ object BloomIndex {
     * xxhash64 folds the input type into the hash, so an INT column
     * probed with a LONG literal would otherwise hash differently and
     * the filter would wrongly prune dirs that hold the value. */
-  private def positions(c: Column, bits: Int): Column =
+  private[io] def positions(c: Column, bits: Int): Column =
     array((0 until K).map(i =>
       pmod(xxhash64(lit(i), c.cast("string")), lit(bits.toLong))): _*)
 
@@ -45,7 +45,39 @@ object BloomIndex {
     * with shallow clones, and vacuum reclaims them with their dir) and
     * the record carries only the `"@"` marker — the log stays O(dirs)
     * however large the filters grow. */
-  private val InlineMaxBits = 1 << 17 // 16 KB
+  private[io] val InlineMaxBits = 1 << 17 // 16 KB
+
+  /** Fold a distinct-bit-position set into a bitset and store it: inline
+    * base64 at or below [[InlineMaxBits]], else a `_bloom.bin` sidecar
+    * inside the dir with the `"@"` marker in the record. */
+  private[io] def storeBitset(spark: SparkSession, root: String, rel: String,
+      set: Array[Long], bits: Int): String = {
+    val bytes = new Array[Byte](bits / 8)
+    set.foreach { pl =>
+      val p = pl.toInt
+      bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte
+    }
+    if (bits <= InlineMaxBits) java.util.Base64.getEncoder.encodeToString(bytes)
+    else {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$rel/_bloom.bin")
+      val out = Versioned.fs(spark, p).create(p, false)
+      try out.write(bytes) finally out.close()
+      "@"
+    }
+  }
+
+  /** Load a dir's bitset: inline entry or `_bloom.bin` sidecar. */
+  private[io] def loadBitset(spark: SparkSession, root: String, d: String,
+      entry: String): Array[Byte] =
+    if (entry == "@") {
+      val p = new org.apache.hadoop.fs.Path(s"${Versioned.dataPath(root, d)}/_bloom.bin")
+      val f = Versioned.fs(spark, p)
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(buf); buf
+      } finally in.close()
+    } else java.util.Base64.getDecoder.decode(entry)
 
   /** Append `df` with a bloom entry for the new dir, declaring (or
     * re-declaring) `bloomCol`/`bits` for the table. */
@@ -68,19 +100,7 @@ object BloomIndex {
     import spark.implicits._
     val set = staged.select(explode(positions(col(bloomCol), bits)).as("p"))
       .distinct().as[Long].collect()
-    val bytes = new Array[Byte](bits / 8)
-    set.foreach { pl =>
-      val p = pl.toInt
-      bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte
-    }
-    val entry =
-      if (bits <= InlineMaxBits) java.util.Base64.getEncoder.encodeToString(bytes)
-      else {
-        val p = new org.apache.hadoop.fs.Path(s"$root/$rel/_bloom.bin")
-        val out = Versioned.fs(spark, p).create(p, false)
-        try out.write(bytes) finally out.close()
-        "@"
-      }
+    val entry = storeBitset(spark, root, rel, set, bits)
     Versioned.publish(spark, root, head =>
       (if (head == 0) Seq.empty else Versioned.manifest(spark, root, head)) :+ rel,
       precomputedRows = Map(rel -> n),
@@ -109,23 +129,15 @@ object BloomIndex {
     require(values.nonEmpty, "empty probe set")
     val (c, bits) = Versioned.bloomColOf(spark, root, v).getOrElse(
       throw new IllegalArgumentException(s"$root has no bloom index"))
+    require(!c.startsWith("_tok("),
+      s"$root keeps a TOKEN index ($c); probe it with TextIndex.readToken")
     import spark.implicits._
     val probes: Array[Array[Int]] = values.toDF("v")
       .select(positions(col("v"), bits).as("ps")).collect()
       .map(_.getSeq[Long](0).map(_.toInt).toArray)
     val blooms = Versioned.dirBlooms(spark, root, v)
-    def bitsetOf(d: String, entry: String): Array[Byte] =
-      if (entry == "@") {
-        val p = new org.apache.hadoop.fs.Path(s"${Versioned.dataPath(root, d)}/_bloom.bin")
-        val f = Versioned.fs(spark, p)
-        val in = f.open(p)
-        try {
-          val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-          in.readFully(buf); buf
-        } finally in.close()
-      } else java.util.Base64.getDecoder.decode(entry)
     def hits(d: String, entry: String): Boolean = {
-      val bytes = bitsetOf(d, entry)
+      val bytes = loadBitset(spark, root, d, entry)
       probes.exists(_.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0))
     }
     val keep = Versioned.manifest(spark, root, v).filter(d => blooms.get(d).forall(hits(d, _)))

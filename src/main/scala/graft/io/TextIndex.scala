@@ -1,0 +1,150 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Token-level data skipping on a TEXT column: each commit records a
+  * per-dir bloom filter over the dir's DISTINCT TOKENS (lowercased
+  * alphanumeric runs), so "which documents contain this term" prunes
+  * whole dirs from driver-side metadata before any file listing — the
+  * probe shape behind canary-string decontamination sweeps, PII-term
+  * audits and incident forensics ("which shards ever saw token X") that
+  * would otherwise full-scan 100 TB of text.
+  *
+  * The index rides the [[Versioned]] manifest's bloom fields with a
+  * pseudo-column declaration `_tok(<textCol>)` — the same carry-forward,
+  * sidecar-spill ([[BloomIndex.InlineMaxBits]]) and conservative-read
+  * composition rules apply: later plain appends leave their dirs
+  * unindexed and probes read them conservatively; false positives cost
+  * an extra dir read, never a wrong row, because the exact word-boundary
+  * filter is re-applied to whatever is read.
+  *
+  * Tokenizer (build and probe, bit-identical): `lower(text)` split on
+  * `[^a-z0-9]+`, empty fragments dropped.  Any word-boundary occurrence
+  * of an alphanumeric term IS one of these tokens, so the filter can
+  * never false-negative a [[readToken]]/[[readPhrase]] probe. */
+object TextIndex {
+
+  private val Decl = """_tok\(([^()]+)\)""".r
+
+  /** The distinct-token array of one text value. */
+  private[io] def tokensOf(c: Column): Column =
+    array_distinct(filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0))
+
+  private def wordRe(term: String) = s"(^|[^a-z0-9])$term([^a-z0-9]|$$)"
+
+  private def requireTerm(t: String): Unit =
+    require(t.nonEmpty && t.forall(ch => (ch >= 'a' && ch <= 'z') || ch.isDigit),
+      s"probe terms are lowercase alphanumeric tokens: '$t'")
+
+  /** Append `df` with a token-bloom entry for the new dir, declaring
+    * (or re-declaring, which must match) the table's indexed text
+    * column.  The filter build is one aggregation over the NEW dir only
+    * — explode to distinct tokens, hash to distinct bit positions. */
+  def commitAppendIndexed(spark: SparkSession, root: String, df: DataFrame,
+      textCol: String, bits: Int = 1 << 16): Int = {
+    require(Integer.bitCount(bits) == 1 && bits >= 64,
+      s"bits must be a power of 2 >= 64: $bits")
+    val decl = s"_tok($textCol)"
+    Versioned.bloomColOf(spark, root, Versioned.currentVersion(spark, root))
+      .foreach { case (c0, m0) =>
+        require(c0 == decl && m0 == bits,
+          s"$root already keeps a bloom index on ($c0, $m0 bits); " +
+            s"re-declaring ($decl, $bits) would corrupt pruning")
+      }
+    val rel = Versioned.writeDataDir(spark, root, df)
+    val staged = spark.read.parquet(s"$root/$rel")
+    val n = staged.count()
+    import spark.implicits._
+    val set = staged
+      .select(explode(tokensOf(col(textCol))).as("t"))
+      .select(explode(BloomIndex.positions(col("t"), bits)).as("p"))
+      .distinct().as[Long].collect()
+    val entry = BloomIndex.storeBitset(spark, root, rel, set, bits)
+    Versioned.publish(spark, root, head =>
+      (if (head == 0) Seq.empty else Versioned.manifest(spark, root, head)) :+ rel,
+      precomputedRows = Map(rel -> n),
+      blooms = Some((decl, bits, Map(rel -> entry))))
+  }
+
+  /** The dirs of version `v` whose token filter claims ALL of `terms`
+    * (absent entry = conservatively kept), plus the indexed text column. */
+  private def prunedDirs(spark: SparkSession, root: String, v: Int,
+      terms: Seq[String]): (Seq[String], String) = {
+    require(terms.nonEmpty, "empty probe set")
+    terms.foreach(requireTerm)
+    val (decl, bits) = Versioned.bloomColOf(spark, root, v).getOrElse(
+      throw new IllegalArgumentException(s"$root has no token index"))
+    val textCol = decl match {
+      case Decl(c) => c
+      case _ => throw new IllegalArgumentException(
+        s"$root keeps a VALUE bloom index ($decl); probe it with BloomIndex.readPoint")
+    }
+    import spark.implicits._
+    // probe hashing through the SAME expressions as the build
+    val probes: Array[Array[Int]] = terms.toDF("t")
+      .select(BloomIndex.positions(col("t"), bits).as("ps")).collect()
+      .map(_.getSeq[Long](0).map(_.toInt).toArray)
+    val blooms = Versioned.dirBlooms(spark, root, v)
+    def hitsAll(d: String, entry: String): Boolean = {
+      val bytes = BloomIndex.loadBitset(spark, root, d, entry)
+      probes.forall(_.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0))
+    }
+    (Versioned.manifest(spark, root, v)
+      .filter(d => blooms.get(d).forall(hitsAll(d, _))), textCol)
+  }
+
+  private def readPruned(spark: SparkSession, root: String, v: Int,
+      terms: Seq[String], exact: String => Column): DataFrame = {
+    val (keep, textCol) = prunedDirs(spark, root, v, terms)
+    val base =
+      if (keep.isEmpty) Versioned.readAt(spark, root, v).limit(0)
+      else Versioned.readDirs(spark, root, v, keep)
+    base.filter(exact(textCol))
+  }
+
+  /** Rows whose text contains `term` as a whole token, reading only the
+    * dirs the token filters could not rule out. */
+  def readToken(spark: SparkSession, root: String, v: Int, term: String): DataFrame =
+    readPruned(spark, root, v, Seq(term),
+      tc => lower(col(tc)).rlike(wordRe(term)))
+
+  /** Rows whose text contains EVERY one of `terms` as whole tokens
+    * (dir pruning intersects the filters). */
+  def readTokensAll(spark: SparkSession, root: String, v: Int,
+      terms: Seq[String]): DataFrame =
+    readPruned(spark, root, v, terms,
+      tc => terms.map(t => lower(col(tc)).rlike(wordRe(t))).reduce(_ && _))
+
+  /** Rows whose text contains `phrase` (tokens in order, any single
+    * non-alphanumeric separator run between them) — the canary-string /
+    * eval-contamination probe: dirs are pruned by the AND of the
+    * phrase's token filters, then the exact phrase regexp re-checks. */
+  def readPhrase(spark: SparkSession, root: String, v: Int,
+      phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, s"phrase carries no tokens: '$phrase'")
+    readPruned(spark, root, v, terms,
+      tc => lower(col(tc)).rlike(wordRe(terms.mkString("[^a-z0-9]+"))))
+  }
+
+  /** Judged query: token-indexed ingest + term probe.  Eight interleaved
+    * appends (doc_id % 8) each record a token bloom; the probe for the
+    * rare token `dup` (5% of documents) reads only the dirs whose filter
+    * fires and re-checks with the word-boundary regexp.  Oracle = the
+    * same regexp in SQL. */
+  val tableTextIndex: graft.GraftQuery = graft.GraftQuery("q_table_text_index",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])dup([^a-z0-9]|$)')""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    (0 until 8).foreach { r =>
+      commitAppendIndexed(spark, root, docs.filter(col("doc_id") % 8 === r), "text")
+    }
+    readToken(spark, root, Versioned.currentVersion(spark, root), "dup")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(tableTextIndex)
+}
