@@ -25,6 +25,7 @@ object Queries {
       io.ChangeFeed.all ++
       io.BloomIndex.all ++
       io.TextIndex.all ++
+      io.VectorIndex.all ++
       io.IncrementalView.all ++
       joins.BloomPrune.all ++
       fns.Scalars.all ++

@@ -1,0 +1,201 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** EXACT k-NN search over a versioned embedding table with metadata
+  * pruning — the branch-and-bound alternative to approximate ANN when
+  * the answer must be the true top-k (eval-set contamination checks,
+  * nearest-duplicate adjudication, legal/audit retrieval).
+  *
+  * [[commitClustered]] k-means-clusters the vectors into per-cell data
+  * dirs and records, INSIDE each dir, a `_vec.json` sidecar holding the
+  * cell's centroid direction and its minimum member cosine (the cell's
+  * angular radius).  [[searchTopk]] then runs two phases: (1) scan each
+  * query's most-aligned cell to get a kth-best similarity floor, and
+  * (2) scan only the cells whose angular bound could still beat that
+  * floor — for any member x of a cell with centroid c and angular
+  * radius α, cos(q,x) ≤ cos(max(0, θ(q,c) − α)), the spherical
+  * triangle inequality.  Every other cell is provably unable to hold a
+  * top-k neighbor, so skipping it cannot change the answer: the result
+  * is bit-identical to the brute-force scan (the final re-rank uses the
+  * same exact integer-dot arithmetic) while reading a fraction of the
+  * dirs.  Sidecars ride inside their dirs — carried by clones and
+  * branches, reclaimed by vacuum, invisible to parquet scans; dirs
+  * without one (plain appends) are read unconditionally, so composition
+  * degrades to extra reads, never to a wrong neighbor.
+  *
+  * The 100 TB shape: centroid metadata is O(cells × dim) on the driver,
+  * the phase scans are ordinary pruned dir reads, and clustering cost
+  * amortizes exactly like any other layout decision (train on a sample,
+  * assign in one map pass). */
+object VectorIndex {
+
+  import graft.fns.VecExpressions.vecDot
+
+  private final case class Meta(cv: Array[Double], cnrm: Double, minCos: Double)
+
+  /** Cluster `base` (vec_id, qv: array<long>, nrm: double) into `cells`
+    * k-means cells and commit one data dir per non-empty cell, each
+    * carrying its centroid/radius sidecar.  Snapshot semantics (the
+    * manifest is exactly these dirs), like [[Versioned.commit]]. */
+  def commitClustered(spark: SparkSession, root: String, base: DataFrame,
+      cells: Int = 16, iters: Int = 2): Int = {
+    require(Seq("vec_id", "qv", "nrm").forall(base.columns.contains),
+      "vector table needs (vec_id, qv, nrm)")
+    require(!base.columns.contains("_c"),
+      "column _c collides with the cell partitioner")
+    val b = base.select(col("vec_id"), col("qv"), col("nrm"))
+    // train on a bounded sample, assign the full corpus in one map pass
+    // AGAINST THE FINAL centroids — the sidecar bounds below are measured
+    // from this same assignment, so they hold whatever the trainer did
+    val (_, cent) = graft.llm.Similarity.kmeans(
+      graft.llm.Similarity.trainSample(b), cells, iters)
+    val assigned = graft.llm.Similarity.assignCells(b, cent)
+      .select(col("vec_id"), col("cell"))
+    val rows = b.join(assigned, "vec_id")
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    rows.withColumn("_c", col("cell")).drop("cell")
+      .repartition(col("_c"))
+      .write.mode("errorifexists").partitionBy("_c").parquet(s"$root/$rel")
+    val bp = new org.apache.hadoop.fs.Path(s"$root/$rel")
+    val rels = Versioned.fs(spark, bp).listStatus(bp).filter(_.isDirectory)
+      .map(st => s"$rel/${st.getPath.getName}").sorted.toSeq
+    // per-cell angular radius + row count in ONE job over the assignment
+    val qdot = graft.fns.VecExpressions.numVecDot(spark, col("qv"), col("cv"))
+    val stats = rows.join(broadcast(cent), "cell")
+      .withColumn("cos", qdot / (sqrt(col("nrm")) * sqrt(col("cnrm"))))
+      .groupBy(col("cell"))
+      .agg(min(col("cos")).as("minCos"), count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    val cents = cent.collect().map { r =>
+      r.get(0).toString ->
+        (r.getSeq[Double](1).toArray, r.getDouble(2))
+    }.toMap
+    val rowsMap = rels.map { d =>
+      val cell = d.substring(d.lastIndexOf("=") + 1)
+      d -> stats.get(cell).map(_._2).getOrElse(0L)
+    }.toMap
+    rels.foreach { d =>
+      val cell = d.substring(d.lastIndexOf("=") + 1)
+      (cents.get(cell), stats.get(cell)) match {
+        case (Some((cv, cnrm)), Some((minCos, _))) =>
+          val p = new org.apache.hadoop.fs.Path(s"$root/$d/_vec.json")
+          val out = Versioned.fs(spark, p).create(p, false)
+          val json = s"""{"cv":[${cv.mkString(",")}],"cnrm":$cnrm,"minCos":$minCos}"""
+          try out.write(json.getBytes("UTF-8")) finally out.close()
+        case _ => () // a cell the trainer kept but assignment left empty
+      }
+    }
+    Versioned.publish(spark, root, _ => rels, precomputedRows = rowsMap)
+  }
+
+  private def metaOf(spark: SparkSession, root: String, d: String): Option[Meta] = {
+    val p = new org.apache.hadoop.fs.Path(s"${Versioned.dataPath(root, d)}/_vec.json")
+    val f = Versioned.fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val cv = """"cv":\[([^\]]*)\]""".r.findFirstMatchIn(txt).get
+        .group(1).split(",").map(_.toDouble)
+      val cnrm = """"cnrm":([-0-9.eE]+)""".r.findFirstMatchIn(txt).get.group(1).toDouble
+      val minCos = """"minCos":([-0-9.eE]+)""".r.findFirstMatchIn(txt).get.group(1).toDouble
+      Some(Meta(cv, cnrm, minCos))
+    }
+  }
+
+  /** Exact top-`k` cosine neighbors (excluding self) for the query rows
+    * `vec_id < nQueries` of version `v`, reading only the dirs the
+    * angular bounds cannot rule out.  Output (qid, nid, rn, sim) equals
+    * the brute-force scan bit-for-bit. */
+  def searchTopk(spark: SparkSession, root: String, v: Int,
+      k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val dirs = Versioned.manifest(spark, root, v)
+    val metas: Map[String, Option[Meta]] =
+      dirs.map(d => d -> metaOf(spark, root, d)).toMap
+    val queries = Versioned.readAt(spark, root, v)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("qv"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
+    require(queries.nonEmpty, "no query vectors (vec_id < nQueries) in the table")
+    import spark.implicits._
+    val qDf = broadcast(queries.toSeq
+      .toDF("qid", "qq", "qn"))
+
+    def topkOver(ds: Seq[String]): DataFrame = {
+      val base = Versioned.readDirs(spark, root, v, ds)
+        .select(col("vec_id"), col("qv"), col("nrm"))
+      val sim = vecDot(spark, col("qq"), col("qv")).cast(DoubleType) /
+        (sqrt(col("qn")) * sqrt(col("nrm")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+      base.join(qDf, col("vec_id") =!= col("qid"))
+        .withColumn("sim", sim)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .select(col("qid"), col("vec_id").as("nid"), col("rn"), col("sim"))
+    }
+
+    def clamp(x: Double) = math.max(-1.0, math.min(1.0, x))
+    def cosTo(q: (Long, Array[Long], Double), m: Meta): Double = {
+      var dot = 0.0; var i = 0
+      while (i < q._2.length) { dot += q._2(i) * m.cv(i); i += 1 }
+      dot / (math.sqrt(q._3) * math.sqrt(m.cnrm))
+    }
+    // spherical triangle inequality: no member of the cell can be more
+    // aligned with q than the cell's edge nearest q
+    def upperBound(q: (Long, Array[Long], Double), m: Meta): Double = {
+      val theta = math.acos(clamp(cosTo(q, m)))
+      val alpha = math.acos(clamp(m.minCos))
+      if (theta <= alpha) 1.0 else math.cos(theta - alpha)
+    }
+
+    val unpruned = dirs.filter(d => metas(d).isEmpty) // no sidecar: must read
+    val withMeta = dirs.filter(d => metas(d).isDefined)
+    val phase1 = (unpruned ++ queries.map(q =>
+      withMeta.maxBy(d => cosTo(q, metas(d).get)))).distinct
+    // kth-best floor per query from the most promising dirs alone
+    val floors: Map[Long, Double] = topkOver(phase1)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"), min(col("sim")).as("kth"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.getLong(1) >= k) r.getDouble(2) else -2.0))
+      .toMap
+    val survivors = withMeta.filterNot(phase1.contains).filter { d =>
+      val m = metas(d).get
+      queries.exists { q =>
+        upperBound(q, m) > floors.getOrElse(q._1, -2.0) - 1e-9
+      }
+    }
+    topkOver(phase1 ++ survivors)
+  }
+
+  /** Judged query: exact k-NN through the clustered table + angular
+    * bounds — must equal the brute-force oracle bit-for-bit (same
+    * quantized integer dot products, same tie order). */
+  val tableKnnExact: graft.GraftQuery = graft.GraftQuery("q_table_knn_exact",
+    """WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q)
+      |SELECT qid, nid, rn, sim FROM (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    list_dot_product(a.qv, b.qv) / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_dot_product(a.qv, b.qv) / (sqrt(a.nrm) * sqrt(b.nrm)) DESC,
+      |               b.vec_id) AS rn
+      |  FROM n a, n b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+      |WHERE rn <= 5""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val base = graft.llm.Similarity.quantized(spark, sfDir)
+      .select(col("vec_id"), col("qv"), col("nrm"))
+    commitClustered(spark, root, base, cells = 16)
+    searchTopk(spark, root, Versioned.currentVersion(spark, root))
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(tableKnnExact)
+}

@@ -1,0 +1,77 @@
+package graft.io
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the exact-kNN vector table: the two-phase bounded search
+  * returns the brute-force answer bit-for-bit on real embeddings, the
+  * angular bounds actually skip dirs when the corpus clusters, and
+  * unindexed appends degrade to extra reads — never to a wrong
+  * neighbor. */
+class VectorIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newRoot() =
+    s"/tmp/graft_vecindex_spec/${java.util.UUID.randomUUID()}"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.select("qid", "nid", "rn", "sim").as[(Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+
+  test("bounded search equals brute force on the real embeddings") {
+    val root = newRoot()
+    val base = graft.llm.Similarity.quantized(spark, TestSpark.sf)
+      .select(col("vec_id"), col("qv"), col("nrm"))
+    VectorIndex.commitClustered(spark, root, base, cells = 16)
+    val got = rows(VectorIndex.searchTopk(spark, root, 1))
+    val want = rows(graft.llm.Similarity.bruteTopkOn(spark,
+      graft.llm.Similarity.quantized(spark, TestSpark.sf)))
+    assert(got == want)
+  }
+
+  /** 8 tight clusters on near-orthogonal 64-dim directions; all queries
+    * in cluster 0. */
+  private def clusteredCorpus() = {
+    val vecs = (0L until 400L).map { i =>
+      val c = (i % 8).toInt
+      val qv = Array.fill(64)(0L)
+      (0 until 8).foreach(j => qv(c * 8 + j) = 1000000L)
+      qv((c * 8 + (i % 8)).toInt) += (i % 97) * 1000L // jitter inside the cone
+      (i, qv.toSeq)
+    }
+    // queries (vec_id < 10) must live in ONE cluster: remap ids so that
+    // ids 0..9 are all cluster-0 members
+    val reindexed = vecs.sortBy { case (i, _) => (i % 8 != 0, i) }
+      .zipWithIndex.map { case ((_, qv), nid) => (nid.toLong, qv) }
+    reindexed.toDF("vec_id", "qv")
+      .withColumn("nrm", aggregate(col("qv"), lit(0L),
+        (a, x) => a + x * x).cast("double"))
+  }
+
+  test("angular bounds prune dirs on a clustered corpus") {
+    val root = newRoot()
+    VectorIndex.commitClustered(spark, root, clusteredCorpus(), cells = 8)
+    val res = VectorIndex.searchTopk(spark, root, 1)
+    val dirsRead = res.inputFiles.map(_.split("/data/")(1).split("/part")(0)).distinct
+    val total = Versioned.manifest(spark, root, 1).size
+    assert(dirsRead.length < total,
+      s"expected pruning: read ${dirsRead.length} of $total dirs")
+    // and still exact: brute force over the same stored table
+    val base = Versioned.readAt(spark, root, 1)
+    assert(rows(res) == rows(graft.llm.Similarity.bruteTopkOn(spark, base)))
+  }
+
+  test("plain appends (no sidecar) are read conservatively and stay exact") {
+    val root = newRoot()
+    val base = graft.llm.Similarity.quantized(spark, TestSpark.sf)
+      .select(col("vec_id"), col("qv"), col("nrm"))
+    VectorIndex.commitClustered(spark, root, base.filter(col("vec_id") < 400), cells = 8)
+    Versioned.commitAppend(spark, root, base.filter(col("vec_id") >= 400))
+    val v = Versioned.currentVersion(spark, root)
+    val got = rows(VectorIndex.searchTopk(spark, root, v))
+    val want = rows(graft.llm.Similarity.bruteTopkOn(spark, base))
+    assert(got == want)
+  }
+}
