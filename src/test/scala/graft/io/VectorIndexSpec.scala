@@ -63,6 +63,34 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(rows(res) == rows(graft.llm.Similarity.bruteTopkOn(spark, base)))
   }
 
+  test("assigned appends stay exact and keep pruning (append == rebuild)") {
+    val root = newRoot()
+    VectorIndex.commitClustered(spark, root, clusteredCorpus()
+      .filter(col("vec_id") < 300), cells = 8)
+    VectorIndex.commitAppendAssigned(spark, root, clusteredCorpus()
+      .filter(col("vec_id") >= 300 && col("vec_id") < 360))
+    VectorIndex.commitAppendAssigned(spark, root, clusteredCorpus()
+      .filter(col("vec_id") >= 360))
+    val v = Versioned.currentVersion(spark, root)
+    val res = VectorIndex.searchTopk(spark, root, v)
+    assert(rows(res) == rows(graft.llm.Similarity.bruteTopkOn(spark,
+      Versioned.readAt(spark, root, v))))
+    // appended dirs carry their own sidecars: pruning still skips dirs
+    val dirsRead = res.inputFiles.map(_.split("/data/")(1).split("/part")(0)).distinct
+    val total = Versioned.manifest(spark, root, v).size
+    assert(dirsRead.length < total,
+      s"expected pruning after appends: read ${dirsRead.length} of $total dirs")
+  }
+
+  test("assigned append refuses a table with no vector sidecars") {
+    val root = newRoot()
+    Versioned.commit(spark, root, clusteredCorpus().filter(col("vec_id") < 50))
+    intercept[IllegalArgumentException] {
+      VectorIndex.commitAppendAssigned(spark, root,
+        clusteredCorpus().filter(col("vec_id") >= 50))
+    }
+  }
+
   test("plain appends (no sidecar) are read conservatively and stay exact") {
     val root = newRoot()
     val base = graft.llm.Similarity.quantized(spark, TestSpark.sf)
