@@ -30,6 +30,7 @@ object Queries {
       joins.BloomPrune.all ++
       fns.Scalars.all ++
       time.EventWindows.all ++
+      time.Resample.all ++
       streaming.StreamSink.all ++
       agg.VectorMeanQuery.all ++
       agg.BitmapDistinctQuery.all ++
