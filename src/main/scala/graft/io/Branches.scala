@@ -325,5 +325,32 @@ object Branches {
     Versioned.readAt(spark, root, vm)
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableBranchMerge)
+  /** Judged query: the SNAPSHOT-merge path — the branch rewrites
+    * history (a CoW window update) while main stands still, so the
+    * merge replaces main's head with the branch snapshot; isolation is
+    * asserted pre-merge.  Oracle = the update by expression. */
+  val tableBranchRewrite: graft.GraftQuery = graft.GraftQuery("q_table_branch_rewrite",
+    """SELECT doc_id, lang,
+      |       CASE WHEN doc_id BETWEEN 100 AND 299
+      |            THEN n_chars + 5000 ELSE n_chars END AS n_chars
+      |FROM documents""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val v1 = Versioned.commitAppendClustered(spark, root, docs, "doc_id", buckets = 8)
+    create(spark, root, "fix", v1)
+    val bRoot = branchRoot(root, "fix")
+    Versioned.commitUpdate(spark, bRoot, col("doc_id").between(100, 299),
+      df => df.withColumn("n_chars",
+        when(col("doc_id").between(100, 299), col("n_chars") + 5000)
+          .otherwise(col("n_chars"))))
+    // main untouched while the branch rewrote
+    require(Versioned.countAt(spark, root, Versioned.currentVersion(spark, root))
+      == Versioned.countAt(spark, root, v1), "main must stand still")
+    val vm = merge(spark, root, "fix")
+    require(list(spark, root).isEmpty, "the merge must consume the branch")
+    Versioned.readAt(spark, root, vm)
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(tableBranchMerge, tableBranchRewrite)
 }

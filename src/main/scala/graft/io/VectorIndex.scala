@@ -177,15 +177,23 @@ object VectorIndex {
     * the brute-force scan bit-for-bit. */
   def searchTopk(spark: SparkSession, root: String, v: Int,
       k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val dirs = Versioned.manifest(spark, root, v)
-    val metas: Map[String, Option[Meta]] =
-      dirs.map(d => d -> metaOf(spark, root, d)).toMap
     val queries = Versioned.readAt(spark, root, v)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("qv"), col("nrm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
-    require(queries.nonEmpty, "no query vectors (vec_id < nQueries) in the table")
+    searchTopkFor(spark, root, v, queries, k)
+  }
+
+  /** [[searchTopk]] with caller-supplied query vectors — the deployment
+    * shape (queries rarely live in the corpus), and what the bounded
+    * phases cost without the convention's query-row scan. */
+  def searchTopkFor(spark: SparkSession, root: String, v: Int,
+      queries: Array[(Long, Array[Long], Double)], k: Int = 5): DataFrame = {
+    val dirs = Versioned.manifest(spark, root, v)
+    val metas: Map[String, Option[Meta]] =
+      dirs.map(d => d -> metaOf(spark, root, d)).toMap
+    require(queries.nonEmpty, "no query vectors supplied")
     import spark.implicits._
     val qDf = broadcast(queries.toSeq
       .toDF("qid", "qq", "qn"))
