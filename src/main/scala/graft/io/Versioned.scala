@@ -251,6 +251,23 @@ object Versioned {
           .map(x => x.group(1) -> x.group(2).toLong).toMap
       }.getOrElse(Map.empty)
 
+  /** The table's declared metadata-SUM column, if any version declared
+    * one (see [[commitDeclareSum]]). */
+  private[graft] def sumColOf(spark: SparkSession, root: String, v: Int): Option[String] =
+    if (v == 0) None
+    else """"sumCol":\s*"([^"]+)"""".r
+      .findFirstMatchIn(recordText(spark, root, v)).map(_.group(1))
+
+  /** Per-dir exact long sums of the declared sum column at version `v`
+    * (a dir with no entry voids the metadata answer — see [[sumAt]]). */
+  private[graft] def dirSums(spark: SparkSession, root: String, v: Int): Map[String, Long] =
+    if (v == 0) Map.empty
+    else """"sums":\{([^}]*)\}""".r
+      .findFirstMatchIn(recordText(spark, root, v)).map { m =>
+        """"([^"]+)":(-?\d+)""".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toLong).toMap
+      }.getOrElse(Map.empty)
+
   /** `SELECT count(*)` at version `v` from manifest METADATA — zero data
     * or footer I/O for dirs whose commit recorded a row count (every
     * commit does; only legacy dirs fall back to a parquet count, which
@@ -323,7 +340,8 @@ object Versioned {
       alters: Option[String] = None,
       precomputedRows: Map[String, Long] = Map.empty,
       blooms: Option[(String, Int, Map[String, String])] = None,
-      dvAdd: Map[String, (Seq[String], Long)] = Map.empty): String = {
+      dvAdd: Map[String, (Seq[String], Long)] = Map.empty,
+      sumCol: Option[String] = None): String = {
     val parentSc = statsColOf(spark, root, head)
     val sc = statsCol.orElse(parentSc)
     val ts = math.max(System.currentTimeMillis(),
@@ -371,6 +389,20 @@ object Versioned {
       s""""$d":$n"""
     }
     val rowsJson = s""","rows":{${rowEntries.mkString(",")}}"""
+    // metadata sums: parent entries carried verbatim for carried dirs;
+    // new or rewritten dirs measured in ONE batched narrow-column job.
+    // A dir is entry-less when the column is absent (pre-alter
+    // generation), any non-null value fails the long cast, or every row
+    // is null — sumAt then falls back to the scan, never answers wrong.
+    val sumJson = sumCol.orElse(sumColOf(spark, root, head)).map { mc =>
+      val parent = dirSums(spark, root, head)
+      val missingSum = dirs.filterNot(parent.contains)
+      val fresh = if (missingSum.isEmpty) Map.empty[String, Long]
+                  else sumsFor(spark, root, missingSum, mc)
+      val entries = dirs.flatMap(d =>
+        parent.get(d).orElse(fresh.get(d)).map(n => s""""$d":$n"""))
+      s""","sumCol":"$mc","sums":{${entries.mkString(",")}}"""
+    }.getOrElse("")
     // bloom index: parent entries carried for carried dirs; new dirs get
     // entries only from a bloom-aware commit path (absent = read
     // conservatively, so plain appends compose — they just don't prune)
@@ -405,7 +437,79 @@ object Versioned {
         val n = dvEntries.map { case (d, _, k) => s""""$d":$k""" }
         s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
       }
-    s""","ts":$ts$statsJson$rowsJson$bloomJson$altersJson$dvJson$more"""
+    s""","ts":$ts$statsJson$rowsJson$sumJson$bloomJson$altersJson$dvJson$more"""
+  }
+
+  /** Exact long sums of `colName` per dir, all missing dirs in ONE
+    * narrow-column job (per-file partials grouped driver-side, the row
+    * counting pattern).  Dirs lacking the column, holding a failed
+    * non-null cast, or entirely null yield no entry. */
+  private def sumsFor(spark: SparkSession, root: String,
+      rels: Seq[String], colName: String): Map[String, Long] = {
+    val ok = rels.filter(r =>
+      spark.read.parquet(dataPath(root, r)).columns.contains(colName))
+    if (ok.isEmpty) return Map.empty
+    val c = tryLong(colName)
+    val perFile = spark.read.parquet(ok.map(dataPath(root, _)): _*)
+      .select(input_file_name().as("f"), c.as("v"),
+        (c.isNull && col(colName).isNotNull).as("bad"))
+      .groupBy(col("f"))
+      .agg(sum(col("v")).as("s"), count(when(col("bad"), 1)).as("nbad"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+    // attribute each file to exactly one dir; on any mismatch fall back
+    // to per-dir jobs rather than recording a silently-short sum
+    if (perFile.exists(fc => !ok.exists(fileInDir(root, fc._1, _))))
+      ok.flatMap { d =>
+        val r = spark.read.parquet(dataPath(root, d))
+          .agg(sum(c), count(when(c.isNull && col(colName).isNotNull, 1))).head()
+        if (r.isNullAt(0) || r.getLong(1) > 0) None else Some(d -> r.getLong(0))
+      }.toMap
+    else ok.flatMap { d =>
+      val mine = perFile.filter(fc => fileInDir(root, fc._1, d))
+      val vals = mine.flatMap(_._2)
+      if (mine.exists(_._3 > 0) || vals.isEmpty) None
+      else Some(d -> vals.sum)
+    }.toMap
+  }
+
+  /** Declare (or confirm) the table's metadata-SUM column and measure
+    * every current dir's entry in one batched job — after this commit,
+    * every later commit carries entries for carried dirs and measures
+    * only its new ones, and [[sumAt]] answers `SELECT sum(col)` with
+    * zero data I/O.  Declare on exact long measures (counts, scaled
+    * integers); the entries sum with plain long arithmetic. */
+  def commitDeclareSum(spark: SparkSession, root: String, colName: String): Int = {
+    require(!colName.contains("\"") && !colName.contains("\\"),
+      s"unsupported characters in column name $colName")
+    publishRecord(spark, root, head => {
+      require(head > 0, s"no committed version at $root")
+      sumColOf(spark, root, head).foreach(c0 =>
+        require(c0 == colName,
+          s"$root already keeps metadata sums on $c0; " +
+            s"re-declaring $colName would corrupt carried entries"))
+      val dirs = manifest(spark, root, head)
+      (dirs, extraFields(spark, root, head, dirs, None, "",
+        sumCol = Some(colName)))
+    }).get
+  }
+
+  /** `SELECT sum(sumCol)` at version `v` from manifest METADATA — zero
+    * data I/O.  None (callers fall back to the scan) when no sum column
+    * is declared, any dir lacks an entry (all-null dir, failed cast,
+    * pre-alter generation — unless its recorded row count is 0, which
+    * contributes nothing), or deletion vectors are live (the deleted
+    * rows' contribution is unknown until the next fold). */
+  def sumAt(spark: SparkSession, root: String, v: Int): Option[Long] = {
+    if (sumColOf(spark, root, v).isEmpty) return None
+    if (dvOf(spark, root, v).nonEmpty) return None
+    val sums = dirSums(spark, root, v)
+    val rows = dirRows(spark, root, v)
+    val dirs = manifest(spark, root, v)
+    if (dirs.nonEmpty &&
+        dirs.forall(d => sums.contains(d) || rows.get(d).contains(0L)))
+      Some(dirs.flatMap(sums.get).sum)
+    else None
   }
 
   /** Write `df` as one immutable data dir; returns the root-relative path. */
@@ -2116,6 +2220,31 @@ object Versioned {
       .toDF("n_rows", "min_id", "max_id")
   }
 
+  /** Judged query: the metadata-aggregate family completed — count, sum,
+    * min, max all answered from the manifest with zero data I/O.  A
+    * clustered base, a sum declaration, then a day-2 plain append whose
+    * entry the commit measures automatically.  Oracle = the plain
+    * aggregates. */
+  val tableSumMeta: graft.GraftQuery = graft.GraftQuery("q_table_sum_meta",
+    """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(min(doc_id) AS BIGINT) AS min_id,
+      |       CAST(max(doc_id) AS BIGINT) AS max_id
+      |FROM documents""".stripMargin) { (spark, sfDir) =>
+    import spark.implicits._
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    Versioned.commitAppendClustered(spark, root,
+      docs.filter(col("doc_id") % 10 < 8), "doc_id", buckets = 8)
+    Versioned.commitDeclareSum(spark, root, "n_chars")
+    val v = Versioned.commitAppend(spark, root, docs.filter(col("doc_id") % 10 >= 8))
+    val sum = Versioned.sumAt(spark, root, v)
+      .getOrElse(sys.error("a fully-summed table must answer from metadata"))
+    val (lo, hi) = Versioned.statsRangeAt(spark, root, v)
+      .getOrElse(sys.error("a fully-clustered table must carry full stats"))
+    Seq((Versioned.countAt(spark, root, v), sum, lo, hi))
+      .toDF("n_rows", "sum_chars", "min_id", "max_id")
+  }
+
   /** Judged query: zero-copy clone + copy-on-write isolation.  The
     * corpus lands clustered in a SOURCE table; a shallow clone (pure
     * metadata — absolute refs, no data copied) is then MERGED into (the
@@ -2149,5 +2278,5 @@ object Versioned {
       tableStreamIngest, tableSchemaEvolution, tableSchemaRenameDrop,
       tableDelete, tableDeleteMor, tableRestore, tableAsOf,
       tableOptimize, tableOptimizeSmall, tableRowCounts, tableWap,
-      tableClone, tableStreamUpsert, tableStatsMeta)
+      tableClone, tableStreamUpsert, tableStatsMeta, tableSumMeta)
 }
