@@ -341,7 +341,8 @@ object Versioned {
       precomputedRows: Map[String, Long] = Map.empty,
       blooms: Option[(String, Int, Map[String, String])] = None,
       dvAdd: Map[String, (Seq[String], Long)] = Map.empty,
-      sumCol: Option[String] = None): String = {
+      sumCol: Option[String] = None,
+      checksArg: Option[String] = None): String = {
     val parentSc = statsColOf(spark, root, head)
     val sc = statsCol.orElse(parentSc)
     val ts = math.max(System.currentTimeMillis(),
@@ -417,6 +418,9 @@ object Versioned {
     // schema-evolution entries ride along verbatim on every commit
     val altersJson = alters.orElse(altersFragOf(spark, root, head))
       .map(a => s""","alters":{$a}""").getOrElse("")
+    // the persisted ingest contract rides along the same way
+    val checksJson = checksArg.orElse(checksFragOf(spark, root, head))
+      .map(c => s""","checks":{$c}""").getOrElse("")
     // deletion vectors: parent entries carried for carried dirs (a
     // replaced/folded dir's entries drop WITH the dir — the rewrite read
     // DV-applied content, so its vectors are retired, not lost), plus the
@@ -437,8 +441,21 @@ object Versioned {
         val n = dvEntries.map { case (d, _, k) => s""""$d":$k""" }
         s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
       }
-    s""","ts":$ts$statsJson$rowsJson$sumJson$bloomJson$altersJson$dvJson$more"""
+    s""","ts":$ts$statsJson$rowsJson$sumJson$bloomJson$altersJson$checksJson$dvJson$more"""
   }
+
+  private def checksFragOf(spark: SparkSession, root: String, v: Int): Option[String] =
+    if (v == 0) None
+    else """"checks":\{([^}]*)\}""".r
+      .findFirstMatchIn(recordText(spark, root, v)).map(_.group(1))
+
+  /** The persisted CHECK constraints at version `v`: (name, SQL boolean
+    * expression), in declaration order. */
+  private[graft] def checksOf(spark: SparkSession, root: String, v: Int): Seq[(String, String)] =
+    checksFragOf(spark, root, v).toSeq.flatMap { frag =>
+      """"([^"]+)":"([^"]*)"""".r.findAllMatchIn(frag)
+        .map(m => (m.group(1), m.group(2))).toSeq
+    }
 
   /** Exact long sums of `colName` per dir, all missing dirs in ONE
     * narrow-column job (per-file partials grouped driver-side, the row
@@ -624,6 +641,114 @@ object Versioned {
     publish(spark, root, head =>
       (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel,
       precomputedRows = Map(rel -> counts.getLong(0)))
+  }
+
+  /** Declare persisted CHECK constraints — the table's INGEST CONTRACT.
+    * A pure metadata commit: the record carries `"checks":{name:expr}`;
+    * every later commit copies it forward, and [[commitAppendGated]] /
+    * [[commitAppendUnique]] enforce it without the caller restating the
+    * rules (the declarative shape: the table owner sets the contract
+    * once, every producer inherits it).  Declarations ACCUMULATE; names
+    * must be fresh.  Expressions are SQL boolean predicates over the
+    * row (no quotes/braces/backslashes — they live inside the JSON
+    * record). */
+  def commitDeclareChecks(spark: SparkSession, root: String,
+      checks: Seq[(String, String)]): Int = {
+    require(checks.nonEmpty, "no checks to declare")
+    checks.foreach { case (n, e) =>
+      require(n.nonEmpty && !s"$n$e".exists(c => c == '"' || c == '{' || c == '}' || c == '\\'),
+        s"check '$n' carries characters the record cannot hold")
+    }
+    publishRecord(spark, root, head => {
+      require(head > 0, s"no committed version at $root")
+      val existing = checksOf(spark, root, head)
+      val clash = checks.map(_._1).toSet intersect existing.map(_._1).toSet
+      require(clash.isEmpty, s"checks already declared: ${clash.mkString(", ")}")
+      val frag = (existing ++ checks)
+        .map { case (n, e) => s""""$n":"$e"""" }.mkString(",")
+      val dirs = manifest(spark, root, head)
+      (dirs, extraFields(spark, root, head, dirs, None, "",
+        checksArg = Some(frag)))
+    }).get
+  }
+
+  /** Append `df` under the PERSISTED contract: audit the staged bytes
+    * against every declared check (see [[commitDeclareChecks]]) and
+    * publish only if clean — [[commitAppendChecked]] with the rules
+    * loaded from the table instead of the call site. */
+  def commitAppendGated(spark: SparkSession, root: String, df: DataFrame): Int = {
+    val head = currentVersion(spark, root)
+    val declared = checksOf(spark, root, head)
+    require(declared.nonEmpty, s"$root declares no checks; use commitAppend")
+    commitAppendChecked(spark, root, df,
+      declared.map { case (n, e) => n -> expr(e) })
+  }
+
+  /** UNIQUE-KEY ingest: append `df` only if (a) the batch carries no
+    * duplicate `key` values, (b) no batch key already exists in the
+    * table, and (c) every persisted CHECK passes — the idempotent-event
+    * / primary-key door for a 100 TB ingest.  The existing-key probe is
+    * ONE semi join confined by the zone map when the table is clustered
+    * on `key` (the probe range is the batch's key span, so a day's
+    * batch probes a day's dirs); deletion vectors apply, so a deleted
+    * key is legitimately re-insertable.  A violation throws
+    * [[CommitRejected]] and reclaims the staged dir.  Concurrency: a
+    * commit landing between probe and publish aborts the publish and
+    * re-probes against the new head (bounded retries) — two racing
+    * batches sharing a key can never both land. */
+  def commitAppendUnique(spark: SparkSession, root: String, df: DataFrame,
+      key: String): Int = {
+    val rel = writeDataDir(spark, root, df)
+    val staged = spark.read.parquet(s"$root/$rel")
+    def reject(violations: Map[String, Long]): Nothing = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+      fs(spark, p).delete(p, true)
+      throw new CommitRejected(violations)
+    }
+    val nDupKeys = staged.groupBy(col(key)).count()
+      .filter(col("count") > 1).count()
+    if (nDupKeys > 0) reject(Map("duplicate_key_in_batch" -> nDupKeys))
+    val n = staged.count()
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val head0 = currentVersion(spark, root)
+      // persisted contract rides along (audited on the staged bytes)
+      val declared = checksOf(spark, root, head0)
+      if (declared.nonEmpty) {
+        val cs = declared.map { case (nm, e) => nm -> expr(e) }
+        val counts = staged.agg(count(lit(1)),
+          cs.map { case (_, c) => count(when(coalesce(!c, lit(false)), 1)) }: _*).head()
+        val bad = cs.zipWithIndex.collect {
+          case ((nm, _), i) if counts.getLong(i + 1) > 0 => nm -> counts.getLong(i + 1)
+        }.toMap
+        if (bad.nonEmpty) reject(bad)
+      }
+      if (head0 > 0) {
+        val keys = staged.select(col(key)).distinct()
+        val bounds = staged.agg(min(tryLong(key)), max(tryLong(key))).head()
+        val existing =
+          if (statsColOf(spark, root, head0).contains(key) &&
+              !bounds.isNullAt(0) && !bounds.isNullAt(1))
+            readRange(spark, root, head0, bounds.getLong(0), bounds.getLong(1))
+          else readAt(spark, root, head0)
+        val nClash = existing.select(col(key))
+          .join(broadcast(keys), Seq(key), "left_semi").count()
+        if (nClash > 0) reject(Map("key_exists" -> nClash))
+      }
+      val v = publishRecord(spark, root,
+        head => {
+          val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel
+          (dirs, extraFields(spark, root, head, dirs, None, "",
+            precomputedRows = Map(rel -> n)))
+        },
+        abortIf = head => head != head0) // new head: re-probe its keys
+      v match {
+        case Some(ver) => return ver
+        case None => () // retry loop re-probes against the moved head
+      }
+    }
+    reject(Map("commit_contention" -> 5L))
   }
 
   /** Copy-on-write update: rewrite ONLY the data dirs containing rows
@@ -2245,6 +2370,38 @@ object Versioned {
       .toDF("n_rows", "sum_chars", "min_id", "max_id")
   }
 
+  /** Judged query: the persisted INGEST CONTRACT end-to-end — declared
+    * CHECK constraints plus unique-key ingest.  The table owner declares
+    * the rules once; then a value-poisoned batch, a replayed
+    * (key-clashing) batch and a self-duplicated batch are each rejected
+    * with their staged dirs reclaimed, and the clean day-2 batch lands.
+    * Oracle = base ∪ clean batch. */
+  val tableContract: graft.GraftQuery = graft.GraftQuery("q_table_contract",
+    """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 < 8""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Versioned.commitAppendClustered(spark, root,
+      docs.filter(col("doc_id") % 10 < 6), "doc_id", buckets = 8)
+    Versioned.commitDeclareChecks(spark, root, Seq(
+      "n_chars_nonneg" -> "n_chars >= 0",
+      "doc_id_present" -> "doc_id IS NOT NULL"))
+    val day2 = docs.filter(col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7)
+    def rejected(f: => Int): Boolean =
+      try { f; false } catch { case _: CommitRejected => true }
+    require(rejected(Versioned.commitAppendUnique(spark, root,
+      day2.withColumn("n_chars", -col("n_chars") - 1), "doc_id")),
+      "the value-poisoned batch must be rejected by the persisted checks")
+    require(rejected(Versioned.commitAppendUnique(spark, root,
+      docs.filter(col("doc_id") % 10 === 3), "doc_id")),
+      "the replayed batch must be rejected (keys exist)")
+    require(rejected(Versioned.commitAppendUnique(spark, root,
+      day2.unionAll(day2), "doc_id")),
+      "the self-duplicated batch must be rejected")
+    val v = Versioned.commitAppendUnique(spark, root, day2, "doc_id")
+    Versioned.readAt(spark, root, v)
+  }
+
   /** Judged query: zero-copy clone + copy-on-write isolation.  The
     * corpus lands clustered in a SOURCE table; a shallow clone (pure
     * metadata — absolute refs, no data copied) is then MERGED into (the
@@ -2278,5 +2435,6 @@ object Versioned {
       tableStreamIngest, tableSchemaEvolution, tableSchemaRenameDrop,
       tableDelete, tableDeleteMor, tableRestore, tableAsOf,
       tableOptimize, tableOptimizeSmall, tableRowCounts, tableWap,
-      tableClone, tableStreamUpsert, tableStatsMeta, tableSumMeta)
+      tableClone, tableStreamUpsert, tableStatsMeta, tableSumMeta,
+      tableContract)
 }
