@@ -48,7 +48,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q11",
     "q_sql_tpch_q16", "q_sql_tpch_q20",
     "q_agg_histogram_eqdepth", // crossJoin(broadcast(1-row quartile bounds))
-    "q_agg_chi2")              // crossJoin(broadcast(1-row grand total))
+    "q_agg_chi2",              // crossJoin(broadcast(1-row grand total))
+    "q_table_knn_exact",       // pruned dirs x broadcast(10 query vectors), by spec
+    "q_table_knn_incr")        // same exact re-rank after the assigned append
 
   test("no judged query plans CartesianProduct; BNLJ only by design") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
