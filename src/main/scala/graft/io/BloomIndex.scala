@@ -84,16 +84,6 @@ object BloomIndex {
   def commitAppendBloom(spark: SparkSession, root: String, df: DataFrame,
       bloomCol: String, bits: Int = 1 << 16): Int = {
     require(Integer.bitCount(bits) == 1 && bits >= 64, s"bits must be a power of 2 >= 64: $bits")
-    // the declaration is table-wide: probes hash with the HEAD record's
-    // (col, bits) against every carried bitset, so a re-declaration
-    // with different values would silently mis-prune (smaller bits) or
-    // crash (larger bits) on the old dirs
-    Versioned.bloomColOf(spark, root, Versioned.currentVersion(spark, root))
-      .foreach { case (c0, m0) =>
-        require(c0 == bloomCol && m0 == bits,
-          s"$root already keeps a bloom index on ($c0, $m0 bits); " +
-            s"re-declaring ($bloomCol, $bits) would corrupt pruning")
-      }
     val rel = Versioned.writeDataDir(spark, root, df)
     val staged = spark.read.parquet(s"$root/$rel")
     val n = staged.count()
@@ -101,10 +91,27 @@ object BloomIndex {
     val set = staged.select(explode(positions(col(bloomCol), bits)).as("p"))
       .distinct().as[Long].collect()
     val entry = storeBitset(spark, root, rel, set, bits)
-    Versioned.publish(spark, root, head =>
-      (if (head == 0) Seq.empty else Versioned.manifest(spark, root, head)) :+ rel,
+    // the declaration is table-wide: probes hash with the HEAD record's
+    // (col, bits) against every carried bitset, so a re-declaration with
+    // different values would silently mis-prune (smaller bits) or crash
+    // (larger bits) on the old dirs.  Validated INSIDE the publish
+    // closure — it re-runs against the resolved head on every retry, so
+    // a racing first declaration cannot slip a second, different one in
+    try Versioned.publish(spark, root, head => {
+      Versioned.bloomColOf(spark, root, head).foreach { case (c0, m0) =>
+        require(c0 == bloomCol && m0 == bits,
+          s"$root already keeps a bloom index on ($c0, $m0 bits); " +
+            s"re-declaring ($bloomCol, $bits) would corrupt pruning")
+      }
+      (if (head == 0) Seq.empty else Versioned.manifest(spark, root, head)) :+ rel
+    },
       precomputedRows = Map(rel -> n),
       blooms = Some((bloomCol, bits, Map(rel -> entry))))
+    catch { case e: IllegalArgumentException =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+      Versioned.fs(spark, p).delete(p, true) // reclaim the staged dir
+      throw e
+    }
   }
 
   /** Point read `bloomCol IN (values)` over version `v`, reading only

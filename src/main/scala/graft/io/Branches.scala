@@ -116,7 +116,10 @@ object Branches {
       val f = Versioned.fs(spark, refs)
       if (!f.exists(refs)) Set.empty
       else f.listStatus(refs).filter(_.isDirectory).flatMap { st =>
-        val b = st.getPath.toUri.getPath
+        // keep the scheme/authority: on s3a://, hdfs:// roots the walk
+        // must resolve against the table's own filesystem, and manifest
+        // entry strings were written from the user's root spelling
+        val b = st.getPath.toString
         val head = Versioned.currentVersion(spark, b)
         val here: Set[String] =
           if (head == 0) Set.empty
@@ -196,6 +199,7 @@ object Branches {
     val merged: Int =
       if (appendOnly) {
         moveAll()
+        try {
         val bStats = Versioned.dirStats(spark, b, bh)
           .filter { case (d, _) => newDirs.contains(d) }
         val bRows = Versioned.dirRows(spark, b, bh)
@@ -234,6 +238,12 @@ object Branches {
           (dirs, Versioned.extraFields(spark, rootN, head, dirs, None, "",
             pre, altersArg, bRows, blooms, dvAdd))
         }).get
+        } catch {
+          // a conflict surfaced mid-publish (e.g. the parent rewrote its
+          // alter history since the fork): un-adopt so both refs stay
+          // intact — the documented contract of a refused merge
+          case e: MergeConflict => moveBack(); throw e
+        }
       } else {
         // snapshot merge: the branch head replaces the parent wholesale,
         // legal only while the parent still sits at the fork point
@@ -242,39 +252,13 @@ object Branches {
             s"branch '$name' rewrote history and parent $rootN advanced past fork v$forkV")
         moveAll()
         val dirs = bDirs.map(r)
-        val st = Versioned.dirStats(spark, b, bh)
-        val statsJson = Versioned.statsColOf(spark, b, bh).map { c =>
-          val e = bDirs.flatMap(d => st.get(d).map { case (a, z) => s""""${r(d)}":[$a,$z]""" })
-          s""","statsCol":"$c","stats":{${e.mkString(",")}}"""
-        }.getOrElse("")
-        val rows = Versioned.dirRows(spark, b, bh)
-        val rowEntries = bDirs.flatMap(d => rows.get(d).map(n => s""""${r(d)}":$n"""))
-        val rowsJson =
-          if (rowEntries.isEmpty) "" else s""","rows":{${rowEntries.mkString(",")}}"""
-        val bloomJson = Versioned.bloomColOf(spark, b, bh).map { case (c, m) =>
-          val bl = Versioned.dirBlooms(spark, b, bh)
-          val e = bDirs.flatMap(d => bl.get(d).map(x => s""""${r(d)}":"$x""""))
-          s""","bloomCol":"$c","bloomBits":$m,"bloom":{${e.mkString(",")}}"""
-        }.getOrElse("")
-        val altersJson = Versioned.altersFragOf(spark, b, bh).map { frag =>
-          val e = Versioned.altersOf(spark, b, bh).map { case (c, t, ds) =>
-            s""""$c|$t":"${ds.toSeq.map(r).sorted.mkString(",")}""""
-          }
-          s""","alters":{${e.mkString(",")}}"""
-        }.getOrElse("")
-        val dvJson =
-          if (carryDv.isEmpty) ""
-          else {
-            val e = bDirs.filter(carryDv.contains).map(d =>
-              s""""${r(d)}":"${carryDv(d).map(rs).mkString(",")}"""")
-            val n = bDirs.filter(carryDv.contains).map(d =>
-              s""""${r(d)}":${bDvRows.getOrElse(d, 0L)}""")
-            s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
-          }
+        // ONE serializer with every replay path (restore, clone): stats,
+        // rows, sums, blooms, alters, checks, dv all carry remapped
+        val carried = Versioned.carryFieldsOf(spark, b, bh, bDirs, r, rs)
         val ts = math.max(System.currentTimeMillis(),
           Versioned.tsOf(spark, rootN, forkV))
         Versioned.publishRecord(spark, rootN,
-          _ => (dirs, s""","ts":$ts$statsJson$rowsJson$bloomJson$altersJson$dvJson"""),
+          _ => (dirs, s""","ts":$ts$carried"""),
           abortIf = head => head != forkV) match {
           case Some(v) => v
           case None =>

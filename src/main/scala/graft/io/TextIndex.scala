@@ -34,8 +34,12 @@ object TextIndex {
   private def wordRe(term: String) = s"(^|[^a-z0-9])$term([^a-z0-9]|$$)"
 
   private def requireTerm(t: String): Unit =
-    require(t.nonEmpty && t.forall(ch => (ch >= 'a' && ch <= 'z') || ch.isDigit),
-      s"probe terms are lowercase alphanumeric tokens: '$t'")
+    // ASCII only: the tokenizer's [a-z0-9] can never produce a Unicode
+    // digit, so accepting one (Character.isDigit is Unicode-wide) would
+    // make the probe silently empty instead of failing loudly
+    require(t.nonEmpty && t.forall(ch =>
+      (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')),
+      s"probe terms are lowercase ASCII alphanumeric tokens: '$t'")
 
   /** Append `df` with a token-bloom entry for the new dir, declaring
     * (or re-declaring, which must match) the table's indexed text
@@ -46,12 +50,6 @@ object TextIndex {
     require(Integer.bitCount(bits) == 1 && bits >= 64,
       s"bits must be a power of 2 >= 64: $bits")
     val decl = s"_tok($textCol)"
-    Versioned.bloomColOf(spark, root, Versioned.currentVersion(spark, root))
-      .foreach { case (c0, m0) =>
-        require(c0 == decl && m0 == bits,
-          s"$root already keeps a bloom index on ($c0, $m0 bits); " +
-            s"re-declaring ($decl, $bits) would corrupt pruning")
-      }
     val rel = Versioned.writeDataDir(spark, root, df)
     val staged = spark.read.parquet(s"$root/$rel")
     val n = staged.count()
@@ -61,10 +59,24 @@ object TextIndex {
       .select(explode(BloomIndex.positions(col("t"), bits)).as("p"))
       .distinct().as[Long].collect()
     val entry = BloomIndex.storeBitset(spark, root, rel, set, bits)
-    Versioned.publish(spark, root, head =>
-      (if (head == 0) Seq.empty else Versioned.manifest(spark, root, head)) :+ rel,
+    // declaration compatibility re-validated per publish retry (see
+    // BloomIndex.commitAppendBloom): a racing first declaration cannot
+    // slip a different one in
+    try Versioned.publish(spark, root, head => {
+      Versioned.bloomColOf(spark, root, head).foreach { case (c0, m0) =>
+        require(c0 == decl && m0 == bits,
+          s"$root already keeps a bloom index on ($c0, $m0 bits); " +
+            s"re-declaring ($decl, $bits) would corrupt pruning")
+      }
+      (if (head == 0) Seq.empty else Versioned.manifest(spark, root, head)) :+ rel
+    },
       precomputedRows = Map(rel -> n),
       blooms = Some((decl, bits, Map(rel -> entry))))
+    catch { case e: IllegalArgumentException =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+      Versioned.fs(spark, p).delete(p, true) // reclaim the staged dir
+      throw e
+    }
   }
 
   /** The dirs of version `v` whose token filter claims ALL of `terms`

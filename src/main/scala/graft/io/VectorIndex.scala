@@ -56,6 +56,18 @@ object VectorIndex {
     val assigned = graft.llm.Similarity.assignCells(b, cent)
       .select(col("vec_id"), col("cell"))
     val rows = b.join(assigned, "vec_id")
+    val (rels, rowsMap) = writeAssigned(spark, root, rows, cent)
+    Versioned.publish(spark, root, _ => rels, precomputedRows = rowsMap)
+  }
+
+  /** The shared write path of [[commitClustered]] and
+    * [[commitAppendAssigned]]: land `rows` (vec_id, qv, nrm, cell) as
+    * one `partitionBy(_c)` write, measure each cell's angular radius +
+    * row count in ONE job against the broadcast centroids, and drop a
+    * `_vec.json` sidecar into every non-empty cell dir.  Returns
+    * (manifest dirs, per-dir row counts). */
+  private def writeAssigned(spark: SparkSession, root: String,
+      rows: DataFrame, cent: DataFrame): (Seq[String], Map[String, Long]) = {
     val rel = s"data/${java.util.UUID.randomUUID()}"
     rows.withColumn("_c", col("cell")).drop("cell")
       .repartition(col("_c"))
@@ -90,7 +102,7 @@ object VectorIndex {
         case _ => () // a cell the trainer kept but assignment left empty
       }
     }
-    Versioned.publish(spark, root, _ => rels, precomputedRows = rowsMap)
+    (rels, rowsMap)
   }
 
   /** Incremental ingest: assign `batch` rows to the EXISTING cell
@@ -123,34 +135,7 @@ object VectorIndex {
     val assigned = graft.llm.Similarity.assignCells(b, centDf)
       .select(col("vec_id"), col("cell"))
     val rows = b.join(assigned, "vec_id")
-    val rel = s"data/${java.util.UUID.randomUUID()}"
-    rows.withColumn("_c", col("cell")).drop("cell")
-      .repartition(col("_c"))
-      .write.mode("errorifexists").partitionBy("_c").parquet(s"$root/$rel")
-    val bp = new org.apache.hadoop.fs.Path(s"$root/$rel")
-    val rels = Versioned.fs(spark, bp).listStatus(bp).filter(_.isDirectory)
-      .map(st => s"$rel/${st.getPath.getName}").sorted.toSeq
-    val qdot = graft.fns.VecExpressions.numVecDot(spark, col("qv"), col("cv"))
-    val stats = rows.join(broadcast(centDf), "cell")
-      .withColumn("cos", qdot / (sqrt(col("nrm")) * sqrt(col("cnrm"))))
-      .groupBy(col("cell"))
-      .agg(min(col("cos")).as("minCos"), count(lit(1)).as("n"))
-      .collect().map(r => r.get(0).toString ->
-        (r.getDouble(1), r.getLong(2))).toMap
-    val rowsMap = rels.map { d =>
-      val cell = d.substring(d.lastIndexOf("=") + 1)
-      d -> stats.get(cell).map(_._2).getOrElse(0L)
-    }.toMap
-    rels.foreach { d =>
-      val cell = d.substring(d.lastIndexOf("=") + 1)
-      stats.get(cell).foreach { case (minCos, _) =>
-        val (cv, cnrm) = cents(cell.toInt)
-        val p = new org.apache.hadoop.fs.Path(s"$root/$d/_vec.json")
-        val out = Versioned.fs(spark, p).create(p, false)
-        val json = s"""{"cv":[${cv.mkString(",")}],"cnrm":$cnrm,"minCos":$minCos}"""
-        try out.write(json.getBytes("UTF-8")) finally out.close()
-      }
-    }
+    val (rels, rowsMap) = writeAssigned(spark, root, rows, centDf)
     Versioned.publish(spark, root, h =>
       (if (h == 0) Seq.empty else Versioned.manifest(spark, root, h)) ++ rels,
       precomputedRows = rowsMap)
@@ -227,6 +212,9 @@ object VectorIndex {
 
     val unpruned = dirs.filter(d => metas(d).isEmpty) // no sidecar: must read
     val withMeta = dirs.filter(d => metas(d).isDefined)
+    // a table whose every dir lost its sidecar (full compaction through
+    // a non-vector path) degrades to the documented conservative scan
+    if (withMeta.isEmpty) return topkOver(dirs)
     val phase1 = (unpruned ++ queries.map(q =>
       withMeta.maxBy(d => cosTo(q, metas(d).get)))).distinct
     // kth-best floor per query from the most promising dirs alone

@@ -268,6 +268,15 @@ object Versioned {
           .map(x => x.group(1) -> x.group(2).toLong).toMap
       }.getOrElse(Map.empty)
 
+  /** Dirs marked UNSUMMABLE (all-null column, failed cast, pre-alter
+    * generation): recorded so later commits never re-scan them — the
+    * void marker is metadata like the sums themselves. */
+  private[graft] def sumVoidOf(spark: SparkSession, root: String, v: Int): Set[String] =
+    if (v == 0) Set.empty
+    else """"sumsVoid":\s*"([^"]*)"""".r
+      .findFirstMatchIn(recordText(spark, root, v))
+      .map(_.group(1).split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
   /** `SELECT count(*)` at version `v` from manifest METADATA — zero data
     * or footer I/O for dirs whose commit recorded a row count (every
     * commit does; only legacy dirs fall back to a parquet count, which
@@ -397,20 +406,34 @@ object Versioned {
     // is null — sumAt then falls back to the scan, never answers wrong.
     val sumJson = sumCol.orElse(sumColOf(spark, root, head)).map { mc =>
       val parent = dirSums(spark, root, head)
-      val missingSum = dirs.filterNot(parent.contains)
+      val parentVoid = sumVoidOf(spark, root, head)
+      val missingSum = dirs.filterNot(d => parent.contains(d) || parentVoid(d))
       val fresh = if (missingSum.isEmpty) Map.empty[String, Long]
                   else sumsFor(spark, root, missingSum, mc)
       val entries = dirs.flatMap(d =>
         parent.get(d).orElse(fresh.get(d)).map(n => s""""$d":$n"""))
-      s""","sumCol":"$mc","sums":{${entries.mkString(",")}}"""
+      // a dir that measured unsummable is marked VOID so no later commit
+      // ever re-scans it (the probe is a data read, not a footer read)
+      val void = dirs.filter(d =>
+        parentVoid(d) || (missingSum.contains(d) && !fresh.contains(d)))
+      val voidJson =
+        if (void.isEmpty) "" else s""","sumsVoid":"${void.sorted.mkString(",")}""""
+      s""","sumCol":"$mc","sums":{${entries.mkString(",")}}$voidJson"""
     }.getOrElse("")
     // bloom index: parent entries carried for carried dirs; new dirs get
     // entries only from a bloom-aware commit path (absent = read
     // conservatively, so plain appends compose — they just don't prune)
+    val parentBloomDecl = bloomColOf(spark, root, head)
     val bloomJson = blooms.orElse(
-        bloomColOf(spark, root, head).map { case (c, m) => (c, m, Map.empty[String, String]) })
+        parentBloomDecl.map { case (c, m) => (c, m, Map.empty[String, String]) })
       .map { case (c, m, fresh) =>
-        val parent = dirBlooms(spark, root, head)
+        // parent entries are only reusable under the SAME (column, bits)
+        // declaration — a mismatched carry would probe old bitsets with
+        // the wrong hashes (false pruning = lost rows), the exact trap
+        // the stats path already guards
+        val parent =
+          if (parentBloomDecl.forall(_ == ((c, m)))) dirBlooms(spark, root, head)
+          else Map.empty[String, String]
         val entries = dirs.flatMap(d =>
           parent.get(d).orElse(fresh.get(d)).map(b => s""""$d":"$b""""))
         s""","bloomCol":"$c","bloomBits":$m,"bloom":{${entries.mkString(",")}}"""
@@ -1669,51 +1692,77 @@ object Versioned {
     * vacuuming the SOURCE past `v` invalidates clones taken at `v` —
     * keep sources within clone lifetimes, or compact the clone to
     * materialize it. */
+  /** Re-serialize version `v`'s carried record fields — stats, rows,
+    * sums (+ void markers), blooms, alters, CHECK constraints, deletion
+    * vectors — for a SNAPSHOT-REPLAY record (restore, shallow clone,
+    * branch snapshot merge) whose dir names pass through `remap` and
+    * whose DV sidecar names pass through `sideRemap`.  One serializer
+    * for every replay path: a record field added here flows through all
+    * of them, instead of silently vanishing on whichever path forgot it
+    * (which is exactly how the checks/sums fields went missing from
+    * three hand-rolled copies of this block). */
+  private[io] def carryFieldsOf(spark: SparkSession, root: String, v: Int,
+      dirs: Seq[String], remap: String => String = identity,
+      sideRemap: String => String = identity): String = {
+    val st = dirStats(spark, root, v)
+    val statsJson = statsColOf(spark, root, v).map { c =>
+      val entries = dirs.flatMap(d =>
+        st.get(d).map { case (a, b) => s""""${remap(d)}":[$a,$b]""" })
+      s""","statsCol":"$c","stats":{${entries.mkString(",")}}"""
+    }.getOrElse("")
+    val rows = dirRows(spark, root, v)
+    val rowEntries = dirs.flatMap(d => rows.get(d).map(n => s""""${remap(d)}":$n"""))
+    val rowsJson =
+      if (rowEntries.isEmpty) "" else s""","rows":{${rowEntries.mkString(",")}}"""
+    val sumJson = sumColOf(spark, root, v).map { mc =>
+      val sums = dirSums(spark, root, v)
+      val entries = dirs.flatMap(d => sums.get(d).map(n => s""""${remap(d)}":$n"""))
+      val void = sumVoidOf(spark, root, v).filter(dirs.contains).map(remap)
+      val voidJson =
+        if (void.isEmpty) "" else s""","sumsVoid":"${void.toSeq.sorted.mkString(",")}""""
+      s""","sumCol":"$mc","sums":{${entries.mkString(",")}}$voidJson"""
+    }.getOrElse("")
+    val bl = dirBlooms(spark, root, v)
+    val bloomJson = bloomColOf(spark, root, v).map { case (c, m) =>
+      val entries = dirs.flatMap(d => bl.get(d).map(b => s""""${remap(d)}":"$b""""))
+      s""","bloomCol":"$c","bloomBits":$m,"bloom":{${entries.mkString(",")}}"""
+    }.getOrElse("")
+    val altersJson = {
+      val entries = altersOf(spark, root, v).map { case (c, t, ds) =>
+        s""""$c|$t":"${ds.toSeq.map(remap).sorted.mkString(",")}""""
+      }
+      if (entries.isEmpty) "" else s""","alters":{${entries.mkString(",")}}"""
+    }
+    val checksJson = checksFragOf(spark, root, v)
+      .map(c => s""","checks":{$c}""").getOrElse("")
+    // deletion vectors carry remapped: the replay reads the SAME
+    // physical files, so the sidecars' (file, position) identities stay
+    // valid verbatim — only the manifest-facing names change
+    val dvJson = {
+      val dv = dvOf(spark, root, v)
+      val dvr = dvRowsOf(spark, root, v)
+      val keep = dirs.filter(dv.contains)
+      if (keep.isEmpty) ""
+      else {
+        val e = keep.map(d =>
+          s""""${remap(d)}":"${dv(d).map(sideRemap).mkString(",")}"""")
+        val n = keep.map(d => s""""${remap(d)}":${dvr.getOrElse(d, 0L)}""")
+        s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
+      }
+    }
+    s"$statsJson$rowsJson$sumJson$bloomJson$altersJson$checksJson$dvJson"
+  }
+
   def cloneAt(spark: SparkSession, srcRoot: String, dstRoot: String, v: Int): Int = {
     require(srcRoot.startsWith("/") || srcRoot.contains(":/"),
       s"clone source must be an absolute path: $srcRoot")
     val orig = manifest(spark, srcRoot, v)
     require(orig.nonEmpty, s"version $v of $srcRoot has no data")
     val remap: String => String = d => dataPath(srcRoot, d)
-    val st = dirStats(spark, srcRoot, v)
-    val rows = dirRows(spark, srcRoot, v)
-    val statsJson = statsColOf(spark, srcRoot, v).map { c =>
-      val entries = orig.flatMap(d => st.get(d).map { case (a, b) => s""""${remap(d)}":[$a,$b]""" })
-      s""","statsCol":"$c","stats":{${entries.mkString(",")}}"""
-    }.getOrElse("")
-    val rowEntries = orig.flatMap(d => rows.get(d).map(n => s""""${remap(d)}":$n"""))
-    val rowsJson =
-      if (rowEntries.isEmpty) "" else s""","rows":{${rowEntries.mkString(",")}}"""
-    val bl = dirBlooms(spark, srcRoot, v)
-    val bloomJson = bloomColOf(spark, srcRoot, v).map { case (c, m) =>
-      val entries = orig.flatMap(d => bl.get(d).map(b => s""""${remap(d)}":"$b""""))
-      s""","bloomCol":"$c","bloomBits":$m,"bloom":{${entries.mkString(",")}}"""
-    }.getOrElse("")
-    val altersJson = {
-      val entries = altersOf(spark, srcRoot, v).map { case (c, t, ds) =>
-        s""""$c|$t":"${ds.toSeq.sorted.map(remap).mkString(",")}""""
-      }
-      if (entries.isEmpty) "" else s""","alters":{${entries.mkString(",")}}"""
-    }
-    // deletion vectors carry over remapped: the clone reads the SAME
-    // physical files, so the sidecars' (file, position) identities stay
-    // valid verbatim — only the manifest names need absolutizing
-    val dvJson = {
-      val dv = dvOf(spark, srcRoot, v)
-      val dvr = dvRowsOf(spark, srcRoot, v)
-      val keep = orig.filter(dv.contains)
-      if (keep.isEmpty) ""
-      else {
-        val e = keep.map(d =>
-          s""""${remap(d)}":"${dv(d).map(remap).mkString(",")}"""")
-        val n = keep.map(d => s""""${remap(d)}":${dvr.getOrElse(d, 0L)}""")
-        s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
-      }
-    }
+    val carried = carryFieldsOf(spark, srcRoot, v, orig, remap, remap)
     publishRecord(spark, dstRoot, head => {
       require(head == 0, s"clone target $dstRoot is not empty")
-      (orig.map(remap),
-        s""","ts":${System.currentTimeMillis()}$statsJson$rowsJson$bloomJson$altersJson$dvJson""")
+      (orig.map(remap), s""","ts":${System.currentTimeMillis()}$carried""")
     }).get
   }
 
@@ -1739,35 +1788,7 @@ object Versioned {
       val dirs = manifest(spark, root, v) // throws if v's record was vacuumed
       require(dirs.nonEmpty, s"version $v of $root has no data")
       val ts = math.max(System.currentTimeMillis(), tsOf(spark, root, head))
-      val statsJson = statsColOf(spark, root, v).map { c =>
-        val st = dirStats(spark, root, v)
-        val entries = dirs.flatMap(d =>
-          st.get(d).map { case (a, b) => s""""$d":[$a,$b]""" })
-        s""","statsCol":"$c","stats":{${entries.mkString(",")}}"""
-      }.getOrElse("")
-      val rows = dirRows(spark, root, v)
-      val rowEntries = dirs.flatMap(d => rows.get(d).map(n => s""""$d":$n"""))
-      val rowsJson =
-        if (rowEntries.isEmpty) "" else s""","rows":{${rowEntries.mkString(",")}}"""
-      val bloomJson = bloomColOf(spark, root, v).map { case (c, m) =>
-        val bl = dirBlooms(spark, root, v)
-        val entries = dirs.flatMap(d => bl.get(d).map(b => s""""$d":"$b""""))
-        s""","bloomCol":"$c","bloomBits":$m,"bloom":{${entries.mkString(",")}}"""
-      }.getOrElse("")
-      val altersJson = altersFragOf(spark, root, v)
-        .map(a => s""","alters":{$a}""").getOrElse("")
-      val dvJson = {
-        val dv = dvOf(spark, root, v)
-        val dvr = dvRowsOf(spark, root, v)
-        val keep = dirs.filter(dv.contains)
-        if (keep.isEmpty) ""
-        else {
-          val e = keep.map(d => s""""$d":"${dv(d).mkString(",")}"""")
-          val n = keep.map(d => s""""$d":${dvr.getOrElse(d, 0L)}""")
-          s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
-        }
-      }
-      (dirs, s""","ts":$ts$statsJson$rowsJson$bloomJson$altersJson$dvJson""")
+      (dirs, s""","ts":$ts${carryFieldsOf(spark, root, v, dirs)}""")
     }).get
   }
 

@@ -161,6 +161,28 @@ class BranchSpec extends AnyFunSuite {
     assert(got.filter(col("tag") === "t").count() == 1)
   }
 
+  test("a refused fast-forward un-adopts: both refs intact afterwards") {
+    val root = newRoot()
+    Versioned.commit(spark, root, (1L to 10L).toDF("id"))
+    Versioned.commitAlterAdd(spark, root, "tag", "STRING")
+    Branches.create(spark, root, "exp") // fork AFTER the alter
+    val b = s"$root/refs/exp"
+    Versioned.commitAppend(spark, b, (100L to 105L).toDF("id")
+      .withColumn("tag", lit(null).cast("string")))
+    // main REWRITES its alter history out from under the fork: restore
+    // to the pre-alter version shrinks the event log — the fork's events
+    // are no longer a prefix, so the merge must refuse AND roll back
+    Versioned.restore(spark, root, 1)
+    intercept[Branches.MergeConflict] {
+      Branches.merge(spark, root, "exp")
+    }
+    // the branch still reads its own appended rows (dirs moved back)
+    assert(Versioned.readAt(spark, b, Versioned.currentVersion(spark, b))
+      .select("id").as[Long].collect().sorted.toSeq ==
+      ((1L to 10L) ++ (100L to 105L)).sorted)
+    assert(Branches.list(spark, root) == Seq("exp"))
+  }
+
   test("a second create under the same name is refused while one lives") {
     val root = newRoot()
     Versioned.commit(spark, root, (1L to 3L).toDF("id"))

@@ -82,6 +82,32 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("the contract survives restore, clone, and a branch round-trip") {
+    val root = newRoot()
+    Versioned.commit(spark, root, Seq((1L, 5L)).toDF("id", "m"))
+    Versioned.commitDeclareChecks(spark, root, Seq("m_pos" -> "m > 0"))
+    Versioned.commitAppend(spark, root, Seq((2L, 6L)).toDF("id", "m"))
+    val v = Versioned.restore(spark, root, 2)
+    assert(Versioned.checksOf(spark, root, v).nonEmpty,
+      "restore must carry the persisted contract")
+    intercept[Versioned.CommitRejected] {
+      Versioned.commitAppendGated(spark, root, Seq((3L, -1L)).toDF("id", "m"))
+    }
+    val dst = newRoot()
+    Versioned.cloneAt(spark, root, dst, v)
+    assert(Versioned.checksOf(spark, dst, 1) == Seq("m_pos" -> "m > 0"),
+      "a clone must inherit the contract")
+    // branch fork inherits it; a SNAPSHOT merge must not erase it
+    Branches.create(spark, root, "exp")
+    val b = s"$root/refs/exp"
+    assert(Versioned.checksOf(spark, b, 1).nonEmpty)
+    Versioned.commitUpdate(spark, b, col("id") === 1,
+      df => df.withColumn("m", when(col("id") === 1, lit(9L)).otherwise(col("m"))))
+    val vm = Branches.merge(spark, root, "exp")
+    assert(Versioned.checksOf(spark, root, vm) == Seq("m_pos" -> "m > 0"),
+      "a snapshot merge must carry the contract back to the parent")
+  }
+
   test("the probe is zone-map confined on a key-clustered table") {
     val root = newRoot()
     Versioned.commitAppendClustered(spark, root,

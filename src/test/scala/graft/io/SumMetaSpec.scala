@@ -71,6 +71,44 @@ class SumMetaSpec extends AnyFunSuite {
       "an empty dir has rows=0 and contributes nothing")
   }
 
+  test("sums and the void markers survive restore and shallow clone") {
+    val root = newRoot()
+    Versioned.commit(spark, root, (1L to 20L).map(i => (i, i)).toDF("id", "m"))
+    Versioned.commitDeclareSum(spark, root, "m")
+    Versioned.commitAppend(spark, root, Seq((21L, "bad")).toDF("id", "m")) // void dir
+    val v3 = Versioned.currentVersion(spark, root)
+    assert(Versioned.sumAt(spark, root, v3).isEmpty)
+    // restore to the clean version: declaration AND entries must carry
+    val v4 = Versioned.restore(spark, root, 2)
+    assert(Versioned.sumAt(spark, root, v4).contains(210L),
+      "restore must carry the sum declaration and entries")
+    // shallow clone: metadata sums work immediately on the clone
+    val dst = newRoot()
+    Versioned.cloneAt(spark, root, dst, v4)
+    assert(Versioned.sumAt(spark, dst, 1).contains(210L),
+      "a clone must carry the sum declaration and entries")
+    // the void marker itself survives replay: restoring the VOIDED
+    // version keeps the dir marked (no metadata answer, no re-scan)
+    val v5 = Versioned.restore(spark, root, v3)
+    assert(Versioned.sumAt(spark, root, v5).isEmpty)
+    assert(Versioned.sumVoidOf(spark, root, v5).nonEmpty)
+  }
+
+  test("an unsummable dir is probed once, then remembered as void") {
+    val root = newRoot()
+    Versioned.commit(spark, root, (1L to 10L).map(i => (i, i)).toDF("id", "m"))
+    Versioned.commitDeclareSum(spark, root, "m")
+    val v = Versioned.commitAppend(spark, root, Seq((11L, "x")).toDF("id", "m"))
+    assert(Versioned.sumVoidOf(spark, root, v).size == 1)
+    val voidDir = Versioned.sumVoidOf(spark, root, v).head
+    // delete the poisoned dir's files: a re-scan would now crash, so a
+    // green later commit PROVES the void marker skipped the probe
+    val p = new java.io.File(s"$root/$voidDir")
+    p.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    val v2 = Versioned.commitAppend(spark, root, Seq((12L, 12L)).toDF("id", "m"))
+    assert(Versioned.sumVoidOf(spark, root, v2).contains(voidDir))
+  }
+
   test("re-declaration with a different column is refused") {
     val root = newRoot()
     Versioned.commit(spark, root, Seq((1L, 2L, 3L)).toDF("id", "a", "b"))

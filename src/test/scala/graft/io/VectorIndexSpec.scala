@@ -82,6 +82,17 @@ class VectorIndexSpec extends AnyFunSuite {
       s"expected pruning after appends: read ${dirsRead.length} of $total dirs")
   }
 
+  test("a table whose sidecars were all compacted away degrades to the scan") {
+    val root = newRoot()
+    VectorIndex.commitClustered(spark, root, clusteredCorpus(), cells = 8)
+    // a full compaction through a non-vector path drops every sidecar
+    Versioned.commit(spark, root, Versioned.readAt(spark, root, 1))
+    val v = Versioned.currentVersion(spark, root)
+    val got = rows(VectorIndex.searchTopk(spark, root, v))
+    assert(got == rows(graft.llm.Similarity.bruteTopkOn(spark,
+      Versioned.readAt(spark, root, v))))
+  }
+
   test("assigned append refuses a table with no vector sidecars") {
     val root = newRoot()
     Versioned.commit(spark, root, clusteredCorpus().filter(col("vec_id") < 50))
