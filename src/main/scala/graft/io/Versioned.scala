@@ -149,23 +149,35 @@ object Versioned {
   /** Dir list of a committed version (paths relative to the root).
     * Version 0 is the canonical empty table (no dirs), so diffing from
     * birth — `diff(root, 0, v)` — needs no special case. */
-  private[graft] def manifest(spark: SparkSession, root: String, v: Int): Seq[String] = {
-    if (v == 0) return Seq.empty
-    val txt = recordText(spark, root, v)
+  /** The record text of version `v`, None for the canonical empty v0.
+    * Every field reader parses from this ONE string — callers that need
+    * several fields of the same version (the commit path reads ~12)
+    * fetch the text once and use the `parse*` cores, paying one
+    * metadata GET instead of one per field (the difference between 1
+    * and 12 object-store round trips per commit at 100 TB). */
+  private def recOpt(spark: SparkSession, root: String, v: Int): Option[String] =
+    if (v == 0) None else Some(recordText(spark, root, v))
+
+  private def parseManifest(txt: String): Seq[String] =
     """"dirs":\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt) match {
       case Some(m) =>
         m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSeq
-      case None => throw new IllegalStateException(s"malformed commit record v$v of $root")
+      case None => throw new IllegalStateException("malformed commit record")
     }
-  }
+
+  private[graft] def manifest(spark: SparkSession, root: String, v: Int): Seq[String] =
+    recOpt(spark, root, v).map(parseManifest).getOrElse(Seq.empty)
+
+  private def parseTs(txt: String): Long =
+    """"ts":\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException("record has no ts"))
 
   /** Commit-time wall clock of a version (epoch ms, monotone along the
     * log: a commit stamps max(now, parent's ts)). */
   private[graft] def tsOf(spark: SparkSession, root: String, v: Int): Long =
-    """"ts":\s*(\d+)""".r.findFirstMatchIn(recordText(spark, root, v))
-      .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalStateException(s"v$v of $root has no ts"))
+    parseTs(recordText(spark, root, v))
 
   /** Schema-evolution entries at version `v`: (column, SQL type, the
     * data dirs that PREDATE the column and must be null-filled on read).
@@ -174,56 +186,67 @@ object Versioned {
     * dirs no longer in a manifest are inert (reads intersect with the
     * manifest), so compaction naturally retires them. */
   private[graft] def altersOf(spark: SparkSession, root: String, v: Int): Seq[(String, String, Set[String])] =
-    altersFragOf(spark, root, v).toSeq.flatMap { frag =>
+    recOpt(spark, root, v).toSeq.flatMap(parseAlters)
+
+  private def parseAlters(txt: String): Seq[(String, String, Set[String])] =
+    parseAltersFrag(txt).toSeq.flatMap { frag =>
       """"([^"|]+)\|([^"]+)":"([^"]*)"""".r.findAllMatchIn(frag).map(m =>
         (m.group(1), m.group(2), m.group(3).split(",").filter(_.nonEmpty).toSet))
     }
 
+  private def parseAltersFrag(txt: String): Option[String] =
+    """"alters":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+
   private[io] def altersFragOf(spark: SparkSession, root: String, v: Int): Option[String] =
-    if (v == 0) None
-    else """"alters":\{([^}]*)\}""".r.findFirstMatchIn(recordText(spark, root, v)).map(_.group(1))
+    recOpt(spark, root, v).flatMap(parseAltersFrag)
+
+  private def parseStatsCol(txt: String): Option[String] =
+    """"statsCol":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
 
   /** The table's designated zone-map column, if any version declared one. */
   private[graft] def statsColOf(spark: SparkSession, root: String, v: Int): Option[String] =
-    if (v == 0) None
-    else """"statsCol":\s*"([^"]+)"""".r
-      .findFirstMatchIn(recordText(spark, root, v)).map(_.group(1))
+    recOpt(spark, root, v).flatMap(parseStatsCol)
+
+  private def parseDirStats(txt: String): Map[String, (Long, Long)] =
+    """"stats":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+      """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(m.group(1))
+        .map(x => x.group(1) -> (x.group(2).toLong, x.group(3).toLong)).toMap
+    }.getOrElse(Map.empty)
 
   /** Per-dir [min,max] zone map of the stats column at version `v`. */
   private[graft] def dirStats(spark: SparkSession, root: String, v: Int): Map[String, (Long, Long)] =
-    if (v == 0) Map.empty
-    else """"stats":\{([^}]*)\}""".r
-      .findFirstMatchIn(recordText(spark, root, v)).map { m =>
-        """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(m.group(1))
-          .map(x => x.group(1) -> (x.group(2).toLong, x.group(3).toLong)).toMap
-      }.getOrElse(Map.empty)
+    recOpt(spark, root, v).map(parseDirStats).getOrElse(Map.empty)
+
+  private def parseBloomCol(txt: String): Option[(String, Int)] =
+    """"bloomCol":\s*"([^"]+)","bloomBits":\s*(\d+)""".r
+      .findFirstMatchIn(txt).map(m => (m.group(1), m.group(2).toInt))
 
   /** The table's bloom-index column and filter size in bits, if any
     * version declared one (see [[BloomIndex]]). */
   private[graft] def bloomColOf(spark: SparkSession, root: String, v: Int): Option[(String, Int)] =
-    if (v == 0) None
-    else """"bloomCol":\s*"([^"]+)","bloomBits":\s*(\d+)""".r
-      .findFirstMatchIn(recordText(spark, root, v)).map(m => (m.group(1), m.group(2).toInt))
+    recOpt(spark, root, v).flatMap(parseBloomCol)
+
+  private def parseDirBlooms(txt: String): Map[String, String] =
+    """"bloom":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+      """"([^"]+)":"([^"]*)"""".r.findAllMatchIn(m.group(1))
+        .map(x => x.group(1) -> x.group(2)).toMap
+    }.getOrElse(Map.empty)
 
   /** Per-dir base64 bloom bitsets at version `v` (a dir with no entry is
     * conservatively read by [[BloomIndex.readPoint]]). */
   private[graft] def dirBlooms(spark: SparkSession, root: String, v: Int): Map[String, String] =
-    if (v == 0) Map.empty
-    else """"bloom":\{([^}]*)\}""".r
-      .findFirstMatchIn(recordText(spark, root, v)).map { m =>
-        """"([^"]+)":"([^"]*)"""".r.findAllMatchIn(m.group(1))
-          .map(x => x.group(1) -> x.group(2)).toMap
-      }.getOrElse(Map.empty)
+    recOpt(spark, root, v).map(parseDirBlooms).getOrElse(Map.empty)
+
+  private def parseDirRows(txt: String): Map[String, Long] =
+    """"rows":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+      """"([^"]+)":(\d+)""".r.findAllMatchIn(m.group(1))
+        .map(x => x.group(1) -> x.group(2).toLong).toMap
+    }.getOrElse(Map.empty)
 
   /** Per-dir row counts at version `v` (absent for dirs committed before
     * this field existed — callers fall back to scanning those). */
   private[graft] def dirRows(spark: SparkSession, root: String, v: Int): Map[String, Long] =
-    if (v == 0) Map.empty
-    else """"rows":\{([^}]*)\}""".r
-      .findFirstMatchIn(recordText(spark, root, v)).map { m =>
-        """"([^"]+)":(\d+)""".r.findAllMatchIn(m.group(1))
-          .map(x => x.group(1) -> x.group(2).toLong).toMap
-      }.getOrElse(Map.empty)
+    recOpt(spark, root, v).map(parseDirRows).getOrElse(Map.empty)
 
   /** Merge-on-read DELETION VECTORS at version `v`: per data dir, the
     * delete-sidecar dirs whose (file, row position) pairs are
@@ -234,48 +257,53 @@ object Versioned {
     * free: the rewrite reads DV-applied content and the new dir starts
     * clean.  See [[commitDeleteMOR]]. */
   private[graft] def dvOf(spark: SparkSession, root: String, v: Int): Map[String, Seq[String]] =
-    if (v == 0) Map.empty
-    else """"dv":\{([^}]*)\}""".r
-      .findFirstMatchIn(recordText(spark, root, v)).map { m =>
-        """"([^"]+)":"([^"]*)"""".r.findAllMatchIn(m.group(1))
-          .map(x => x.group(1) -> x.group(2).split(",").filter(_.nonEmpty).toSeq).toMap
-      }.getOrElse(Map.empty)
+    recOpt(spark, root, v).map(parseDv).getOrElse(Map.empty)
+
+  private def parseDv(txt: String): Map[String, Seq[String]] =
+    """"dv":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+      """"([^"]+)":"([^"]*)"""".r.findAllMatchIn(m.group(1))
+        .map(x => x.group(1) -> x.group(2).split(",").filter(_.nonEmpty).toSeq).toMap
+    }.getOrElse(Map.empty)
+
+  private def parseDvRows(txt: String): Map[String, Long] =
+    """"dvRows":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+      """"([^"]+)":(\d+)""".r.findAllMatchIn(m.group(1))
+        .map(x => x.group(1) -> x.group(2).toLong).toMap
+    }.getOrElse(Map.empty)
 
   /** Per data dir, how many rows its deletion vectors remove — so
     * [[countAt]]/[[history]] stay metadata-only under MOR deletes. */
   private[graft] def dvRowsOf(spark: SparkSession, root: String, v: Int): Map[String, Long] =
-    if (v == 0) Map.empty
-    else """"dvRows":\{([^}]*)\}""".r
-      .findFirstMatchIn(recordText(spark, root, v)).map { m =>
-        """"([^"]+)":(\d+)""".r.findAllMatchIn(m.group(1))
-          .map(x => x.group(1) -> x.group(2).toLong).toMap
-      }.getOrElse(Map.empty)
+    recOpt(spark, root, v).map(parseDvRows).getOrElse(Map.empty)
+
+  private def parseSumCol(txt: String): Option[String] =
+    """"sumCol":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
 
   /** The table's declared metadata-SUM column, if any version declared
     * one (see [[commitDeclareSum]]). */
   private[graft] def sumColOf(spark: SparkSession, root: String, v: Int): Option[String] =
-    if (v == 0) None
-    else """"sumCol":\s*"([^"]+)"""".r
-      .findFirstMatchIn(recordText(spark, root, v)).map(_.group(1))
+    recOpt(spark, root, v).flatMap(parseSumCol)
+
+  private def parseDirSums(txt: String): Map[String, Long] =
+    """"sums":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+      """"([^"]+)":(-?\d+)""".r.findAllMatchIn(m.group(1))
+        .map(x => x.group(1) -> x.group(2).toLong).toMap
+    }.getOrElse(Map.empty)
 
   /** Per-dir exact long sums of the declared sum column at version `v`
     * (a dir with no entry voids the metadata answer — see [[sumAt]]). */
   private[graft] def dirSums(spark: SparkSession, root: String, v: Int): Map[String, Long] =
-    if (v == 0) Map.empty
-    else """"sums":\{([^}]*)\}""".r
-      .findFirstMatchIn(recordText(spark, root, v)).map { m =>
-        """"([^"]+)":(-?\d+)""".r.findAllMatchIn(m.group(1))
-          .map(x => x.group(1) -> x.group(2).toLong).toMap
-      }.getOrElse(Map.empty)
+    recOpt(spark, root, v).map(parseDirSums).getOrElse(Map.empty)
+
+  private def parseSumVoid(txt: String): Set[String] =
+    """"sumsVoid":\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
 
   /** Dirs marked UNSUMMABLE (all-null column, failed cast, pre-alter
     * generation): recorded so later commits never re-scan them — the
     * void marker is metadata like the sums themselves. */
   private[graft] def sumVoidOf(spark: SparkSession, root: String, v: Int): Set[String] =
-    if (v == 0) Set.empty
-    else """"sumsVoid":\s*"([^"]*)"""".r
-      .findFirstMatchIn(recordText(spark, root, v))
-      .map(_.group(1).split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    recOpt(spark, root, v).map(parseSumVoid).getOrElse(Set.empty)
 
   /** `SELECT count(*)` at version `v` from manifest METADATA — zero data
     * or footer I/O for dirs whose commit recorded a row count (every
@@ -352,10 +380,14 @@ object Versioned {
       dvAdd: Map[String, (Seq[String], Long)] = Map.empty,
       sumCol: Option[String] = None,
       checksArg: Option[String] = None): String = {
-    val parentSc = statsColOf(spark, root, head)
+    // ONE metadata read of the head record serves every carried field
+    // below (12 reads collapsed to 1 — on an object store that is the
+    // difference between 1 and 12 GETs per commit)
+    val ht = recOpt(spark, root, head)
+    val parentSc = ht.flatMap(parseStatsCol)
     val sc = statsCol.orElse(parentSc)
     val ts = math.max(System.currentTimeMillis(),
-      if (head == 0) 0L else tsOf(spark, root, head))
+      ht.map(parseTs).getOrElse(0L))
     val statsJson = sc.map { c =>
       // parent entries are only reusable when they were measured under
       // the SAME column: re-declaring a different statsCol must NOT
@@ -364,7 +396,7 @@ object Versioned {
       // carried dir is re-measured (footer-cheap) or, lacking the new
       // column, left entry-less and read conservatively
       val parent =
-        if (parentSc.forall(_ == c)) dirStats(spark, root, head)
+        if (parentSc.forall(_ == c)) ht.map(parseDirStats).getOrElse(Map.empty)
         else Map.empty[String, (Long, Long)]
       val entries = dirs.flatMap { d =>
         parent.get(d).orElse(precomputed.get(d))
@@ -376,7 +408,7 @@ object Versioned {
     // per-dir row counts: parent entries carried verbatim, only new or
     // rewritten dirs counted — ALL missing dirs in ONE footer-only job
     // (per-file counts grouped driver-side), not a job per dir
-    val parentRows = dirRows(spark, root, head)
+    val parentRows = ht.map(parseDirRows).getOrElse(Map.empty[String, Long])
     val missing = dirs.filterNot(d =>
       parentRows.contains(d) || precomputedRows.contains(d))
     val counted: Map[String, Long] =
@@ -404,9 +436,9 @@ object Versioned {
     // A dir is entry-less when the column is absent (pre-alter
     // generation), any non-null value fails the long cast, or every row
     // is null — sumAt then falls back to the scan, never answers wrong.
-    val sumJson = sumCol.orElse(sumColOf(spark, root, head)).map { mc =>
-      val parent = dirSums(spark, root, head)
-      val parentVoid = sumVoidOf(spark, root, head)
+    val sumJson = sumCol.orElse(ht.flatMap(parseSumCol)).map { mc =>
+      val parent = ht.map(parseDirSums).getOrElse(Map.empty[String, Long])
+      val parentVoid = ht.map(parseSumVoid).getOrElse(Set.empty[String])
       val missingSum = dirs.filterNot(d => parent.contains(d) || parentVoid(d))
       val fresh = if (missingSum.isEmpty) Map.empty[String, Long]
                   else sumsFor(spark, root, missingSum, mc)
@@ -423,7 +455,7 @@ object Versioned {
     // bloom index: parent entries carried for carried dirs; new dirs get
     // entries only from a bloom-aware commit path (absent = read
     // conservatively, so plain appends compose — they just don't prune)
-    val parentBloomDecl = bloomColOf(spark, root, head)
+    val parentBloomDecl = ht.flatMap(parseBloomCol)
     val bloomJson = blooms.orElse(
         parentBloomDecl.map { case (c, m) => (c, m, Map.empty[String, String]) })
       .map { case (c, m, fresh) =>
@@ -432,24 +464,24 @@ object Versioned {
         // the wrong hashes (false pruning = lost rows), the exact trap
         // the stats path already guards
         val parent =
-          if (parentBloomDecl.forall(_ == ((c, m)))) dirBlooms(spark, root, head)
+          if (parentBloomDecl.forall(_ == ((c, m)))) ht.map(parseDirBlooms).getOrElse(Map.empty)
           else Map.empty[String, String]
         val entries = dirs.flatMap(d =>
           parent.get(d).orElse(fresh.get(d)).map(b => s""""$d":"$b""""))
         s""","bloomCol":"$c","bloomBits":$m,"bloom":{${entries.mkString(",")}}"""
       }.getOrElse("")
     // schema-evolution entries ride along verbatim on every commit
-    val altersJson = alters.orElse(altersFragOf(spark, root, head))
+    val altersJson = alters.orElse(ht.flatMap(parseAltersFrag))
       .map(a => s""","alters":{$a}""").getOrElse("")
     // the persisted ingest contract rides along the same way
-    val checksJson = checksArg.orElse(checksFragOf(spark, root, head))
+    val checksJson = checksArg.orElse(ht.flatMap(parseChecksFrag))
       .map(c => s""","checks":{$c}""").getOrElse("")
     // deletion vectors: parent entries carried for carried dirs (a
     // replaced/folded dir's entries drop WITH the dir — the rewrite read
     // DV-applied content, so its vectors are retired, not lost), plus the
     // new sidecars a commitDeleteMOR contributes via dvAdd
-    val parentDv = dvOf(spark, root, head)
-    val parentDvRows = dvRowsOf(spark, root, head)
+    val parentDv = ht.map(parseDv).getOrElse(Map.empty[String, Seq[String]])
+    val parentDvRows = ht.map(parseDvRows).getOrElse(Map.empty[String, Long])
     val dvEntries = dirs.flatMap { d =>
       val sides = parentDv.getOrElse(d, Seq.empty) ++
         dvAdd.get(d).map(_._1).getOrElse(Seq.empty)
@@ -467,10 +499,11 @@ object Versioned {
     s""","ts":$ts$statsJson$rowsJson$sumJson$bloomJson$altersJson$checksJson$dvJson$more"""
   }
 
+  private def parseChecksFrag(txt: String): Option[String] =
+    """"checks":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+
   private def checksFragOf(spark: SparkSession, root: String, v: Int): Option[String] =
-    if (v == 0) None
-    else """"checks":\{([^}]*)\}""".r
-      .findFirstMatchIn(recordText(spark, root, v)).map(_.group(1))
+    recOpt(spark, root, v).flatMap(parseChecksFrag)
 
   /** The persisted CHECK constraints at version `v`: (name, SQL boolean
     * expression), in declaration order. */
@@ -1704,43 +1737,44 @@ object Versioned {
   private[io] def carryFieldsOf(spark: SparkSession, root: String, v: Int,
       dirs: Seq[String], remap: String => String = identity,
       sideRemap: String => String = identity): String = {
-    val st = dirStats(spark, root, v)
-    val statsJson = statsColOf(spark, root, v).map { c =>
+    val vt = recordText(spark, root, v) // ONE read serves every field
+    val st = parseDirStats(vt)
+    val statsJson = parseStatsCol(vt).map { c =>
       val entries = dirs.flatMap(d =>
         st.get(d).map { case (a, b) => s""""${remap(d)}":[$a,$b]""" })
       s""","statsCol":"$c","stats":{${entries.mkString(",")}}"""
     }.getOrElse("")
-    val rows = dirRows(spark, root, v)
+    val rows = parseDirRows(vt)
     val rowEntries = dirs.flatMap(d => rows.get(d).map(n => s""""${remap(d)}":$n"""))
     val rowsJson =
       if (rowEntries.isEmpty) "" else s""","rows":{${rowEntries.mkString(",")}}"""
-    val sumJson = sumColOf(spark, root, v).map { mc =>
-      val sums = dirSums(spark, root, v)
+    val sumJson = parseSumCol(vt).map { mc =>
+      val sums = parseDirSums(vt)
       val entries = dirs.flatMap(d => sums.get(d).map(n => s""""${remap(d)}":$n"""))
-      val void = sumVoidOf(spark, root, v).filter(dirs.contains).map(remap)
+      val void = parseSumVoid(vt).filter(dirs.contains).map(remap)
       val voidJson =
         if (void.isEmpty) "" else s""","sumsVoid":"${void.toSeq.sorted.mkString(",")}""""
       s""","sumCol":"$mc","sums":{${entries.mkString(",")}}$voidJson"""
     }.getOrElse("")
-    val bl = dirBlooms(spark, root, v)
-    val bloomJson = bloomColOf(spark, root, v).map { case (c, m) =>
+    val bl = parseDirBlooms(vt)
+    val bloomJson = parseBloomCol(vt).map { case (c, m) =>
       val entries = dirs.flatMap(d => bl.get(d).map(b => s""""${remap(d)}":"$b""""))
       s""","bloomCol":"$c","bloomBits":$m,"bloom":{${entries.mkString(",")}}"""
     }.getOrElse("")
     val altersJson = {
-      val entries = altersOf(spark, root, v).map { case (c, t, ds) =>
+      val entries = parseAlters(vt).map { case (c, t, ds) =>
         s""""$c|$t":"${ds.toSeq.map(remap).sorted.mkString(",")}""""
       }
       if (entries.isEmpty) "" else s""","alters":{${entries.mkString(",")}}"""
     }
-    val checksJson = checksFragOf(spark, root, v)
+    val checksJson = parseChecksFrag(vt)
       .map(c => s""","checks":{$c}""").getOrElse("")
     // deletion vectors carry remapped: the replay reads the SAME
     // physical files, so the sidecars' (file, position) identities stay
     // valid verbatim — only the manifest-facing names change
     val dvJson = {
-      val dv = dvOf(spark, root, v)
-      val dvr = dvRowsOf(spark, root, v)
+      val dv = parseDv(vt)
+      val dvr = parseDvRows(vt)
       val keep = dirs.filter(dv.contains)
       if (keep.isEmpty) ""
       else {
