@@ -158,5 +158,22 @@ object TextIndex {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableTextIndex)
+  /** Judged query: ordered PHRASE probe — the eval-contamination shape
+    * ("does any shard contain this canary sentence").  Dir pruning ANDs
+    * the phrase's token filters; the exact in-order regexp re-checks.
+    * Oracle = the same phrase regexp in SQL. */
+  val tableTextPhrase: graft.GraftQuery = graft.GraftQuery("q_table_text_phrase",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])merge[^a-z0-9]+batch([^a-z0-9]|$)')""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    (0 until 8).foreach { r =>
+      commitAppendIndexed(spark, root, docs.filter(col("doc_id") % 8 === r), "text")
+    }
+    readPhrase(spark, root, Versioned.currentVersion(spark, root), "merge batch")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(tableTextIndex, tableTextPhrase)
 }
