@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   * probe's driver I/O is bounded by dirs × filter bytes (BloomStress
   * measures the law).  The filter build is one aggregation over the NEW
   * dir only (distinct bit positions, ≤ `bits` longs to the driver),
-  * carried verbatim by every later commit exactly like zone-map stats;
-  * bloom-less commit paths (plain appends, CoW rewrites) leave their
-  * new dirs unindexed — composition degrades to conservative reads,
-  * never to wrong pruning. */
+  * carried verbatim by every later commit exactly like zone-map stats.
+  * CoW updates, MERGEs (including the MOR upsert dir), compaction and
+  * both OPTIMIZE policies RE-MEASURE filters for the dirs they produce
+  * (one batched distinct-positions job, exactly as they re-measure
+  * [min,max]/rows/sums), so pruning sharpness survives churn; only
+  * plain appends leave their new dirs unindexed — composition degrades
+  * to conservative reads, never to wrong pruning. */
 object BloomIndex {
 
   private val K = 3

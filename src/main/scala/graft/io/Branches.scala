@@ -64,11 +64,22 @@ object Branches {
     require(at >= 1, s"no committed version at $root to branch from")
     val f = Versioned.fs(spark, forkFile(b))
     require(!f.exists(new Path(s"$b/log")), s"branch '$name' already exists at $root")
-    // fork pointer FIRST: a crash before the clone leaves a stub create()
-    // can overwrite; a branch without a pointer is never mergeable
-    val out = f.create(forkFile(b), true)
+    // fork pointer FIRST: a crash before the clone leaves a stub (pointer,
+    // no log) — reclaim it, then create with overwrite=false so two racing
+    // create()s for the same name can never pair the surviving clone with
+    // the LOSER's pointer (a later snapshot merge keyed on a wrong forkV
+    // could replace the parent head and drop post-fork commits): exactly
+    // one writer owns the pointer, the other fails here
+    if (f.exists(forkFile(b))) f.delete(forkFile(b), false)
+    val out = f.create(forkFile(b), false)
     try out.write(s"""{"srcVersion":$at}""".getBytes("UTF-8")) finally out.close()
     Versioned.cloneAt(spark, root, b, at)
+    // if a racing create slipped between our pointer write and our clone
+    // (reclaiming + rewriting the pointer), fail loudly rather than leave
+    // a clone paired with someone else's fork version
+    if (forkVersion(spark, root, name) != at)
+      throw new IllegalStateException(
+        s"branch '$name' creation raced at $root; fork pointer no longer matches cloned version $at")
     at
   }
 
@@ -130,7 +141,18 @@ object Branches {
         here ++ walk(b)
       }.toSet
     }
-    walk(rootN).collect { case d if d.startsWith(pref) => d.stripPrefix(s"$rootN/") }
+    walk(rootN).collect {
+      case d if d.startsWith(pref) => d.stripPrefix(s"$rootN/")
+      // branch-RELATIVE entries (the branch's own data/... dirs) pin the
+      // SAME relative name under the parent: during an in-flight merge a
+      // branch dir is renamed into the parent's data/ before the parent
+      // record publishes, and in that window it appears in no parent
+      // manifest — without this pin a concurrent parent vacuum could
+      // reclaim it mid-merge.  Pinning a name that does not (yet) exist
+      // under the parent costs nothing; dir names are UUIDs, so no
+      // legitimate parent dir is ever shadowed.
+      case d if !d.startsWith("/") && !d.contains(":/") => d
+    }
   }
 
   /** Merge branch `name` into the parent and CONSUME it.  Fast-forward
@@ -190,16 +212,19 @@ object Branches {
       require(f.rename(from, to), s"could not adopt $from into $rootN")
     }
     def moveBack(): Unit = {
+      // safe under PARTIAL (or zero) adoption: only un-move what moved
       newDirs.foreach { rel =>
-        f.rename(new Path(s"$rootN/$rel"), new Path(s"$b/$rel"))
+        val adopted = new Path(s"$rootN/$rel")
+        if (f.exists(adopted) && !f.exists(new Path(s"$b/$rel")))
+          f.rename(adopted, new Path(s"$b/$rel"))
       }
       sideMap.values.foreach(s => f.delete(new Path(s"$rootN/$s"), true))
     }
 
     val merged: Int =
+      try {
       if (appendOnly) {
         moveAll()
-        try {
         val bStats = Versioned.dirStats(spark, b, bh)
           .filter { case (d, _) => newDirs.contains(d) }
         val bRows = Versioned.dirRows(spark, b, bh)
@@ -238,12 +263,6 @@ object Branches {
           (dirs, Versioned.extraFields(spark, rootN, head, dirs, None, "",
             pre, altersArg, bRows, blooms, dvAdd))
         }).get
-        } catch {
-          // a conflict surfaced mid-publish (e.g. the parent rewrote its
-          // alter history since the fork): un-adopt so both refs stay
-          // intact — the documented contract of a refused merge
-          case e: MergeConflict => moveBack(); throw e
-        }
       } else {
         // snapshot merge: the branch head replaces the parent wholesale,
         // legal only while the parent still sits at the fork point
@@ -262,10 +281,17 @@ object Branches {
           abortIf = head => head != forkV) match {
           case Some(v) => v
           case None =>
-            moveBack()
             throw new MergeConflict(
               s"parent $rootN advanced past fork v$forkV while merging '$name'")
         }
+      }
+      } catch {
+        // ANY failure mid-merge — a conflict, an IO error, publish
+        // contention exhaustion — un-adopts the renamed dirs and reclaims
+        // the remapped sidecars, leaving both refs intact: the documented
+        // contract of a refused merge.  moveBack is safe under partial
+        // adoption (renames of un-moved dirs fail silently).
+        case e: Throwable => moveBack(); throw e
       }
     // the merge CONSUMES the branch; a commit that raced the merge onto
     // the branch would reference adopted (moved) dirs, so refuse to

@@ -141,6 +141,94 @@ object VectorIndex {
       precomputedRows = rowsMap)
   }
 
+  /** RE-INDEX: restore kNN pruning after ingest decay, without the full
+    * retrain of a fresh [[commitClustered]].  Two decay modes, one knob:
+    *
+    *  - '''accretion''' — [[commitAppendAssigned]] lands one dir per
+    *    touched cell per batch, so a year of daily ingest leaves ~365
+    *    dirs per hot cell; search exactness never suffered (each dir
+    *    bounds its own members) but phase-2 reads grow with the dir
+    *    count.  Each multi-dir cell folds back to ONE dir with a fresh
+    *    angular radius over the union — rows KEEP their cell, so the
+    *    fold is O(accreted cells' data) and touches nothing healthy.
+    *  - '''orphaned dirs''' — a non-vector rewrite path (e.g.
+    *    [[Versioned.optimizeSmall]]) that folded cell dirs destroyed
+    *    their `_vec.json` sidecars; search legally degrades to reading
+    *    those dirs always.  Orphan rows must MOVE into cells to become
+    *    prunable again, so their presence triggers a full re-land:
+    *    every row reassigned to its nearest existing centroid, one dir
+    *    per cell (exactness is indifferent to WHICH cell a row lands
+    *    in — every dir's sidecar is measured from the rows it actually
+    *    holds — so reassignment is safe and tightest).
+    *
+    * Deletion vectors on folded dirs retire with the fold (the read is
+    * DV-applied); concurrent commits follow the [[Versioned.optimizeSmall]]
+    * abort discipline — a fold dir replaced or newly vectored underneath
+    * aborts and reclaims the staged fold.  Returns None when the layout
+    * is already one healthy dir per cell (the steady state — safe to
+    * run after every batch), or when NO sidecar survives anywhere (no
+    * centroids to restore against: rebuild with [[commitClustered]]). */
+  def optimizeCells(spark: SparkSession, root: String): Option[Int] = {
+    val head0 = Versioned.currentVersion(spark, root)
+    require(head0 >= 1, s"no committed version at $root")
+    val dirs0 = Versioned.manifest(spark, root, head0)
+    val metas = dirs0.map(d => d -> metaOf(spark, root, d))
+    val withMeta = metas.collect { case (d, Some(m)) => (d, m) }
+    val orphans = metas.collect { case (d, None) => d }
+    if (withMeta.isEmpty) return None // no surviving centroid: full rebuild territory
+    val groups: Seq[(Seq[Double], Seq[(String, Meta)])] =
+      withMeta.groupBy(_._2.cv.toSeq).map { case (cv, g) => cv -> g.toSeq }.toSeq
+    val multi = groups.filter(_._2.size >= 2)
+    if (multi.isEmpty && orphans.isEmpty) return None
+    import spark.implicits._
+    val cents = groups.map { case (cv, g) => (cv, g.head._2.cnrm) }
+    val centDf = cents.zipWithIndex
+      .map { case ((cv, cnrm), i) => (i.toLong, cv, cnrm) }
+      .toDF("cell", "cv", "cnrm")
+    val cellOf: Map[Seq[Double], Long] =
+      cents.zipWithIndex.map { case ((cv, _), i) => cv -> i.toLong }.toMap
+    val fold: Seq[String] =
+      if (orphans.nonEmpty) dirs0
+      else multi.flatMap(_._2.map(_._1))
+    val rows =
+      if (orphans.nonEmpty) {
+        // full re-land: nearest-centroid assignment in one map pass
+        val b = Versioned.readDirs(spark, root, head0, fold)
+          .select(col("vec_id"), col("qv"), col("nrm"))
+        b.join(graft.llm.Similarity.assignCells(b, centDf)
+          .select(col("vec_id"), col("cell")), "vec_id")
+      } else
+        // accretion fold: rows keep their dir's cell — nothing moves
+        // between cells, so healthy cells stay untouched
+        multi.flatMap { case (cv, g) =>
+          g.map { case (d, _) =>
+            Versioned.readDirs(spark, root, head0, Seq(d))
+              .select(col("vec_id"), col("qv"), col("nrm"))
+              .withColumn("cell", lit(cellOf(cv)))
+          }
+        }.reduce(_.unionByName(_))
+    val (rels, rowsMap) = writeAssigned(spark, root, rows, centDf)
+    val foldSet = fold.toSet
+    val dv0 = Versioned.dvOf(spark, root, head0)
+    val v = Versioned.publishRecord(spark, root,
+      head => {
+        val dirs = Versioned.manifest(spark, root, head).filterNot(foldSet) ++ rels
+        (dirs, Versioned.extraFields(spark, root, head, dirs, None, "",
+          precomputedRows = rowsMap))
+      },
+      abortIf = head => head != head0 && {
+        val m = Versioned.manifest(spark, root, head).toSet
+        val dvH = Versioned.dvOf(spark, root, head)
+        !foldSet.subsetOf(m) || fold.exists(d => dvH.get(d) != dv0.get(d))
+      })
+    if (v.isEmpty && rels.nonEmpty) { // aborted: reclaim the staged fold
+      val p = new org.apache.hadoop.fs.Path(
+        Versioned.dataPath(root, rels.head.split("/").take(2).mkString("/")))
+      Versioned.fs(spark, p).delete(p, true)
+    }
+    v
+  }
+
   private def metaOf(spark: SparkSession, root: String, d: String): Option[Meta] = {
     val p = new org.apache.hadoop.fs.Path(s"${Versioned.dataPath(root, d)}/_vec.json")
     val f = Versioned.fs(spark, p)
@@ -203,11 +291,20 @@ object VectorIndex {
       dot / (math.sqrt(q._3) * math.sqrt(m.cnrm))
     }
     // spherical triangle inequality: no member of the cell can be more
-    // aligned with q than the cell's edge nearest q
+    // aligned with q than the cell's edge nearest q.  Computed in COSINE
+    // space — cos(θ−α) = cosθ·cosα + sinθ·sinα — never through acos,
+    // which is ill-conditioned near ±1: ~1e-15 rounding in cosTo (double
+    // centroid means, different summation order than the executor floor)
+    // would inflate to ~1e-7 through acos∘cos and could falsely prune a
+    // cell holding a true top-k neighbor.  The expansion's own error is
+    // a few ulps except when 1−cos² cancels near ±1, where it stays
+    // under ~1e-9; the comparison slack below covers it with margin.
     def upperBound(q: (Long, Array[Long], Double), m: Meta): Double = {
-      val theta = math.acos(clamp(cosTo(q, m)))
-      val alpha = math.acos(clamp(m.minCos))
-      if (theta <= alpha) 1.0 else math.cos(theta - alpha)
+      val cosT = clamp(cosTo(q, m))
+      val cosA = clamp(m.minCos)
+      if (cosT >= cosA) 1.0
+      else cosT * cosA +
+        math.sqrt(math.max(0.0, (1 - cosT * cosT) * (1 - cosA * cosA)))
     }
 
     val unpruned = dirs.filter(d => metas(d).isEmpty) // no sidecar: must read
@@ -227,7 +324,11 @@ object VectorIndex {
     val survivors = withMeta.filterNot(phase1.contains).filter { d =>
       val m = metas(d).get
       queries.exists { q =>
-        upperBound(q, m) > floors.getOrElse(q._1, -2.0) - 1e-9
+        // 1e-6 slack (was 1e-9): a false KEEP costs one extra dir read;
+        // a false prune breaks the bit-identical-to-brute-force contract.
+        // 1e-6 dominates every driver-side rounding path by ≥3 orders
+        // while staying far below real inter-cell bound gaps.
+        upperBound(q, m) > floors.getOrElse(q._1, -2.0) - 1e-6
       }
     }
     topkOver(phase1 ++ survivors)
@@ -283,5 +384,48 @@ object VectorIndex {
     searchTopk(spark, root, Versioned.currentVersion(spark, root))
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableKnnExact, tableKnnIncr)
+  /** Judged query: the RE-INDEX lifecycle — bootstrap clustering on 60%
+    * of the corpus, two assigned appends (accreting up to 3 dirs per hot
+    * cell), then [[optimizeCells]] folds each cell back to one dir with
+    * a fresh angular radius.  In-query assertions: the fold strictly
+    * shrinks the manifest, and the post-fold search READS no more dirs
+    * than the accreted search did.  Same brute-force oracle as
+    * q_table_knn_exact: the fold must not move a single neighbor. */
+  val tableKnnOptimize: graft.GraftQuery = graft.GraftQuery("q_table_knn_optimize",
+    """WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q)
+      |SELECT qid, nid, rn, sim FROM (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    list_dot_product(a.qv, b.qv) / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_dot_product(a.qv, b.qv) / (sqrt(a.nrm) * sqrt(b.nrm)) DESC,
+      |               b.vec_id) AS rn
+      |  FROM n a, n b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+      |WHERE rn <= 5""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val base = graft.llm.Similarity.quantized(spark, sfDir)
+      .select(col("vec_id"), col("qv"), col("nrm"))
+    val n = base.count()
+    val (c1, c2) = (lit(n * 3 / 5), lit(n * 4 / 5))
+    commitClustered(spark, root, base.filter(col("vec_id") < c1), cells = 16)
+    commitAppendAssigned(spark, root,
+      base.filter(col("vec_id") >= c1 && col("vec_id") < c2))
+    commitAppendAssigned(spark, root, base.filter(col("vec_id") >= c2))
+    val vPre = Versioned.currentVersion(spark, root)
+    def nDirs(df: DataFrame): Int =
+      df.inputFiles.map(f => f.split("/").dropRight(1).mkString("/")).distinct.length
+    val preDirs = nDirs(searchTopk(spark, root, vPre))
+    val vf = optimizeCells(spark, root).get
+    require(Versioned.manifest(spark, root, vf).size <
+      Versioned.manifest(spark, root, vPre).size,
+      "the fold must strictly shrink the manifest")
+    val out = searchTopk(spark, root, vf)
+    require(nDirs(out) <= preDirs,
+      s"post-fold search must read <= pre-fold dirs (${nDirs(out)} vs $preDirs)")
+    out
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(tableKnnExact, tableKnnIncr, tableKnnOptimize)
 }

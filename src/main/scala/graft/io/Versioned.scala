@@ -453,8 +453,11 @@ object Versioned {
       s""","sumCol":"$mc","sums":{${entries.mkString(",")}}$voidJson"""
     }.getOrElse("")
     // bloom index: parent entries carried for carried dirs; new dirs get
-    // entries only from a bloom-aware commit path (absent = read
-    // conservatively, so plain appends compose — they just don't prune)
+    // entries from the bloom-aware ingest paths AND from every rewrite/
+    // fold/clustered path (bloomsForStaged / bloomForDir), so the index
+    // survives CoW/MERGE/OPTIMIZE churn; only plain appends leave their
+    // dirs entry-less (absent = read conservatively, so they compose —
+    // they just don't prune)
     val parentBloomDecl = ht.flatMap(parseBloomCol)
     val bloomJson = blooms.orElse(
         parentBloomDecl.map { case (c, m) => (c, m, Map.empty[String, String]) })
@@ -782,10 +785,18 @@ object Versioned {
       }
       if (head0 > 0) {
         val keys = staged.select(col(key)).distinct()
-        val bounds = staged.agg(min(tryLong(key)), max(tryLong(key))).head()
+        // The zone-map shortcut (readRange on the key) drops existing
+        // rows whose key fails try_cast, so it is only sound when the
+        // STAGED batch has zero null-cast keys — a non-castable staged
+        // key could otherwise clash with a non-castable existing key
+        // that the BETWEEN row filter never sees.  Count the null
+        // casts alongside the bounds in the same aggregate.
+        val bounds = staged.agg(min(tryLong(key)), max(tryLong(key)),
+          count(when(tryLong(key).isNull && col(key).isNotNull, 1))).head()
         val existing =
           if (statsColOf(spark, root, head0).contains(key) &&
-              !bounds.isNullAt(0) && !bounds.isNullAt(1))
+              !bounds.isNullAt(0) && !bounds.isNullAt(1) &&
+              bounds.getLong(2) == 0L)
             readRange(spark, root, head0, bounds.getLong(0), bounds.getLong(1))
           else readAt(spark, root, head0)
         val nClash = existing.select(col(key))
@@ -865,7 +876,7 @@ object Versioned {
           val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
             .filterNot(touched) ++ rewritten._1
           (dirs, extraFields(spark, root, head, dirs, None, "",
-            rewritten._2, None, rewritten._3))
+            rewritten._2, None, rewritten._3, rewritten._4))
         },
         abortIf = head => head != head0 && {
           val m = manifest(spark, root, head).toSet
@@ -962,13 +973,93 @@ object Versioned {
     throw new IllegalStateException(s"MOR delete conflict not resolving at $root")
   }
 
+  /** INDEX MAINTENANCE for rewrite/fold paths: when the table declares a
+    * bloom index — a value bloom or a `_tok(col)` token bloom — compute
+    * fresh per-subdir filter entries over one staged partitioned write
+    * in ONE distinct-positions job, mirroring the ingest-side build
+    * expressions exactly (same canonical-string hashing / tokenizer, so
+    * probe and filter can never drift).  Without this, every CoW update,
+    * MERGE and OPTIMIZE fold would leave its output dirs entry-less and
+    * point/token-probe pruning would decay toward full scans with churn
+    * — correct, but the pruning sharpness a 100 TB point-read budget
+    * depends on.  A subdir that contributes no positions (all-null /
+    * token-less text) gets the EMPTY filter — it genuinely holds no
+    * probe-able value, so pruning it is exact.  Returns None when no
+    * index is declared or the staged data lacks the indexed column
+    * (absent entries are read conservatively, never wrongly). */
+  private def bloomsForStaged(spark: SparkSession, root: String, head0: Int,
+      base: String, part: String, rels: Seq[String])
+      : Option[(String, Int, Map[String, String])] = {
+    val declOpt = if (head0 == 0) None else bloomColOf(spark, root, head0)
+    declOpt.flatMap { case (decl, bits) =>
+      val Tok = """_tok\(([^()]+)\)""".r
+      val df = spark.read.parquet(s"$root/$base")
+      val needCol = decl match { case Tok(c) => c; case c => c }
+      if (!df.columns.contains(needCol)) None
+      else {
+        val positions = decl match {
+          case Tok(c) => df
+            .select(col(part).as("_pd"), explode(TextIndex.tokensOf(col(c))).as("_t"))
+            .select(col("_pd"), explode(BloomIndex.positions(col("_t"), bits)).as("_p"))
+          case c => df
+            .select(col(part).as("_pd"), explode(BloomIndex.positions(col(c), bits)).as("_p"))
+        }
+        val perDir: Map[String, Array[Long]] = positions.distinct()
+          .groupBy(col("_pd")).agg(collect_list(col("_p")).as("ps"))
+          .collect()
+          .map(r => s"$base/$part=${r.get(0)}" -> r.getSeq[Long](1).toArray)
+          .toMap
+        val entries = rels.map { rel =>
+          rel -> BloomIndex.storeBitset(spark, root, rel,
+            perDir.getOrElse(rel, Array.empty[Long]), bits)
+        }.toMap
+        Some((decl, bits, entries))
+      }
+    }
+  }
+
+  /** [[bloomsForStaged]] for ONE plain staged dir (a merge's upsert
+    * set): the ingest-side filter build verbatim. */
+  private def bloomForDir(spark: SparkSession, root: String, head0: Int,
+      rel: String): Option[(String, Int, Map[String, String])] = {
+    val declOpt = if (head0 == 0) None else bloomColOf(spark, root, head0)
+    declOpt.flatMap { case (decl, bits) =>
+      val Tok = """_tok\(([^()]+)\)""".r
+      val df = spark.read.parquet(s"$root/$rel")
+      val needCol = decl match { case Tok(c) => c; case c => c }
+      if (!df.columns.contains(needCol)) None
+      else {
+        import spark.implicits._
+        val positions = decl match {
+          case Tok(c) => df.select(explode(TextIndex.tokensOf(col(c))).as("_t"))
+            .select(explode(BloomIndex.positions(col("_t"), bits)).as("_p"))
+          case c => df.select(explode(BloomIndex.positions(col(c), bits)).as("_p"))
+        }
+        val set = positions.distinct().as[Long].collect()
+        Some((decl, bits, Map(rel -> BloomIndex.storeBitset(spark, root, rel, set, bits))))
+      }
+    }
+  }
+
+  /** Union two bloom-entry contributions of the same declaration. */
+  private def bloomUnion(a: Option[(String, Int, Map[String, String])],
+      b: Option[(String, Int, Map[String, String])])
+      : Option[(String, Int, Map[String, String])] = (a, b) match {
+    case (Some((c, m, x)), Some((_, _, y))) => Some((c, m, x ++ y))
+    case (x, None) => x
+    case (None, y) => y
+  }
+
   /** Land N per-dir replacement frames as ONE partitioned write
     * (`_d=i` subdirs) and measure each surviving subdir's stats + row
-    * count in ONE grouped job.  Returns (dirs, stats, rows). */
+    * count — and, on a bloom-indexed table, its fresh filter entry
+    * ([[bloomsForStaged]]) — in batched jobs.  Returns (dirs, stats,
+    * rows, blooms). */
   private def rewriteDirs(spark: SparkSession, root: String, head0: Int,
       frames: Seq[DataFrame])
-      : (Seq[String], Map[String, (Long, Long)], Map[String, Long]) = {
-    if (frames.isEmpty) return (Seq.empty, Map.empty, Map.empty)
+      : (Seq[String], Map[String, (Long, Long)], Map[String, Long],
+         Option[(String, Int, Map[String, String])]) = {
+    if (frames.isEmpty) return (Seq.empty, Map.empty, Map.empty, None)
     require(!frames.head.columns.contains("_d"),
       "table column _d collides with the rewrite partitioner")
     val base = s"data/${java.util.UUID.randomUUID()}"
@@ -979,7 +1070,7 @@ object Versioned {
     val bp = new org.apache.hadoop.fs.Path(s"$root/$base")
     val rels = fs(spark, bp).listStatus(bp).filter(_.isDirectory)
       .map(st => s"$base/${st.getPath.getName}").sorted.toSeq
-    if (rels.isEmpty) return (Seq.empty, Map.empty, Map.empty)
+    if (rels.isEmpty) return (Seq.empty, Map.empty, Map.empty, None)
     val scOpt = statsColOf(spark, root, head0)
     val c = scOpt.map(statsExpr).getOrElse(lit(0L))
     val bad = scOpt.map(sc => statsBad(sc, c)).getOrElse(lit(true))
@@ -993,7 +1084,7 @@ object Versioned {
       else Some(s"$base/_d=${r.get(0)}" -> (r.getLong(1), r.getLong(2)))
     }.toMap
     val rows = agg.map(r => s"$base/_d=${r.get(0)}" -> r.getLong(4)).toMap
-    (rels, stats, rows)
+    (rels, stats, rows, bloomsForStaged(spark, root, head0, base, "_d", rels))
   }
 
   /** Keyed MERGE (upsert): head rows whose `key` matches an update row
@@ -1085,6 +1176,9 @@ object Versioned {
       dirs0.filter(touched).map(d =>
         readDirs(spark, root, head0, Seq(d)).join(keysDf, Seq(key), "left_anti")))
     val newDir = writeDataDir(spark, root, upserts)
+    // index maintenance: the upsert dir gets its own filter entry, so a
+    // merged-in key stays point-probeable without a conservative read
+    val bloomAdd = bloomUnion(rewritten._4, bloomForDir(spark, root, head0, newDir))
     val more = batchId.map(b => s""","batchId":$b""").getOrElse("")
     // abort on (a) a racing replay carrying our batch fence, or (b) a
     // concurrent commit that replaced one of OUR touched dirs — or
@@ -1096,7 +1190,7 @@ object Versioned {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
           .filterNot(touched) ++ rewritten._1 :+ newDir
         (dirs, extraFields(spark, root, head, dirs, None, more,
-          rewritten._2, None, rewritten._3))
+          rewritten._2, None, rewritten._3, bloomAdd))
       },
       abortIf = head =>
         batchId.exists(b => lastBatchId(spark, root).exists(_ >= b)) ||
@@ -1190,6 +1284,8 @@ object Versioned {
     // leaving it for vacuum
     if (scanDirs.nonEmpty && perDir.isEmpty) reclaimStaged(spark, root, Seq(rel))
     val newDir = writeDataDir(spark, root, updates)
+    // index maintenance: the MOR upsert dir gets its own filter entry
+    val bloomAdd = bloomForDir(spark, root, head0, newDir)
     val touched = perDir.keySet
     val dv0 = dvOf(spark, root, head0)
     val more = batchId.map(b => s""","batchId":$b""").getOrElse("")
@@ -1197,6 +1293,7 @@ object Versioned {
       head => {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ newDir
         (dirs, extraFields(spark, root, head, dirs, None, more,
+          blooms = bloomAdd,
           dvAdd = perDir.map { case (d, n) => d -> (Seq(rel), n) }))
       },
       abortIf = head =>
@@ -1434,7 +1531,11 @@ object Versioned {
     val base =
       if (keep.isEmpty) readAt(spark, root, v).limit(0)
       else readDirs(spark, root, v, keep)
-    base.filter(col(colName).between(lo, hi))
+    // the row filter goes through the SAME ANSI-safe cast the zone map
+    // was measured with: a non-castable value is outside every long
+    // range by definition (and a plain cast would ERROR under ANSI the
+    // moment an unpruned dir holds one)
+    base.filter(tryLong(colName).between(lo, hi))
   }
 
   /** Highest version whose commit timestamp is ≤ `ts` (epoch ms) — the
@@ -1488,10 +1589,10 @@ object Versioned {
     * footer reads. */
   def commitAppendClustered(spark: SparkSession, root: String, df: DataFrame,
       statsCol: String, buckets: Int = 16): Int = {
-    val (rels, pre, rows) = writeClustered(spark, root, df, statsCol, buckets)
+    val (rels, pre, rows, blooms) = writeClustered(spark, root, df, statsCol, buckets)
     publish(spark, root, head =>
       (if (head == 0) Seq.empty else manifest(spark, root, head)) ++ rels,
-      Some(statsCol), pre, rows)
+      Some(statsCol), pre, rows, blooms)
   }
 
   /** Clustering-preserving compaction: rewrite the ENTIRE head snapshot
@@ -1505,8 +1606,8 @@ object Versioned {
     val head0 = currentVersion(spark, root)
     require(head0 > 0, s"no committed version at $root")
     val dirs0 = manifest(spark, root, head0).toSet
-    val (rels, pre, rows) = writeClustered(spark, root, readAt(spark, root, head0),
-      statsCol, buckets)
+    val (rels, pre, rows, blooms) = writeClustered(spark, root,
+      readAt(spark, root, head0), statsCol, buckets)
     // concurrent appends carry through; a concurrent CoW commit that
     // replaced one of the compacted dirs aborts (publishing would
     // resurrect its pre-CoW rows), and so does a concurrent MOR delete
@@ -1518,7 +1619,8 @@ object Versioned {
       head => {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
           .filterNot(dirs0) ++ rels
-        (dirs, extraFields(spark, root, head, dirs, Some(statsCol), "", pre, None, rows))
+        (dirs, extraFields(spark, root, head, dirs, Some(statsCol), "", pre,
+          None, rows, blooms))
       },
       abortIf = head => head != head0 && {
         val m = manifest(spark, root, head).toSet
@@ -1582,7 +1684,7 @@ object Versioned {
     val fold: Seq[String] = comps.filter(_.size > maxCover).flatten.toSeq ++
       (if (comps.exists(_.size > maxCover)) statless else Seq.empty)
     if (fold.isEmpty) return None
-    val (rels, pre, rows) = writeClustered(spark, root,
+    val (rels, pre, rows, blooms) = writeClustered(spark, root,
       readDirs(spark, root, head0, fold), statsCol, buckets)
     val foldSet = fold.toSet
     // concurrent APPENDS compose (their dirs carry through), but a
@@ -1599,7 +1701,8 @@ object Versioned {
       head => {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
           .filterNot(foldSet) ++ rels
-        (dirs, extraFields(spark, root, head, dirs, Some(statsCol), "", pre, None, rows))
+        (dirs, extraFields(spark, root, head, dirs, Some(statsCol), "", pre,
+          None, rows, blooms))
       },
       abortIf = head => head != head0 && {
         val m = manifest(spark, root, head).toSet
@@ -1646,7 +1749,7 @@ object Versioned {
     // rewrite loop, not a defragmentation (N small dirs re-landing as N
     // small dirs forever) — the policy only fires when it converges
     if (buckets >= fold.size) return None
-    val (rels, pre, nRows) = writeClustered(spark, root,
+    val (rels, pre, nRows, blooms) = writeClustered(spark, root,
       readDirs(spark, root, head0, fold), statsCol, buckets)
     val foldSet = fold.toSet
     val dvS0 = dvOf(spark, root, head0)
@@ -1654,7 +1757,8 @@ object Versioned {
       head => {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
           .filterNot(foldSet) ++ rels
-        (dirs, extraFields(spark, root, head, dirs, Some(statsCol), "", pre, None, nRows))
+        (dirs, extraFields(spark, root, head, dirs, Some(statsCol), "", pre,
+          None, nRows, blooms))
       },
       // same conflict discipline as optimizeClustered: a concurrent
       // commit replacing a fold dir, or vectoring one, aborts
@@ -1673,10 +1777,15 @@ object Versioned {
 
   /** One range shuffle, each bucket its own dir, ALL bucket [min,max]
     * entries in ONE job over the partitioned write (per-dir footer
-    * probes would cost `buckets` scheduler round-trips). */
+    * probes would cost `buckets` scheduler round-trips).  On a
+    * bloom-indexed table the buckets also get fresh filter entries
+    * ([[bloomsForStaged]]) — clustered appends, compaction and both
+    * OPTIMIZE policies all maintain the index through this one path,
+    * so point/token pruning survives every fold. */
   private def writeClustered(spark: SparkSession, root: String, df: DataFrame,
       statsCol: String, buckets: Int)
-      : (Seq[String], Map[String, (Long, Long)], Map[String, Long]) = {
+      : (Seq[String], Map[String, (Long, Long)], Map[String, Long],
+         Option[(String, Int, Map[String, String])]) = {
     require(!df.columns.contains("_b") && !df.columns.contains("_sc"),
       "table columns _b/_sc collide with the clustered-write partitioner")
     val base = s"data/${java.util.UUID.randomUUID()}"
@@ -1707,7 +1816,8 @@ object Versioned {
         else Some(s"$base/_b=${r.get(0)}" -> (r.getLong(1), r.getLong(2)))
       }.toMap
     val rows = agg.map(r => s"$base/_b=${r.get(0)}" -> r.getLong(4)).toMap
-    (rels, pre, rows)
+    (rels, pre, rows,
+      bloomsForStaged(spark, root, currentVersion(spark, root), base, "_b", rels))
   }
 
   /** Zero-copy shallow CLONE: publish `dstRoot`'s v1 as a manifest of

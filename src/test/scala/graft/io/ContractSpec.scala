@@ -120,4 +120,25 @@ class ContractSpec extends AnyFunSuite {
       (200001L to 200010L).toDF("id"), "id")
     assert(Versioned.countAt(spark, root, v) == 100010)
   }
+
+  test("non-castable keys cannot slip past the zone-map probe shortcut") {
+    // a STRING key under a zone map: existing rows whose key fails
+    // try_cast are invisible to the readRange row filter, so the
+    // shortcut is only legal when the staged batch has zero null-cast
+    // keys — a batch mixing one castable key (non-null bounds) with a
+    // non-castable duplicate used to land that duplicate
+    val root = newRoot()
+    Versioned.commitAppendClustered(spark, root,
+      (Seq(("x", "weird")) ++ (1L to 50L).map(i => (i.toString, s"v$i")))
+        .toDF("id", "s"), "id", buckets = 4)
+    intercept[Versioned.CommitRejected] {
+      Versioned.commitAppendUnique(spark, root,
+        Seq(("77", "castable-fresh"), ("x", "dup")).toDF("id", "s"), "id")
+    }
+    assert(Versioned.currentVersion(spark, root) == 1, "rejection publishes nothing")
+    // an all-castable batch still takes the confined path and lands
+    val v = Versioned.commitAppendUnique(spark, root,
+      Seq(("51", "ok")).toDF("id", "s"), "id")
+    assert(Versioned.countAt(spark, root, v) == 52)
+  }
 }

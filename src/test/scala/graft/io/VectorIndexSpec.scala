@@ -113,4 +113,63 @@ class VectorIndexSpec extends AnyFunSuite {
     val want = rows(graft.llm.Similarity.bruteTopkOn(spark, base))
     assert(got == want)
   }
+
+  test("optimizeCells folds accreted cell dirs: one dir per cell, still exact") {
+    val root = newRoot()
+    VectorIndex.commitClustered(spark, root, clusteredCorpus()
+      .filter(col("vec_id") < 280), cells = 8)
+    VectorIndex.commitAppendAssigned(spark, root, clusteredCorpus()
+      .filter(col("vec_id") >= 280 && col("vec_id") < 340))
+    VectorIndex.commitAppendAssigned(spark, root, clusteredCorpus()
+      .filter(col("vec_id") >= 340))
+    val vPre = Versioned.currentVersion(spark, root)
+    val nPre = Versioned.manifest(spark, root, vPre).size
+    val vf = VectorIndex.optimizeCells(spark, root).get
+    val nPost = Versioned.manifest(spark, root, vf).size
+    assert(nPost < nPre, s"fold must shrink the manifest ($nPre -> $nPost)")
+    // every surviving dir carries a sidecar (measured fresh for fold dirs)
+    val res = VectorIndex.searchTopk(spark, root, vf)
+    assert(rows(res) == rows(graft.llm.Similarity.bruteTopkOn(spark,
+      Versioned.readAt(spark, root, vf))))
+    val dirsRead = res.inputFiles.map(_.split("/data/")(1).split("/part")(0)).distinct
+    assert(dirsRead.length < nPost,
+      s"post-fold pruning must still skip dirs: read ${dirsRead.length} of $nPost")
+    // steady state: a second optimize is a no-op
+    assert(VectorIndex.optimizeCells(spark, root).isEmpty)
+  }
+
+  test("optimizeCells restores pruning for orphaned (sidecar-less) dirs") {
+    val root = newRoot()
+    VectorIndex.commitClustered(spark, root, clusteredCorpus()
+      .filter(col("vec_id") < 350), cells = 8)
+    // a non-vector append path leaves an orphan dir: search must read it
+    // every time until the re-index moves its rows into cells
+    Versioned.commitAppend(spark, root, clusteredCorpus().filter(col("vec_id") >= 350))
+    val vf = VectorIndex.optimizeCells(spark, root).get
+    val res = VectorIndex.searchTopk(spark, root, vf)
+    assert(rows(res) == rows(graft.llm.Similarity.bruteTopkOn(spark,
+      Versioned.readAt(spark, root, vf))))
+    val total = Versioned.manifest(spark, root, vf).size
+    val dirsRead = res.inputFiles.map(_.split("/data/")(1).split("/part")(0)).distinct
+    assert(dirsRead.length < total,
+      s"re-land must restore pruning: read ${dirsRead.length} of $total dirs")
+    assert(VectorIndex.optimizeCells(spark, root).isEmpty, "steady state after re-land")
+  }
+
+  test("optimizeCells retires deletion vectors on folded dirs") {
+    val root = newRoot()
+    VectorIndex.commitClustered(spark, root, clusteredCorpus()
+      .filter(col("vec_id") < 300), cells = 8)
+    VectorIndex.commitAppendAssigned(spark, root,
+      clusteredCorpus().filter(col("vec_id") >= 300))
+    val vd = Versioned.commitDeleteMOR(spark, root, col("vec_id") === 320L)
+    assert(Versioned.dvOf(spark, root, vd).nonEmpty)
+    val vf = VectorIndex.optimizeCells(spark, root).get
+    assert(Versioned.dvOf(spark, root, vf).isEmpty,
+      "the fold reads DV-applied content, so the vectors retire with it")
+    val v = Versioned.readAt(spark, root, vf)
+    assert(v.filter(col("vec_id") === 320L).count() == 0)
+    assert(rows(VectorIndex.searchTopk(spark, root, vf)) ==
+      rows(graft.llm.Similarity.bruteTopkOn(spark, v)))
+  }
 }
