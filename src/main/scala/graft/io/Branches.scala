@@ -83,17 +83,29 @@ object Branches {
     at
   }
 
-  /** The parent version branch `name` was forked at. */
-  def forkVersion(spark: SparkSession, root: String, name: String): Int = {
+  private def forkText(spark: SparkSession, root: String, name: String): String = {
     val p = forkFile(branchRoot(root, name))
     val f = Versioned.fs(spark, p)
     require(f.exists(p), s"branch '$name' of $root has no fork pointer")
     val in = f.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    """"srcVersion":\s*(\d+)""".r.findFirstMatchIn(txt)
-      .map(_.group(1).toInt)
-      .getOrElse(throw new IllegalStateException(s"malformed fork pointer at $p"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
+
+  /** The parent version branch `name` was forked at (or last rebased
+    * onto — see [[rebase]]). */
+  def forkVersion(spark: SparkSession, root: String, name: String): Int =
+    """"srcVersion":\s*(\d+)""".r.findFirstMatchIn(forkText(spark, root, name))
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"malformed fork pointer for branch '$name' of $root"))
+
+  /** The BRANCH-log version holding the clean fork snapshot: 1 for a
+    * created branch (the cloneAt record), the snapshot record a
+    * [[rebase]] published otherwise.  Everything [[merge]] compares
+    * against "the fork" reads this version, so rebases compose. */
+  private def forkLocalV(spark: SparkSession, root: String, name: String): Int =
+    """"forkLocalV":\s*(\d+)""".r.findFirstMatchIn(forkText(spark, root, name))
+      .map(_.group(1).toInt).getOrElse(1)
 
   /** Head read of a branch (plain [[Versioned.readAt]] of its root). */
   def read(spark: SparkSession, root: String, name: String): DataFrame = {
@@ -164,10 +176,11 @@ object Branches {
     val rootN = norm(root)
     val b = branchRoot(root, name)
     val forkV = forkVersion(spark, root, name)
+    val fl = forkLocalV(spark, root, name)
     val bh = Versioned.currentVersion(spark, b)
-    require(bh >= 1, s"branch '$name' of $root has no committed version")
+    require(bh >= fl, s"branch '$name' of $root has no committed version")
     val bDirs = Versioned.manifest(spark, b, bh)
-    val forkDirs = Versioned.manifest(spark, b, 1).toSet
+    val forkDirs = Versioned.manifest(spark, b, fl).toSet
 
     // a branch dir is parent-inherited iff its manifest entry is an
     // absolute path into the parent's data/ (how cloneAt records them)
@@ -179,11 +192,15 @@ object Branches {
 
     val bDv = Versioned.dvOf(spark, b, bh)
     val bDvRows = Versioned.dvRowsOf(spark, b, bh)
-    val forkDv = Versioned.dvOf(spark, b, 1)
+    val forkDv = Versioned.dvOf(spark, b, fl)
+    // alters compare by EVENT KEYS (did the branch add its own schema
+    // events?), not by full fragments: a rebase legitimately extends
+    // post-fork events' dir sets with the branch's own dirs
     val appendOnly =
       forkDirs.subsetOf(bDirs.toSet) &&
         forkDirs.forall(d => bDv.get(d) == forkDv.get(d)) &&
-        Versioned.altersFragOf(spark, b, bh) == Versioned.altersFragOf(spark, b, 1)
+        Versioned.altersOf(spark, b, bh).map(e => (e._1, e._2)) ==
+          Versioned.altersOf(spark, b, fl).map(e => (e._1, e._2))
 
     // deletion-vector sidecars address rows by ABSOLUTE file path, so
     // they cannot ride the rename: each branch-local sidecar is REWRITTEN
@@ -231,7 +248,7 @@ object Branches {
           .filter { case (d, _) => newDirs.contains(d) }
         val bSc = Versioned.statsColOf(spark, b, bh)
         val bBloom = Versioned.bloomColOf(spark, b, bh)
-        val forkEvents = Versioned.altersOf(spark, b, 1).map(e => (e._1, e._2))
+        val forkEvents = Versioned.altersOf(spark, b, fl).map(e => (e._1, e._2))
         val dvAdd: Map[String, (Seq[String], Long)] =
           carryDv.map { case (d, sides) =>
             d -> (sides.map(rs), bDvRows.getOrElse(d, 0L)) }
@@ -302,6 +319,144 @@ object Branches {
     merged
   }
 
+  /** REBASE branch `name` onto the parent's CURRENT head — the way out
+    * of the [[MergeConflict]] a moved main forces on history-rewriting
+    * merges, without abandoning the branch's work.  Git semantics: the
+    * branch's post-fork commits are REPLAYED on top of main@head, and
+    * the fork pointer moves there, so a snapshot merge (main unmoved
+    * since the rebase) or a fast-forward (append-only delta) then
+    * lands.
+    *
+    * What replays: '''appends''' (the branch's own dirs ride over —
+    * zero data movement, their stats/rows/bloom entries carry verbatim)
+    * and '''MOR deletes''' (the branch's positional sidecars re-attach
+    * to the inherited dirs — legal because positions address absolute
+    * file paths, verified unchanged).  What conflicts (throws
+    * [[MergeConflict]], both refs untouched): the branch rewrote or
+    * re-altered fork history (a CoW update/compaction/schema event of
+    * its own — positions and dir identities can't replay over a moved
+    * base), main rewrote or re-vectored a dir the branch deleted from,
+    * or main rewrote its schema-event history.
+    *
+    * Mechanics: two branch-log publishes — a clean fork snapshot of
+    * main@head (exactly the [[Versioned.cloneAt]] record, becoming the
+    * new `forkLocalV` every later merge compares against) and the
+    * snapshot-plus-delta head — then the fork pointer advances.  A
+    * crash between the publishes leaves the branch head at the clean
+    * snapshot with a stale pointer: no data is lost (the old head stays
+    * time-travelable) and a fresh rebase heals it.  Cost is
+    * O(branch delta + manifests): no data dir moves or rewrites. */
+  def rebase(spark: SparkSession, root: String, name: String): Int = {
+    val rootN = norm(root)
+    val b = branchRoot(root, name)
+    val forkV = forkVersion(spark, root, name)
+    val fl = forkLocalV(spark, root, name)
+    val bh = Versioned.currentVersion(spark, b)
+    require(bh >= fl, s"branch '$name' of $root has no committed version")
+    val head = Versioned.currentVersion(spark, rootN)
+    if (head == forkV) return bh // already based on main's head
+    val bDirs = Versioned.manifest(spark, b, bh)
+    val forkDirs = Versioned.manifest(spark, b, fl)
+    val forkSet = forkDirs.toSet
+    if (!forkSet.subsetOf(bDirs.toSet))
+      throw new MergeConflict(
+        s"branch '$name' rewrote fork history; rebase replays appends and MOR deletes only")
+    val forkKeys = Versioned.altersOf(spark, b, fl).map(e => (e._1, e._2))
+    if (Versioned.altersOf(spark, b, bh).map(e => (e._1, e._2)) != forkKeys)
+      throw new MergeConflict(
+        s"branch '$name' added schema events of its own; rebase cannot replay alters")
+    val added = bDirs.filterNot(forkSet)
+    require(added.forall(d => !d.startsWith("/") && !d.contains(":/")),
+      s"branch '$name' carries foreign absolute dirs; rebase cannot adopt them")
+
+    val bDv = Versioned.dvOf(spark, b, bh)
+    val bDvRows = Versioned.dvRowsOf(spark, b, bh)
+    val forkDv = Versioned.dvOf(spark, b, fl)
+    val forkDvRows = Versioned.dvRowsOf(spark, b, fl)
+    val mDirs = Versioned.manifest(spark, rootN, head)
+    val mSet = mDirs.toSet
+    val mDv = Versioned.dvOf(spark, rootN, head)
+    val dvAtFork = Versioned.dvOf(spark, rootN, forkV)
+    def relOf(d: String) = d.stripPrefix(s"$rootN/")
+    // the branch's vector SUFFIX per inherited dir (vectors accumulate
+    // append-only until a rewrite, which the subset check excluded)
+    val deltas: Map[String, (Seq[String], Long)] = forkDirs.flatMap { d =>
+      val pre = forkDv.getOrElse(d, Seq.empty)
+      val post = bDv.getOrElse(d, Seq.empty)
+      if (post.size <= pre.size) None
+      else {
+        val relD = relOf(d)
+        if (!mSet.contains(relD))
+          throw new MergeConflict(s"main rewrote $relD since the fork and branch " +
+            s"'$name' deleted from it; positional vectors cannot replay")
+        if (mDv.get(relD) != dvAtFork.get(relD))
+          throw new MergeConflict(s"main changed deletion vectors on $relD since " +
+            s"the fork; branch '$name' deltas would double-count")
+        Some(d -> (post.drop(pre.size),
+          bDvRows.getOrElse(d, 0L) - forkDvRows.getOrElse(d, 0L)))
+      }
+    }.toMap
+
+    // publish 1: the clean fork snapshot of main@head — the cloneAt
+    // record, on the branch's own log
+    val abs: String => String = d => Versioned.dataPath(rootN, d)
+    val carried = Versioned.carryFieldsOf(spark, rootN, head, mDirs, abs, abs)
+    val ts = math.max(System.currentTimeMillis(), Versioned.tsOf(spark, b, bh))
+    val vf = Versioned.publishRecord(spark, b,
+      h => {
+        if (h != bh) throw new MergeConflict(
+          s"branch '$name' advanced during its rebase")
+        (mDirs.map(abs), s""","ts":$ts$carried""")
+      }).get
+
+    val merged: Int =
+      if (added.isEmpty && deltas.isEmpty) vf
+      else {
+        // publish 2: snapshot + the branch's replayed delta.  Added dirs
+        // carry their recorded stats/rows/blooms; they also join main's
+        // post-fork schema events' dir sets (they predate those events).
+        val bStats = Versioned.dirStats(spark, b, bh)
+          .filter { case (d, _) => added.contains(d) }
+        val bRows = Versioned.dirRows(spark, b, bh)
+          .filter { case (d, _) => added.contains(d) }
+        val mainEvents = Versioned.altersOf(spark, b, vf)
+        if (forkKeys.nonEmpty &&
+            mainEvents.take(forkKeys.size).map(e => (e._1, e._2)) != forkKeys)
+          throw new MergeConflict(
+            s"parent $rootN rewrote schema history since the fork of '$name'")
+        val altersArg =
+          if (mainEvents.isEmpty) None
+          else Some(mainEvents.zipWithIndex.map { case ((c, t, ds), i) =>
+            val all = if (i < forkKeys.size) ds else ds ++ added
+            s""""$c|$t":"${all.toSeq.sorted.mkString(",")}""""
+          }.mkString(","))
+        val bloomArg = Versioned.bloomColOf(spark, b, vf) match {
+          case Some((c, m)) if Versioned.bloomColOf(spark, b, bh).contains((c, m)) =>
+            val e = Versioned.dirBlooms(spark, b, bh)
+              .filter { case (d, _) => added.contains(d) }
+            if (e.isEmpty) None else Some((c, m, e))
+          case _ => None
+        }
+        val dvAdd: Map[String, (Seq[String], Long)] = deltas ++
+          added.flatMap(d => bDv.get(d).map(s => d -> (s, bDvRows.getOrElse(d, 0L))))
+        Versioned.publishRecord(spark, b,
+          h => {
+            if (h != vf) throw new MergeConflict(
+              s"branch '$name' advanced during its rebase")
+            val dirs = mDirs.map(abs) ++ added
+            (dirs, Versioned.extraFields(spark, b, h, dirs, None, "",
+              bStats, altersArg, bRows, bloomArg, dvAdd))
+          }).get
+      }
+    // pointer LAST: until it lands, merges of the half-rebased branch
+    // conflict loudly instead of merging stale fork state
+    val f = Versioned.fs(spark, forkFile(b))
+    val out = f.create(forkFile(b), true)
+    try out.write(s"""{"srcVersion":$head,"forkLocalV":$vf}""".getBytes("UTF-8"))
+    finally out.close()
+    merged
+  }
+
   /** Judged query: the branch lifecycle end-to-end.  Main ingests 60% of
     * the corpus clustered by doc_id; an experiment branch forks head,
     * ingests its own 20% slice (clustered, zone-map stats recorded by
@@ -362,5 +517,44 @@ object Branches {
     Versioned.readAt(spark, root, vm)
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableBranchMerge, tableBranchRewrite)
+  /** Judged query: the REBASE workflow — the case both merge paths
+    * refuse.  Main ingests 60% clustered; a branch appends its 10% slice
+    * AND MOR-deletes a doc_id window from the rows it sees; meanwhile
+    * main advances with another 10%.  The direct merge must conflict
+    * (the branch changed inherited vector state, and main moved past
+    * the fork); [[rebase]] replays the branch's append + delete deltas
+    * onto main's head, after which the merge lands atomically.  Rows of
+    * main's concurrent slice inside the deleted window survive — the
+    * branch never saw them, and positional vectors delete exactly what
+    * was seen (keyed CDC semantics would not).  Oracle = the expression
+    * recompute of that composition. */
+  val tableBranchRebase: graft.GraftQuery = graft.GraftQuery("q_table_branch_rebase",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE (doc_id % 10 <= 6 AND doc_id NOT BETWEEN 100 AND 199)
+      |   OR doc_id % 10 = 9""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val v1 = Versioned.commitAppendClustered(spark, root,
+      docs.filter(col("doc_id") % 10 < 6), "doc_id", buckets = 8)
+    create(spark, root, "exp", v1)
+    val bRoot = branchRoot(root, "exp")
+    Versioned.commitAppend(spark, bRoot, docs.filter(col("doc_id") % 10 === 6))
+    Versioned.commitDeleteMOR(spark, bRoot, col("doc_id").between(100, 199))
+    // main advances concurrently: the fork is stale on both sides
+    Versioned.commitAppend(spark, root, docs.filter(col("doc_id") % 10 === 9))
+    val conflicted =
+      try { merge(spark, root, "exp"); false } catch { case _: MergeConflict => true }
+    require(conflicted, "a diverged vector-changing branch must refuse the direct merge")
+    val forkBefore = forkVersion(spark, root, "exp")
+    rebase(spark, root, "exp")
+    require(forkVersion(spark, root, "exp") > forkBefore,
+      "the rebase must advance the fork pointer to main's head")
+    val vm = merge(spark, root, "exp")
+    require(list(spark, root).isEmpty, "the merge must consume the branch")
+    Versioned.readAt(spark, root, vm)
+  }
+
+  val all: Seq[graft.GraftQuery] =
+    Seq(tableBranchMerge, tableBranchRewrite, tableBranchRebase)
 }

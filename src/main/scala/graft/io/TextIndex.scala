@@ -80,9 +80,10 @@ object TextIndex {
   }
 
   /** The dirs of version `v` whose token filter claims ALL of `terms`
-    * (absent entry = conservatively kept), plus the indexed text column. */
-  private def prunedDirs(spark: SparkSession, root: String, v: Int,
-      terms: Seq[String]): (Seq[String], String) = {
+    * (`requireAll`), or ANY of them (the union probe) — absent entries
+    * conservatively kept either way — plus the indexed text column. */
+  private[io] def prunedDirs(spark: SparkSession, root: String, v: Int,
+      terms: Seq[String], requireAll: Boolean = true): (Seq[String], String) = {
     require(terms.nonEmpty, "empty probe set")
     terms.foreach(requireTerm)
     val (decl, bits) = Versioned.bloomColOf(spark, root, v).getOrElse(
@@ -98,12 +99,13 @@ object TextIndex {
       .select(BloomIndex.positions(col("t"), bits).as("ps")).collect()
       .map(_.getSeq[Long](0).map(_.toInt).toArray)
     val blooms = Versioned.dirBlooms(spark, root, v)
-    def hitsAll(d: String, entry: String): Boolean = {
+    def hits(d: String, entry: String): Boolean = {
       val bytes = BloomIndex.loadBitset(spark, root, d, entry)
-      probes.forall(_.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0))
+      def one(ps: Array[Int]) = ps.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0)
+      if (requireAll) probes.forall(one) else probes.exists(one)
     }
     (Versioned.manifest(spark, root, v)
-      .filter(d => blooms.get(d).forall(hitsAll(d, _))), textCol)
+      .filter(d => blooms.get(d).forall(hits(d, _))), textCol)
   }
 
   private def readPruned(spark: SparkSession, root: String, v: Int,
@@ -127,6 +129,48 @@ object TextIndex {
       terms: Seq[String]): DataFrame =
     readPruned(spark, root, v, terms,
       tc => terms.map(t => lower(col(tc)).rlike(wordRe(t))).reduce(_ && _))
+
+  /** Rows whose text contains AT LEAST ONE of `terms` as a whole token —
+    * the OR probe: dir pruning takes the UNION of the per-term pruned
+    * sets (a dir is skipped only when its filter rules out EVERY term). */
+  def readTokensAny(spark: SparkSession, root: String, v: Int,
+      terms: Seq[String]): DataFrame = {
+    val (keep, textCol) = prunedDirs(spark, root, v, terms, requireAll = false)
+    val base =
+      if (keep.isEmpty) Versioned.readAt(spark, root, v).limit(0)
+      else Versioned.readDirs(spark, root, v, keep)
+    base.filter(terms.map(t => lower(col(textCol)).rlike(wordRe(t))).reduce(_ || _))
+  }
+
+  /** RANKED retrieval: BM25-score the docs matching ANY of `terms`,
+    * reading ONLY the union-pruned dirs — "the top documents mentioning
+    * X or Y", the corpus auditor's first query, at point-probe cost.
+    *
+    * Why the pruned read suffices for EXACT corpus-level scores: term
+    * frequencies, document frequencies and matching docs' lengths all
+    * live inside dirs whose filter claims the term (the tokenizer
+    * cannot false-negative), and the two corpus-WIDE statistics BM25
+    * needs come from table metadata at zero data I/O — `nDocs` from the
+    * manifest row counts ([[Versioned.countAt]]) and total token count
+    * from a declared metadata SUM over a token-count column
+    * ([[Versioned.sumAt]]).  At 100 TB the whole ranked query costs the
+    * matching dirs plus one commit-record read. */
+  def rankBm25(spark: SparkSession, root: String, v: Int, terms: Seq[String],
+      k: Int, idCol: String = "doc_id"): DataFrame = {
+    val nDocs = Versioned.countAt(spark, root, v).toDouble
+    val nToks = Versioned.sumAt(spark, root, v).getOrElse(throw new IllegalArgumentException(
+      s"$root declares no metadata SUM column; rankBm25 needs the corpus token count " +
+        "(commitDeclareSum on the per-doc token-count column)")).toDouble
+    val (keep, textCol) = prunedDirs(spark, root, v, terms, requireAll = false)
+    val base =
+      if (keep.isEmpty) Versioned.readAt(spark, root, v).limit(0)
+      else Versioned.readDirs(spark, root, v, keep)
+    val toks = base.select(col(idCol).as("doc_id"),
+      explode(graft.llm.TextOps.toks(col(textCol))).as("w"))
+    graft.llm.Relevance.bm25TokensGlobal(toks, nDocs, nToks, terms)
+      .orderBy(col("score_milli").desc, col("doc_id"))
+      .limit(k)
+  }
 
   /** Rows whose text contains `phrase` (tokens in order, any single
     * non-alphanumeric separator run between them) — the canary-string /
@@ -175,5 +219,49 @@ object TextIndex {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableTextIndex, tableTextPhrase)
+  /** Judged query: RANKED retrieval over the token index — BM25 top-15
+    * for an OR probe, computed from the union-pruned dirs plus pure
+    * metadata (countAt row counts + the declared token-count SUM), with
+    * the identical quantized-contribution arithmetic as q_llm_bm25 (the
+    * scaled-int discipline that keeps ln() drift out of the hash).
+    * Oracle = full-corpus DuckDB BM25 over the same terms: the pruned
+    * read must be score-indistinguishable from the full scan. */
+  val tableTextRank: graft.GraftQuery = graft.GraftQuery("q_table_text_rank",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      |td AS (SELECT CAST(count(*) AS DOUBLE) AS td FROM toks),
+      |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+      |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM toks
+      |       WHERE w IN ('dup', 'spark') GROUP BY doc_id, w),
+      |df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+      |c AS (
+      |  SELECT tf.doc_id,
+      |    CAST(round(
+      |      CAST(1000 AS DOUBLE)
+      |        * ln(CAST(1 AS DOUBLE)
+      |             + (nd.nd - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+      |        * (tf.tf * CAST(2.2 AS DOUBLE))
+      |        / (tf.tf + CAST(1.2 AS DOUBLE)
+      |             * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / (td.td / nd.nd))),
+      |      0) AS BIGINT) AS c
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (w), nd, td)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_milli
+      |FROM c GROUP BY doc_id
+      |ORDER BY score_milli DESC, doc_id
+      |LIMIT 15""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .withColumn("n_toks", size(graft.llm.TextOps.toks(col("text"))).cast("long"))
+    (0 until 8).foreach { r =>
+      commitAppendIndexed(spark, root, docs.filter(col("doc_id") % 8 === r), "text")
+    }
+    Versioned.commitDeclareSum(spark, root, "n_toks")
+    rankBm25(spark, root, Versioned.currentVersion(spark, root),
+      Seq("dup", "spark"), k = 15)
+  }
+
+  val all: Seq[graft.GraftQuery] =
+    Seq(tableTextIndex, tableTextPhrase, tableTextRank)
 }

@@ -1505,11 +1505,40 @@ object Versioned {
 
   /** Time-travel read of version `v` (dir-list union; schema from the
     * footers, with pre-alter generations null-filled — see
-    * [[commitAlterAdd]]). */
+    * [[commitAlterAdd]]).
+    *
+    * MANIFEST-DRIVEN BROADCAST SIZING: the commit log already paid for
+    * exact per-dir row counts, so when every dir carries one and the
+    * width-estimated relation size (rows × schema default width, the
+    * same arithmetic Catalyst's own sizeInBytes uses) lands under the
+    * session's `spark.sql.autoBroadcastJoinThreshold`, the read carries
+    * a broadcast hint — a versioned dim joined to a fact plans a
+    * BroadcastHashJoin with no manual hint, even when the plan above
+    * the scan (the deletion-vector anti join, the schema-evolution
+    * union) would otherwise blind Catalyst's file-size estimate.  This
+    * replays exactly the decision Catalyst would have made had it known
+    * the true cardinality; with the threshold disabled (≤ 0) or any
+    * dir count-less, no hint attaches. */
   def readAt(spark: SparkSession, root: String, v: Int): DataFrame = {
-    val dirs = manifest(spark, root, v)
+    // ONE record read serves the manifest AND the sizing fields below
+    val rec = recOpt(spark, root, v).getOrElse(
+      throw new IllegalArgumentException(s"version $v of $root has no record"))
+    val dirs = parseManifest(rec)
     require(dirs.nonEmpty, s"version $v of $root has no data")
-    readDirs(spark, root, v, dirs)
+    val df = readDirs(spark, root, v, dirs)
+    val thresh = try spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      .replace("b", "").replace("B", "") match {
+        case s if s.endsWith("k") || s.endsWith("K") => s.dropRight(1).toLong << 10
+        case s if s.endsWith("m") || s.endsWith("M") => s.dropRight(1).toLong << 20
+        case s if s.endsWith("g") || s.endsWith("G") => s.dropRight(1).toLong << 30
+        case s => s.toLong
+      } catch { case _: NumberFormatException => -1L }
+    if (thresh <= 0) return df
+    val known = parseDirRows(rec)
+    if (!dirs.forall(known.contains)) return df
+    val rows = dirs.map(known).sum - dirs.flatMap(parseDvRows(rec).get).sum
+    val width = math.max(8, df.schema.defaultSize)
+    if (rows >= 0 && rows * width.toLong <= thresh) df.hint("broadcast") else df
   }
 
   /** Zone-map-pruned range read: `statsCol BETWEEN lo AND hi` over

@@ -39,8 +39,16 @@ object Relevance {
   /** Same, over a pre-exploded (doc_id, w) token table — the judged path
     * reads the session-staged table so the corpus is tokenized once, not
     * once per statistic. */
-  def bm25Tokens(toks: DataFrame, nDocs: Double, terms: Seq[String]): DataFrame = {
-    val nToks = toks.count().toDouble
+  def bm25Tokens(toks: DataFrame, nDocs: Double, terms: Seq[String]): DataFrame =
+    bm25TokensGlobal(toks, nDocs, toks.count().toDouble, terms)
+
+  /** BM25 with the CORPUS-LEVEL statistics (`nDocs`, `nToks`) supplied by
+    * the caller — the pruned-retrieval shape: `toks` need only cover the
+    * docs that can match (e.g. a token-index-pruned read; term docs never
+    * live outside the pruned dirs, so tf/df/dl are exact there), while
+    * the corpus-wide counts come from table metadata at zero data I/O. */
+  def bm25TokensGlobal(toks: DataFrame, nDocs: Double, nToks: Double,
+      terms: Seq[String]): DataFrame = {
     val avgdl = lit(nToks) / lit(nDocs)
 
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast(DoubleType).as("dl"))

@@ -194,4 +194,82 @@ class BranchSpec extends AnyFunSuite {
     Branches.create(spark, root, "exp") // re-creatable after delete
     assert(Branches.list(spark, root) == Seq("exp"))
   }
+
+  test("rebase replays appends onto a moved main; fast-forward then lands") {
+    val root = newRoot()
+    Versioned.commit(spark, root, (1L to 10L).toDF("id"))
+    Branches.create(spark, root, "exp")
+    val b = s"$root/refs/exp"
+    Versioned.commitAppend(spark, b, Seq(100L, 101L).toDF("id"))
+    Versioned.commitAppend(spark, root, Seq(200L).toDF("id"))
+    Branches.rebase(spark, root, "exp")
+    assert(Branches.forkVersion(spark, root, "exp") == 2)
+    assert(ids(b) == ((1L to 10L) ++ Seq(100L, 101L, 200L)).sorted)
+    // main moves AGAIN after the rebase: an append-only rebased branch
+    // still fast-forwards (adoption onto whatever head main reached)
+    Versioned.commitAppend(spark, root, Seq(300L).toDF("id"))
+    Branches.merge(spark, root, "exp")
+    assert(ids(root) == ((1L to 10L) ++ Seq(100L, 101L, 200L, 300L)).sorted)
+  }
+
+  test("rebase replays MOR deletes; conflicts when main touched the same dir") {
+    val root = newRoot()
+    Versioned.commit(spark, root, (1L to 10L).toDF("id"))
+    Branches.create(spark, root, "exp")
+    val b = s"$root/refs/exp"
+    Versioned.commitDeleteMOR(spark, b, col("id") === 3L)
+    Versioned.commitAppend(spark, root, Seq(200L).toDF("id"))
+    Branches.rebase(spark, root, "exp")
+    assert(ids(b) == ((1L to 10L).filterNot(_ == 3L) :+ 200L).sorted)
+    // snapshot merge (main unmoved since the rebase) carries the delete
+    Branches.merge(spark, root, "exp")
+    assert(ids(root) == ((1L to 10L).filterNot(_ == 3L) :+ 200L).sorted)
+    // conflict case: main vectored the same dir the branch deleted from
+    val root2 = newRoot()
+    Versioned.commit(spark, root2, (1L to 10L).toDF("id"))
+    Branches.create(spark, root2, "exp")
+    Versioned.commitDeleteMOR(spark, s"$root2/refs/exp", col("id") === 3L)
+    Versioned.commitDeleteMOR(spark, root2, col("id") === 7L)
+    intercept[Branches.MergeConflict] { Branches.rebase(spark, root2, "exp") }
+    // both refs intact
+    assert(ids(root2) == (1L to 10L).filterNot(_ == 7L))
+    assert(ids(s"$root2/refs/exp") == (1L to 10L).filterNot(_ == 3L))
+  }
+
+  test("rebase refuses a branch that rewrote fork history") {
+    val root = newRoot()
+    Versioned.commitAppendClustered(spark, root, (1L to 100L).toDF("id"), "id", 4)
+    Branches.create(spark, root, "exp")
+    Versioned.commitUpdate(spark, s"$root/refs/exp", col("id") === 5L,
+      df => df.filter(col("id") =!= 5L))
+    Versioned.commitAppend(spark, root, Seq(200L).toDF("id"))
+    intercept[Branches.MergeConflict] { Branches.rebase(spark, root, "exp") }
+  }
+
+  test("rebase races a main append x3: nothing lost, merge lands everything") {
+    for (round <- 1 to 3) {
+      val root = newRoot()
+      Versioned.commit(spark, root, (1L to 10L).toDF("id"))
+      Branches.create(spark, root, "exp")
+      val b = s"$root/refs/exp"
+      Versioned.commitAppend(spark, b, Seq(100L).toDF("id"))
+      Versioned.commitAppend(spark, root, Seq(200L).toDF("id"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val t1 = new Thread(() =>
+        try Versioned.commitAppend(spark, root, Seq(300L + round).toDF("id"))
+        catch { case e: Throwable => errs.add(e) })
+      val t2 = new Thread(() =>
+        try Branches.rebase(spark, root, "exp")
+        catch { case e: Branches.MergeConflict => () // a legal race outcome
+                case e: Throwable => errs.add(e) })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(errs.isEmpty, s"round $round: ${errs}")
+      // whatever interleaving happened, one more sequential rebase makes
+      // the branch current and the merge must land EVERYTHING
+      Branches.rebase(spark, root, "exp")
+      Branches.merge(spark, root, "exp")
+      assert(ids(root) == ((1L to 10L) ++ Seq(100L, 200L, 300L + round)).sorted,
+        s"round $round lost rows")
+    }
+  }
 }

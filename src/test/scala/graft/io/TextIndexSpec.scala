@@ -103,4 +103,57 @@ class TextIndexSpec extends AnyFunSuite {
       TextIndex.readToken(spark, vroot, 1, "x")
     }
   }
+
+  test("ANY probe: union pruning, exact OR rows, subset of conservative") {
+    val root = newRoot()
+    (0 until 8).foreach { d =>
+      val planted =
+        if (d == 2) Map(3L -> "zebra here")
+        else if (d == 6) Map(9L -> "quagga there")
+        else Map.empty[Long, String]
+      TextIndex.commitAppendIndexed(spark, root, corpus(s"d$d", 50, planted), "text")
+    }
+    val v = Versioned.currentVersion(spark, root)
+    val any = TextIndex.readTokensAny(spark, root, v, Seq("zebra", "quagga"))
+    assert(any.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 9L))
+    // the union-pruned dir set is the UNION of the per-term prunes (2 of
+    // 8) and a SUBSET of the conservative full read
+    val dirsOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.inputFiles.map(_.split("/data/")(1).split("/")(0)).distinct.toSet
+    val anyDirs = dirsOf(any)
+    assert(anyDirs.size == 2, s"expected the 2-dir union, got ${anyDirs.size}")
+    assert(anyDirs.subsetOf(dirsOf(Versioned.readAt(spark, root, v))),
+      "pruned union must be a subset of the conservative read")
+    assert(dirsOf(TextIndex.readToken(spark, root, v, "zebra")).subsetOf(anyDirs))
+  }
+
+  test("ranked retrieval scores the pruned read like the full corpus") {
+    val root = newRoot()
+    // 'zebra' concentrated in dir 2, twice in doc 3 (tf matters); the
+    // common vocabulary appears everywhere so df/avgdl are corpus-wide
+    (0 until 4).foreach { d =>
+      val planted =
+        if (d == 2) Map(3L -> "zebra zebra stripes", 7L -> "zebra")
+        else Map.empty[Long, String]
+      TextIndex.commitAppendIndexed(spark, root,
+        corpus(s"d$d", 30, planted)
+          .withColumn("id", col("id") + lit(d * 100L)) // ids unique per dir
+          .withColumn("n_toks", size(graft.llm.TextOps.toks(col("text"))).cast("long")),
+        "text")
+    }
+    Versioned.commitDeclareSum(spark, root, "n_toks")
+    val v = Versioned.currentVersion(spark, root)
+    val ranked = TextIndex.rankBm25(spark, root, v, Seq("zebra"), k = 5, idCol = "id")
+      .withColumnRenamed("doc_id", "id")
+    // oracle: the same BM25 over the FULL stored corpus (no pruning)
+    val full = Versioned.readAt(spark, root, v)
+    val toks = full.select(col("id").as("doc_id"),
+      explode(graft.llm.TextOps.toks(col("text"))).as("w"))
+    val want = graft.llm.Relevance.bm25Tokens(toks, full.count().toDouble, Seq("zebra"))
+      .orderBy(col("score_milli").desc, col("doc_id")).limit(5)
+      .withColumnRenamed("doc_id", "id")
+    assert(ranked.collect().toSeq.map(_.toSeq) == want.collect().toSeq.map(_.toSeq))
+    // and the ranked read was pruned to the term dir
+    assert(ranked.inputFiles.map(_.split("/data/")(1).split("/")(0)).distinct.length == 1)
+  }
 }

@@ -50,7 +50,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_agg_histogram_eqdepth", // crossJoin(broadcast(1-row quartile bounds))
     "q_agg_chi2",              // crossJoin(broadcast(1-row grand total))
     "q_table_knn_exact",       // pruned dirs x broadcast(10 query vectors), by spec
-    "q_table_knn_incr")        // same exact re-rank after the assigned append
+    "q_table_knn_incr",        // same exact re-rank after the assigned append
+    "q_table_knn_optimize")    // same exact re-rank after the cell fold
 
   test("no judged query plans CartesianProduct; BNLJ only by design") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
