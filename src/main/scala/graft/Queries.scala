@@ -26,6 +26,7 @@ object Queries {
       io.BloomIndex.all ++
       io.TextIndex.all ++
       io.VectorIndex.all ++
+      io.TxnCatalog.all ++
       io.IncrementalView.all ++
       joins.BloomPrune.all ++
       fns.Scalars.all ++

@@ -1,0 +1,177 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MULTI-TABLE atomic commits: one fence publishing a data table and its
+  * derived table (an index, a materialized view, a feature store) as a
+  * single visible event — the data+derived-artifact transaction every
+  * real pipeline needs and single-table logs cannot express.
+  *
+  * Design (the lakehouse-catalog shape, cf. multi-table transactions in
+  * catalog-governed table formats): the catalog is its OWN commit log
+  * whose records carry no data dirs — only a PIN MAP `{"pins":{"name":
+  * version,...}}` from table name to table version.  [[commitAtomic]]
+  * first runs each member table's ordinary commit (those versions become
+  * table-log heads but stay INVISIBLE to catalog readers), then
+  * publishes ONE catalog record pinning the new versions — the
+  * no-overwrite rename that is already this repo's single-record
+  * arbitration primitive.  The catalog record is therefore the
+  * transaction's only commit point:
+  *
+  *  - a crash after some member commits but BEFORE the catalog record
+  *    leaves catalog readers on the previous pin set — a CONSISTENT
+  *    pair; the orphaned table versions are benign (superseded by the
+  *    next transaction, reclaimable by vacuum past retention);
+  *  - concurrent transactions on DISJOINT member sets compose: the pin
+  *    closure re-reads the resolved catalog head per publish retry and
+  *    overlays only its own tables;
+  *  - concurrent transactions on the SAME table serialize on the member
+  *    table's own log first, and the catalog guard below refuses to pin
+  *    a version that is no longer the member's latest-from-this-txn.
+  *
+  * Readers who need cross-table consistency read THROUGH the catalog
+  * ([[readTable]] = time-travel at the pinned version); readers of a
+  * single table may keep reading its head as always — the catalog adds
+  * a consistency lens, it does not slow the tables down.  At 100 TB the
+  * transaction costs its member commits plus ONE metadata record. */
+object TxnCatalog {
+
+  private def norm(root: String): String = root.stripSuffix("/")
+
+  private def tablesFile(cat: String) =
+    new org.apache.hadoop.fs.Path(s"${norm(cat)}/tables.json")
+
+  /** Create a catalog over `tables` (name → table root).  Roots may be
+    * empty (version 0) — the initial pin set records their CURRENT
+    * versions. */
+  def create(spark: SparkSession, cat: String, tables: Map[String, String]): Int = {
+    require(tables.nonEmpty, "a catalog needs at least one table")
+    tables.keys.foreach(n => require(n.nonEmpty && n.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'), s"bad table name '$n'"))
+    val f = Versioned.fs(spark, tablesFile(cat))
+    val out = f.create(tablesFile(cat), false) // a catalog is created once
+    val body = tables.toSeq.sortBy(_._1)
+      .map { case (n, r) => s""""$n":"${norm(r)}"""" }.mkString(",")
+    try out.write(s"{$body}".getBytes("UTF-8")) finally out.close()
+    val pins = tables.map { case (n, r) => n -> Versioned.currentVersion(spark, r) }
+    Versioned.publishRecord(spark, norm(cat),
+      _ => (Seq.empty, s""","ts":${System.currentTimeMillis()}${pinsJson(pins)}""")).get
+  }
+
+  private def pinsJson(pins: Map[String, Int]): String =
+    s""","pins":{${pins.toSeq.sortBy(_._1).map { case (n, v) => s""""$n":$v""" }.mkString(",")}}"""
+
+  /** The catalog's table name → root mapping. */
+  def tablesOf(spark: SparkSession, cat: String): Map[String, String] = {
+    val p = tablesFile(cat)
+    val f = Versioned.fs(spark, p)
+    require(f.exists(p), s"no catalog at $cat")
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"([^"]+)":"([^"]+)"""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** The pin map at catalog version `v` (head by default). */
+  def pinsAt(spark: SparkSession, cat: String, v: Int = -1): Map[String, Int] = {
+    val catN = norm(cat)
+    val at = if (v >= 1) v else Versioned.currentVersion(spark, catN)
+    val txt = Versioned.recordTextOf(spark, catN, at)
+    """"pins":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+      """"([^"]+)":(\d+)""".r.findAllMatchIn(m.group(1))
+        .map(x => x.group(1) -> x.group(2).toInt).toMap
+    }.getOrElse(throw new IllegalStateException(s"catalog record $at at $cat has no pins"))
+  }
+
+  /** Consistent read of member `name`: time travel at the pinned
+    * version.  Pin 0 (a member that was empty at create and never
+    * committed through the catalog) reads as an empty relation is not
+    * expressible without a schema — callers commit through the catalog
+    * first. */
+  def readTable(spark: SparkSession, cat: String, name: String): DataFrame = {
+    val root = tablesOf(spark, cat).getOrElse(name,
+      throw new IllegalArgumentException(s"catalog $cat has no table '$name'"))
+    val pin = pinsAt(spark, cat).getOrElse(name,
+      throw new IllegalStateException(s"catalog $cat pins no version for '$name'"))
+    require(pin >= 1, s"table '$name' has no catalog-visible version yet")
+    Versioned.readAt(spark, root, pin)
+  }
+
+  /** ONE atomic transaction: run each member's table-level commit (the
+    * supplied function returns the member's NEW version), then publish a
+    * single catalog record pinning them all.  The catalog record is the
+    * commit point — until it lands, catalog readers stay on the previous
+    * consistent pin set, whatever the member logs already show.
+    *
+    * The pin closure re-runs against the resolved catalog head on every
+    * arbitration retry, so independent transactions on other tables
+    * compose; if ANOTHER transaction pinned one of OUR tables past the
+    * version we just produced (same-table race lost at the member log),
+    * this transaction aborts with [[TxnConflict]] rather than pinning a
+    * stale version backwards. */
+  final class TxnConflict(msg: String) extends RuntimeException(msg)
+
+  def commitAtomic(spark: SparkSession, cat: String,
+      work: Map[String, SparkSession => Int]): Int = {
+    val catN = norm(cat)
+    val known = tablesOf(spark, catN)
+    work.keys.foreach(n => require(known.contains(n),
+      s"catalog $cat has no table '$n'"))
+    // member commits first: table-log heads move, catalog view does not
+    val fresh: Map[String, Int] = work.map { case (n, fn) => n -> fn(spark) }
+    Versioned.publishRecord(spark, catN, head => {
+      val prev = pinsAt(spark, catN, head)
+      fresh.foreach { case (n, v) =>
+        if (prev.getOrElse(n, 0) >= v)
+          throw new TxnConflict(
+            s"another transaction already pinned '$n' at ${prev(n)} >= $v")
+      }
+      (Seq.empty, s""","ts":${System.currentTimeMillis()}${pinsJson(prev ++ fresh)}""")
+    }).get
+  }
+
+  /** Judged query: the data+MV transaction under a TORN write.  A
+    * documents table and its by-lang count MV advance through two
+    * atomic transactions; then a third writer commits a slice to the
+    * DATA table only and dies before the catalog fence (injected crash).
+    * Catalog readers must still see a CONSISTENT pair — the in-query
+    * assertion recomputes the counts from the pinned data read and
+    * requires them equal to the pinned MV — and the torn slice is
+    * invisible.  Oracle = the by-lang counts of the two FENCED batches
+    * only. */
+  val tableTxnPair: graft.GraftQuery = graft.GraftQuery("q_table_txn_pair",
+    """SELECT lang, count(*) AS n_docs FROM documents
+      |WHERE doc_id % 10 < 8 GROUP BY lang""".stripMargin) { (spark, sfDir) =>
+    val base = graft.streaming.StreamSink.newRunDir()
+    val (cat, rootD, rootM) = (s"$base/cat", s"$base/docs", s"$base/mv")
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    def mvOf(upToV: Int): DataFrame =
+      Versioned.readAt(spark, rootD, upToV)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    // txn 1: first batch + its MV, one fence
+    val v1 = Versioned.commitAppend(spark, rootD, docs.filter(col("doc_id") % 10 < 4))
+    Versioned.commit(spark, rootM, mvOf(v1))
+    create(spark, cat, Map("docs" -> rootD, "mv" -> rootM))
+    // txn 2 through the catalog
+    commitAtomic(spark, cat, Map(
+      "docs" -> (s => Versioned.commitAppend(s, rootD,
+        docs.filter(col("doc_id") % 10 >= 4 && col("doc_id") % 10 < 8))),
+      "mv" -> (s => Versioned.commit(s, rootM,
+        mvOf(Versioned.currentVersion(s, rootD))))))
+    // INJECTED CRASH: a third batch lands on the DATA table log but the
+    // writer dies before the catalog fence
+    Versioned.commitAppend(spark, rootD, docs.filter(col("doc_id") % 10 === 8))
+    // catalog readers: still the consistent fenced pair
+    val d = readTable(spark, cat, "docs")
+    val m = readTable(spark, cat, "mv")
+    val recount = d.groupBy(col("lang")).agg(count(lit(1)).as("n2"))
+    val torn = m.join(recount, Seq("lang"), "full_outer")
+      .filter(coalesce(col("n_docs"), lit(-1L)) =!= coalesce(col("n2"), lit(-2L)))
+      .count()
+    require(torn == 0, "catalog view must never expose a torn data/MV pair")
+    m.select(col("lang"), col("n_docs"))
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(tableTxnPair)
+}

@@ -140,6 +140,11 @@ object Versioned {
     file.contains(s"${dataPath(root, d).stripSuffix("/")}/") ||
       (!d.startsWith("/") && file.contains(s"/$d/"))
 
+  /** Raw record text of version `v` — for sibling loggers (the txn
+    * catalog) that ride this log format with their own fields. */
+  private[io] def recordTextOf(spark: SparkSession, root: String, v: Int): String =
+    recordText(spark, root, v)
+
   private def recordText(spark: SparkSession, root: String, v: Int): String = {
     val p = new org.apache.hadoop.fs.Path(logDir(root), f"v$v%05d.json")
     val in = fs(spark, p).open(p)

@@ -1,0 +1,93 @@
+package graft.io
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for multi-table atomic commits: the catalog record is the only
+  * commit point (a crash between member commits and the fence is never
+  * observable through the catalog), interrupted transactions are
+  * superseded by the next one, independent transactions compose under
+  * contention, and same-table races refuse to pin backwards. */
+class TxnCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newBase() =
+    s"/tmp/graft_txn_spec/${java.util.UUID.randomUUID()}"
+
+  private def pair(): (String, String, String) = {
+    val b = newBase(); (s"$b/cat", s"$b/a", s"$b/b")
+  }
+
+  test("crash between member commit and fence is invisible; next txn heals") {
+    val (cat, ra, rb) = pair()
+    Versioned.commit(spark, ra, (1L to 10L).toDF("id"))
+    Versioned.commit(spark, rb, Seq((10L)).toDF("n")) // MV: count of a
+    TxnCatalog.create(spark, cat, Map("a" -> ra, "b" -> rb))
+    // injected crash: 'a' commits, the fence never lands
+    Versioned.commitAppend(spark, ra, (11L to 20L).toDF("id"))
+    val a1 = TxnCatalog.readTable(spark, cat, "a")
+    assert(a1.count() == 10, "torn member commit must stay invisible")
+    assert(TxnCatalog.readTable(spark, cat, "b").as[Long].head() == 10L)
+    // the next full transaction supersedes the orphan: its member commit
+    // lands ON TOP of the orphaned version (append composes), one fence
+    TxnCatalog.commitAtomic(spark, cat, Map(
+      "a" -> (s => Versioned.commitAppend(s, ra, (21L to 25L).toDF("id"))),
+      "b" -> (s => Versioned.commit(s, rb,
+        Seq(Versioned.countAt(s, ra, Versioned.currentVersion(s, ra))).toDF("n")))))
+    val a2 = TxnCatalog.readTable(spark, cat, "a")
+    assert(a2.count() == 25) // 10 + orphaned 10 + 5 — all pinned now
+    assert(TxnCatalog.readTable(spark, cat, "b").as[Long].head() == 25L)
+  }
+
+  test("independent transactions on disjoint tables compose under race") {
+    for (round <- 1 to 3) {
+      val base = newBase()
+      val (cat, ra, rb) = (s"$base/cat", s"$base/a", s"$base/b")
+      Versioned.commit(spark, ra, Seq(1L).toDF("id"))
+      Versioned.commit(spark, rb, Seq(1L).toDF("id"))
+      TxnCatalog.create(spark, cat, Map("a" -> ra, "b" -> rb))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val t1 = new Thread(() => try TxnCatalog.commitAtomic(spark, cat, Map(
+        "a" -> (s => Versioned.commitAppend(s, ra, Seq(2L).toDF("id")))))
+        catch { case e: Throwable => errs.add(e) })
+      val t2 = new Thread(() => try TxnCatalog.commitAtomic(spark, cat, Map(
+        "b" -> (s => Versioned.commitAppend(s, rb, Seq(2L).toDF("id")))))
+        catch { case e: Throwable => errs.add(e) })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(errs.isEmpty, s"round $round: $errs")
+      assert(TxnCatalog.readTable(spark, cat, "a").count() == 2, s"round $round")
+      assert(TxnCatalog.readTable(spark, cat, "b").count() == 2, s"round $round")
+      val pins = TxnCatalog.pinsAt(spark, cat)
+      assert(pins == Map("a" -> 2, "b" -> 2), s"round $round: $pins")
+    }
+  }
+
+  test("a stale same-table transaction refuses to pin backwards") {
+    val (cat, ra, rb) = pair()
+    Versioned.commit(spark, ra, Seq(1L).toDF("id"))
+    Versioned.commit(spark, rb, Seq(1L).toDF("id"))
+    TxnCatalog.create(spark, cat, Map("a" -> ra, "b" -> rb))
+    TxnCatalog.commitAtomic(spark, cat, Map(
+      "a" -> (s => Versioned.commitAppend(s, ra, Seq(2L).toDF("id")))))
+    val v2 = Versioned.currentVersion(spark, ra) // = 2, pinned
+    // a transaction claiming an OLD version for 'a' must refuse
+    intercept[TxnCatalog.TxnConflict] {
+      TxnCatalog.commitAtomic(spark, cat, Map("a" -> (_ => v2)))
+    }
+  }
+
+  test("catalog guards: unknown table, double create, missing pin") {
+    val (cat, ra, rb) = pair()
+    Versioned.commit(spark, ra, Seq(1L).toDF("id"))
+    TxnCatalog.create(spark, cat, Map("a" -> ra))
+    intercept[IllegalArgumentException] {
+      TxnCatalog.commitAtomic(spark, cat, Map("zz" -> (_ => 1)))
+    }
+    intercept[Exception] { TxnCatalog.create(spark, cat, Map("a" -> ra)) }
+    intercept[IllegalArgumentException] {
+      TxnCatalog.readTable(spark, cat, "nope")
+    }
+  }
+}
