@@ -50,6 +50,17 @@ object BloomStress {
     println(f"BLOOMSTRESS n=$n commits=$nCommits bits=$bits dirs=$nDirs " +
       f"ingest=$tIngest%.1f s  point_read=$tPoint%.2f s ($dirsRead/$nDirs dirs, " +
       f"$nHit rows)  full_filter=$tFull%.2f s  speedup=${tFull / tPoint}%.1fx")
+    // POST-FOLD law: an OPTIMIZE fold re-measures the fold dirs' filters
+    // (writeClustered -> bloomsForStaged), so the point probe must stay
+    // pruned after the rewrite instead of decaying to a full read
+    val (vf, tFold) = timed(Versioned.optimizeSmall(spark, root, "key",
+      smallRows = chunk + 1, targetRows = math.max(1L, n / 8)).get)
+    val nDirs2 = Versioned.manifest(spark, root, vf).size
+    val pr2 = BloomIndex.readPoint(spark, root, vf, probes)
+    val (nHit2, tPoint2) = timed(pr2.count())
+    require(nHit2 == nFull, s"post-fold bloom read lost rows: $nHit2 != $nFull")
+    println(f"BLOOMSTRESS post-fold: fold=$tFold%.1f s -> $nDirs2 dirs, " +
+      f"point_read=$tPoint2%.2f s (${dirsOf(pr2)}/$nDirs2 dirs)")
     spark.stop()
   }
 }

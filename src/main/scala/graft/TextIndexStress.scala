@@ -53,6 +53,19 @@ object TextIndexStress {
     assert(probe._1 == Seq(13 * rows + 7) && nScan == 1)
     println(f"probe: $tProbe%.2f s reading ${probe._2} files vs full scan $tScan%.2f s " +
       f"(${tScan / tProbe}%.1fx)")
+    // POST-FOLD law: the OPTIMIZE fold re-measures token blooms for its
+    // output dirs, so the needle probe stays dir-pruned after churn
+    val (vf, tFold) = time(Versioned.optimizeSmall(spark, root, "id",
+      smallRows = rows + 1, targetRows = math.max(1L, nDirs * rows / 8)).get)
+    val nDirs2 = Versioned.manifest(spark, root, vf).size
+    val (probe2, tProbe2) = time {
+      val df = TextIndex.readToken(spark, root, vf, "xneedle")
+      (df.select("id").collect().map(_.getLong(0)).toSeq,
+        df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct.length)
+    }
+    assert(probe2._1 == Seq(13 * rows + 7), "post-fold probe lost the needle")
+    println(f"post-fold: fold=$tFold%.1f s -> $nDirs2 dirs, probe $tProbe2%.2f s " +
+      f"reading ${probe2._2}/$nDirs2 dirs")
     spark.stop()
   }
 }
