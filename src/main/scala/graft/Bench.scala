@@ -113,6 +113,7 @@ object Bench {
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    DevSession.quietHints()
     // Warm the session (scheduler, codegen, shuffle machinery) so init cost
     // isn't attributed to whichever query happens to run first.
     try {

@@ -7,6 +7,19 @@ import org.apache.spark.sql.SparkSession
   * keep their own builders — they are the judged driver contract.
   */
 object DevSession {
+
+  /** Silence HintErrorLogger for this JVM's sessions: Versioned.readAt
+    * attaches a manifest-sized broadcast hint (see its scaladoc), and
+    * the analyzer logs a benign "hint not part of a join relation" WARN
+    * whenever such a read is used outside a join.  The hint is
+    * load-bearing in joins and inert elsewhere; the per-read warning is
+    * noise in a harness log.  Library embedders who want the warning
+    * back control their own log4j config. */
+  def quietHints(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.analysis.HintErrorLogger",
+      org.apache.logging.log4j.Level.ERROR)
+
   def local(defaultCpus: String = "4", logLevel: String = "WARN"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     val spark = SparkSession.builder()
@@ -25,6 +38,7 @@ object DevSession {
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
+    quietHints()
     spark
   }
 }

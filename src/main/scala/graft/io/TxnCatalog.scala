@@ -90,12 +90,22 @@ object TxnCatalog {
     * expressible without a schema — callers commit through the catalog
     * first. */
   def readTable(spark: SparkSession, cat: String, name: String): DataFrame = {
+    val (root, pin) = pinOf(spark, cat, name)
+    Versioned.readAt(spark, root, pin)
+  }
+
+  /** Member `name`'s (root, pinned version) — the handle every pruned
+    * read API composes with: `readRange(root, pin, ...)`,
+    * `BloomIndex.readPoint(root, pin, ...)`, `TextIndex.readToken`,
+    * `VectorIndex.searchTopk` all accept an explicit version, so the
+    * catalog's consistency lens costs nothing in read capability. */
+  def pinOf(spark: SparkSession, cat: String, name: String): (String, Int) = {
     val root = tablesOf(spark, cat).getOrElse(name,
       throw new IllegalArgumentException(s"catalog $cat has no table '$name'"))
     val pin = pinsAt(spark, cat).getOrElse(name,
       throw new IllegalStateException(s"catalog $cat pins no version for '$name'"))
     require(pin >= 1, s"table '$name' has no catalog-visible version yet")
-    Versioned.readAt(spark, root, pin)
+    (root, pin)
   }
 
   /** ONE atomic transaction: run each member's table-level commit (the

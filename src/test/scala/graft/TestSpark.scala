@@ -17,6 +17,7 @@ object TestSpark {
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    DevSession.quietHints()
     s
   }
   val sf = "/root/testdata/sf0.001"
