@@ -262,6 +262,42 @@ object TextIndex {
       Seq("dup", "spark"), k = 15)
   }
 
+  /** Judged query: transactional STREAMING ingest into a token-indexed
+    * table.  The bootstrap slice declares the index; the rest arrives as
+    * a real file-source stream (maxFilesPerTrigger=1, several
+    * micro-batches) committed via [[Versioned.commitBatchIndexed]] —
+    * each batch fenced exactly-once AND carrying its own token filter.
+    * The in-query assertion requires EVERY manifest dir to hold an
+    * entry: streaming ingest must not decay probe pruning batch by
+    * batch.  Oracle = the token's regexp filter (as for
+    * q_table_text_index — the judged substance here is the ingest
+    * path). */
+  val tableStreamIndexed: graft.GraftQuery = graft.GraftQuery("q_table_stream_indexed",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])dup([^a-z0-9]|$)')""".stripMargin) { (spark, sfDir) =>
+    val run = graft.streaming.StreamSink.newRunDir()
+    val (src, table, ckpt) = (s"$run/src", s"$run/table", s"$run/ckpt")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    commitAppendIndexed(spark, table, docs.filter(col("doc_id") % 10 < 5), "text")
+    docs.filter(col("doc_id") % 10 >= 5).repartition(3).write.parquet(src)
+    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Versioned.commitBatchIndexed(spark, table, id, b); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val v = Versioned.currentVersion(spark, table)
+    val dirs = Versioned.manifest(spark, table, v)
+    val entries = Versioned.dirBlooms(spark, table, v)
+    require(dirs.forall(entries.contains),
+      "every streamed dir must carry its token filter — no pruning decay")
+    readToken(spark, table, v, "dup")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   val all: Seq[graft.GraftQuery] =
-    Seq(tableTextIndex, tableTextPhrase, tableTextRank)
+    Seq(tableTextIndex, tableTextPhrase, tableTextRank, tableStreamIndexed)
 }

@@ -108,6 +108,21 @@ object TxnCatalog {
     (root, pin)
   }
 
+  /** Vacuum member `name` with retention FLOORED at its catalog pin —
+    * the pin-safe sweep.  `Versioned.vacuum(keep = N)` counts back from
+    * the member's own head, which may have advanced past the catalog's
+    * pin (orphaned txn halves, out-of-band commits); sweeping past the
+    * pin would break every catalog reader exactly like vacuuming a
+    * shallow-cloned version breaks the clone.  This wrapper widens
+    * `keep` so the pinned version always survives.  (Members also
+    * written OUTSIDE this catalog inherit the clone-style retention
+    * contract: keep sources within pin lifetimes.) */
+  def vacuumMember(spark: SparkSession, cat: String, name: String, keep: Int): Unit = {
+    val (root, pin) = pinOf(spark, cat, name)
+    val head = Versioned.currentVersion(spark, root)
+    Versioned.vacuum(spark, root, keep = math.max(keep, head - pin + 1))
+  }
+
   /** ONE atomic transaction: run each member's table-level commit (the
     * supplied function returns the member's NEW version), then publish a
     * single catalog record pinning them all.  The catalog record is the

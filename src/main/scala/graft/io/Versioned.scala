@@ -2052,6 +2052,35 @@ object Versioned {
     v
   }
 
+  /** [[commitBatch]] that MAINTAINS the table's declared bloom index
+    * (value or `_tok` token) — the transactional streaming ingest for an
+    * indexed table: the fenced append plus the declared filter's build
+    * aggregate over the NEW dir only, so point/token probes stay
+    * dir-pruned under the highest-volume ingest path instead of decaying
+    * one unindexed dir per micro-batch.  The ingest tax is exactly
+    * [[BloomIndex.commitAppendBloom]] / [[TextIndex.commitAppendIndexed]]'s
+    * (chosen by declaring the index, paid per batch); with no index
+    * declared this IS commitBatch.  A replayed batch is SKIPPED before
+    * any work, so the filter build is paid once per batch, never per
+    * replay. */
+  def commitBatchIndexed(spark: SparkSession, root: String, batchId: Long,
+      df: DataFrame): Option[Int] = {
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    val rel = writeDataDir(spark, root, df)
+    val blooms = bloomForDir(spark, root, currentVersion(spark, root), rel)
+    val v = publishRecord(spark, root, head => {
+        val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel
+        (dirs, extraFields(spark, root, head, dirs, None, s""","batchId":$batchId""",
+          blooms = blooms))
+      },
+      abortIf = head => lastBatchId(spark, root).exists(_ >= batchId))
+    if (v.isEmpty) { // lost to a racing replay that carried our batch
+      val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+      fs(spark, p).delete(p, true)
+    }
+    v
+  }
+
   /** Fenced full-snapshot commit: like [[commit]] but carrying the
     * batchId fence — the derived-table counterpart of [[commitBatch]].
     * A materialized view refreshed to source version N commits its new

@@ -156,4 +156,21 @@ class TextIndexSpec extends AnyFunSuite {
     // and the ranked read was pruned to the term dir
     assert(ranked.inputFiles.map(_.split("/data/")(1).split("/")(0)).distinct.length == 1)
   }
+
+  test("fenced indexed batches: exactly-once AND a filter per batch") {
+    val root = newRoot()
+    TextIndex.commitAppendIndexed(spark, root, corpus("d0", 20, Map.empty), "text")
+    val b1 = corpus("d1", 20, Map(3L -> "zebra")).withColumn("id", col("id") + 100L)
+    assert(Versioned.commitBatchIndexed(spark, root, 1L, b1).nonEmpty)
+    // a replayed batch is SKIPPED: no new dir, no new filter entry
+    val v = Versioned.currentVersion(spark, root)
+    assert(Versioned.commitBatchIndexed(spark, root, 1L, b1).isEmpty)
+    assert(Versioned.currentVersion(spark, root) == v)
+    // the batch dir carries its own filter: the probe prunes to it
+    val probe = TextIndex.readToken(spark, root, v, "zebra")
+    assert(probe.select("id").as[Long].collect().toSeq == Seq(103L))
+    assert(probe.inputFiles.map(_.split("/data/")(1).split("/")(0)).distinct.length == 1)
+    val dirs = Versioned.manifest(spark, root, v)
+    assert(dirs.forall(Versioned.dirBlooms(spark, root, v).contains))
+  }
 }

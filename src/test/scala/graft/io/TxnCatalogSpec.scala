@@ -90,4 +90,21 @@ class TxnCatalogSpec extends AnyFunSuite {
       TxnCatalog.readTable(spark, cat, "nope")
     }
   }
+
+  test("pin-safe vacuum keeps the pinned version while the head ran ahead") {
+    val (cat, ra, rb) = pair()
+    Versioned.commit(spark, ra, (1L to 5L).toDF("id"))
+    TxnCatalog.create(spark, cat, Map("a" -> ra))
+    // the member advances OUTSIDE the catalog: pin stays at 1
+    (1 to 3).foreach(i => Versioned.commitAppend(spark, ra, Seq(100L + i).toDF("id")))
+    TxnCatalog.vacuumMember(spark, cat, "a", keep = 1)
+    // the pinned version must still read (keep=1 alone would have
+    // reclaimed v1's record)
+    assert(TxnCatalog.readTable(spark, cat, "a").count() == 5)
+    // and after the catalog catches up, normal retention applies
+    TxnCatalog.commitAtomic(spark, cat, Map(
+      "a" -> (s => Versioned.commitAppend(s, ra, Seq(999L).toDF("id")))))
+    TxnCatalog.vacuumMember(spark, cat, "a", keep = 1)
+    assert(TxnCatalog.readTable(spark, cat, "a").count() == 9)
+  }
 }
