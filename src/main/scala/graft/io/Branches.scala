@@ -64,23 +64,29 @@ object Branches {
     require(at >= 1, s"no committed version at $root to branch from")
     val f = Versioned.fs(spark, forkFile(b))
     require(!f.exists(new Path(s"$b/log")), s"branch '$name' already exists at $root")
-    // fork pointer FIRST: a crash before the clone leaves a stub (pointer,
-    // no log) — reclaim it, then create with overwrite=false so two racing
-    // create()s for the same name can never pair the surviving clone with
-    // the LOSER's pointer (a later snapshot merge keyed on a wrong forkV
-    // could replace the parent head and drop post-fork commits): exactly
-    // one writer owns the pointer, the other fails here
-    if (f.exists(forkFile(b))) f.delete(forkFile(b), false)
+    // fork pointer FIRST, overwrite=false: exactly one writer ever owns
+    // the pointer, so two racing create()s can never pair the surviving
+    // clone with the LOSER's pointer (a later snapshot merge keyed on a
+    // wrong forkV could replace the parent head and drop post-fork
+    // commits).  A pointer with no log is the stub of a CRASHED create;
+    // it is deliberately NOT auto-reclaimed here — any reclaim re-opens
+    // the pairing race (delete the winner's pointer after its post-check
+    // and the branch is silently re-targeted).  `Branches.delete(name)`
+    // clears a stub explicitly, and the error below says so.
+    if (f.exists(forkFile(b)))
+      throw new IllegalStateException(
+        s"branch '$name' of $root has a fork pointer but no log — the stub of a " +
+          "crashed create; run Branches.delete to clear it, then re-create")
     val out = f.create(forkFile(b), false)
     try out.write(s"""{"srcVersion":$at}""".getBytes("UTF-8")) finally out.close()
     Versioned.cloneAt(spark, root, b, at)
-    // if a racing create slipped between our pointer write and our clone
-    // (reclaiming + rewriting the pointer), fail loudly rather than leave
-    // a clone paired with someone else's fork version
-    if (forkVersion(spark, root, name) != at)
-      throw new IllegalStateException(
-        s"branch '$name' creation raced at $root; fork pointer no longer matches cloned version $at")
     at
+  }
+
+  private def writePointer(spark: SparkSession, b: String, json: String): Unit = {
+    val f = Versioned.fs(spark, forkFile(b))
+    val out = f.create(forkFile(b), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   private def forkText(spark: SparkSession, root: String, name: String): String = {
@@ -175,6 +181,9 @@ object Branches {
   def merge(spark: SparkSession, root: String, name: String): Int = {
     val rootN = norm(root)
     val b = branchRoot(root, name)
+    if (forkText(spark, root, name).contains(""""rebasing":"""))
+      throw new MergeConflict(
+        s"branch '$name' has an interrupted rebase; run Branches.rebase to heal, then merge")
     val forkV = forkVersion(spark, root, name)
     val fl = forkLocalV(spark, root, name)
     val bh = Versioned.currentVersion(spark, b)
@@ -187,8 +196,14 @@ object Branches {
     val pref = s"$rootN/data/"
     def r(d: String): String = if (d.startsWith(pref)) d.stripPrefix(s"$rootN/") else d
     val newDirs = bDirs.filterNot(forkDirs.contains)
-    require(newDirs.forall(d => !d.startsWith("/") && !d.contains(":/")),
-      s"branch '$name' carries foreign absolute dirs; merge cannot adopt them")
+    // absolute dirs beyond the fork snapshot mean the head references a
+    // parent version the pointer does not name — the signature of an
+    // INTERRUPTED rebase (crash before its pointer write); rebase()
+    // detects and heals exactly this state
+    if (!newDirs.forall(d => !d.startsWith("/") && !d.contains(":/")))
+      throw new MergeConflict(
+        s"branch '$name' carries parent-absolute dirs beyond its fork snapshot " +
+          "(an interrupted rebase); run Branches.rebase to heal, then merge")
 
     val bDv = Versioned.dvOf(spark, b, bh)
     val bDvRows = Versioned.dvRowsOf(spark, b, bh)
@@ -338,26 +353,46 @@ object Branches {
     * base), main rewrote or re-vectored a dir the branch deleted from,
     * or main rewrote its schema-event history.
     *
-    * Mechanics: two branch-log publishes — a clean fork snapshot of
-    * main@head (exactly the [[Versioned.cloneAt]] record, becoming the
-    * new `forkLocalV` every later merge compares against) and the
-    * snapshot-plus-delta head — then the fork pointer advances.  A
-    * crash between the publishes leaves the branch head at the clean
-    * snapshot with a stale pointer: no data is lost (the old head stays
-    * time-travelable) and a fresh rebase heals it.  Cost is
-    * O(branch delta + manifests): no data dir moves or rewrites. */
+    * Mechanics: the fork pointer FIRST gains a `rebasing` intent
+    * recording the pre-rebase head, then two branch-log publishes land —
+    * a clean fork snapshot of main@head (exactly the
+    * [[Versioned.cloneAt]] record, becoming the new `forkLocalV` every
+    * later merge compares against) and the snapshot-plus-delta head —
+    * and the final pointer write CLEARS the intent (the rebase's commit
+    * point).  A crash anywhere in between loses nothing: [[merge]]
+    * refuses a branch with a live intent, and the next rebase reads the
+    * intent's `preHead` and restarts from the real pre-rebase state,
+    * superseding any orphaned publishes.  Cost is O(branch delta +
+    * manifests): no data dir moves or rewrites. */
   def rebase(spark: SparkSession, root: String, name: String): Int = {
     val rootN = norm(root)
     val b = branchRoot(root, name)
     val forkV = forkVersion(spark, root, name)
     val fl = forkLocalV(spark, root, name)
-    val bh = Versioned.currentVersion(spark, b)
-    require(bh >= fl, s"branch '$name' of $root has no committed version")
+    val bh0 = Versioned.currentVersion(spark, b)
+    require(bh0 >= fl, s"branch '$name' of $root has no committed version")
     val head = Versioned.currentVersion(spark, rootN)
-    if (head == forkV) return bh // already based on main's head
-    val bDirs = Versioned.manifest(spark, b, bh)
+    // INTERRUPTED-REBASE HEALING, intent-based: before publishing
+    // anything, rebase stamps the pointer with `"rebasing":{...,
+    // "preHead":N}` — the branch's real pre-rebase head.  A crash at ANY
+    // later point (between the two publishes, or before the final
+    // pointer) leaves that intent in place; the next rebase reads it and
+    // simply restarts from preHead, treating every later version as a
+    // superseded artifact.  No guessing from manifest shapes — the
+    // intent IS the recovery record.
+    val preHeadOpt = """"preHead":(\d+)""".r
+      .findFirstMatchIn(forkText(spark, root, name)).map(_.group(1).toInt)
+    val bh = preHeadOpt match {
+      case Some(p) =>
+        require(p >= fl && p <= bh0,
+          s"corrupt rebase intent on branch '$name' (preHead $p outside [$fl,$bh0])")
+        p
+      case None => bh0
+    }
+    if (head == forkV && preHeadOpt.isEmpty) return bh0 // already on main's head
     val forkDirs = Versioned.manifest(spark, b, fl)
     val forkSet = forkDirs.toSet
+    val bDirs = Versioned.manifest(spark, b, bh)
     if (!forkSet.subsetOf(bDirs.toSet))
       throw new MergeConflict(
         s"branch '$name' rewrote fork history; rebase replays appends and MOR deletes only")
@@ -397,14 +432,20 @@ object Branches {
       }
     }.toMap
 
+    // INTENT first: any crash from here on is healed by the next rebase
+    // restarting from preHead (see the healing block above); the old
+    // srcVersion/forkLocalV ride along so the retry sees the same fork
+    writePointer(spark, b,
+      s"""{"srcVersion":$forkV,"forkLocalV":$fl,"rebasing":{"src":$head,"preHead":$bh}}""")
+
     // publish 1: the clean fork snapshot of main@head — the cloneAt
     // record, on the branch's own log
     val abs: String => String = d => Versioned.dataPath(rootN, d)
     val carried = Versioned.carryFieldsOf(spark, rootN, head, mDirs, abs, abs)
-    val ts = math.max(System.currentTimeMillis(), Versioned.tsOf(spark, b, bh))
+    val ts = math.max(System.currentTimeMillis(), Versioned.tsOf(spark, b, bh0))
     val vf = Versioned.publishRecord(spark, b,
       h => {
-        if (h != bh) throw new MergeConflict(
+        if (h != bh0) throw new MergeConflict(
           s"branch '$name' advanced during its rebase")
         (mDirs.map(abs), s""","ts":$ts$carried""")
       }).get
@@ -448,12 +489,9 @@ object Branches {
               bStats, altersArg, bRows, bloomArg, dvAdd))
           }).get
       }
-    // pointer LAST: until it lands, merges of the half-rebased branch
-    // conflict loudly instead of merging stale fork state
-    val f = Versioned.fs(spark, forkFile(b))
-    val out = f.create(forkFile(b), true)
-    try out.write(s"""{"srcVersion":$head,"forkLocalV":$vf}""".getBytes("UTF-8"))
-    finally out.close()
+    // final pointer LAST: clearing the rebasing intent is the rebase's
+    // commit point — until it lands, merge refuses and rebase heals
+    writePointer(spark, b, s"""{"srcVersion":$head,"forkLocalV":$vf}""")
     merged
   }
 

@@ -158,9 +158,19 @@ object TextIndex {
   def rankBm25(spark: SparkSession, root: String, v: Int, terms: Seq[String],
       k: Int, idCol: String = "doc_id"): DataFrame = {
     val nDocs = Versioned.countAt(spark, root, v).toDouble
-    val nToks = Versioned.sumAt(spark, root, v).getOrElse(throw new IllegalArgumentException(
-      s"$root declares no metadata SUM column; rankBm25 needs the corpus token count " +
-        "(commitDeclareSum on the per-doc token-count column)")).toDouble
+    val sumCol = Versioned.sumColOf(spark, root, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root declares no metadata SUM column; rankBm25 needs the corpus token " +
+          "count (commitDeclareSum on the per-doc token-count column)"))
+    // sumAt answers from pure metadata when it can; under LIVE deletion
+    // vectors (or an entry-less dir) it declines, and the fallback is
+    // ONE DV-applied narrow-column scan — which is also the CORRECT
+    // total there (the recorded per-dir sums still count deleted rows'
+    // tokens).  Fold/compact retires the vectors and restores the
+    // zero-I/O answer.
+    val nToks = Versioned.sumAt(spark, root, v).getOrElse(
+      Versioned.readAt(spark, root, v)
+        .agg(sum(col(sumCol).cast("long"))).head().getLong(0)).toDouble
     val (keep, textCol) = prunedDirs(spark, root, v, terms, requireAll = false)
     val base =
       if (keep.isEmpty) Versioned.readAt(spark, root, v).limit(0)

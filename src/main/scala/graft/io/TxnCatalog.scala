@@ -49,14 +49,26 @@ object TxnCatalog {
     require(tables.nonEmpty, "a catalog needs at least one table")
     tables.keys.foreach(n => require(n.nonEmpty && n.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '-'), s"bad table name '$n'"))
+    val catN = norm(cat)
     val f = Versioned.fs(spark, tablesFile(cat))
-    val out = f.create(tablesFile(cat), false) // a catalog is created once
-    val body = tables.toSeq.sortBy(_._1)
-      .map { case (n, r) => s""""$n":"${norm(r)}"""" }.mkString(",")
-    try out.write(s"{$body}".getBytes("UTF-8")) finally out.close()
+    require(!(f.exists(tablesFile(cat)) && Versioned.currentVersion(spark, catN) >= 1),
+      s"catalog $cat already exists")
+    // pin record FIRST, mapping file second: a crash between the two
+    // leaves a heal-able half (re-running create finishes the missing
+    // piece) instead of a wedged root — the reverse order made a torn
+    // create un-retryable (mapping present, no pins, create-once throw)
     val pins = tables.map { case (n, r) => n -> Versioned.currentVersion(spark, r) }
-    Versioned.publishRecord(spark, norm(cat),
-      _ => (Seq.empty, s""","ts":${System.currentTimeMillis()}${pinsJson(pins)}""")).get
+    val v =
+      if (Versioned.currentVersion(spark, catN) >= 1) Versioned.currentVersion(spark, catN)
+      else Versioned.publishRecord(spark, catN,
+        _ => (Seq.empty, s""","ts":${System.currentTimeMillis()}${pinsJson(pins)}""")).get
+    if (!f.exists(tablesFile(cat))) {
+      val out = f.create(tablesFile(cat), false)
+      val body = tables.toSeq.sortBy(_._1)
+        .map { case (n, r) => s""""$n":"${norm(r)}"""" }.mkString(",")
+      try out.write(s"{$body}".getBytes("UTF-8")) finally out.close()
+    }
+    v
   }
 
   private def pinsJson(pins: Map[String, Int]): String =
@@ -119,8 +131,10 @@ object TxnCatalog {
     * contract: keep sources within pin lifetimes.) */
   def vacuumMember(spark: SparkSession, cat: String, name: String, keep: Int): Unit = {
     val (root, pin) = pinOf(spark, cat, name)
-    val head = Versioned.currentVersion(spark, root)
-    Versioned.vacuum(spark, root, keep = math.max(keep, head - pin + 1))
+    // the cap (not a keep-count) makes this race-proof: however far the
+    // head advances before vacuum re-resolves it, the retention floor
+    // can never pass the pin
+    Versioned.vacuum(spark, root, keep, floorCap = pin)
   }
 
   /** ONE atomic transaction: run each member's table-level commit (the
@@ -138,13 +152,19 @@ object TxnCatalog {
   final class TxnConflict(msg: String) extends RuntimeException(msg)
 
   def commitAtomic(spark: SparkSession, cat: String,
-      work: Map[String, SparkSession => Int]): Int = {
+      work: Seq[(String, SparkSession => Int)]): Int = {
     val catN = norm(cat)
     val known = tablesOf(spark, catN)
-    work.keys.foreach(n => require(known.contains(n),
-      s"catalog $cat has no table '$n'"))
-    // member commits first: table-log heads move, catalog view does not
-    val fresh: Map[String, Int] = work.map { case (n, fn) => n -> fn(spark) }
+    work.foreach { case (n, _) => require(known.contains(n),
+      s"catalog $cat has no table '$n'") }
+    require(work.map(_._1).distinct.size == work.size,
+      "one commit per member table per transaction")
+    // member commits run IN THE GIVEN ORDER (a Seq, deliberately not a
+    // Map — immutable.Map iteration order is unspecified past 4 entries,
+    // and the canonical data→MV pattern reads the data member's fresh
+    // version inside the MV's closure); table-log heads move, the
+    // catalog view does not
+    val fresh: Map[String, Int] = work.map { case (n, fn) => n -> fn(spark) }.toMap
     Versioned.publishRecord(spark, catN, head => {
       val prev = pinsAt(spark, catN, head)
       fresh.foreach { case (n, v) =>
@@ -179,7 +199,7 @@ object TxnCatalog {
     Versioned.commit(spark, rootM, mvOf(v1))
     create(spark, cat, Map("docs" -> rootD, "mv" -> rootM))
     // txn 2 through the catalog
-    commitAtomic(spark, cat, Map(
+    commitAtomic(spark, cat, Seq(
       "docs" -> (s => Versioned.commitAppend(s, rootD,
         docs.filter(col("doc_id") % 10 >= 4 && col("doc_id") % 10 < 8))),
       "mv" -> (s => Versioned.commit(s, rootM,

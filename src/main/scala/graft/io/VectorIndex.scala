@@ -199,13 +199,14 @@ object VectorIndex {
           .select(col("vec_id"), col("cell")), "vec_id")
       } else
         // accretion fold: rows keep their dir's cell — nothing moves
-        // between cells, so healthy cells stay untouched
-        multi.flatMap { case (cv, g) =>
-          g.map { case (d, _) =>
-            Versioned.readDirs(spark, root, head0, Seq(d))
-              .select(col("vec_id"), col("qv"), col("nrm"))
-              .withColumn("cell", lit(cellOf(cv)))
-          }
+        // between cells, so healthy cells stay untouched.  ONE scan leg
+        // per CELL (a group's dirs share the literal), not per dir: a
+        // year of daily accretion is ~365 dirs per hot cell, and a
+        // per-dir union would blow up the plan on the driver.
+        multi.map { case (cv, g) =>
+          Versioned.readDirs(spark, root, head0, g.map(_._1))
+            .select(col("vec_id"), col("qv"), col("nrm"))
+            .withColumn("cell", lit(cellOf(cv)))
         }.reduce(_.unionByName(_))
     val (rels, rowsMap) = writeAssigned(spark, root, rows, centDf)
     val foldSet = fold.toSet

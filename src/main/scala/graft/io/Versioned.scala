@@ -248,6 +248,17 @@ object Versioned {
         .map(x => x.group(1) -> x.group(2).toLong).toMap
     }.getOrElse(Map.empty)
 
+  private def parseDirBytes(txt: String): Map[String, Long] =
+    """"bytes":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+      """"([^"]+)":(\d+)""".r.findAllMatchIn(m.group(1))
+        .map(x => x.group(1) -> x.group(2).toLong).toMap
+    }.getOrElse(Map.empty)
+
+  /** Per-dir on-disk bytes at version `v` (absent for dirs committed
+    * before this field existed — sizing callers then decline). */
+  private[graft] def dirBytes(spark: SparkSession, root: String, v: Int): Map[String, Long] =
+    recOpt(spark, root, v).map(parseDirBytes).getOrElse(Map.empty)
+
   /** Per-dir row counts at version `v` (absent for dirs committed before
     * this field existed — callers fall back to scanning those). */
   private[graft] def dirRows(spark: SparkSession, root: String, v: Int): Map[String, Long] =
@@ -436,6 +447,20 @@ object Versioned {
       s""""$d":$n"""
     }
     val rowsJson = s""","rows":{${rowEntries.mkString(",")}}"""
+    // per-dir on-disk BYTES: parent entries carried verbatim, new dirs
+    // measured with one driver-side content summary each (no Spark job)
+    // — the accurate size feed for readAt's broadcast sizing, where a
+    // schema-width guess would under-estimate wide text rows into a
+    // forced-broadcast OOM
+    val parentBytes = ht.map(parseDirBytes).getOrElse(Map.empty[String, Long])
+    val byteEntries = dirs.map { d =>
+      val n = parentBytes.get(d).getOrElse(
+        try fs(spark, new org.apache.hadoop.fs.Path(dataPath(root, d)))
+          .getContentSummary(new org.apache.hadoop.fs.Path(dataPath(root, d))).getLength
+        catch { case _: java.io.FileNotFoundException => 0L })
+      s""""$d":$n"""
+    }
+    val bytesJson = s""","bytes":{${byteEntries.mkString(",")}}"""
     // metadata sums: parent entries carried verbatim for carried dirs;
     // new or rewritten dirs measured in ONE batched narrow-column job.
     // A dir is entry-less when the column is absent (pre-alter
@@ -504,7 +529,7 @@ object Versioned {
         val n = dvEntries.map { case (d, _, k) => s""""$d":$k""" }
         s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
       }
-    s""","ts":$ts$statsJson$rowsJson$sumJson$bloomJson$altersJson$checksJson$dvJson$more"""
+    s""","ts":$ts$statsJson$rowsJson$bytesJson$sumJson$bloomJson$altersJson$checksJson$dvJson$more"""
   }
 
   private def parseChecksFrag(txt: String): Option[String] =
@@ -605,6 +630,19 @@ object Versioned {
     * yields the dir list plus extra record fields for a given head;
     * `abortIf` lets a caller bail out when a racing commit made this one
     * redundant (the batchId fence) — None is returned ONLY on abort. */
+  /** Per-root publish locks: on the LOCAL filesystem Hadoop's
+    * no-overwrite rename is an exists-check followed by a POSIX rename
+    * (which silently overwrites), so two same-JVM publishers racing the
+    * same version inside that microsecond window could lose a record —
+    * realistic only for pure-metadata commits (the txn catalog), where
+    * no Spark job separates closure from rename.  Same-JVM committers
+    * serialize here; cross-process arbitration rests on the store's own
+    * rename atomicity (HDFS and object-store renames are atomic
+    * no-overwrite, so the window exists only for multi-process writers
+    * on a raw local FS — outside the deployment envelope). */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[io] def publishRecord(spark: SparkSession, root: String,
       recOf: Int => (Seq[String], String),
       abortIf: Int => Boolean = _ => false): Option[Int] = {
@@ -613,6 +651,8 @@ object Versioned {
     f.mkdirs(ld)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       ld.toUri, spark.sparkContext.hadoopConfiguration)
+    val lock = publishLocks.computeIfAbsent(ld.toString, _ => new Object)
+    lock.synchronized {
     var attempt = 0
     while (attempt < 50) {
       attempt += 1
@@ -633,6 +673,7 @@ object Versioned {
       }
     }
     throw new IllegalStateException(s"commit contention not resolving at $root")
+    }
   }
 
   private[graft] def publish(spark: SparkSession, root: String,
@@ -1513,17 +1554,17 @@ object Versioned {
     * [[commitAlterAdd]]).
     *
     * MANIFEST-DRIVEN BROADCAST SIZING: the commit log already paid for
-    * exact per-dir row counts, so when every dir carries one and the
-    * width-estimated relation size (rows × schema default width, the
-    * same arithmetic Catalyst's own sizeInBytes uses) lands under the
-    * session's `spark.sql.autoBroadcastJoinThreshold`, the read carries
-    * a broadcast hint — a versioned dim joined to a fact plans a
+    * exact per-dir row counts AND on-disk byte sizes, so when the
+    * LIVE-byte estimate (recorded bytes × live-row fraction — deletion
+    * vectors kill rows without touching files) lands under the session's
+    * `spark.sql.autoBroadcastJoinThreshold`, the read carries a
+    * broadcast hint — a versioned dim joined to a fact plans a
     * BroadcastHashJoin with no manual hint, even when the plan above
     * the scan (the deletion-vector anti join, the schema-evolution
     * union) would otherwise blind Catalyst's file-size estimate.  This
     * replays exactly the decision Catalyst would have made had it known
-    * the true cardinality; with the threshold disabled (≤ 0) or any
-    * dir count-less, no hint attaches. */
+    * the true live size; with the threshold disabled (≤ 0) or any dir
+    * missing a count/bytes entry, no hint attaches. */
   def readAt(spark: SparkSession, root: String, v: Int): DataFrame = {
     // ONE record read serves the manifest AND the sizing fields below
     val rec = recOpt(spark, root, v).getOrElse(
@@ -1540,10 +1581,20 @@ object Versioned {
       } catch { case _: NumberFormatException => -1L }
     if (thresh <= 0) return df
     val known = parseDirRows(rec)
-    if (!dirs.forall(known.contains)) return df
-    val rows = dirs.map(known).sum - dirs.flatMap(parseDvRows(rec).get).sum
-    val width = math.max(8, df.schema.defaultSize)
-    if (rows >= 0 && rows * width.toLong <= thresh) df.hint("broadcast") else df
+    val bytes = parseDirBytes(rec)
+    if (!dirs.forall(d => known.contains(d) && bytes.contains(d))) return df
+    // LIVE bytes = recorded on-disk bytes scaled by the live-row fraction
+    // (deletion vectors kill rows without touching files).  Real file
+    // bytes, not a schema-width guess: rows × defaultSize prices a
+    // multi-KB text column at 20 bytes and would force-broadcast
+    // gigabytes.  Compressed parquet bytes is the same currency
+    // Catalyst's own file-size estimate uses for this threshold.
+    val total = dirs.map(known).sum
+    val live = total - dirs.flatMap(parseDvRows(rec).get).sum
+    val estBytes =
+      if (total <= 0 || live < 0) Long.MaxValue
+      else (dirs.map(bytes).sum.toDouble * live / total).toLong
+    if (estBytes <= thresh) df.hint("broadcast") else df
   }
 
   /** Zone-map-pruned range read: `statsCol BETWEEN lo AND hi` over
@@ -1892,6 +1943,10 @@ object Versioned {
     val rowEntries = dirs.flatMap(d => rows.get(d).map(n => s""""${remap(d)}":$n"""))
     val rowsJson =
       if (rowEntries.isEmpty) "" else s""","rows":{${rowEntries.mkString(",")}}"""
+    val byt = parseDirBytes(vt)
+    val byteEntries = dirs.flatMap(d => byt.get(d).map(n => s""""${remap(d)}":$n"""))
+    val bytesJson =
+      if (byteEntries.isEmpty) "" else s""","bytes":{${byteEntries.mkString(",")}}"""
     val sumJson = parseSumCol(vt).map { mc =>
       val sums = parseDirSums(vt)
       val entries = dirs.flatMap(d => sums.get(d).map(n => s""""${remap(d)}":$n"""))
@@ -1928,7 +1983,7 @@ object Versioned {
         s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
       }
     }
-    s"$statsJson$rowsJson$sumJson$bloomJson$altersJson$checksJson$dvJson"
+    s"$statsJson$rowsJson$bytesJson$sumJson$bloomJson$altersJson$checksJson$dvJson"
   }
 
   def cloneAt(spark: SparkSession, srcRoot: String, dstRoot: String, v: Int): Int = {
@@ -1978,11 +2033,16 @@ object Versioned {
     * surviving versions are untouched (their dirs are all retained); at
     * 100 TB this is the storage-reclaim knob that makes copy-on-write
     * snapshots affordable. */
-  def vacuum(spark: SparkSession, root: String, keep: Int): Unit = {
+  def vacuum(spark: SparkSession, root: String, keep: Int,
+      floorCap: Int = Int.MaxValue): Unit = {
     require(keep >= 1, "must keep at least the head version")
     val head = currentVersion(spark, root)
     if (head == 0) return
-    val floor = math.max(1, head - keep + 1)
+    // floorCap pins a version ABSOLUTELY (TxnCatalog.vacuumMember):
+    // computing a keep-count from a head read OUTSIDE this method races
+    // with concurrent commits — the head re-resolved here could have
+    // advanced, shifting a count-based floor past the pin
+    val floor = math.min(math.max(1, head - keep + 1), floorCap)
     // delete sidecars are manifest state too: a surviving version's dv
     // entries reference them, so they live exactly as long as a record
     // pointing at them does.  Branch refs under refs/ pin parent dirs:

@@ -272,4 +272,44 @@ class BranchSpec extends AnyFunSuite {
         s"round $round lost rows")
     }
   }
+
+  test("a crashed create's stub refuses re-create until deleted explicitly") {
+    val root = newRoot()
+    Versioned.commit(spark, root, (1L to 3L).toDF("id"))
+    // simulate the crash: a fork pointer exists, no log ever landed
+    val stub = new org.apache.hadoop.fs.Path(s"$root/refs/exp/fork.json")
+    val f = Versioned.fs(spark, stub)
+    val out = f.create(stub, false)
+    try out.write("""{"srcVersion":1}""".getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalStateException] { Branches.create(spark, root, "exp") }
+    assert(e.getMessage.contains("crashed create"))
+    Branches.delete(spark, root, "exp")
+    Branches.create(spark, root, "exp")
+    assert(Branches.forkVersion(spark, root, "exp") == 1)
+  }
+
+  test("an interrupted rebase is refused by merge and healed by rebase") {
+    val root = newRoot()
+    Versioned.commit(spark, root, (1L to 10L).toDF("id"))
+    Branches.create(spark, root, "exp")
+    val b = s"$root/refs/exp"
+    Versioned.commitAppend(spark, b, Seq(100L).toDF("id"))
+    Versioned.commitDeleteMOR(spark, b, col("id") === 3L)
+    Versioned.commitAppend(spark, root, Seq(200L).toDF("id"))
+    Branches.rebase(spark, root, "exp")
+    // simulate a crash BEFORE the final pointer write: re-arm the intent
+    // with the ORIGINAL fork state (what a real crash would leave)
+    val ptr = new org.apache.hadoop.fs.Path(s"$b/fork.json")
+    val f = Versioned.fs(spark, ptr)
+    val out = f.create(ptr, true)
+    try out.write(
+      """{"srcVersion":1,"forkLocalV":1,"rebasing":{"src":2,"preHead":3}}"""
+        .getBytes("UTF-8")) finally out.close()
+    val e = intercept[Branches.MergeConflict] { Branches.merge(spark, root, "exp") }
+    assert(e.getMessage.contains("interrupted rebase"))
+    // heal: rebase restarts from preHead, supersedes the orphans
+    Branches.rebase(spark, root, "exp")
+    Branches.merge(spark, root, "exp")
+    assert(ids(root) == ((1L to 10L).filterNot(_ == 3L) ++ Seq(100L, 200L)).sorted)
+  }
 }

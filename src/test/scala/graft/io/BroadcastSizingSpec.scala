@@ -63,6 +63,27 @@ class BroadcastSizingSpec extends AnyFunSuite {
     }
   }
 
+  test("wide rows are sized by real bytes, not schema width: no forced broadcast") {
+    val root = newRoot()
+    // 2000 live rows of ~2KB incompressible text: a schema-width guess
+    // (20 B/string) would call this 56 KB and force-broadcast ~4 MB
+    val wide = spark.range(2000).select(col("id").as("k"),
+      concat((0 until 64).map(i => md5((col("id") * 100 + i).cast("string"))): _*).as("body"))
+    Versioned.commit(spark, root, wide)
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "1048576") {
+      // fact big enough that Catalyst won't broadcast IT either (its own
+      // static estimate > threshold): the join shape then isolates the
+      // dim-side decision
+      val fact = spark.range(2000000).select((col("id") % 2000L).as("k"))
+      val j = fact.join(Versioned.readAt(spark, root, 1), "k")
+      j.collect()
+      assert(j.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        "real on-disk bytes over the threshold must refuse the hint")
+    }
+  }
+
   test("a dim over the live-size threshold does not get the hint") {
     val root = newRoot()
     Versioned.commit(spark, root, spark.range(300000).select(col("id").as("k"),

@@ -32,7 +32,7 @@ class TxnCatalogSpec extends AnyFunSuite {
     assert(TxnCatalog.readTable(spark, cat, "b").as[Long].head() == 10L)
     // the next full transaction supersedes the orphan: its member commit
     // lands ON TOP of the orphaned version (append composes), one fence
-    TxnCatalog.commitAtomic(spark, cat, Map(
+    TxnCatalog.commitAtomic(spark, cat, Seq(
       "a" -> (s => Versioned.commitAppend(s, ra, (21L to 25L).toDF("id"))),
       "b" -> (s => Versioned.commit(s, rb,
         Seq(Versioned.countAt(s, ra, Versioned.currentVersion(s, ra))).toDF("n")))))
@@ -49,10 +49,10 @@ class TxnCatalogSpec extends AnyFunSuite {
       Versioned.commit(spark, rb, Seq(1L).toDF("id"))
       TxnCatalog.create(spark, cat, Map("a" -> ra, "b" -> rb))
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-      val t1 = new Thread(() => try TxnCatalog.commitAtomic(spark, cat, Map(
+      val t1 = new Thread(() => try TxnCatalog.commitAtomic(spark, cat, Seq(
         "a" -> (s => Versioned.commitAppend(s, ra, Seq(2L).toDF("id")))))
         catch { case e: Throwable => errs.add(e) })
-      val t2 = new Thread(() => try TxnCatalog.commitAtomic(spark, cat, Map(
+      val t2 = new Thread(() => try TxnCatalog.commitAtomic(spark, cat, Seq(
         "b" -> (s => Versioned.commitAppend(s, rb, Seq(2L).toDF("id")))))
         catch { case e: Throwable => errs.add(e) })
       t1.start(); t2.start(); t1.join(); t2.join()
@@ -69,12 +69,12 @@ class TxnCatalogSpec extends AnyFunSuite {
     Versioned.commit(spark, ra, Seq(1L).toDF("id"))
     Versioned.commit(spark, rb, Seq(1L).toDF("id"))
     TxnCatalog.create(spark, cat, Map("a" -> ra, "b" -> rb))
-    TxnCatalog.commitAtomic(spark, cat, Map(
+    TxnCatalog.commitAtomic(spark, cat, Seq(
       "a" -> (s => Versioned.commitAppend(s, ra, Seq(2L).toDF("id")))))
     val v2 = Versioned.currentVersion(spark, ra) // = 2, pinned
     // a transaction claiming an OLD version for 'a' must refuse
     intercept[TxnCatalog.TxnConflict] {
-      TxnCatalog.commitAtomic(spark, cat, Map("a" -> (_ => v2)))
+      TxnCatalog.commitAtomic(spark, cat, Seq("a" -> (_ => v2)))
     }
   }
 
@@ -83,7 +83,7 @@ class TxnCatalogSpec extends AnyFunSuite {
     Versioned.commit(spark, ra, Seq(1L).toDF("id"))
     TxnCatalog.create(spark, cat, Map("a" -> ra))
     intercept[IllegalArgumentException] {
-      TxnCatalog.commitAtomic(spark, cat, Map("zz" -> (_ => 1)))
+      TxnCatalog.commitAtomic(spark, cat, Seq("zz" -> (_ => 1)))
     }
     intercept[Exception] { TxnCatalog.create(spark, cat, Map("a" -> ra)) }
     intercept[IllegalArgumentException] {
@@ -102,7 +102,7 @@ class TxnCatalogSpec extends AnyFunSuite {
     // reclaimed v1's record)
     assert(TxnCatalog.readTable(spark, cat, "a").count() == 5)
     // and after the catalog catches up, normal retention applies
-    TxnCatalog.commitAtomic(spark, cat, Map(
+    TxnCatalog.commitAtomic(spark, cat, Seq(
       "a" -> (s => Versioned.commitAppend(s, ra, Seq(999L).toDF("id")))))
     TxnCatalog.vacuumMember(spark, cat, "a", keep = 1)
     assert(TxnCatalog.readTable(spark, cat, "a").count() == 9)
