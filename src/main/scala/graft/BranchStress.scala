@@ -59,6 +59,36 @@ object BranchStress {
       Versioned.readRange(spark, root, vm, nDirs * rows + 1, nDirs * rows + 100).count())
     assert(got == 100, s"range read got $got")
     println(f"post-merge pruned range read: $tRange%.3f s")
+
+    // REBASE law: a diverged branch (own appends + a MOR delete) replayed
+    // onto a moved wide main must cost O(branch delta + manifests), never
+    // O(main's data)
+    Branches.create(spark, root, "exp2")
+    val b2 = s"$root/refs/exp2"
+    Versioned.commitAppend(spark, b2,
+      spark.range(-3 * rows, -2 * rows).select(col("id"), (col("id") % 97).as("v")))
+    Versioned.commitDeleteMOR(spark, b2, col("id") === 5L)
+    Versioned.commitAppend(spark, root,
+      spark.range(-2 * rows, -rows).select(col("id"), (col("id") % 97).as("v")))
+    val (_, tRebase) = time(Branches.rebase(spark, root, "exp2"))
+    val (_, tMerge2) = time(Branches.merge(spark, root, "exp2"))
+    println(f"rebase (1 append dir + 1 DV delta onto ${mainDirs + 5}-dir main): " +
+      f"$tRebase%.3f s; snapshot merge: $tMerge2%.3f s")
+
+    // TXN law: a catalog fence over two members is one metadata record on
+    // top of the member commits
+    val cat = s"/tmp/graft_branch_stress/cat-${java.util.UUID.randomUUID()}"
+    val mv = s"/tmp/graft_branch_stress/mv-${java.util.UUID.randomUUID()}"
+    Versioned.commit(spark, mv, spark.range(1).select(col("id")))
+    graft.io.TxnCatalog.create(spark, cat, Map("t" -> root, "m" -> mv))
+    val (_, tTxn) = time(graft.io.TxnCatalog.commitAtomic(spark, cat, Seq(
+      "t" -> (s => Versioned.commitAppend(s, root,
+        spark.range(-4 * rows, -3 * rows).select(col("id"), (col("id") % 97).as("v")))),
+      "m" -> (s => Versioned.commit(s, mv, spark.range(1).select(col("id")))))))
+    val (_, tMember) = time(Versioned.commitAppend(spark, root,
+      spark.range(-5 * rows, -4 * rows).select(col("id"), (col("id") % 97).as("v"))))
+    println(f"atomic 2-table txn: $tTxn%.3f s vs bare member commit $tMember%.3f s " +
+      f"(fence overhead ${tTxn - tMember}%.3f s)")
     spark.stop()
   }
 }

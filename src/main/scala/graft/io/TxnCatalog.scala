@@ -120,6 +120,31 @@ object TxnCatalog {
     (root, pin)
   }
 
+  /** CROSS-TABLE time travel: member `name` as pinned by catalog
+    * version `catV` — "the data AND its MV exactly as transaction N
+    * left them", which per-table `AS OF` cannot express (the tables'
+    * own version numbers advance independently, orphans included).
+    * Subject to member retention: vacuum members with [[vacuumMember]]
+    * or keep windows covering the catalog history you query. */
+  def readTableAt(spark: SparkSession, cat: String, name: String,
+      catV: Int): DataFrame = {
+    val root = tablesOf(spark, cat).getOrElse(name,
+      throw new IllegalArgumentException(s"catalog $cat has no table '$name'"))
+    val pin = pinsAt(spark, cat, catV).getOrElse(name,
+      throw new IllegalStateException(
+        s"catalog $cat v$catV pins no version for '$name'"))
+    require(pin >= 1, s"table '$name' had no catalog-visible version at catalog v$catV")
+    Versioned.readAt(spark, root, pin)
+  }
+
+  /** The catalog's transaction history: (catalog version, pin map),
+    * newest first — each row is one atomic cross-table state. */
+  def history(spark: SparkSession, cat: String): Seq[(Int, Map[String, Int])] = {
+    val catN = norm(cat)
+    val head = Versioned.currentVersion(spark, catN)
+    (head to 1 by -1).map(v => v -> pinsAt(spark, catN, v))
+  }
+
   /** Vacuum member `name` with retention FLOORED at its catalog pin —
     * the pin-safe sweep.  `Versioned.vacuum(keep = N)` counts back from
     * the member's own head, which may have advanced past the catalog's

@@ -107,4 +107,22 @@ class TxnCatalogSpec extends AnyFunSuite {
     TxnCatalog.vacuumMember(spark, cat, "a", keep = 1)
     assert(TxnCatalog.readTable(spark, cat, "a").count() == 9)
   }
+
+  test("cross-table time travel: each catalog version is one atomic state") {
+    val (cat, ra, rb) = pair()
+    Versioned.commit(spark, ra, (1L to 10L).toDF("id"))
+    Versioned.commit(spark, rb, Seq(10L).toDF("n"))
+    TxnCatalog.create(spark, cat, Map("a" -> ra, "b" -> rb)) // cat v1
+    TxnCatalog.commitAtomic(spark, cat, Seq(                 // cat v2
+      "a" -> (s => Versioned.commitAppend(s, ra, (11L to 15L).toDF("id"))),
+      "b" -> (s => Versioned.commit(s, rb, Seq(15L).toDF("n")))))
+    // v1's pair is still one consistent state, whatever the heads say
+    assert(TxnCatalog.readTableAt(spark, cat, "a", 1).count() == 10)
+    assert(TxnCatalog.readTableAt(spark, cat, "b", 1).as[Long].head() == 10L)
+    assert(TxnCatalog.readTableAt(spark, cat, "a", 2).count() == 15)
+    assert(TxnCatalog.readTableAt(spark, cat, "b", 2).as[Long].head() == 15L)
+    val h = TxnCatalog.history(spark, cat)
+    assert(h.map(_._1) == Seq(2, 1))
+    assert(h.head._2 == Map("a" -> 2, "b" -> 2))
+  }
 }
