@@ -172,4 +172,33 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(rows(VectorIndex.searchTopk(spark, root, vf)) ==
       rows(graft.llm.Similarity.bruteTopkOn(spark, v)))
   }
+
+  test("optimizeCells races an assigned append x3: exact either way") {
+    for (round <- 1 to 3) {
+      val root = newRoot()
+      VectorIndex.commitClustered(spark, root, clusteredCorpus()
+        .filter(col("vec_id") < 280), cells = 8)
+      VectorIndex.commitAppendAssigned(spark, root, clusteredCorpus()
+        .filter(col("vec_id") >= 280 && col("vec_id") < 340))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val t1 = new Thread(() =>
+        try VectorIndex.commitAppendAssigned(spark, root, clusteredCorpus()
+          .filter(col("vec_id") >= 340))
+        catch { case e: Throwable => errs.add(e) })
+      val t2 = new Thread(() =>
+        try VectorIndex.optimizeCells(spark, root) // may fold or abort-retry
+        catch { case e: Throwable => errs.add(e) })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(errs.isEmpty, s"round $round: $errs")
+      // whatever interleaved: nothing lost, search bit-exact, and a
+      // sequential optimize converges to the steady state
+      VectorIndex.optimizeCells(spark, root)
+      val v = Versioned.currentVersion(spark, root)
+      assert(Versioned.countAt(spark, root, v) == 400, s"round $round lost rows")
+      assert(rows(VectorIndex.searchTopk(spark, root, v)) ==
+        rows(graft.llm.Similarity.bruteTopkOn(spark,
+          Versioned.readAt(spark, root, v))), s"round $round inexact")
+      assert(VectorIndex.optimizeCells(spark, root).isEmpty, s"round $round steady")
+    }
+  }
 }
