@@ -44,7 +44,7 @@ object VersionedStress {
     val (n2, tReadCompacted) = time(
       Versioned.readAt(spark, root, head + 1).count())
     assert(n2 == n1)
-    Versioned.vacuum(spark, root, keep = 1)
+    Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
     val dirsLeft = new java.io.File(s"$root/data").listFiles().count(_.isDirectory)
     assert(dirsLeft == 1, s"vacuum left $dirsLeft dirs")
     println(f"VERSIONED compact ${tCompact}%.1f s, read compacted ${tReadCompacted}%.2f s, " +

@@ -386,6 +386,22 @@ object Branches {
       case Some(p) =>
         require(p >= fl && p <= bh0,
           s"corrupt rebase intent on branch '$name' (preHead $p outside [$fl,$bh0])")
+        // SUPERSEDE ONLY THE REBASE'S OWN ARTIFACTS: every version past
+        // preHead must carry the `rebaseSnap` stamp the two rebase
+        // publishes write.  An ORDINARY branch commit that landed while
+        // the intent was live (racing the crashed rebase, or made after
+        // the crash) is legitimate work — restarting from preHead would
+        // silently exclude it from the replay and the following merge
+        // would consume the branch, losing it permanently.  Refuse
+        // loudly instead: the operator folds the stray commit back
+        // (re-commit it on a fresh branch) or deletes it deliberately.
+        ((p + 1) to bh0).foreach { v =>
+          if (!Versioned.recordTextOf(spark, b, v).contains(""""rebaseSnap":true"""))
+            throw new IllegalStateException(
+              s"branch '$name' carries a non-rebase commit (v$v) made while a " +
+                s"rebase intent was live; healing would drop it — salvage v$v " +
+                s"manually before rebasing again")
+        }
         p
       case None => bh0
     }
@@ -435,20 +451,39 @@ object Branches {
     // INTENT first: any crash from here on is healed by the next rebase
     // restarting from preHead (see the healing block above); the old
     // srcVersion/forkLocalV ride along so the retry sees the same fork
+    val prevPointer = forkText(spark, root, name)
     writePointer(spark, b,
       s"""{"srcVersion":$forkV,"forkLocalV":$fl,"rebasing":{"src":$head,"preHead":$bh}}""")
 
     // publish 1: the clean fork snapshot of main@head — the cloneAt
-    // record, on the branch's own log
+    // record, on the branch's own log.  Both rebase publishes are
+    // stamped `"rebaseSnap":true` so the heal path can tell the rebase's
+    // own superseded artifacts from a legitimate branch commit that
+    // raced the intent (see the healing block above).
+    //
+    // A CLEAN IN-PROCESS FAILURE before anything was published (the
+    // h != bh0 guard firing on a racing branch commit, an IO error
+    // writing the record) must NOT leave the intent behind: the prior
+    // pointer state is known and nothing is on the log, so restore it —
+    // intent-based healing is reserved for real crashes, where the
+    // process died and no cleanup could run.  Once publish 1 has landed
+    // the intent MUST stay on failure: the snapshot record is already on
+    // the branch log, and only the heal path knows to supersede it.
     val abs: String => String = d => Versioned.dataPath(rootN, d)
     val carried = Versioned.carryFieldsOf(spark, rootN, head, mDirs, abs, abs)
     val ts = math.max(System.currentTimeMillis(), Versioned.tsOf(spark, b, bh0))
-    val vf = Versioned.publishRecord(spark, b,
-      h => {
-        if (h != bh0) throw new MergeConflict(
-          s"branch '$name' advanced during its rebase")
-        (mDirs.map(abs), s""","ts":$ts$carried""")
-      }).get
+    val vf =
+      try Versioned.publishRecord(spark, b,
+        h => {
+          if (h != bh0) throw new MergeConflict(
+            s"branch '$name' advanced during its rebase")
+          (mDirs.map(abs), s""","ts":$ts$carried,"rebaseSnap":true""")
+        }).get
+      catch { case e: Throwable =>
+        try writePointer(spark, b, prevPointer)
+        catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
+      }
 
     val merged: Int =
       if (added.isEmpty && deltas.isEmpty) vf
@@ -480,13 +515,24 @@ object Branches {
         }
         val dvAdd: Map[String, (Seq[String], Long)] = deltas ++
           added.flatMap(d => bDv.get(d).map(s => d -> (s, bDvRows.getOrElse(d, 0L))))
+        val snapAbs = mDirs.map(abs)
         Versioned.publishRecord(spark, b,
           h => {
-            if (h != vf) throw new MergeConflict(
-              s"branch '$name' advanced during its rebase")
-            val dirs = mDirs.map(abs) ++ added
-            (dirs, Versioned.extraFields(spark, b, h, dirs, None, "",
-              bStats, altersArg, bRows, bloomArg, dvAdd))
+            // h == vf in the quiet case.  h > vf means an ordinary
+            // branch commit landed BETWEEN the two rebase publishes — it
+            // read vf's manifest (the clean snapshot) as its parent, so
+            // appending the replayed delta to ITS manifest folds it in
+            // instead of wedging the branch: an append race costs
+            // nothing.  Only a mid-rebase REWRITE of snapshot dirs
+            // (which would orphan the delta's DV targets) still
+            // conflicts — the intent stays and the heal path surfaces it.
+            val baseDirs = Versioned.manifest(spark, b, h)
+            if (!snapAbs.forall(baseDirs.contains)) throw new MergeConflict(
+              s"branch '$name' rewrote the rebase snapshot mid-rebase; " +
+                "positional deltas cannot replay")
+            val dirs = baseDirs ++ added.filterNot(baseDirs.toSet)
+            (dirs, Versioned.extraFields(spark, b, h, dirs, None,
+              ""","rebaseSnap":true""", bStats, altersArg, bRows, bloomArg, dvAdd))
           }).get
       }
     // final pointer LAST: clearing the rebasing intent is the rebase's

@@ -50,25 +50,49 @@ object TxnCatalog {
     tables.keys.foreach(n => require(n.nonEmpty && n.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '-'), s"bad table name '$n'"))
     val catN = norm(cat)
-    val f = Versioned.fs(spark, tablesFile(cat))
-    require(!(f.exists(tablesFile(cat)) && Versioned.currentVersion(spark, catN) >= 1),
-      s"catalog $cat already exists")
-    // pin record FIRST, mapping file second: a crash between the two
-    // leaves a heal-able half (re-running create finishes the missing
-    // piece) instead of a wedged root — the reverse order made a torn
-    // create un-retryable (mapping present, no pins, create-once throw)
-    val pins = tables.map { case (n, r) => n -> Versioned.currentVersion(spark, r) }
-    val v =
-      if (Versioned.currentVersion(spark, catN) >= 1) Versioned.currentVersion(spark, catN)
-      else Versioned.publishRecord(spark, catN,
-        _ => (Seq.empty, s""","ts":${System.currentTimeMillis()}${pinsJson(pins)}""")).get
-    if (!f.exists(tablesFile(cat))) {
-      val out = f.create(tablesFile(cat), false)
-      val body = tables.toSeq.sortBy(_._1)
-        .map { case (n, r) => s""""$n":"${norm(r)}"""" }.mkString(",")
+    val tf = tablesFile(cat)
+    val f = Versioned.fs(spark, tf)
+    // ARBITRATE ON THE CREATE-ONCE MAPPING FILE FIRST: exactly one
+    // creator's table map can survive (`create(overwrite = false)` is
+    // the same no-overwrite primitive the log renames use), and the pin
+    // record is published only FOR the surviving map — two racing
+    // creators with different maps can no longer both land pin records
+    // (the old pins-first order let catalog v1 and v2 pin tables absent
+    // from whichever mapping file won).  A crash between the two halves
+    // stays heal-able: re-running create with the same map finds the
+    // mapping present and head 0, and publishes the missing pins.
+    val mine = tables.map { case (n, r) => n -> norm(r) }
+    if (!f.exists(tf)) {
+      val body = mine.toSeq.sortBy(_._1)
+        .map { case (n, r) => s""""$n":"$r"""" }.mkString(",")
+      val tmp = new org.apache.hadoop.fs.Path(s"$catN/.tables-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
       try out.write(s"{$body}".getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tf.toUri, spark.sparkContext.hadoopConfiguration)
+      try fc.rename(tmp, tf) // no-overwrite: the loser keeps the winner's map
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => f.delete(tmp, false)
+        case e: java.io.IOException => f.delete(tmp, false); throw e
+      }
     }
-    v
+    val won = tablesOf(spark, cat)
+    require(won == mine,
+      s"catalog $cat already exists with a different table map")
+    require(Versioned.currentVersion(spark, catN) == 0,
+      s"catalog $cat already exists")
+    // initial pins for the WINNING map — and the emptiness check re-runs
+    // INSIDE the publish arbitration (per retry against the re-resolved
+    // head), so a second creator racing this window aborts instead of
+    // stacking a duplicate pin record on v2
+    val pins = won.map { case (n, r) => n -> Versioned.currentVersion(spark, r) }
+    Versioned.publishRecord(spark, catN,
+      head => {
+        require(head == 0, s"catalog $cat already exists")
+        (Seq.empty, s""","ts":${System.currentTimeMillis()}${pinsJson(pins)}""")
+      },
+      abortIf = head => head >= 1)
+      .getOrElse(Versioned.currentVersion(spark, catN))
   }
 
   private def pinsJson(pins: Map[String, Int]): String =
@@ -154,12 +178,13 @@ object TxnCatalog {
     * `keep` so the pinned version always survives.  (Members also
     * written OUTSIDE this catalog inherit the clone-style retention
     * contract: keep sources within pin lifetimes.) */
-  def vacuumMember(spark: SparkSession, cat: String, name: String, keep: Int): Unit = {
+  def vacuumMember(spark: SparkSession, cat: String, name: String, keep: Int,
+      graceMs: Long = Versioned.VacuumGraceMs): Unit = {
     val (root, pin) = pinOf(spark, cat, name)
     // the cap (not a keep-count) makes this race-proof: however far the
     // head advances before vacuum re-resolves it, the retention floor
     // can never pass the pin
-    Versioned.vacuum(spark, root, keep, floorCap = pin)
+    Versioned.vacuum(spark, root, keep, floorCap = pin, graceMs = graceMs)
   }
 
   /** ONE atomic transaction: run each member's table-level commit (the

@@ -1564,7 +1564,16 @@ object Versioned {
     * union) would otherwise blind Catalyst's file-size estimate.  This
     * replays exactly the decision Catalyst would have made had it known
     * the true live size; with the threshold disabled (≤ 0) or any dir
-    * missing a count/bytes entry, no hint attaches. */
+    * missing a count/bytes entry, no hint attaches.
+    *
+    * CAVEAT — the hint binds to the PLAN BUILT ON TOP of this read, not
+    * to the scan: the nearest downstream join broadcasts whatever the
+    * frame has become by then, and an explode / wide projection / union
+    * stacked on the read can expand it far past the measured on-disk
+    * bytes — and a hint, unlike Catalyst's own estimate, is never
+    * demoted by AQE.  Consumers that transform the frame before joining
+    * should suppress the hint with the session conf
+    * `spark.graft.readAtBroadcastHint=false` (default true). */
   def readAt(spark: SparkSession, root: String, v: Int): DataFrame = {
     // ONE record read serves the manifest AND the sizing fields below
     val rec = recOpt(spark, root, v).getOrElse(
@@ -1580,6 +1589,11 @@ object Versioned {
         case s => s.toLong
       } catch { case _: NumberFormatException => -1L }
     if (thresh <= 0) return df
+    // opt-out for consumers that expand the frame before joining (see
+    // the scaladoc caveat): a forced-broadcast hint on an exploded read
+    // is an executor OOM AQE cannot demote its way out of
+    if (!spark.conf.get("spark.graft.readAtBroadcastHint", "true").toBoolean)
+      return df
     val known = parseDirRows(rec)
     val bytes = parseDirBytes(rec)
     if (!dirs.forall(d => known.contains(d) && bytes.contains(d))) return df
@@ -2025,6 +2039,15 @@ object Versioned {
     }).get
   }
 
+  /** Default staged-commit grace window for [[vacuum]] (ms).  Every
+    * commit stages its data dir BEFORE publishing the record that makes
+    * it referenced, so an unreferenced dir younger than the longest
+    * plausible stage-to-publish gap may be an IN-FLIGHT commit, not an
+    * orphan — reclaiming it would let the commit publish a manifest
+    * pointing at deleted data (the Delta/Iceberg file-retention
+    * discipline guards exactly this window). */
+  val VacuumGraceMs: Long = 20L * 60 * 1000
+
   /** Retention: keep the newest `keep` versions' manifests; delete older
     * log records and every data dir no surviving manifest references.
     * Data dirs are write-once, so the only deletable state is (a) log
@@ -2032,9 +2055,16 @@ object Versioned {
     * leftovers or dirs only historical manifests referenced.  Readers of
     * surviving versions are untouched (their dirs are all retained); at
     * 100 TB this is the storage-reclaim knob that makes copy-on-write
-    * snapshots affordable. */
+    * snapshots affordable.
+    *
+    * `graceMs` (default [[VacuumGraceMs]]) is the in-flight-commit
+    * shield: an unreferenced dir whose newest file landed within the
+    * window is SKIPPED — it may be a commit's staged data that has not
+    * published its record yet (stage-to-publish is seconds; the window
+    * is minutes).  Pass 0 only when no writer can be concurrent (tests,
+    * single-writer maintenance stops). */
   def vacuum(spark: SparkSession, root: String, keep: Int,
-      floorCap: Int = Int.MaxValue): Unit = {
+      floorCap: Int = Int.MaxValue, graceMs: Long = VacuumGraceMs): Unit = {
     require(keep >= 1, "must keep at least the head version")
     val head = currentVersion(spark, root)
     if (head == 0) return
@@ -2055,12 +2085,25 @@ object Versioned {
         Branches.pinnedByRefs(spark, root)
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
     val f = fs(spark, dataDir)
+    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+    // newest mtime anywhere under the dir tree: a clustered stage writes
+    // bucket subdirs, so the TOP dir's mtime stops moving once the last
+    // subdir is created — only the leaves tell when writing finished.
+    // Walked only for the (few) non-live candidates, never for live dirs.
+    def newest(p: org.apache.hadoop.fs.Path): Long = {
+      val kids = f.listStatus(p)
+      val own = f.getFileStatus(p).getModificationTime
+      val sub = kids.map(k =>
+        if (k.isDirectory) newest(k.getPath) else k.getModificationTime)
+      (sub :+ own).max
+    }
     if (f.exists(dataDir))
       f.listStatus(dataDir).foreach { st =>
         // a top-level dir is live if any surviving manifest references it
         // directly OR one of its clustered bucket subdirs ("data/<uuid>/_b=N")
         val rel = s"data/${st.getPath.getName}"
-        if (!live.contains(rel) && !live.exists(_.startsWith(s"$rel/")))
+        if (!live.contains(rel) && !live.exists(_.startsWith(s"$rel/")) &&
+            newest(st.getPath) < cutoff)
           f.delete(st.getPath, true)
       }
     val ld = logDir(root)
@@ -2078,13 +2121,14 @@ object Versioned {
     * monotone commit timestamps AS-OF reads resolve against, so a
     * readAsOf inside the retention window keeps working after the
     * sweep. */
-  def vacuumOlderThan(spark: SparkSession, root: String, ts: Long): Unit = {
+  def vacuumOlderThan(spark: SparkSession, root: String, ts: Long,
+      graceMs: Long = VacuumGraceMs): Unit = {
     val head = currentVersion(spark, root)
     if (head == 0) return
     // earlier sweeps may have reclaimed low log records — scan survivors
     val floor = (lowestVersion(spark, root, head) to head)
       .find(v => tsOf(spark, root, v) >= ts).getOrElse(head)
-    vacuum(spark, root, keep = head - floor + 1)
+    vacuum(spark, root, keep = head - floor + 1, graceMs = graceMs)
   }
 
   /** Exactly-once streaming ingest: append `df` as the commit for
@@ -2380,7 +2424,9 @@ object Versioned {
     Versioned.commitAppendClustered(spark, root, docs, "doc_id", buckets = 8)
     val pred = col("doc_id") % 7 === 0 || col("doc_id").between(260, 340)
     Versioned.commitUpdate(spark, root, pred, d => d.filter(!pred))
-    Versioned.vacuum(spark, root, keep = 1)
+    // graceMs = 0: single-writer in-query maintenance — no commit can be
+    // in flight, so the staged-dir shield may stand down
+    Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
     Versioned.readAt(spark, root, Versioned.currentVersion(spark, root))
   }
 

@@ -133,12 +133,12 @@ class BranchSpec extends AnyFunSuite {
     Branches.create(spark, root, "exp")
     // main rewrites history away from the forked dirs, then vacuums to 1
     Versioned.commit(spark, root, (50L to 60L).toDF("id"))
-    Versioned.vacuum(spark, root, keep = 1)
+    Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
     // branch still reads its fork snapshot: the pinned dirs survived
     assert(ids(s"$root/refs/exp") == (1L to 10L))
     // after the branch is dropped, the same vacuum reclaims them
     Branches.delete(spark, root, "exp")
-    Versioned.vacuum(spark, root, keep = 1)
+    Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
     val left = Versioned.fs(spark, dataDir).listStatus(dataDir).length
     assert(left == 1, s"expected only the head's dir to survive, found $left")
@@ -311,5 +311,67 @@ class BranchSpec extends AnyFunSuite {
     Branches.rebase(spark, root, "exp")
     Branches.merge(spark, root, "exp")
     assert(ids(root) == ((1L to 10L).filterNot(_ == 3L) ++ Seq(100L, 200L)).sorted)
+  }
+
+  test("heal refuses to supersede a non-rebase commit made under a live intent") {
+    val root = newRoot()
+    Versioned.commit(spark, root, (1L to 10L).toDF("id"))
+    Branches.create(spark, root, "exp")
+    val b = s"$root/refs/exp"
+    Versioned.commitAppend(spark, b, Seq(100L).toDF("id"))
+    Versioned.commitDeleteMOR(spark, b, col("id") === 3L)
+    Versioned.commitAppend(spark, root, Seq(200L).toDF("id"))
+    Branches.rebase(spark, root, "exp") // branch log now carries the marked snapshots
+    // simulate the crash before the final pointer: re-arm the intent
+    val ptr = new org.apache.hadoop.fs.Path(s"$b/fork.json")
+    val f = Versioned.fs(spark, ptr)
+    val out = f.create(ptr, true)
+    try out.write(
+      """{"srcVersion":1,"forkLocalV":1,"rebasing":{"src":2,"preHead":3}}"""
+        .getBytes("UTF-8")) finally out.close()
+    // a LEGITIMATE commit lands on the branch while the intent is live —
+    // restarting from preHead would silently drop it from the replay
+    Versioned.commitAppend(spark, b, Seq(400L).toDF("id"))
+    val e = intercept[IllegalStateException] { Branches.rebase(spark, root, "exp") }
+    assert(e.getMessage.contains("non-rebase commit"))
+    // ...while a crash whose later versions are ALL the rebase's own
+    // artifacts still heals (the original interrupted-rebase contract):
+    // covered by the test above; here the refusal left the branch intact
+    assert(ids(b).contains(400L))
+  }
+
+  test("rebase races a concurrent BRANCH commit x3: the commit is never lost") {
+    for (round <- 1 to 3) {
+      val root = newRoot()
+      Versioned.commit(spark, root, (1L to 10L).toDF("id"))
+      Branches.create(spark, root, "exp")
+      val b = s"$root/refs/exp"
+      Versioned.commitAppend(spark, b, Seq(100L).toDF("id"))
+      Versioned.commitAppend(spark, root, Seq(200L).toDF("id"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val t1 = new Thread(() =>
+        try Versioned.commitAppend(spark, b, Seq(300L + round).toDF("id"))
+        catch { case e: Throwable => errs.add(e) })
+      val t2 = new Thread(() =>
+        try Branches.rebase(spark, root, "exp")
+        catch { case e: Branches.MergeConflict => () // legal: clean in-process abort
+                case e: Throwable => errs.add(e) })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(errs.isEmpty, s"round $round: $errs")
+      // an in-process failure must have RESTORED the pointer (no wedged
+      // intent), and whatever the interleaving, one sequential rebase +
+      // merge must land main's append, the branch's work, AND the racer
+      val ptrTxt = {
+        val p = new org.apache.hadoop.fs.Path(s"$b/fork.json")
+        val in = Versioned.fs(spark, p).open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      assert(!ptrTxt.contains("rebasing"),
+        s"round $round: a clean in-process rebase failure left the intent armed")
+      Branches.rebase(spark, root, "exp")
+      Branches.merge(spark, root, "exp")
+      assert(ids(root) == ((1L to 10L) ++ Seq(100L, 200L, 300L + round)).sorted,
+        s"round $round lost rows")
+    }
   }
 }

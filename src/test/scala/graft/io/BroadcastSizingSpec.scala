@@ -100,4 +100,26 @@ class BroadcastSizingSpec extends AnyFunSuite {
         "an over-threshold live count must not force a broadcast")
     }
   }
+
+  test("spark.graft.readAtBroadcastHint=false suppresses the hint") {
+    val root = newRoot()
+    // tiny live set — WOULD be hinted (first test proves it); a consumer
+    // that explodes the frame before joining opts out so the forced
+    // broadcast cannot bind to the expanded plan
+    val dim = spark.range(300000).select(col("id").as("k"),
+      md5(col("id").cast("string")).as("p1"),
+      md5((col("id") + 7).cast("string")).as("p2"))
+    Versioned.commit(spark, root, dim)
+    val v = Versioned.commitDeleteMOR(spark, root, col("k") >= 400L)
+    val fact = spark.range(200000).select((col("id") % 400L).as("k"), col("id").as("m"))
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "1048576",
+      "spark.graft.readAtBroadcastHint" -> "false") {
+      val j = fact.join(Versioned.readAt(spark, root, v), "k")
+      j.collect()
+      assert(j.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        "the opt-out must leave the join to static sizing (shuffle)")
+    }
+  }
 }

@@ -128,7 +128,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration).getRawFileSystem
     // while a surviving manifest references them, vacuum must NOT reclaim
-    Versioned.vacuum(spark, root, keep = 1)
+    Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
     assert(sidecars.forall(s => fs.exists(new org.apache.hadoop.fs.Path(s"$root/$s"))))
     // live vectors veto the metadata min/max (extremum may be deleted)
     assert(Versioned.statsRangeAt(spark, root, 4).isEmpty)
@@ -141,7 +141,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(Versioned.readRange(spark, root, v, 100L, 200L).count() ==
       live.count(i => i >= 100 && i <= 200))
     // now nothing references the sidecars — vacuum reclaims them
-    Versioned.vacuum(spark, root, keep = 1)
+    Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
     assert(sidecars.forall(s => !fs.exists(new org.apache.hadoop.fs.Path(s"$root/$s"))))
   }
 

@@ -248,7 +248,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     // vacuum understands bucket-nested manifest entries: after a full
     // compaction only the fresh dir survives on disk
     Versioned.commit(spark, root, Versioned.readAt(spark, root, 2))
-    Versioned.vacuum(spark, root, keep = 1)
+    Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
     assert(new java.io.File(s"$root/data").listFiles().count(_.isDirectory) == 1)
     assert(Versioned.readAt(spark, root, 3).count() == 4001)
   }
@@ -300,7 +300,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(r.count() == 11)
     // old versions still readable until vacuum; vacuum then reclaims
     assert(Versioned.readAt(spark, root, 3).count() == 300)
-    Versioned.vacuum(spark, root, keep = 1)
+    Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
     assert(Versioned.readAt(spark, root, vC).count() == 600)
     intercept[Exception](Versioned.readAt(spark, root, 3).count())
   }
@@ -355,13 +355,13 @@ class IncrementalViewSpec extends AnyFunSuite {
     Thread.sleep(5)
     Versioned.commit(spark, root, Seq((2L, "b", 2L)).toDF("id", "k", "m"))
     Versioned.commitAppend(spark, root, Seq((3L, "c", 3L)).toDF("id", "k", "m"))
-    Versioned.vacuumOlderThan(spark, root, cut)
+    Versioned.vacuumOlderThan(spark, root, cut, graceMs = 0)
     // v2 and v3 are inside the window; v1 predates it and is reclaimed
     assert(Versioned.readAt(spark, root, 3).count() == 2)
     assert(Versioned.readAt(spark, root, 2).count() == 1)
     intercept[Exception](Versioned.readAt(spark, root, 1).count())
     // a cut in the future still keeps the head readable
-    Versioned.vacuumOlderThan(spark, root, System.currentTimeMillis() + 1000000)
+    Versioned.vacuumOlderThan(spark, root, System.currentTimeMillis() + 1000000, graceMs = 0)
     assert(Versioned.readAt(spark, root, 3).count() == 2)
     intercept[Exception](Versioned.readAt(spark, root, 2).count())
   }

@@ -107,7 +107,7 @@ class TableFeaturesSpec extends AnyFunSuite {
     assert(Versioned.readAt(spark, root, v).count() == 4000)
     // vacuum after compaction reclaims dir AND sidecar together
     Versioned.commit(spark, root, Versioned.readAt(spark, root, v))
-    Versioned.vacuum(spark, root, keep = 1)
+    Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val leftover = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
@@ -140,7 +140,7 @@ class TableFeaturesSpec extends AnyFunSuite {
     val merged = Versioned.readAt(spark, dst, 2).as[(Long, Long)].collect().toMap
     assert(merged(5L) == 999L && merged(2000L) == 1L && merged.size == 1001)
     // vacuum on the clone reclaims only ITS dirs; the source stays whole
-    Versioned.vacuum(spark, dst, keep = 1)
+    Versioned.vacuum(spark, dst, keep = 1, graceMs = 0)
     assert(Versioned.readAt(spark, dst, 2).count() == 1001)
     assert(Versioned.readAt(spark, src, 1).count() == 1000)
   }

@@ -82,7 +82,7 @@ class TextIndexSpec extends AnyFunSuite {
       corpus("d0", 20, Map(9L -> "quokka")), "text")
     TextIndex.commitAppendIndexed(spark, root, corpus("d1", 20, Map.empty), "text")
     Versioned.commitAppend(spark, root, Seq((500L, "plain")).toDF("id", "text"))
-    Versioned.vacuum(spark, root, keep = 1)
+    Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
     val v = Versioned.currentVersion(spark, root)
     assert(TextIndex.readToken(spark, root, v, "quokka")
       .select("id").as[Long].collect().toSeq == Seq(9L))

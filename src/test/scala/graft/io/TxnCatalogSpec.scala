@@ -91,20 +91,53 @@ class TxnCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("create arbitrates on the mapping file: a different map can never pin") {
+    val (cat, ra, rb) = pair()
+    Versioned.commit(spark, ra, Seq(1L).toDF("id"))
+    Versioned.commit(spark, rb, Seq(2L).toDF("id"))
+    TxnCatalog.create(spark, cat, Map("a" -> ra))
+    // a second creator with a DIFFERENT table map must refuse BEFORE
+    // publishing any pin record (the TOCTOU let it land catalog v2
+    // pinning tables absent from the surviving mapping file)
+    val e = intercept[IllegalArgumentException] {
+      TxnCatalog.create(spark, cat, Map("a" -> ra, "b" -> rb))
+    }
+    assert(e.getMessage.contains("different table map"))
+    assert(Versioned.currentVersion(spark, cat) == 1, "the loser published a pin record")
+    assert(TxnCatalog.pinsAt(spark, cat).keySet == Set("a"))
+  }
+
+  test("a torn create (mapping written, no pins) heals on retry with the same map") {
+    val (cat, ra, _) = pair()
+    Versioned.commit(spark, ra, Seq(1L).toDF("id"))
+    // simulate the crash between the two create halves: mapping file
+    // present, no pin record ever published
+    val tf = new org.apache.hadoop.fs.Path(s"$cat/tables.json")
+    val f = Versioned.fs(spark, tf)
+    val out = f.create(tf, false)
+    try out.write(s"""{"a":"$ra"}""".getBytes("UTF-8")) finally out.close()
+    assert(Versioned.currentVersion(spark, cat) == 0)
+    // same map: create finishes the missing half
+    assert(TxnCatalog.create(spark, cat, Map("a" -> ra)) == 1)
+    assert(TxnCatalog.readTable(spark, cat, "a").count() == 1)
+    // and a later duplicate create still refuses
+    intercept[Exception] { TxnCatalog.create(spark, cat, Map("a" -> ra)) }
+  }
+
   test("pin-safe vacuum keeps the pinned version while the head ran ahead") {
     val (cat, ra, rb) = pair()
     Versioned.commit(spark, ra, (1L to 5L).toDF("id"))
     TxnCatalog.create(spark, cat, Map("a" -> ra))
     // the member advances OUTSIDE the catalog: pin stays at 1
     (1 to 3).foreach(i => Versioned.commitAppend(spark, ra, Seq(100L + i).toDF("id")))
-    TxnCatalog.vacuumMember(spark, cat, "a", keep = 1)
+    TxnCatalog.vacuumMember(spark, cat, "a", keep = 1, graceMs = 0)
     // the pinned version must still read (keep=1 alone would have
     // reclaimed v1's record)
     assert(TxnCatalog.readTable(spark, cat, "a").count() == 5)
     // and after the catalog catches up, normal retention applies
     TxnCatalog.commitAtomic(spark, cat, Seq(
       "a" -> (s => Versioned.commitAppend(s, ra, Seq(999L).toDF("id")))))
-    TxnCatalog.vacuumMember(spark, cat, "a", keep = 1)
+    TxnCatalog.vacuumMember(spark, cat, "a", keep = 1, graceMs = 0)
     assert(TxnCatalog.readTable(spark, cat, "a").count() == 9)
   }
 

@@ -120,8 +120,19 @@ class VersionedModelSpec extends AnyFunSuite {
         .as[(Int, Option[Long], Int, Option[Long], Option[Long])].collect().sortBy(_._1)
       assert(h.map(_._1).toSeq == (1 to 15))
       assert(h.flatMap(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
-      // vacuum keeps the head exact and reclaims the rest
+      // a DEFAULT-GRACE vacuum is read-invisible over a live table: log
+      // records below the floor go, but every young data dir — all of
+      // them, the trace just wrote them — is shielded as a possible
+      // in-flight stage, so nothing is reclaimed and the head reads
+      // exactly (the vacuum-vs-commit race fix, traced end-to-end)
+      val dataDir = new java.io.File(s"$root/data")
+      val before = dataDir.listFiles().count(_.isDirectory)
       Versioned.vacuum(spark, root, keep = 1)
+      assert(dataDir.listFiles().count(_.isDirectory) == before,
+        s"trace $trace: default-grace vacuum reclaimed a young dir")
+      assert(readModel(root, 15) == model)
+      // the grace-0 sweep (single-writer stop) then reclaims for real
+      Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
       assert(readModel(root, 15) == model)
       intercept[Exception](Versioned.readAt(spark, root, checkpointVersion).count())
     }

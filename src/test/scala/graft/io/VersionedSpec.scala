@@ -66,7 +66,7 @@ class VersionedSpec extends AnyFunSuite {
     Versioned.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
     Versioned.commit(spark, root, Seq((2L, "b")).toDF("id", "s"))      // v2 full
     Versioned.commitAppend(spark, root, Seq((3L, "c")).toDF("id", "s")) // v3 = v2+new
-    Versioned.vacuum(spark, root, keep = 2)
+    Versioned.vacuum(spark, root, keep = 2, graceMs = 0)
     // v2 and v3 survive (v3 references v2's dir — still live), v1 is gone
     assert(Versioned.readAt(spark, root, 3)
       .as[(Long, String)].collect().sorted.toSeq == Seq((2L, "b"), (3L, "c")))
@@ -74,6 +74,39 @@ class VersionedSpec extends AnyFunSuite {
     intercept[Exception](Versioned.readAt(spark, root, 1).count())
     // v1's now-orphaned data dir was reclaimed: only the 2 live dirs remain
     assert(new java.io.File(s"$root/data").listFiles().count(_.isDirectory) == 2)
+  }
+
+  test("vacuum races in-flight commits x3: no staged dir reclaimed, no torn read") {
+    // every commit stages its data dir BEFORE publishing the record that
+    // makes it referenced; a vacuum sweeping that window used to reclaim
+    // the staged dir and the commit then published a manifest pointing at
+    // deleted data.  The grace window (default VacuumGraceMs) shields any
+    // unreferenced dir young enough to be an in-flight stage.
+    for (round <- 1 to 3) {
+      val root = newRoot()
+      Versioned.commit(spark, root, Seq((0L, "base")).toDF("id", "s"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val committer = new Thread(() =>
+        try (1 to 5).foreach(i =>
+          Versioned.commitAppend(spark, root,
+            Seq((round * 100L + i, s"r$round-$i")).toDF("id", "s")))
+        catch { case e: Throwable => errs.add(e) })
+      val sweeper = new Thread(() =>
+        try (1 to 8).foreach { _ =>
+          Versioned.vacuum(spark, root, keep = 1); Thread.sleep(20)
+        } catch { case e: Throwable => errs.add(e) })
+      committer.start(); sweeper.start(); committer.join(); sweeper.join()
+      assert(errs.isEmpty, s"round $round: $errs")
+      // no torn read: the head (and every version the final sweep's floor
+      // retained) reads its full row set — nothing a commit staged was lost
+      val head = Versioned.currentVersion(spark, root)
+      assert(head == 6, s"round $round: head=$head")
+      val got = Versioned.readAt(spark, root, head)
+        .as[(Long, String)].collect().map(_._1).sorted.toSeq
+      assert(got == (Seq(0L) ++ (1 to 5).map(round * 100L + _)).sorted,
+        s"round $round: torn read at head")
+      assert(Versioned.countAt(spark, root, head) == 6)
+    }
   }
 
   test("commitBatch fences micro-batch replays (exactly-once ingest)") {
@@ -155,7 +188,7 @@ class VersionedSpec extends AnyFunSuite {
     Versioned.commitBatch(spark, root, 0L, Seq((1L, "a")).toDF("id", "s"))
     Versioned.commitBatch(spark, root, 1L, Seq((2L, "b")).toDF("id", "s"))
     Versioned.commit(spark, root, Seq((9L, "z")).toDF("id", "s"))
-    Versioned.vacuum(spark, root, keep = 2) // reclaims v1's log record
+    Versioned.vacuum(spark, root, keep = 2, graceMs = 0) // reclaims v1's log record
     // history lists only surviving versions instead of crashing on v1
     val h = Versioned.history(spark, root).select("version")
       .as[Int].collect().sorted.toSeq
@@ -174,7 +207,7 @@ class VersionedSpec extends AnyFunSuite {
     // and after vacuuming past EVERY batch-fenced record, ingest degrades
     // to "no fence" instead of throwing on a reclaimed log record
     Versioned.commit(spark, root, Seq((8L, "y")).toDF("id", "s"))
-    Versioned.vacuum(spark, root, keep = 1)
+    Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
     assert(Versioned.lastBatchId(spark, root).isEmpty)
     assert(Versioned.commitBatch(spark, root, 0L,
       Seq((4L, "d")).toDF("id", "s")).isDefined)
