@@ -222,6 +222,30 @@ object Versioned {
   private[graft] def dirStats(spark: SparkSession, root: String, v: Int): Map[String, (Long, Long)] =
     recOpt(spark, root, v).map(parseDirStats).getOrElse(Map.empty)
 
+  private def parseStatsCols(txt: String): Seq[String] =
+    """"statsCols":\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+
+  /** The table's declared MULTI-COLUMN zone-map columns at version `v`
+    * (see [[commitDeclareStatsCols]]) — independent of (and composable
+    * with) the single clustered [[statsColOf]] column. */
+  private[graft] def statsColsOf(spark: SparkSession, root: String, v: Int): Seq[String] =
+    recOpt(spark, root, v).map(parseStatsCols).getOrElse(Seq.empty)
+
+  private def parseMstats(txt: String): Map[(String, String), (Long, Long)] =
+    """"mstats":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+      """"([^"|]+)\|([^"]+)":\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(m.group(1))
+        .map(x => (x.group(1), x.group(2)) -> (x.group(3).toLong, x.group(4).toLong))
+        .toMap
+    }.getOrElse(Map.empty)
+
+  /** Per-(column, dir) [min,max] entries of the multi-column zone map at
+    * version `v` (a (col, dir) pair with no entry is conservatively
+    * read by [[readRangeAll]]). */
+  private[graft] def dirMstats(spark: SparkSession, root: String,
+      v: Int): Map[(String, String), (Long, Long)] =
+    recOpt(spark, root, v).map(parseMstats).getOrElse(Map.empty)
+
   private def parseBloomCol(txt: String): Option[(String, Int)] =
     """"bloomCol":\s*"([^"]+)","bloomBits":\s*(\d+)""".r
       .findFirstMatchIn(txt).map(m => (m.group(1), m.group(2).toInt))
@@ -383,6 +407,41 @@ object Versioned {
     if (r.isNullAt(0) || r.getLong(2) > 0) None else Some((r.getLong(0), r.getLong(1)))
   }
 
+  /** Exact [min,max] of `colName` per dir, all `rels` in ONE batched
+    * narrow-column job (per-file extrema grouped driver-side — the
+    * sumsFor pattern; parquet aggregate pushdown usually answers the
+    * per-file leg from footers).  A dir lacking the column, holding a
+    * non-null value that fails the long cast, or entirely null yields
+    * no entry (conservative read). */
+  private def mstatsForCol(spark: SparkSession, root: String,
+      rels: Seq[String], colName: String): Map[String, (Long, Long)] = {
+    val ok = rels.filter(r =>
+      spark.read.parquet(dataPath(root, r)).columns.contains(colName))
+    if (ok.isEmpty) return Map.empty
+    val c = statsExpr(colName)
+    val perFile = spark.read.parquet(ok.map(dataPath(root, _)): _*)
+      .select(input_file_name().as("f"), c.as("v"),
+        statsBad(colName, c).as("bad"))
+      .groupBy(col("f"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(when(col("bad"), 1)).as("nbad"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))),
+        r.getLong(3)))
+    def combine(mine: Array[(String, Option[(Long, Long)], Long)]): Option[(Long, Long)] = {
+      val vals = mine.flatMap(_._2)
+      if (mine.exists(_._3 > 0) || vals.isEmpty) None
+      else Some((vals.map(_._1).min, vals.map(_._2).max))
+    }
+    // attribute each file to exactly one dir; on any mismatch fall back
+    // to per-dir jobs rather than recording silently-narrow bounds
+    if (perFile.exists(fc => !ok.exists(fileInDir(root, fc._1, _))))
+      ok.flatMap(d => statsFor(spark, root, d, colName).map(d -> _)).toMap
+    else ok.flatMap { d =>
+      combine(perFile.filter(fc => fileInDir(root, fc._1, d))).map(d -> _)
+    }.toMap
+  }
+
   /** The record fields beyond `dirs`: the monotone commit timestamp plus
     * — when this table keeps a zone map — the stats column and per-dir
     * [min,max] entries (parent entries reused verbatim for carried dirs,
@@ -395,7 +454,8 @@ object Versioned {
       blooms: Option[(String, Int, Map[String, String])] = None,
       dvAdd: Map[String, (Seq[String], Long)] = Map.empty,
       sumCol: Option[String] = None,
-      checksArg: Option[String] = None): String = {
+      checksArg: Option[String] = None,
+      statsColsArg: Option[Seq[String]] = None): String = {
     // ONE metadata read of the head record serves every carried field
     // below (12 reads collapsed to 1 — on an object store that is the
     // difference between 1 and 12 GETs per commit)
@@ -421,6 +481,28 @@ object Versioned {
       }
       s""","statsCol":"$c","stats":{${entries.mkString(",")}}"""
     }.getOrElse("")
+    // MULTI-COLUMN zone map: entries are keyed (column, dir), so a
+    // re-declaration that adds a column reuses the carried columns'
+    // entries verbatim and measures only the new column; a dropped
+    // column's entries simply stop being serialized.  New or rewritten
+    // dirs are measured for every declared column — one batched
+    // narrow-column job per column, never a job per dir — which is what
+    // keeps the map live across EVERY rewrite path (CoW, MERGE,
+    // compaction, OPTIMIZE) for free: they all publish through here.
+    val mcols = statsColsArg.getOrElse(ht.map(parseStatsCols).getOrElse(Seq.empty))
+    val mstatsJson = if (mcols.isEmpty) "" else {
+      val parentM = ht.map(parseMstats).getOrElse(Map.empty[(String, String), (Long, Long)])
+      val fresh: Map[(String, String), (Long, Long)] = mcols.flatMap { c =>
+        val missing = dirs.filterNot(d => parentM.contains((c, d)))
+        if (missing.isEmpty) Map.empty[(String, String), (Long, Long)]
+        else mstatsForCol(spark, root, missing, c).map { case (d, e) => (c, d) -> e }
+      }.toMap
+      val entries = for {
+        c <- mcols; d <- dirs
+        e <- parentM.get((c, d)).orElse(fresh.get((c, d)))
+      } yield s""""$c|$d":[${e._1},${e._2}]"""
+      s""","statsCols":"${mcols.mkString(",")}","mstats":{${entries.mkString(",")}}"""
+    }
     // per-dir row counts: parent entries carried verbatim, only new or
     // rewritten dirs counted — ALL missing dirs in ONE footer-only job
     // (per-file counts grouped driver-side), not a job per dir
@@ -529,7 +611,7 @@ object Versioned {
         val n = dvEntries.map { case (d, _, k) => s""""$d":$k""" }
         s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
       }
-    s""","ts":$ts$statsJson$rowsJson$bytesJson$sumJson$bloomJson$altersJson$checksJson$dvJson$more"""
+    s""","ts":$ts$statsJson$mstatsJson$rowsJson$bytesJson$sumJson$bloomJson$altersJson$checksJson$dvJson$more"""
   }
 
   private def parseChecksFrag(txt: String): Option[String] =
@@ -599,6 +681,83 @@ object Versioned {
         sumCol = Some(colName)))
     }).get
   }
+
+  /** Declare the table's MULTI-COLUMN zone map: per-dir [min,max] for
+    * EVERY column in `cols`, measured over all current dirs in one
+    * batched narrow-column job per column — after this commit, every
+    * later commit carries entries for carried dirs and measures only
+    * its new ones (every rewrite path re-measures its fresh dirs for
+    * free, so the map survives CoW/MERGE/compaction churn), and
+    * [[readRangeAll]] prunes on ANY declared column.  This is the
+    * single most common lakehouse pruning shape: real scans filter on
+    * several columns (`WHERE ship_date BETWEEN … AND qty < …`), and a
+    * one-column map leaves every other predicate scanning.
+    *
+    * Declarations are validated per publish retry (the declaration-
+    * style TOCTOU discipline): re-declaring may only EXTEND the set —
+    * carried entries are keyed (column, dir), so extension reuses them
+    * verbatim and measures just the new column.  Composable with (and
+    * independent of) the clustered single-column [[readRange]] map and
+    * the 2-D Morton map; columns must be long-castable (the same
+    * ANSI-safe measurement [[readRange]] uses). */
+  def commitDeclareStatsCols(spark: SparkSession, root: String,
+      cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "declare at least one zone-map column")
+    require(cols.distinct == cols, s"duplicate zone-map columns in $cols")
+    cols.foreach(c => require(
+      !c.contains("\"") && !c.contains("\\") && !c.contains("|") && !c.contains(","),
+      s"unsupported characters in column name $c"))
+    cols.foreach(c => require(Z2.findFirstIn(c).isEmpty,
+      s"Morton pseudo-columns belong to the clustered map (statsCol), not statsCols"))
+    publishRecord(spark, root, head => {
+      require(head > 0, s"no committed version at $root")
+      val prior = statsColsOf(spark, root, head)
+      require(prior.forall(cols.contains),
+        s"$root already keeps zone maps on $prior; re-declaring may only extend the set")
+      val dirs = manifest(spark, root, head)
+      (dirs, extraFields(spark, root, head, dirs, None, "",
+        statsColsArg = Some(cols)))
+    }).get
+  }
+
+  /** Zone-map-pruned MULTI-PREDICATE range read: the conjunction of
+    * `col BETWEEN lo AND hi` over version `v`, reading ONLY the dirs no
+    * predicate's per-dir [min,max] entry can rule out — driver-side
+    * manifest metadata, zero file listing for pruned dirs, exactly like
+    * [[readRange]] but on ANY combination of declared columns (each
+    * predicate's column must be in [[commitDeclareStatsCols]]'s set, or
+    * be the table's clustered statsCol).  Pruning intersects: a dir
+    * survives only if EVERY predicate's range overlaps its entry, so a
+    * two-predicate probe over a layout tight on both columns prunes
+    * multiplicatively.  The row filter is still applied, so the result
+    * is correct whatever the map prunes. */
+  def readRangeAll(spark: SparkSession, root: String, v: Int,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "readRangeAll needs at least one predicate")
+    val declared = statsColsOf(spark, root, v)
+    val legacy = statsColOf(spark, root, v).filter(c => Z2.findFirstIn(c).isEmpty)
+    preds.foreach { case (c, _, _) =>
+      require(declared.contains(c) || legacy.contains(c),
+        s"$root declares no zone map on $c; commitDeclareStatsCols first") }
+    val m = dirMstats(spark, root, v)
+    val st = dirStats(spark, root, v)
+    val keep = manifest(spark, root, v).filter(d => preds.forall { case (c, lo, hi) =>
+      val e = if (declared.contains(c)) m.get((c, d)) else st.get(d)
+      e.forall { case (a, b) => b >= lo && a <= hi }
+    })
+    val base =
+      if (keep.isEmpty) readAt(spark, root, v).limit(0)
+      else readDirs(spark, root, v, keep)
+    // same ANSI-safe cast the map was measured with (see readRange)
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(tryLong(c).between(lo, hi))
+    }
+  }
+
+  /** Single-predicate [[readRangeAll]] on any declared column. */
+  def readRangeOn(spark: SparkSession, root: String, v: Int,
+      colName: String, lo: Long, hi: Long): DataFrame =
+    readRangeAll(spark, root, v, Seq((colName, lo, hi)))
 
   /** `SELECT sum(sumCol)` at version `v` from manifest METADATA — zero
     * data I/O.  None (callers fall back to the scan) when no sum column
@@ -1953,6 +2112,14 @@ object Versioned {
         st.get(d).map { case (a, b) => s""""${remap(d)}":[$a,$b]""" })
       s""","statsCol":"$c","stats":{${entries.mkString(",")}}"""
     }.getOrElse("")
+    val mcols = parseStatsCols(vt)
+    val mstatsJson = if (mcols.isEmpty) "" else {
+      val m = parseMstats(vt)
+      val entries = for {
+        c <- mcols; d <- dirs; e <- m.get((c, d))
+      } yield s""""$c|${remap(d)}":[${e._1},${e._2}]"""
+      s""","statsCols":"${mcols.mkString(",")}","mstats":{${entries.mkString(",")}}"""
+    }
     val rows = parseDirRows(vt)
     val rowEntries = dirs.flatMap(d => rows.get(d).map(n => s""""${remap(d)}":$n"""))
     val rowsJson =
@@ -1997,7 +2164,7 @@ object Versioned {
         s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
       }
     }
-    s"$statsJson$rowsJson$bytesJson$sumJson$bloomJson$altersJson$checksJson$dvJson"
+    s"$statsJson$mstatsJson$rowsJson$bytesJson$sumJson$bloomJson$altersJson$checksJson$dvJson"
   }
 
   def cloneAt(spark: SparkSession, srcRoot: String, dstRoot: String, v: Int): Int = {
@@ -2764,8 +2931,44 @@ object Versioned {
     Versioned.readAt(spark, dst, vc)
   }
 
+  /** Judged query: the MULTI-COLUMN zone-map path.  Ingest arrives in
+    * doc_id windows, and within each window short and long documents
+    * land as separate batches (the realistic multi-source shape), so
+    * every dir is tight on BOTH columns; `commitDeclareStatsCols`
+    * measures the current dirs once, and the two-predicate
+    * [[readRangeAll]] prunes the manifest on the conjunction — the
+    * in-query assertion pins that the SECOND predicate prunes dirs the
+    * doc_id map alone must keep.  Oracle = the plain two-predicate
+    * filter: pruning must never change rows. */
+  val tableZonemapMulti: graft.GraftQuery = graft.GraftQuery("q_table_zonemap_multi",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id >= 100 AND doc_id <= 240
+      |  AND n_chars >= 150 AND n_chars <= 290""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val w = maxId / 4 + 1
+    for (win <- 0L until 4L; short <- Seq(true, false)) {
+      val slice = docs.filter(col("doc_id") >= win * w && col("doc_id") < (win + 1) * w)
+        .filter(if (short) col("n_chars") < 300 else col("n_chars") >= 300)
+      Versioned.commitAppend(spark, root, slice)
+    }
+    val v = Versioned.commitDeclareStatsCols(spark, root, Seq("doc_id", "n_chars"))
+    val pruned = Versioned.readRangeAll(spark, root, v,
+      Seq(("doc_id", 100L, 240L), ("n_chars", 150L, 290L)))
+    def dirsRead(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(f => f.split("/").dropRight(1).mkString("/")).distinct.length
+    val idOnly = Versioned.readRangeAll(spark, root, v, Seq(("doc_id", 100L, 240L)))
+      .filter(col("n_chars").between(150, 290))
+    require(dirsRead(pruned) < dirsRead(idOnly),
+      s"the second predicate must prune dirs the doc_id map keeps " +
+        s"(${dirsRead(pruned)} vs ${dirsRead(idOnly)})")
+    pruned
+  }
+
   val all: Seq[graft.GraftQuery] =
-    Seq(tableDiff, tableZonemap, tableMerge, tableMergeMor,
+    Seq(tableDiff, tableZonemap, tableZonemapMulti, tableMerge, tableMergeMor,
       tableStreamIngest, tableSchemaEvolution, tableSchemaRenameDrop,
       tableDelete, tableDeleteMor, tableRestore, tableAsOf,
       tableOptimize, tableOptimizeSmall, tableRowCounts, tableWap,
