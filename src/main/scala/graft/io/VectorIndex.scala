@@ -47,6 +47,12 @@ object VectorIndex {
       "vector table needs (vec_id, qv, nrm)")
     require(!base.columns.contains("_c"),
       "column _c collides with the cell partitioner")
+    require(!base.columns.contains("cell"),
+      "column cell collides with the assignment")
+    // PAYLOAD columns (label, lang, ts, ...) ride along into the cell
+    // dirs untouched — what makes FILTERED kNN (see searchTopkFor's
+    // pred) answerable inside the per-cell scan instead of by
+    // over-fetching and post-filtering
     val b = base.select(col("vec_id"), col("qv"), col("nrm"))
     // train on a bounded sample, assign the full corpus in one map pass
     // AGAINST THE FINAL centroids — the sidecar bounds below are measured
@@ -55,7 +61,7 @@ object VectorIndex {
       graft.llm.Similarity.trainSample(b), cells, iters)
     val assigned = graft.llm.Similarity.assignCells(b, cent)
       .select(col("vec_id"), col("cell"))
-    val rows = b.join(assigned, "vec_id")
+    val rows = base.join(assigned, "vec_id")
     val (rels, rowsMap) = writeAssigned(spark, root, rows, cent)
     Versioned.publish(spark, root, _ => rels, precomputedRows = rowsMap)
   }
@@ -131,10 +137,12 @@ object VectorIndex {
     val centDf = cents.zipWithIndex
       .map { case ((cv, cnrm), i) => (i.toLong, cv, cnrm) }
       .toDF("cell", "cv", "cnrm")
+    require(!batch.columns.contains("_c") && !batch.columns.contains("cell"),
+      "columns _c/cell collide with the cell partitioner")
     val b = batch.select(col("vec_id"), col("qv"), col("nrm"))
     val assigned = graft.llm.Similarity.assignCells(b, centDf)
       .select(col("vec_id"), col("cell"))
-    val rows = b.join(assigned, "vec_id")
+    val rows = batch.join(assigned, "vec_id") // payload columns ride along
     val (rels, rowsMap) = writeAssigned(spark, root, rows, centDf)
     Versioned.publish(spark, root, h =>
       (if (h == 0) Seq.empty else Versioned.manifest(spark, root, h)) ++ rels,
@@ -193,9 +201,10 @@ object VectorIndex {
     val rows =
       if (orphans.nonEmpty) {
         // full re-land: nearest-centroid assignment in one map pass
-        val b = Versioned.readDirs(spark, root, head0, fold)
-          .select(col("vec_id"), col("qv"), col("nrm"))
-        b.join(graft.llm.Similarity.assignCells(b, centDf)
+        // (payload columns ride the fold untouched)
+        val full = Versioned.readDirs(spark, root, head0, fold)
+        val b = full.select(col("vec_id"), col("qv"), col("nrm"))
+        full.join(graft.llm.Similarity.assignCells(b, centDf)
           .select(col("vec_id"), col("cell")), "vec_id")
       } else
         // accretion fold: rows keep their dir's cell — nothing moves
@@ -205,7 +214,6 @@ object VectorIndex {
         // per-dir union would blow up the plan on the driver.
         multi.map { case (cv, g) =>
           Versioned.readDirs(spark, root, head0, g.map(_._1))
-            .select(col("vec_id"), col("qv"), col("nrm"))
             .withColumn("cell", lit(cellOf(cv)))
         }.reduce(_.unionByName(_))
     val (rels, rowsMap) = writeAssigned(spark, root, rows, centDf)
@@ -250,20 +258,34 @@ object VectorIndex {
     * angular bounds cannot rule out.  Output (qid, nid, rn, sim) equals
     * the brute-force scan bit-for-bit. */
   def searchTopk(spark: SparkSession, root: String, v: Int,
-      k: Int = 5, nQueries: Int = 10): DataFrame = {
+      k: Int = 5, nQueries: Int = 10,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val queries = Versioned.readAt(spark, root, v)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("qv"), col("nrm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
-    searchTopkFor(spark, root, v, queries, k)
+    searchTopkFor(spark, root, v, queries, k, pred)
   }
 
   /** [[searchTopk]] with caller-supplied query vectors — the deployment
     * shape (queries rarely live in the corpus), and what the bounded
-    * phases cost without the convention's query-row scan. */
+    * phases cost without the convention's query-row scan.
+    *
+    * FILTERED kNN: `pred` is a row predicate over the corpus table's
+    * columns (the payload columns [[commitClustered]] carries — "top-k
+    * neighbors WHERE lang = 'en'", the RAG staple), applied INSIDE each
+    * per-cell scan BEFORE the kth-best floor is taken.  Exactness is
+    * untouched: a cell's angular upper bound holds for every member, so
+    * it holds for the filtered subset, and a floor measured on filtered
+    * rows is only ever LOWER than the unfiltered one — pruning stays
+    * conservative.  An under-filled promising cell (fewer than k
+    * matches) leaves its query's floor at -2, so every other cell
+    * survives the bound test and the search WIDENS instead of returning
+    * short — post-filtering a fixed over-fetch cannot promise that. */
   def searchTopkFor(spark: SparkSession, root: String, v: Int,
-      queries: Array[(Long, Array[Long], Double)], k: Int = 5): DataFrame = {
+      queries: Array[(Long, Array[Long], Double)], k: Int = 5,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val dirs = Versioned.manifest(spark, root, v)
     val metas: Map[String, Option[Meta]] =
       dirs.map(d => d -> metaOf(spark, root, d)).toMap
@@ -273,7 +295,8 @@ object VectorIndex {
       .toDF("qid", "qq", "qn"))
 
     def topkOver(ds: Seq[String]): DataFrame = {
-      val base = Versioned.readDirs(spark, root, v, ds)
+      val scanned = Versioned.readDirs(spark, root, v, ds)
+      val base = pred.map(scanned.filter).getOrElse(scanned)
         .select(col("vec_id"), col("qv"), col("nrm"))
       val sim = vecDot(spark, col("qq"), col("qv")).cast(DoubleType) /
         (sqrt(col("qn")) * sqrt(col("nrm")))
@@ -428,5 +451,35 @@ object VectorIndex {
     out
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableKnnExact, tableKnnIncr, tableKnnOptimize)
+  /** Judged query: FILTERED exact kNN — "top-k neighbors WHERE label=1",
+    * the RAG-retrieval staple.  The corpus lands clustered WITH its
+    * payload column; the predicate is applied inside each per-cell scan
+    * BEFORE the kth-best floor, so under-filled cells widen the search
+    * (see [[searchTopkFor]]) and the answer equals the brute-force
+    * filtered oracle bit-for-bit — no over-fetch-and-post-filter
+    * heuristics, no recall loss. */
+  val tableKnnFiltered: graft.GraftQuery = graft.GraftQuery("q_table_knn_filtered",
+    """WITH q AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q)
+      |SELECT qid, nid, rn, sim FROM (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    list_dot_product(a.qv, b.qv) / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_dot_product(a.qv, b.qv) / (sqrt(a.nrm) * sqrt(b.nrm)) DESC,
+      |               b.vec_id) AS rn
+      |  FROM n a, n b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id AND b.label = 1)
+      |WHERE rn <= 5""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val base = graft.llm.Similarity.quantized(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("qv"), col("nrm"))
+    commitClustered(spark, root, base, cells = 16)
+    val out = searchTopk(spark, root, Versioned.currentVersion(spark, root),
+      pred = Some(col("label") === 1))
+    out
+  }
+
+  val all: Seq[graft.GraftQuery] =
+    Seq(tableKnnExact, tableKnnIncr, tableKnnOptimize, tableKnnFiltered)
 }

@@ -201,4 +201,73 @@ class VectorIndexSpec extends AnyFunSuite {
       assert(VectorIndex.optimizeCells(spark, root).isEmpty, s"round $round steady")
     }
   }
+
+  /** Cluster-7 membership marker on [[clusteredCorpus]] vectors (their
+    * 57th element is the cluster-7 basis coordinate). */
+  private def withTag(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("tag", when(element_at(col("qv"), 57) > 0L, 1L).otherwise(0L))
+
+  private def queriesOf(df: org.apache.spark.sql.DataFrame): Array[(Long, Array[Long], Double)] =
+    df.filter(col("vec_id") < 10).select(col("vec_id"), col("qv"), col("nrm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
+
+  test("filtered kNN is exact and WIDENS when the promising cell has no match") {
+    val root = newRoot(); val ctrl = newRoot()
+    // every query lives in cluster 0; tag=1 only in cluster 7, so each
+    // query's most promising cell holds ZERO matches — the kth-best
+    // floor stays unset and the search must widen to the other cells
+    // instead of returning short (or, worse, unfiltered neighbors)
+    val base = withTag(clusteredCorpus())
+    VectorIndex.commitClustered(spark, root, base, cells = 8)
+    val qs = queriesOf(base)
+    val got = rows(VectorIndex.searchTopkFor(spark, root, 1, qs,
+      pred = Some(col("tag") === 1L)))
+    // control: an exact table holding ONLY the matching rows
+    VectorIndex.commitClustered(spark, ctrl, base.filter(col("tag") === 1L), cells = 4)
+    val want = rows(VectorIndex.searchTopkFor(spark, ctrl, 1, qs))
+    assert(got == want)
+    assert(got.size == 50, "10 queries x full k=5 — cluster 7 has 50 members")
+  }
+
+  test("filtered kNN returns min(k, matches) rows when matches run short") {
+    val root = newRoot(); val ctrl = newRoot()
+    val base = withTag(clusteredCorpus())
+    VectorIndex.commitClustered(spark, root, base, cells = 8)
+    val three = base.filter(col("tag") === 1L)
+      .select("vec_id").as[Long].collect().sorted.take(3)
+    val qs = queriesOf(base)
+    val got = rows(VectorIndex.searchTopkFor(spark, root, 1, qs,
+      pred = Some(col("vec_id").isin(three: _*))))
+    VectorIndex.commitClustered(spark, ctrl,
+      base.filter(col("vec_id").isin(three: _*)), cells = 1)
+    val want = rows(VectorIndex.searchTopkFor(spark, ctrl, 1, qs))
+    assert(got == want)
+    assert(got.size == 30, "10 queries x exactly 3 matches each — short, never wrong")
+    assert(got.forall(r => three.contains(r._2)))
+  }
+
+  test("payload columns survive assigned appends and cell folds") {
+    val root = newRoot(); val ctrl = newRoot()
+    val base = withTag(clusteredCorpus())
+    VectorIndex.commitClustered(spark, root, base, cells = 8)
+    // day-2 batch: 20 more cluster-7 vectors (tag rides along the append)
+    val extra = (0L until 20L).map { i =>
+      val qv = Array.fill(64)(0L)
+      (0 until 8).foreach(j => qv(56 + j) = 1000000L)
+      qv(56 + (i % 8).toInt) += (i % 89) * 1000L
+      (1000L + i, qv.toSeq)
+    }.toDF("vec_id", "qv")
+      .withColumn("nrm", aggregate(col("qv"), lit(0L), (a, x) => a + x * x).cast("double"))
+      .withColumn("tag", lit(1L))
+    VectorIndex.commitAppendAssigned(spark, root, extra)
+    VectorIndex.optimizeCells(spark, root) // fold must keep the payload
+    val v = Versioned.currentVersion(spark, root)
+    val qs = queriesOf(base)
+    val got = rows(VectorIndex.searchTopkFor(spark, root, v, qs,
+      pred = Some(col("tag") === 1L)))
+    VectorIndex.commitClustered(spark, ctrl,
+      base.filter(col("tag") === 1L).unionByName(extra), cells = 4)
+    val want = rows(VectorIndex.searchTopkFor(spark, ctrl, 1, qs))
+    assert(got == want)
+  }
 }

@@ -51,7 +51,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_agg_chi2",              // crossJoin(broadcast(1-row grand total))
     "q_table_knn_exact",       // pruned dirs x broadcast(10 query vectors), by spec
     "q_table_knn_incr",        // same exact re-rank after the assigned append
-    "q_table_knn_optimize")    // same exact re-rank after the cell fold
+    "q_table_knn_optimize",    // same exact re-rank after the cell fold
+    "q_table_knn_filtered")    // same exact re-rank, predicate inside the cell scan
 
   test("no judged query plans CartesianProduct; BNLJ only by design") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
