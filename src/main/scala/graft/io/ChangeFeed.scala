@@ -97,6 +97,58 @@ object ChangeFeed {
       batchId = Some(head.toLong))
   }
 
+  /** STREAMING CHANGE-FEED SOURCE (pull form): the next pending change
+    * batch for consumer `dstRoot` — the fenced jump `changes(applied,
+    * upTo)` where `applied` is the consumer's own batchId fence
+    * (`bootstrapV` before its first fenced commit) and `upTo` caps at
+    * `applied + maxVersions` for per-commit micro-batches.  Returns the
+    * batch plus the FENCE the consumer must commit its downstream state
+    * with (any `commitBatch` / `commitMergeBatch(MOR)` /
+    * `commitBatchIndexed` call): state visibility and feed progress
+    * then share one manifest rename, so a crash anywhere between apply
+    * and commit simply redelivers the batch and the fence voids the
+    * replay — exactly-once consumption with NO checkpoint directory to
+    * wipe or lose.  This generalizes [[follow]] (whose downstream is a
+    * replica) to ANY incremental consumer: an aggregate, an index, a
+    * feature store.  The jump is manifest-pruned, so a day's catch-up
+    * reads the day's dirs; source retention must cover the consumer's
+    * lag (a vacuumed-away `applied` manifest fails loudly). */
+  def nextBatch(spark: SparkSession, srcRoot: String, dstRoot: String,
+      key: String, bootstrapV: Int = 0,
+      maxVersions: Int = Int.MaxValue): Option[(DataFrame, Long)] = {
+    val head = Versioned.currentVersion(spark, srcRoot)
+    val applied = Versioned.lastBatchId(spark, dstRoot).getOrElse(bootstrapV.toLong)
+    if (applied >= head) None
+    else {
+      val upTo = math.min(head.toLong, applied + math.max(1, maxVersions)).toInt
+      Some((changes(spark, srcRoot, applied.toInt, upTo, key), upTo.toLong))
+    }
+  }
+
+  /** Drain the change feed through `apply` until the consumer is
+    * current — the foreachBatch loop over the commit log.  `apply(batch,
+    * fence)` MUST land downstream state with a batchId = fence commit
+    * (see [[nextBatch]]); an apply that fails to advance the fence
+    * throws rather than spinning.  Returns the number of batches
+    * delivered (0 = already current — safe to call on every poll). */
+  def consume(spark: SparkSession, srcRoot: String, dstRoot: String,
+      key: String, bootstrapV: Int = 0, maxVersions: Int = Int.MaxValue)
+      (apply: (DataFrame, Long) => Unit): Int = {
+    var n = 0
+    var batch = nextBatch(spark, srcRoot, dstRoot, key, bootstrapV, maxVersions)
+    while (batch.isDefined) {
+      val (feed, fence) = batch.get
+      apply(feed, fence)
+      if (!Versioned.lastBatchId(spark, dstRoot).exists(_ >= fence))
+        throw new IllegalStateException(
+          s"change-feed consumer at $dstRoot did not commit batch fence $fence; " +
+            "apply must land state with a batchId-fenced commit")
+      n += 1
+      batch = nextBatch(spark, srcRoot, dstRoot, key, bootstrapV, maxVersions)
+    }
+    n
+  }
+
   /** Judged query: CDC replication round-trip.  The source table runs
     * the realistic write chain (clustered base → keyed MERGE → CoW
     * delete); the REPLICA is a zero-copy clone of v1; `changes(1, 3)`
@@ -192,5 +244,63 @@ object ChangeFeed {
     changes(spark, root, 1, 3, "doc_id")
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableCdf, tableReplica, streamReplica)
+  /** Judged query: an incremental AGGREGATE maintained from the change
+    * feed — the [[nextBatch]]/[[consume]] source consumed by something
+    * that is NOT a replica.  The source runs the realistic chain
+    * (clustered base → keyed MERGE → CoW delete); the consumer drains
+    * per-commit batches (maxVersions = 1, so THREE fenced applies
+    * exercise the protocol) folding ±deltas into a per-lang (count,
+    * sum) table via fenced merges.  A second drain must deliver zero
+    * batches (the replay shield).  Output = the aggregate head, which
+    * must equal the oracle's RECOMPUTE over the final snapshot — the
+    * incremental fold and the batch recompute agree to the row. */
+  val streamCdfConsume: graft.GraftQuery = graft.GraftQuery("q_stream_cdf_consume",
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN doc_id % 10 < 8 AND doc_id BETWEEN 260 AND 490
+      |              THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 9 <> 0)
+      |SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM f GROUP BY lang""".stripMargin) { (spark, sfDir) =>
+    val run = graft.streaming.StreamSink.newRunDir()
+    val src = s"$run/src"; val agg = s"$run/agg"
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    Versioned.commitAppendClustered(spark, src, base, "doc_id", buckets = 8)
+    val updates = base.filter(col("doc_id").between(260, 490))
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(docs.filter(col("doc_id") % 10 >= 8))
+    Versioned.commitMerge(spark, src, updates, "doc_id")
+    val pred = col("doc_id") % 9 === 0
+    Versioned.commitUpdate(spark, src, pred, d => d.filter(!pred))
+    def applyBatch(feed: DataFrame, fence: Long): Unit = {
+      val add = col("_change_type").isin("insert", "update_postimage")
+      val d = feed.groupBy(col("lang")).agg(
+        sum(when(add, 1L).otherwise(-1L)).as("d_cnt"),
+        sum(when(add, col("n_chars").cast("long"))
+          .otherwise(-col("n_chars").cast("long"))).as("d_chars"))
+      val headA = Versioned.currentVersion(spark, agg)
+      if (headA == 0)
+        Versioned.commitBatch(spark, agg, fence, d.select(col("lang"),
+          col("d_cnt").as("cnt"), col("d_chars").as("sum_chars")))
+      else {
+        val cur = Versioned.readAt(spark, agg, headA)
+        val ups = d.join(cur, Seq("lang"), "left")
+          .select(col("lang"),
+            (coalesce(col("cnt"), lit(0L)) + col("d_cnt")).as("cnt"),
+            (coalesce(col("sum_chars"), lit(0L)) + col("d_chars")).as("sum_chars"))
+        Versioned.commitMergeBatch(spark, agg, fence, ups, "lang")
+      }
+      ()
+    }
+    val n = consume(spark, src, agg, "doc_id", maxVersions = 1)(applyBatch)
+    require(n == 3, s"expected 3 per-commit batches, drained $n")
+    require(consume(spark, src, agg, "doc_id", maxVersions = 1)(applyBatch) == 0,
+      "a drained feed must deliver nothing on the next poll")
+    Versioned.readAt(spark, agg, Versioned.currentVersion(spark, agg))
+  }
+
+  val all: Seq[graft.GraftQuery] =
+    Seq(tableCdf, tableReplica, streamReplica, streamCdfConsume)
 }

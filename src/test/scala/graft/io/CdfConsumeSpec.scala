@@ -1,0 +1,118 @@
+package graft.io
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the streaming change-feed source: per-commit batches drain
+  * exactly once (progress rides the consumer's own batchId fence — no
+  * checkpoint directory exists to wipe), a crashed apply redelivers the
+  * same batch, a consumer that fails to fence throws instead of
+  * spinning, and a bootstrapped consumer sees only post-bootstrap
+  * changes. */
+class CdfConsumeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newBase() =
+    s"/tmp/graft_cdf_consume/${java.util.UUID.randomUUID()}"
+
+  /** Source chain: v1 = ids 1..20 (m = id), v2 = merge bump m on 5..8
+    * plus insert 21..25, v3 = CoW delete of even ids. */
+  private def chain(src: String): Unit = {
+    Versioned.commitAppendClustered(spark, src,
+      (1L to 20L).map(i => (i, i)).toDF("id", "m"), "id", 4)
+    Versioned.commitMerge(spark, src,
+      ((5L to 8L).map(i => (i, i + 100L)) ++ (21L to 25L).map(i => (i, i)))
+        .toDF("id", "m"), "id")
+    Versioned.commitUpdate(spark, src, col("id") % 2 === 0,
+      d => d.filter(col("id") % 2 =!= 0))
+  }
+
+  /** Fold a feed batch into a one-row (cnt, sum) aggregate table. */
+  private def fold(agg: String)(feed: DataFrame, fence: Long): Unit = {
+    val add = col("_change_type").isin("insert", "update_postimage")
+    val d = feed.agg(
+      sum(when(add, 1L).otherwise(-1L)).as("d_cnt"),
+      sum(when(add, col("m")).otherwise(-col("m"))).as("d_m"))
+      .withColumn("k", lit(0L))
+    val head = Versioned.currentVersion(spark, agg)
+    if (head == 0)
+      Versioned.commitBatch(spark, agg, fence,
+        d.select(col("k"), col("d_cnt").as("cnt"), col("d_m").as("s")))
+    else {
+      val cur = Versioned.readAt(spark, agg, head)
+      Versioned.commitMergeBatch(spark, agg, fence,
+        d.join(cur, Seq("k"), "left").select(col("k"),
+          (coalesce(col("cnt"), lit(0L)) + col("d_cnt")).as("cnt"),
+          (coalesce(col("s"), lit(0L)) + col("d_m")).as("s")), "k")
+    }
+    ()
+  }
+
+  private def state(agg: String): (Long, Long) = {
+    val r = Versioned.readAt(spark, agg, Versioned.currentVersion(spark, agg))
+      .select("cnt", "s").head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def recompute(src: String): (Long, Long) = {
+    val r = Versioned.readAt(spark, src, Versioned.currentVersion(spark, src))
+      .agg(count(lit(1)), sum(col("m"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("per-commit batches fold to the recompute; a second drain is empty") {
+    val b = newBase(); val src = s"$b/src"; val agg = s"$b/agg"
+    chain(src)
+    assert(ChangeFeed.consume(spark, src, agg, "id", maxVersions = 1)(fold(agg)) == 3)
+    assert(state(agg) == recompute(src))
+    assert(ChangeFeed.consume(spark, src, agg, "id", maxVersions = 1)(fold(agg)) == 0)
+    // the source moves again: exactly the new delta is delivered
+    Versioned.commitAppend(spark, src, Seq((100L, 100L)).toDF("id", "m"))
+    assert(ChangeFeed.consume(spark, src, agg, "id")(fold(agg)) == 1)
+    assert(state(agg) == recompute(src))
+  }
+
+  test("a crashed apply redelivers the SAME batch; the fence voids replays") {
+    val b = newBase(); val src = s"$b/src"; val agg = s"$b/agg"
+    chain(src)
+    // batch 1 applied cleanly
+    val (f1, v1) = ChangeFeed.nextBatch(spark, src, agg, "id", maxVersions = 1).get
+    fold(agg)(f1, v1)
+    // batch 2 'crashes' mid-apply: feed computed, nothing committed —
+    // there is no checkpoint to wipe; the fence simply never advanced
+    val (f2, v2) = ChangeFeed.nextBatch(spark, src, agg, "id", maxVersions = 1).get
+    f2.count()
+    // the next drain redelivers v2 first, then the rest — and lands right
+    val (f2b, v2b) = ChangeFeed.nextBatch(spark, src, agg, "id", maxVersions = 1).get
+    assert(v2b == v2)
+    assert(ChangeFeed.consume(spark, src, agg, "id", maxVersions = 1)(fold(agg)) == 2)
+    assert(state(agg) == recompute(src))
+    // and a doubled apply of an ALREADY-FENCED batch is a no-op
+    fold(agg)(f2b, v2b)
+    assert(state(agg) == recompute(src))
+  }
+
+  test("an apply that never fences throws instead of spinning") {
+    val b = newBase(); val src = s"$b/src"; val agg = s"$b/agg"
+    chain(src)
+    val e = intercept[IllegalStateException] {
+      ChangeFeed.consume(spark, src, agg, "id") { (feed, _) => feed.count(); () }
+    }
+    assert(e.getMessage.contains("did not commit batch fence"))
+  }
+
+  test("bootstrapV: a consumer born at v1 sees only post-v1 changes") {
+    val b = newBase(); val src = s"$b/src"; val agg = s"$b/agg"
+    chain(src)
+    // consumer state primed from snapshot v1 (the clone-at-v1 shape)
+    val r1 = Versioned.readAt(spark, src, 1).agg(count(lit(1)), sum(col("m"))).head()
+    Versioned.commitBatch(spark, agg, 1L,
+      Seq((0L, r1.getLong(0), r1.getLong(1))).toDF("k", "cnt", "s"))
+    assert(ChangeFeed.consume(spark, src, agg, "id", bootstrapV = 1,
+      maxVersions = 1)(fold(agg)) == 2)
+    assert(state(agg) == recompute(src))
+  }
+}
