@@ -2033,6 +2033,46 @@ object Versioned {
     v
   }
 
+  /** UNIFIED MAINTENANCE SWEEP — the one call an operator schedules
+    * instead of diagnosing four decay modes by hand.  ONE head-record
+    * inspection routes to the policies this table's layout declares:
+    *
+    *  - a VECTOR table (any dir carries a `_vec.json` sidecar) →
+    *    [[VectorIndex.optimizeCells]]: accreted cell dirs fold back to
+    *    one dir per cell, orphaned rows re-land — never the clustered
+    *    folds below, which would destroy the sidecars;
+    *  - a ZONE-MAPPED table (1-D statsCol declared) →
+    *    [[optimizeClustered]] (overlap decay), then — when `smallRows`
+    *    > 0 — [[optimizeSmall]] (fragmentation decay);
+    *  - anything else (no declared layout; 2-D Morton maps keep their
+    *    own compaction via [[compactClustered]]) → None.
+    *
+    * Every routed policy is itself None-at-zero-data-I/O on a healthy
+    * layout (their decisions are manifest metadata), so `maintain` is
+    * safe to schedule after every batch; bloom and token-index entries
+    * need no routing at all — every rewrite a policy lands re-measures
+    * them in [[extraFields]].  Returns the last new version, or None
+    * when the table was already healthy. */
+  def maintain(spark: SparkSession, root: String,
+      smallRows: Long = 0L, targetRows: Long = 0L,
+      buckets: Int = 16, maxCover: Int = 2): Option[Int] = {
+    val head0 = currentVersion(spark, root)
+    require(head0 > 0, s"no committed version at $root")
+    val dirs0 = manifest(spark, root, head0)
+    val isVector = dirs0.exists { d =>
+      val p = new org.apache.hadoop.fs.Path(s"${dataPath(root, d)}/_vec.json")
+      fs(spark, p).exists(p)
+    }
+    if (isVector) return VectorIndex.optimizeCells(spark, root)
+    val sc = statsColOf(spark, root, head0).filter(c => Z2.findFirstIn(c).isEmpty)
+    if (sc.isEmpty) return None
+    var last = optimizeClustered(spark, root, sc.get, buckets, maxCover)
+    if (smallRows > 0)
+      optimizeSmall(spark, root, sc.get, smallRows, targetRows)
+        .foreach(v => last = Some(v))
+    last
+  }
+
   /** One range shuffle, each bucket its own dir, ALL bucket [min,max]
     * entries in ONE job over the partitioned write (per-dir footer
     * probes would cost `buckets` scheduler round-trips).  On a

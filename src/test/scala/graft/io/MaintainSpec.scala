@@ -1,0 +1,89 @@
+package graft.io
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the unified maintenance sweep: one maintain() call after
+  * mixed churn restores the pruning laws the table's layout declares
+  * (overlap fold + defrag on zone-mapped tables, cell fold on vector
+  * tables), a healthy table answers None, and undeclared layouts are
+  * never touched. */
+class MaintainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newRoot() =
+    s"/tmp/graft_maintain_spec/${java.util.UUID.randomUUID()}"
+
+  test("zone-mapped churn: one maintain() restores overlap + defrag laws") {
+    val root = newRoot()
+    // base: clustered, tight ranges
+    Versioned.commitAppendClustered(spark, root,
+      (0L until 4000L).map(i => (i, i % 7)).toDF("id", "m"), "id", 8)
+    // churn: full-span appends (overlap decay) + tiny appends
+    // (fragmentation) + a CoW update + a MOR delete
+    Versioned.commitAppend(spark, root,
+      (0L until 4000L by 400L).map(i => (i + 7L, -1L)).toDF("id", "m"))
+    Versioned.commitAppend(spark, root, Seq((17L, -2L)).toDF("id", "m"))
+    Versioned.commitAppend(spark, root, Seq((3900L, -3L)).toDF("id", "m"))
+    Versioned.commitUpdate(spark, root, col("id") === 100L,
+      d => d.withColumn("m", when(col("id") === 100L, 999L).otherwise(col("m"))))
+    Versioned.commitDeleteMOR(spark, root, col("id") === 200L)
+    val before = Versioned.currentVersion(spark, root)
+    val expect = Versioned.readAt(spark, root, before)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val v = Versioned.maintain(spark, root, smallRows = 1000L, targetRows = 4000L).get
+    // content is untouched...
+    assert(Versioned.readAt(spark, root, v)
+      .as[(Long, Long)].collect().sorted.toSeq == expect)
+    // ...the overlap law holds again (every point probe touches <= 2+
+    // dirs' worth of range overlap: components of size <= maxCover)...
+    val st = Versioned.dirStats(spark, root, v)
+    val dirs = Versioned.manifest(spark, root, v)
+    val spans = dirs.flatMap(st.get).sortBy(_._1)
+    val worstCover = spans.map { case (lo, _) =>
+      spans.count { case (a, b) => a <= lo && lo <= b } }.max
+    assert(worstCover <= 2, s"overlap law broken: point covered by $worstCover dirs")
+    // ...fragmentation is folded (no two sub-threshold dirs remain)...
+    val rows = Versioned.dirRows(spark, root, v)
+    assert(dirs.count(d => rows.get(d).exists(_ < 1000L)) < 2)
+    // ...deletion vectors on folded dirs retired with the fold
+    assert(Versioned.dvOf(spark, root, v).isEmpty)
+    // and the steady state answers None
+    assert(Versioned.maintain(spark, root, smallRows = 1000L, targetRows = 4000L).isEmpty)
+  }
+
+  test("vector table: maintain routes to the cell fold, search stays exact") {
+    val root = newRoot()
+    val vecs = (0L until 300L).map { i =>
+      val qv = Array.fill(16)(0L)
+      qv(((i % 4) * 4).toInt) = 1000000L + (i % 31) * 1000L
+      (i, qv.toSeq)
+    }.toDF("vec_id", "qv")
+      .withColumn("nrm", aggregate(col("qv"), lit(0L), (a, x) => a + x * x).cast("double"))
+    VectorIndex.commitClustered(spark, root, vecs.filter(col("vec_id") < 200), cells = 4)
+    VectorIndex.commitAppendAssigned(spark, root,
+      vecs.filter(col("vec_id") >= 200 && col("vec_id") < 250))
+    VectorIndex.commitAppendAssigned(spark, root, vecs.filter(col("vec_id") >= 250))
+    val nPre = Versioned.manifest(spark, root,
+      Versioned.currentVersion(spark, root)).size
+    val v = Versioned.maintain(spark, root).get
+    assert(Versioned.manifest(spark, root, v).size < nPre, "cells must fold")
+    assert(VectorIndex.searchTopk(spark, root, v).count() == 50)
+    // NOT the clustered fold: every dir still carries its sidecar
+    assert(Versioned.manifest(spark, root, v).forall { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$d/_vec.json")
+      Versioned.fs(spark, p).exists(p)
+    })
+    assert(Versioned.maintain(spark, root).isEmpty)
+  }
+
+  test("undeclared layouts are left alone") {
+    val root = newRoot()
+    Versioned.commitAppend(spark, root, Seq((1L, 2L)).toDF("id", "m"))
+    Versioned.commitAppend(spark, root, Seq((3L, 4L)).toDF("id", "m"))
+    assert(Versioned.maintain(spark, root, smallRows = 100L, targetRows = 200L).isEmpty)
+    assert(Versioned.currentVersion(spark, root) == 2)
+  }
+}
