@@ -73,7 +73,10 @@ object PlanDump {
     // counts, bloom point lookup, WAP gate
     "q_table_cdf", "q_table_replica", "q_table_clone",
     "q_table_zonemap2d", "q_table_row_counts", "q_table_bloom_point",
-    "q_table_wap")
+    "q_table_wap",
+    // round 17 headliners: multi-column zone-map read, filtered exact
+    // kNN, incremental change-feed consumption
+    "q_table_zonemap_multi", "q_table_knn_filtered", "q_stream_cdf_consume")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -791,16 +791,41 @@ object Versioned {
     * redundant (the batchId fence) — None is returned ONLY on abort. */
   /** Per-root publish locks: on the LOCAL filesystem Hadoop's
     * no-overwrite rename is an exists-check followed by a POSIX rename
-    * (which silently overwrites), so two same-JVM publishers racing the
-    * same version inside that microsecond window could lose a record —
-    * realistic only for pure-metadata commits (the txn catalog), where
-    * no Spark job separates closure from rename.  Same-JVM committers
-    * serialize here; cross-process arbitration rests on the store's own
-    * rename atomicity (HDFS and object-store renames are atomic
-    * no-overwrite, so the window exists only for multi-process writers
-    * on a raw local FS — outside the deployment envelope). */
+    * (which silently overwrites), so two publishers racing the same
+    * version inside that microsecond window could lose a record —
+    * realistic only for pure-metadata commits (the txn catalog, restore),
+    * where no Spark job separates closure from rename.  Same-JVM
+    * committers serialize on this monitor; CROSS-PROCESS committers on a
+    * `file:` store additionally serialize on an OS-level advisory file
+    * lock ([[withLocalLock]]) held across the whole publish attempt loop
+    * — a kernel lock, released automatically when the holder dies, so a
+    * crashed committer can never wedge the log.  On HDFS/object stores
+    * the rename itself is atomic no-overwrite and no extra lock is
+    * taken. */
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Cross-process exclusion for publishes on a raw LOCAL filesystem:
+    * an exclusive `java.nio` FileLock on `<log>/.commit.lock`.  Taken
+    * only when the log's FS scheme is `file` (where Hadoop's
+    * no-overwrite rename is not atomic across processes); the kernel
+    * releases it with the process, so there is no stale-lock protocol
+    * to run.  Must be called INSIDE the per-root JVM monitor — two
+    * threads of one JVM would otherwise hit
+    * OverlappingFileLockException instead of queueing. */
+  private def withLocalLock[T](f: org.apache.hadoop.fs.FileSystem,
+      ld: org.apache.hadoop.fs.Path)(body: => T): T = {
+    // NB getUri, not getScheme: RawLocalFileSystem never overrides the
+    // latter (it throws UnsupportedOperationException)
+    if (f.getUri.getScheme != "file") return body
+    val lockFile = new java.io.File(s"${org.apache.hadoop.fs.Path
+      .getPathWithoutSchemeAndAuthority(ld)}/.commit.lock")
+    val raf = new java.io.RandomAccessFile(lockFile, "rw")
+    try {
+      val lock = raf.getChannel.lock() // blocks until the peer releases
+      try body finally lock.release()
+    } finally raf.close()
+  }
 
   private[io] def publishRecord(spark: SparkSession, root: String,
       recOf: Int => (Seq[String], String),
@@ -812,6 +837,7 @@ object Versioned {
       ld.toUri, spark.sparkContext.hadoopConfiguration)
     val lock = publishLocks.computeIfAbsent(ld.toString, _ => new Object)
     lock.synchronized {
+    withLocalLock(f, ld) {
     var attempt = 0
     while (attempt < 50) {
       attempt += 1
@@ -832,6 +858,7 @@ object Versioned {
       }
     }
     throw new IllegalStateException(s"commit contention not resolving at $root")
+    }
     }
   }
 
@@ -3007,8 +3034,44 @@ object Versioned {
     pruned
   }
 
+  /** Judged query: the UNIFIED MAINTENANCE sweep end-to-end.  The table
+    * suffers the realistic mixed decay — a clustered base, then two
+    * full-span appends (overlap decay: every range probe now covers
+    * every dir) and a MOR delete (live vectors) — and ONE `maintain`
+    * call must restore the overlap law (asserted in-query on the
+    * manifest's [min,max] entries), retire the deletion vectors with
+    * the fold, and reach the steady state (the second call answers
+    * None).  Oracle = the content recompute: maintenance must never
+    * change a row. */
+  val tableMaintain: graft.GraftQuery = graft.GraftQuery("q_table_maintain",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 11 <> 3""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Versioned.commitAppendClustered(spark, root,
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", buckets = 8)
+    Versioned.commitAppend(spark, root,
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 10 < 5))
+    Versioned.commitAppend(spark, root,
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 10 >= 5))
+    Versioned.commitDeleteMOR(spark, root, col("doc_id") % 11 === 3)
+    val v = Versioned.maintain(spark, root).get
+    val st = Versioned.dirStats(spark, root, v)
+    val spans = Versioned.manifest(spark, root, v).flatMap(st.get).sortBy(_._1)
+    val worst = spans.map { case (lo, _) =>
+      spans.count { case (a, b) => a <= lo && lo <= b } }.max
+    require(worst <= 2, s"maintain must restore the overlap law (cover $worst)")
+    require(Versioned.dvOf(spark, root, v).isEmpty,
+      "the fold must retire the deletion vectors")
+    require(Versioned.maintain(spark, root).isEmpty,
+      "the steady state must answer None")
+    Versioned.readAt(spark, root, v)
+  }
+
   val all: Seq[graft.GraftQuery] =
-    Seq(tableDiff, tableZonemap, tableZonemapMulti, tableMerge, tableMergeMor,
+    Seq(tableDiff, tableZonemap, tableZonemapMulti, tableMaintain,
+      tableMerge, tableMergeMor,
       tableStreamIngest, tableSchemaEvolution, tableSchemaRenameDrop,
       tableDelete, tableDeleteMor, tableRestore, tableAsOf,
       tableOptimize, tableOptimizeSmall, tableRowCounts, tableWap,
