@@ -1030,6 +1030,10 @@ object Versioned {
               !bounds.isNullAt(0) && !bounds.isNullAt(1) &&
               bounds.getLong(2) == 0L)
             readRange(spark, root, head0, bounds.getLong(0), bounds.getLong(1))
+          else if (statsColsOf(spark, root, head0).contains(key) &&
+              !bounds.isNullAt(0) && !bounds.isNullAt(1) &&
+              bounds.getLong(2) == 0L)
+            readRangeOn(spark, root, head0, key, bounds.getLong(0), bounds.getLong(1))
           else readAt(spark, root, head0)
         val nClash = existing.select(col(key))
           .join(broadcast(keys), Seq(key), "left_semi").count()
@@ -1358,31 +1362,43 @@ object Versioned {
     * `upserts` as one new dir.  [[commitMerge]] passes the upserts' own
     * keys; [[ChangeFeed.applyChanges]] passes upsert ∪ delete keys, so
     * a CDC delete evicts without reinserting. */
+  /** The dirs whose zone-map entry for `key` — the clustered statsCol
+    * or any declared multi-column statsCols entry — overlaps the
+    * touched-key range: the SHARED discovery confinement of the
+    * CoW/MOR merge paths.  Conservative (all dirs) when the key keeps
+    * no map, any entry is missing for a dir, or ANY touched key fails
+    * the long cast — a null-casting key is invisible to min/max, its
+    * matched dirs would be pruned, and those rows would silently
+    * survive the merge as duplicates. */
+  private def keyConfinedDirs(spark: SparkSession, root: String, head0: Int,
+      dirs0: Seq[String], keysDf: DataFrame, key: String): Seq[String] = {
+    val entryOf: String => Option[(Long, Long)] =
+      if (statsColOf(spark, root, head0).contains(key)) {
+        val st = dirStats(spark, root, head0); st.get
+      } else if (statsColsOf(spark, root, head0).contains(key)) {
+        val m = dirMstats(spark, root, head0); d => m.get((key, d))
+      } else return dirs0
+    val ck = tryLong(key)
+    val r = keysDf.agg(min(ck), max(ck), count(when(ck.isNull, 1))).head()
+    if (r.isNullAt(0) || r.getLong(2) > 0) dirs0
+    else {
+      val (klo, khi) = (r.getLong(0), r.getLong(1))
+      dirs0.filter(d => entryOf(d).forall { case (a, b) => b >= klo && a <= khi })
+    }
+  }
+
   private[graft] def mergeImpl(spark: SparkSession, root: String,
       upserts: DataFrame, keysDf: DataFrame, key: String,
       batchId: Option[Long] = None, attempt: Int = 0): Option[Int] = {
     val head0 = currentVersion(spark, root)
     require(head0 > 0, s"no committed version at $root")
     val dirs0 = manifest(spark, root, head0)
-    // when the merge key IS the zone-map column, discovery only needs
-    // the dirs overlapping the TOUCHED-KEY range (upserts AND deletes —
-    // a delete key outside the upserts' span must still evict) —
-    // O(overlapping dirs) instead of a full key-column pass
-    val candidates: Seq[String] =
-      if (statsColOf(spark, root, head0).contains(key)) {
-        // conservative unless EVERY touched key casts to long: a single
-        // null-casting key (NULL, or a mixed/non-numeric value) would be
-        // invisible to min/max, its matched dirs would be pruned, and
-        // those rows would silently survive the merge as duplicates
-        val ck = tryLong(key)
-        val r = keysDf.agg(min(ck), max(ck), count(when(ck.isNull, 1))).head()
-        if (r.isNullAt(0) || r.getLong(2) > 0) dirs0
-        else {
-          val (klo, khi) = (r.getLong(0), r.getLong(1))
-          val st = dirStats(spark, root, head0)
-          dirs0.filter(d => st.get(d).forall { case (a, b) => b >= klo && a <= khi })
-        }
-      } else dirs0
+    // when the merge key HAS a zone map — the clustered statsCol OR any
+    // column of the multi-column map — discovery only needs the dirs
+    // overlapping the TOUCHED-KEY range (upserts AND deletes — a delete
+    // key outside the upserts' span must still evict) — O(overlapping
+    // dirs) instead of a full key-column pass
+    val candidates = keyConfinedDirs(spark, root, head0, dirs0, keysDf, key)
     // matched-file discovery runs over the EVOLVED, vector-applied view
     // (readDirsDv with the position columns kept): renamed generations
     // resolve the key under its current name, deleted rows cannot
@@ -1479,18 +1495,8 @@ object Versioned {
     val dirs0 = manifest(spark, root, head0)
     val keysDf = updates.select(col(key)).distinct()
     // zone-map confinement + null-cast conservatism: the commitMerge
-    // discovery discipline verbatim
-    val candidates: Seq[String] =
-      if (statsColOf(spark, root, head0).contains(key)) {
-        val ck = tryLong(key)
-        val r = keysDf.agg(min(ck), max(ck), count(when(ck.isNull, 1))).head()
-        if (r.isNullAt(0) || r.getLong(2) > 0) dirs0
-        else {
-          val (klo, khi) = (r.getLong(0), r.getLong(1))
-          val st = dirStats(spark, root, head0)
-          dirs0.filter(d => st.get(d).forall { case (a, b) => b >= klo && a <= khi })
-        }
-      } else dirs0
+    // discovery discipline verbatim (clustered OR multi-column map)
+    val candidates = keyConfinedDirs(spark, root, head0, dirs0, keysDf, key)
     val keyless = altersOf(spark, root, head0)
       .filter(a => a._1 == key && a._2 != "#rename" && a._2 != "#drop")
       .flatMap(_._3).toSet

@@ -101,6 +101,50 @@ class ZonemapMultiSpec extends AnyFunSuite {
       Seq(("id", 150L, 250L), ("m", 0L, 60L)))) == 2)
   }
 
+  test("readRangeAll composes with live deletion vectors") {
+    val root = newRoot()
+    eightDirs(root)
+    Versioned.commitDeleteMOR(spark, root, col("id").between(160L, 170L))
+    val v = Versioned.currentVersion(spark, root)
+    val got = Versioned.readRangeAll(spark, root, v,
+      Seq(("id", 150L, 250L), ("m", 0L, 60L)))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == (150L to 250L).filterNot(id => id >= 160L && id <= 170L)
+      .map(id => (id, id % 50L)).sorted)
+  }
+
+  test("keyed MERGE discovery confines via the multi-column map (CoW and MOR)") {
+    val root = newRoot()
+    for (win <- 0L until 4L)
+      Versioned.commitAppend(spark, root,
+        (win * 100L until win * 100L + 100L).map(id => (id, id * 7L)).toDF("id", "m"))
+    val v = Versioned.commitDeclareStatsCols(spark, root, Seq("id", "m"))
+    val pre = Versioned.manifest(spark, root, v)
+    // CoW merge touching only window 1: the other three dirs must carry
+    // into the new manifest VERBATIM — proof the discovery scan was
+    // zone-map-confined by the mstats entries (no clustered statsCol
+    // exists on this table at all)
+    val vm = Versioned.commitMerge(spark, root,
+      (150L to 160L).map(id => (id, -1L)).toDF("id", "m"), "id")
+    val post = Versioned.manifest(spark, root, vm).toSet
+    assert(Seq(0, 2, 3).forall(i => post.contains(pre(i))),
+      "untouched windows must carry verbatim")
+    assert(!post.contains(pre(1)), "the touched window must be rewritten")
+    // MOR twin: the eviction vectors must attach ONLY to the dir whose
+    // mstats entry overlaps the touched keys
+    val vd = Versioned.commitMergeMOR(spark, root,
+      (250L to 255L).map(id => (id, -2L)).toDF("id", "m"), "id")
+    val dv = Versioned.dvOf(spark, root, vd)
+    assert(dv.keySet == Set(pre(2)), s"vectors must confine to window 2: $dv")
+    // content is exact through both paths
+    val got = Versioned.readAt(spark, root, vd).as[(Long, Long)].collect().sorted
+    val want = (0L until 400L).map { id =>
+      (id, if (id >= 150L && id <= 160L) -1L
+           else if (id >= 250L && id <= 255L) -2L else id * 7L)
+    }.sorted
+    assert(got.toSeq == want)
+  }
+
   test("non-castable and all-null dirs are entry-less and read conservatively") {
     val root = newRoot()
     Versioned.commitAppend(spark, root, Seq((1L, "10"), (2L, "20")).toDF("id", "s"))
