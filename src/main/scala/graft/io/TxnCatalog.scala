@@ -86,13 +86,22 @@ object TxnCatalog {
     // head), so a second creator racing this window aborts instead of
     // stacking a duplicate pin record on v2
     val pins = won.map { case (n, r) => n -> Versioned.currentVersion(spark, r) }
-    Versioned.publishRecord(spark, catN,
+    val v = Versioned.publishRecord(spark, catN,
       head => {
         require(head == 0, s"catalog $cat already exists")
         (Seq.empty, s""","ts":${System.currentTimeMillis()}${pinsJson(pins)}""")
       },
       abortIf = head => head >= 1)
       .getOrElse(Versioned.currentVersion(spark, catN))
+    // POST-PUBLISH validation: on a raw local FS the no-overwrite rename
+    // that arbitrated the mapping file has a microsecond exists-then-
+    // rename window, so a racer's map could in principle have replaced
+    // ours between the read above and this point.  A pin record naming
+    // tables absent from the surviving mapping would be silent
+    // corruption; re-reading turns that residue into a loud failure.
+    require(tablesOf(spark, cat) == mine,
+      s"catalog $cat create raced a different table map; inspect $tf before retrying")
+    v
   }
 
   private def pinsJson(pins: Map[String, Int]): String =

@@ -720,6 +720,27 @@ object Versioned {
     }).get
   }
 
+  /** Retire columns from the multi-column zone map: re-declare to a
+    * SUBSET of the prior set (empty retires the map entirely).  The
+    * dropped columns' (col, dir) entries simply stop being serialized —
+    * safe by construction — and the column becomes rename/drop-eligible
+    * again.  The deliberate-shrink twin of the extend-only
+    * [[commitDeclareStatsCols]] guard: accidental narrowing stays
+    * refused there, intentional retirement is one explicit call. */
+  def commitRetireStatsCols(spark: SparkSession, root: String,
+      cols: Seq[String]): Int = {
+    require(cols.distinct == cols, s"duplicate zone-map columns in $cols")
+    publishRecord(spark, root, head => {
+      require(head > 0, s"no committed version at $root")
+      val prior = statsColsOf(spark, root, head)
+      require(cols.forall(prior.contains) && cols != prior,
+        s"retire must name a strict subset of the declared set $prior")
+      val dirs = manifest(spark, root, head)
+      (dirs, extraFields(spark, root, head, dirs, None, "",
+        statsColsArg = Some(cols)))
+    }).get
+  }
+
   /** Zone-map-pruned MULTI-PREDICATE range read: the conjunction of
     * `col BETWEEN lo AND hi` over version `v`, reading ONLY the dirs no
     * predicate's per-dir [min,max] entry can rule out — driver-side
@@ -1600,7 +1621,13 @@ object Versioned {
       case Z2(x, y, _) => x == colName || y == colName
       case _           => false
     }
-    z2Ref || bloomColOf(spark, root, head).exists(_._1 == colName)
+    // a MULTI-COLUMN zone-map member counts too: renaming it would
+    // orphan its (col, dir) entries under the old name (new dirs then
+    // measure nothing — the physical column changed names — and the map
+    // silently degrades); dropping it would leave a declaration that
+    // probes a ghost.  Retire the column first (commitRetireStatsCols).
+    z2Ref || bloomColOf(spark, root, head).exists(_._1 == colName) ||
+      statsColsOf(spark, root, head).contains(colName)
   }
 
   /** Schema evolution: RENAME a column — a pure metadata commit.  Dirs
@@ -1622,7 +1649,7 @@ object Versioned {
       require(cols.contains(oldName), s"no column $oldName in $root's schema")
       require(!cols.contains(newName), s"column $newName already exists in $root")
       require(!indexReferences(spark, root, head, oldName),
-        s"$oldName is referenced by $root's 2-D zone map or bloom index; retire it first")
+        s"$oldName is referenced by $root's zone maps or bloom index; retire it first")
       val dirs = manifest(spark, root, head)
       val entry = s""""$oldName>$newName|#rename":"${dirs.mkString(",")}""""
       val frag = altersFragOf(spark, root, head).filter(_.nonEmpty)
@@ -1657,7 +1684,7 @@ object Versioned {
         s"no column $colName in $root's schema")
       require(!statsColOf(spark, root, head).contains(colName) &&
         !indexReferences(spark, root, head, colName),
-        s"$colName is $root's zone-map/bloom column; retire or re-cluster first")
+        s"$colName is a $root zone-map/bloom column; retire or re-cluster first")
       val dirs = manifest(spark, root, head)
       val entry = s""""$colName|#drop":"${dirs.mkString(",")}""""
       val frag = altersFragOf(spark, root, head).filter(_.nonEmpty)
@@ -2245,12 +2272,23 @@ object Versioned {
       s"clone source must be an absolute path: $srcRoot")
     val orig = manifest(spark, srcRoot, v)
     require(orig.nonEmpty, s"version $v of $srcRoot has no data")
-    val remap: String => String = d => dataPath(srcRoot, d)
-    val carried = carryFieldsOf(spark, srcRoot, v, orig, remap, remap)
-    publishRecord(spark, dstRoot, head => {
-      require(head == 0, s"clone target $dstRoot is not empty")
-      (orig.map(remap), s""","ts":${System.currentTimeMillis()}$carried""")
-    }).get
+    // replay-pin the SOURCE dirs across the clone's publish (restore's
+    // discipline): a concurrent vacuum on the source past v must either
+    // see the pins or make this throw loudly — never a clone record
+    // referencing reclaimed source data
+    withReplayPins(srcRoot, orig) {
+      orig.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(dataPath(srcRoot, d))
+        require(fs(spark, p).exists(p),
+          s"version $v of $srcRoot was vacuumed during the clone ($d is gone)")
+      }
+      val remap: String => String = d => dataPath(srcRoot, d)
+      val carried = carryFieldsOf(spark, srcRoot, v, orig, remap, remap)
+      publishRecord(spark, dstRoot, head => {
+        require(head == 0, s"clone target $dstRoot is not empty")
+        (orig.map(remap), s""","ts":${System.currentTimeMillis()}$carried""")
+      }).get
+    }
   }
 
   /** RESTORE: make the head snapshot equal version `v` again — rollback
@@ -2269,14 +2307,67 @@ object Versioned {
     * The 100 TB use: un-shipping a poisoned ingest in O(metadata)
     * instead of re-materializing a petabyte snapshot. */
   def restore(spark: SparkSession, root: String, v: Int): Int = {
-    publishRecord(spark, root, head => {
-      require(head > 0, s"no committed version at $root")
-      require(v >= 1 && v <= head, s"cannot restore $root to nonexistent version $v")
-      val dirs = manifest(spark, root, v) // throws if v's record was vacuumed
-      require(dirs.nonEmpty, s"version $v of $root has no data")
-      val ts = math.max(System.currentTimeMillis(), tsOf(spark, root, head))
-      (dirs, s""","ts":$ts${carryFieldsOf(spark, root, v, dirs)}""")
-    }).get
+    val head0 = currentVersion(spark, root)
+    require(head0 > 0, s"no committed version at $root")
+    require(v >= 1 && v <= head0, s"cannot restore $root to nonexistent version $v")
+    val dirs = manifest(spark, root, v) // throws if v's record was vacuumed
+    require(dirs.nonEmpty, s"version $v of $root has no data")
+    // PIN the referenced dirs across the WHOLE publish, then verify they
+    // still exist: a concurrent vacuum whose retention floor passed v
+    // would otherwise reclaim them between this manifest read and the
+    // record rename — the grace window cannot help (the dirs are old),
+    // only the pin can.  The pin/sweep monitor makes the outcome binary:
+    // pinned-then-kept, or swept-then-this-throws — never a published
+    // record pointing at deleted data.  (Same-JVM; cross-process
+    // restore-past-retention remains the documented retention contract.)
+    withReplayPins(root, dirs) {
+      dirs.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(dataPath(root, d))
+        require(fs(spark, p).exists(p),
+          s"version $v of $root was vacuumed during the restore ($d is gone)")
+      }
+      publishRecord(spark, root, head => {
+        val ts = math.max(System.currentTimeMillis(), tsOf(spark, root, head))
+        (dirs, s""","ts":$ts${carryFieldsOf(spark, root, v, dirs)}""")
+      }).get
+    }
+  }
+
+  /** Same-JVM REPLAY PINS: dirs a snapshot-replay publish (restore,
+    * clone) is about to reference, pinned against a concurrent
+    * [[vacuum]] whose retention floor no longer covers their version —
+    * the branch-adoption `pinnedByRefs` discipline generalized.
+    * Refcounted (concurrent replays of the same dir compose); released
+    * in `finally`, so an aborted publish never leaks a pin.
+    *
+    * Pin INSERTION and vacuum's per-dir check-and-delete both hold the
+    * per-root [[vacuumMonitor]], so exactly one of two orders exists:
+    * the pin lands first and the sweep skips the dir, or the delete
+    * lands first and the replay's post-pin existence check fails LOUDLY
+    * — a torn replay record is impossible either way.  Callers must
+    * verify their dirs still exist AFTER pinning (see [[restore]]). */
+  private val replayPins =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
+  private val vacuumMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def vacuumMonitor(rootN: String): Object =
+    vacuumMonitors.computeIfAbsent(rootN, _ => new Object)
+
+  private[io] def withReplayPins[T](root: String, dirs: Seq[String])(body: => T): T = {
+    val rootN = root.stripSuffix("/")
+    vacuumMonitor(rootN).synchronized {
+      dirs.foreach(d => replayPins.merge((rootN, d), 1, (a, b) => a + b))
+    }
+    try body
+    finally dirs.foreach(d => replayPins.computeIfPresent((rootN, d),
+      (_, n) => if (n <= 1) null else n - 1))
+  }
+
+  private def replayPinnedDirs(root: String): Set[String] = {
+    val rootN = root.stripSuffix("/")
+    import scala.jdk.CollectionConverters._
+    replayPins.keySet.asScala.filter(_._1 == rootN).map(_._2).toSet
   }
 
   /** Default staged-commit grace window for [[vacuum]] (ms).  Every
@@ -2337,6 +2428,7 @@ object Versioned {
         if (k.isDirectory) newest(k.getPath) else k.getModificationTime)
       (sub :+ own).max
     }
+    val rootN = root.stripSuffix("/")
     if (f.exists(dataDir))
       f.listStatus(dataDir).foreach { st =>
         // a top-level dir is live if any surviving manifest references it
@@ -2344,7 +2436,16 @@ object Versioned {
         val rel = s"data/${st.getPath.getName}"
         if (!live.contains(rel) && !live.exists(_.startsWith(s"$rel/")) &&
             newest(st.getPath) < cutoff)
-          f.delete(st.getPath, true)
+          // check-and-delete under the pin monitor: an in-flight replay
+          // (restore/clone) pins its dirs, and the monitor makes this a
+          // binary outcome — see withReplayPins.  Pins are re-read HERE,
+          // per dir, never folded into `live` upfront: a pin taken after
+          // the live-set computation must still be honored.
+          vacuumMonitor(rootN).synchronized {
+            val pins = replayPinnedDirs(rootN)
+            if (!pins.contains(rel) && !pins.exists(_.startsWith(s"$rel/")))
+              f.delete(st.getPath, true)
+          }
       }
     val ld = logDir(root)
     f.listStatus(ld).foreach { st =>

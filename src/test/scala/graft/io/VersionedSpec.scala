@@ -76,6 +76,49 @@ class VersionedSpec extends AnyFunSuite {
     assert(new java.io.File(s"$root/data").listFiles().count(_.isDirectory) == 2)
   }
 
+  test("replay pins: a pinned old dir survives the sweep, then reclaims on release") {
+    val root = newRoot()
+    Versioned.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))     // v1: dirA
+    Versioned.commit(spark, root, Seq((2L, "b")).toDF("id", "s"))     // v2: full snapshot
+    val dirA = Versioned.manifest(spark, root, 1).head
+    val pA = new java.io.File(s"$root/$dirA")
+    Versioned.withReplayPins(root, Seq(dirA)) {
+      Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
+      assert(pA.exists, "a replay-pinned dir must survive the sweep")
+    }
+    Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
+    assert(!pA.exists, "a released dir must reclaim")
+  }
+
+  test("restore races vacuum x3: binary outcome, never a torn head") {
+    for (round <- 1 to 3) {
+      val root = newRoot()
+      Versioned.commit(spark, root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+      (1 to 3).foreach(i =>
+        Versioned.commitAppend(spark, root, Seq((10L + i, s"x$i")).toDF("id", "s")))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val restorer = new Thread(() =>
+        try Versioned.restore(spark, root, 1)
+        catch {
+          // LOUD losses are legal race outcomes; silence is not
+          case e: IllegalArgumentException
+            if e.getMessage.contains("vacuumed during the restore") => ()
+          case _: java.io.FileNotFoundException => () // record swept first
+          case e: Throwable => errs.add(e)
+        })
+      val sweeper = new Thread(() =>
+        try Versioned.vacuum(spark, root, keep = 1, graceMs = 0)
+        catch { case e: Throwable => errs.add(e) })
+      restorer.start(); sweeper.start(); restorer.join(); sweeper.join()
+      assert(errs.isEmpty, s"round $round: $errs")
+      // whatever won: the head must read completely — a restore that
+      // published must have its dirs intact
+      val head = Versioned.currentVersion(spark, root)
+      val n = Versioned.readAt(spark, root, head).count()
+      assert(n == 3 || n == 6, s"round $round: torn head ($n rows)")
+    }
+  }
+
   test("vacuum races in-flight commits x3: no staged dir reclaimed, no torn read") {
     // every commit stages its data dir BEFORE publishing the record that
     // makes it referenced; a vacuum sweeping that window used to reclaim

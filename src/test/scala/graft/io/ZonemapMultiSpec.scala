@@ -101,6 +101,40 @@ class ZonemapMultiSpec extends AnyFunSuite {
       Seq(("id", 150L, 250L), ("m", 0L, 60L)))) == 2)
   }
 
+  test("declared columns refuse rename/drop until retired; retire re-enables") {
+    val root = newRoot()
+    for (win <- 0L until 2L)
+      Versioned.commitAppend(spark, root,
+        (win * 100L until win * 100L + 100L).map(id => (id, id * 3L)).toDF("id", "m"))
+    val v = Versioned.commitDeclareStatsCols(spark, root, Seq("id", "m"))
+    // renaming or dropping a mapped column would orphan its entries
+    // under the old name — refused until the column is retired
+    intercept[IllegalArgumentException] {
+      Versioned.commitAlterRename(spark, root, "m", "m2")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.commitAlterDrop(spark, root, "m")
+    }
+    // retire must shrink strictly, to a subset
+    intercept[IllegalArgumentException] {
+      Versioned.commitRetireStatsCols(spark, root, Seq("id", "m"))
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.commitRetireStatsCols(spark, root, Seq("nope"))
+    }
+    val v2 = Versioned.commitRetireStatsCols(spark, root, Seq("id"))
+    assert(Versioned.statsColsOf(spark, root, v2) == Seq("id"))
+    intercept[IllegalArgumentException] { // retired: no longer probeable
+      Versioned.readRangeOn(spark, root, v2, "m", 0L, 1L)
+    }
+    assert(dirsRead(Versioned.readRangeOn(spark, root, v2, "id", 0L, 50L)) == 1)
+    // and the rename now lands
+    Versioned.commitAlterRename(spark, root, "m", "m2")
+    // retiring everything removes the map
+    val v3 = Versioned.commitRetireStatsCols(spark, root, Seq.empty)
+    assert(Versioned.statsColsOf(spark, root, v3).isEmpty)
+  }
+
   test("readRangeAll composes with live deletion vectors") {
     val root = newRoot()
     eightDirs(root)
