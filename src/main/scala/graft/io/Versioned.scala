@@ -2093,6 +2093,40 @@ object Versioned {
     v
   }
 
+  /** INDEX BACKFILL — the bloom/token-bloom decay mode the rewrite-path
+    * maintenance cannot reach: a PLAIN append (commitAppend, a
+    * non-indexed streaming sink) lands its dir with no filter entry, and
+    * since the dir is immutable no later rewrite ever re-measures it —
+    * point/token probes read it conservatively forever.  This op builds
+    * the declared filter for every entry-less dir that carries the
+    * indexed column (one distinct-positions job per backfilled dir —
+    * O(unindexed data), nothing else read) and publishes ONE metadata
+    * commit attaching the entries; dirs lacking the column (pre-alter
+    * generations) stay conservatively read.  None when the table
+    * declares no filter or every eligible dir already has an entry —
+    * zero data I/O on healthy layouts, so [[maintain]] routes here on
+    * every sweep. */
+  def optimizeIndex(spark: SparkSession, root: String): Option[Int] = {
+    val head0 = currentVersion(spark, root)
+    require(head0 > 0, s"no committed version at $root")
+    if (bloomColOf(spark, root, head0).isEmpty) return None
+    val have = dirBlooms(spark, root, head0).keySet
+    val missing = manifest(spark, root, head0).filterNot(have)
+    if (missing.isEmpty) return None
+    val entries = missing.flatMap(d =>
+      bloomForDir(spark, root, head0, d).map(_._3).getOrElse(Map.empty))
+    if (entries.isEmpty) return None // nothing eligible (column absent)
+    val (decl, bits) = bloomColOf(spark, root, head0).get
+    // pure metadata publish: dirs are immutable, so the entries stay
+    // valid whatever head the rename lands on (extraFields serializes
+    // only the dirs still in that manifest)
+    Some(publishRecord(spark, root, head => {
+      val dirs = manifest(spark, root, head)
+      (dirs, extraFields(spark, root, head, dirs, None, "",
+        blooms = Some((decl, bits, entries.toMap))))
+    }).get)
+  }
+
   /** UNIFIED MAINTENANCE SWEEP — the one call an operator schedules
     * instead of diagnosing four decay modes by hand.  ONE head-record
     * inspection routes to the policies this table's layout declares:
@@ -2104,6 +2138,9 @@ object Versioned {
     *  - a ZONE-MAPPED table (1-D statsCol declared) →
     *    [[optimizeClustered]] (overlap decay), then — when `smallRows`
     *    > 0 — [[optimizeSmall]] (fragmentation decay);
+    *  - a bloom/token-indexed table → [[optimizeIndex]] (entry backfill
+    *    for plain-append dirs), run LAST so the folds above have
+    *    already measured their own fresh dirs;
     *  - anything else (no declared layout; 2-D Morton maps keep their
     *    own compaction via [[compactClustered]]) → None.
     *
@@ -2125,11 +2162,18 @@ object Versioned {
     }
     if (isVector) return VectorIndex.optimizeCells(spark, root)
     val sc = statsColOf(spark, root, head0).filter(c => Z2.findFirstIn(c).isEmpty)
-    if (sc.isEmpty) return None
-    var last = optimizeClustered(spark, root, sc.get, buckets, maxCover)
-    if (smallRows > 0)
-      optimizeSmall(spark, root, sc.get, smallRows, targetRows)
-        .foreach(v => last = Some(v))
+    var last: Option[Int] = None
+    if (sc.isDefined) {
+      last = optimizeClustered(spark, root, sc.get, buckets, maxCover)
+      if (smallRows > 0)
+        optimizeSmall(spark, root, sc.get, smallRows, targetRows)
+          .foreach(v => last = Some(v))
+    }
+    // bloom/token-bloom BACKFILL runs last: the folds above already
+    // built entries for their fresh dirs, so only plain-append survivors
+    // remain — and on a table with no declared layout at all, this is
+    // the one policy with something to do
+    optimizeIndex(spark, root).foreach(v => last = Some(v))
     last
   }
 

@@ -102,4 +102,48 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(dirsRead(TextIndex.readToken(spark, root, vf, "plain")) == total,
       "a token in every dir still reads every dir — pruning is honest")
   }
+
+  test("optimizeIndex backfills plain-append dirs; maintain routes it") {
+    val root = newRoot("backfill")
+    val docs = (1L to 400L).map(i => (i, s"v$i")).toDF("id", "s")
+    BloomIndex.commitAppendBloom(spark, root, docs.filter(col("id") <= 100L), "id")
+    // plain appends: no entries — the decay mode no rewrite ever heals
+    (1 to 3).foreach(r => Versioned.commitAppend(spark, root,
+      docs.filter(col("id") > r * 100L && col("id") <= (r + 1) * 100L)))
+    val v0 = Versioned.currentVersion(spark, root)
+    assert(dirsRead(BloomIndex.readPoint(spark, root, v0, Seq(250L))) == 3,
+      "the 3 entry-less dirs read conservatively before the backfill " +
+        "(the indexed dir's filter already excludes the key)")
+    val v1 = Versioned.optimizeIndex(spark, root).get
+    val probe = BloomIndex.readPoint(spark, root, v1, Seq(250L))
+    assert(dirsRead(probe) == 1,
+      s"backfilled probe must prune to 1 of 4 dirs, read ${dirsRead(probe)}")
+    assert(probe.select("s").as[String].collect().toSeq == Seq("v250"))
+    // steady state answers None — schedulable after every batch
+    assert(Versioned.optimizeIndex(spark, root).isEmpty)
+    // the next plain append decays again; ONE maintain() heals it (the
+    // table declares no zone map, so the backfill is the routed policy)
+    Versioned.commitAppend(spark, root,
+      (401L to 500L).map(i => (i, s"v$i")).toDF("id", "s"))
+    val v2 = Versioned.maintain(spark, root).get
+    assert(dirsRead(BloomIndex.readPoint(spark, root, v2, Seq(450L))) == 1)
+    assert(Versioned.maintain(spark, root).isEmpty)
+  }
+
+  test("optimizeIndex backfills token blooms and skips column-less dirs") {
+    val root = newRoot("tokfill")
+    val docs = (1L to 200L).map(i =>
+      (i, if (i == 150) s"doc$i carries heron here" else s"doc$i plain body"))
+      .toDF("id", "text")
+    TextIndex.commitAppendIndexed(spark, root, docs.filter(col("id") <= 100L), "text")
+    Versioned.commitAppend(spark, root, docs.filter(col("id") > 100L))
+    val v1 = Versioned.optimizeIndex(spark, root).get
+    val probe = TextIndex.readToken(spark, root, v1, "heron")
+    assert(dirsRead(probe) == 1, s"read ${dirsRead(probe)}")
+    assert(probe.select("id").as[Long].collect().toSeq == Seq(150L))
+    // a dir WITHOUT the indexed column stays conservatively read and
+    // never blocks the steady state
+    Versioned.commitAlterAdd(spark, root, "extra", "bigint")
+    assert(Versioned.optimizeIndex(spark, root).isEmpty)
+  }
 }
