@@ -2160,7 +2160,11 @@ object Versioned {
       val p = new org.apache.hadoop.fs.Path(s"${dataPath(root, d)}/_vec.json")
       fs(spark, p).exists(p)
     }
-    if (isVector) return VectorIndex.optimizeCells(spark, root)
+    if (isVector) {
+      var last = VectorIndex.optimizeCells(spark, root)
+      optimizeIndex(spark, root).foreach(v => last = Some(v))
+      return last
+    }
     val sc = statsColOf(spark, root, head0).filter(c => Z2.findFirstIn(c).isEmpty)
     var last: Option[Int] = None
     if (sc.isDefined) {
