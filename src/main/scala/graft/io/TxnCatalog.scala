@@ -170,6 +170,21 @@ object TxnCatalog {
     Versioned.readAt(spark, root, pin)
   }
 
+  /** Catalog-wide maintenance: run [[Versioned.maintain]] over every
+    * member table — the operator's one scheduled sweep for a whole
+    * catalog (each member's routed policies are None-at-zero-data-I/O
+    * when healthy, so this is safe after every transaction).  Member
+    * maintenance rewrites are ordinary table commits: they stay
+    * INVISIBLE to catalog readers until a transaction re-pins, exactly
+    * like any out-of-band member commit — reads through the catalog
+    * keep their pinned versions.  Returns name → new version for the
+    * members that needed work (empty = the whole catalog was healthy). */
+  def maintainMembers(spark: SparkSession, cat: String,
+      smallRows: Long = 0L, targetRows: Long = 0L): Map[String, Int] =
+    tablesOf(spark, cat).flatMap { case (n, r) =>
+      Versioned.maintain(spark, r, smallRows, targetRows).map(n -> _)
+    }
+
   /** The catalog's transaction history: (catalog version, pin map),
     * newest first — each row is one atomic cross-table state. */
   def history(spark: SparkSession, cat: String): Seq[(Int, Map[String, Int])] = {

@@ -91,6 +91,25 @@ class TxnCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("maintainMembers sweeps the catalog; pins stay on their versions") {
+    val (cat, ra, rb) = pair()
+    // member a: bloom-indexed, then decayed by a plain append (the
+    // backfill has work); member b: healthy
+    BloomIndex.commitAppendBloom(spark, ra,
+      (1L to 100L).map(i => (i, i * 2)).toDF("id", "m"), "id")
+    Versioned.commitAppend(spark, ra,
+      (101L to 200L).map(i => (i, i * 2)).toDF("id", "m"))
+    Versioned.commit(spark, rb, Seq(1L).toDF("n"))
+    TxnCatalog.create(spark, cat, Map("a" -> ra, "b" -> rb))
+    val worked = TxnCatalog.maintainMembers(spark, cat)
+    assert(worked.keySet == Set("a"), s"only the decayed member needs work: $worked")
+    // the maintenance commit is an ordinary out-of-band member commit:
+    // catalog readers keep the pinned version
+    assert(TxnCatalog.pinOf(spark, cat, "a")._2 == 2)
+    assert(TxnCatalog.readTable(spark, cat, "a").count() == 200)
+    assert(TxnCatalog.maintainMembers(spark, cat).isEmpty, "steady state")
+  }
+
   test("create arbitrates on the mapping file: a different map can never pin") {
     val (cat, ra, rb) = pair()
     Versioned.commit(spark, ra, Seq(1L).toDF("id"))
