@@ -383,6 +383,25 @@ object Versioned {
     else Some((dirs.map(st(_)._1).min, dirs.map(st(_)._2).max))
   }
 
+  /** `SELECT min(col), max(col)` for a MULTI-COLUMN zone-map member at
+    * version `v` from manifest METADATA — [[statsRangeAt]]'s contract on
+    * any [[commitDeclareStatsCols]] column: defined only when EVERY dir
+    * carries an entry for the column (a statless dir might hide the
+    * extremum) and no deletion vectors are live (the per-dir envelope is
+    * sound for pruning but the extremum row may be deleted).  Completes
+    * the zero-data-I/O metadata family: count, sum, and now min/max on
+    * every declared column. */
+  def statsRangeOn(spark: SparkSession, root: String, v: Int,
+      colName: String): Option[(Long, Long)] = {
+    if (!statsColsOf(spark, root, v).contains(colName)) return None
+    if (dvOf(spark, root, v).nonEmpty) return None
+    val m = dirMstats(spark, root, v)
+    val dirs = manifest(spark, root, v)
+    if (dirs.isEmpty || !dirs.forall(d => m.contains((colName, d)))) None
+    else Some((dirs.map(d => m((colName, d))._1).min,
+      dirs.map(d => m((colName, d))._2).max))
+  }
+
   /** Min/max of `colName` in one data dir — O(new data), and parquet
     * aggregate pushdown usually answers it from the footers. None for an
     * empty dir (absent stats = conservatively read). */

@@ -87,6 +87,25 @@ class ZonemapMultiSpec extends AnyFunSuite {
     assert(again.count() == 62)
   }
 
+  test("statsRangeOn answers min/max from metadata, declines when unsound") {
+    val root = newRoot()
+    val v = eightDirs(root)
+    assert(Versioned.statsRangeOn(spark, root, v, "id") == Some((0L, 399L)))
+    assert(Versioned.statsRangeOn(spark, root, v, "m") == Some((0L, 1049L)))
+    assert(Versioned.statsRangeOn(spark, root, v, "nope").isEmpty)
+    // a statless dir might hide the extremum: decline
+    Versioned.commitAppend(spark, root,
+      Seq((9999L, null.asInstanceOf[java.lang.Long])).toDF("id", "m"))
+    val v2 = Versioned.currentVersion(spark, root)
+    assert(Versioned.statsRangeOn(spark, root, v2, "m").isEmpty)
+    assert(Versioned.statsRangeOn(spark, root, v2, "id") == Some((0L, 9999L)))
+    // live deletion vectors: the envelope is sound for pruning, wrong
+    // as an exact extremum — decline
+    Versioned.commitDeleteMOR(spark, root, col("id") === 9999L)
+    val v3 = Versioned.currentVersion(spark, root)
+    assert(Versioned.statsRangeOn(spark, root, v3, "id").isEmpty)
+  }
+
   test("restore and clone carry the multi-column map verbatim") {
     val root = newRoot()
     val v = eightDirs(root)
