@@ -42,6 +42,12 @@ object TxnCatalog {
   private def tablesFile(cat: String) =
     new org.apache.hadoop.fs.Path(s"${norm(cat)}/tables.json")
 
+  /** Same-JVM creator serialization (mirrors Versioned.publishLocks):
+    * two threads racing [[create]] on one catalog would otherwise race
+    * the mapping-file write-then-rename below inside one process. */
+  private val createLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Create a catalog over `tables` (name → table root).  Roots may be
     * empty (version 0) — the initial pin set records their CURRENT
     * versions. */
@@ -51,7 +57,15 @@ object TxnCatalog {
       c.isLetterOrDigit || c == '_' || c == '-'), s"bad table name '$n'"))
     val catN = norm(cat)
     val tf = tablesFile(cat)
-    val f = Versioned.fs(spark, tf)
+    // RAW (checksum-free) filesystem, mirroring publishRecord's record
+    // discipline: through the checksummed local FS the mapping file
+    // would carry a `.crc` sidecar, and the FileContext rename moves crc
+    // and data as TWO operations — racing creators can interleave them
+    // and leave tables.json under a mismatched checksum, wedging every
+    // later read with ChecksumException.  Written raw there is no
+    // sidecar and the no-overwrite rename is single-file atomic.
+    val f = Versioned.logFs(spark, tf)
+    f.mkdirs(new org.apache.hadoop.fs.Path(catN))
     // ARBITRATE ON THE CREATE-ONCE MAPPING FILE FIRST: exactly one
     // creator's table map can survive (`create(overwrite = false)` is
     // the same no-overwrite primitive the log renames use), and the pin
@@ -62,18 +76,20 @@ object TxnCatalog {
     // stays heal-able: re-running create with the same map finds the
     // mapping present and head 0, and publishes the missing pins.
     val mine = tables.map { case (n, r) => n -> norm(r) }
-    if (!f.exists(tf)) {
-      val body = mine.toSeq.sortBy(_._1)
-        .map { case (n, r) => s""""$n":"$r"""" }.mkString(",")
-      val tmp = new org.apache.hadoop.fs.Path(s"$catN/.tables-${java.util.UUID.randomUUID()}")
-      val out = f.create(tmp, false)
-      try out.write(s"{$body}".getBytes("UTF-8")) finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        tf.toUri, spark.sparkContext.hadoopConfiguration)
-      try fc.rename(tmp, tf) // no-overwrite: the loser keeps the winner's map
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => f.delete(tmp, false)
-        case e: java.io.IOException => f.delete(tmp, false); throw e
+    createLocks.computeIfAbsent(catN, _ => new Object).synchronized {
+      if (!f.exists(tf)) {
+        val body = mine.toSeq.sortBy(_._1)
+          .map { case (n, r) => s""""$n":"$r"""" }.mkString(",")
+        val tmp = new org.apache.hadoop.fs.Path(s"$catN/.tables-${java.util.UUID.randomUUID()}")
+        val out = f.create(tmp, false)
+        try out.write(s"{$body}".getBytes("UTF-8")) finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          tf.toUri, spark.sparkContext.hadoopConfiguration)
+        try fc.rename(tmp, tf) // no-overwrite: the loser keeps the winner's map
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => f.delete(tmp, false)
+          case e: java.io.IOException => f.delete(tmp, false); throw e
+        }
       }
     }
     val won = tablesOf(spark, cat)
@@ -110,7 +126,7 @@ object TxnCatalog {
   /** The catalog's table name → root mapping. */
   def tablesOf(spark: SparkSession, cat: String): Map[String, String] = {
     val p = tablesFile(cat)
-    val f = Versioned.fs(spark, p)
+    val f = Versioned.logFs(spark, p) // raw: the map carries no .crc sidecar
     require(f.exists(p), s"no catalog at $cat")
     val in = f.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()

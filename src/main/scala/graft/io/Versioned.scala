@@ -63,7 +63,7 @@ object Versioned {
     * arbitration is airtight.  HDFS/object stores are unaffected (their
     * FileSystem is not a ChecksumFileSystem; checksums live below the
     * rename primitive). */
-  private def logFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+  private[io] def logFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     fs(spark, p) match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case other => other
@@ -379,8 +379,26 @@ object Versioned {
     if (dvOf(spark, root, v).nonEmpty) return None
     val st = dirStats(spark, root, v)
     val dirs = manifest(spark, root, v)
+    // an alters generation mentioning the column voids the exact answer:
+    // pre-generation dirs may physically carry values that are not the
+    // column's logical content (drop-then-re-add), so a recorded extremum
+    // could be stale even though range PRUNING on it stays row-safe
+    if (alterMentions(spark, root, v, sc.get, dirs)) return None
     if (dirs.isEmpty || !dirs.forall(st.contains)) None
     else Some((dirs.map(st(_)._1).min, dirs.map(st(_)._2).max))
+  }
+
+  /** Does any schema-evolution generation at `v` mention `colName` over
+    * a dir still in the manifest?  If so the column's physical bytes in
+    * those dirs are not its logical values, and every exact metadata
+    * aggregate on the column must decline. */
+  private def alterMentions(spark: SparkSession, root: String, v: Int,
+      colName: String, dirs: Seq[String]): Boolean = {
+    val ds = dirs.toSet
+    // rename generations don't count: their carried entries are valid
+    // verbatim (same bytes, new name) — see the extraFields taint rule
+    altersOf(spark, root, v).exists { case (evCol, ty, touched) =>
+      ty != "#rename" && evCol == colName && touched.exists(ds) }
   }
 
   /** `SELECT min(col), max(col)` for a MULTI-COLUMN zone-map member at
@@ -397,6 +415,10 @@ object Versioned {
     if (dvOf(spark, root, v).nonEmpty) return None
     val m = dirMstats(spark, root, v)
     val dirs = manifest(spark, root, v)
+    // see statsRangeAt: alters generations void the exact answer (the
+    // commit path also refuses to measure such dirs, so this guard is
+    // belt-and-braces for records written before that discipline)
+    if (alterMentions(spark, root, v, colName, dirs)) return None
     if (dirs.isEmpty || !dirs.forall(d => m.contains((colName, d)))) None
     else Some((dirs.map(d => m((colName, d))._1).min,
       dirs.map(d => m((colName, d))._2).max))
@@ -474,11 +496,35 @@ object Versioned {
       dvAdd: Map[String, (Seq[String], Long)] = Map.empty,
       sumCol: Option[String] = None,
       checksArg: Option[String] = None,
-      statsColsArg: Option[Seq[String]] = None): String = {
+      statsColsArg: Option[Seq[String]] = None,
+      suppressSum: Boolean = false): String = {
     // ONE metadata read of the head record serves every carried field
     // below (12 reads collapsed to 1 — on an object store that is the
     // difference between 1 and 12 GETs per commit)
     val ht = recOpt(spark, root, head)
+    // dirs whose PHYSICAL parquet bytes for a column are not its LOGICAL
+    // values: any dir listed in an alters generation mentioning the
+    // column (add → null-filled on read; drop-then-re-add → the pre-drop
+    // physical values are dead; rename → the bytes live under the other
+    // name).  Measuring the raw parquet for such a (col, dir) pair would
+    // bake stale extrema/sums into carried metadata — those pairs stay
+    // entry-less instead (conservative reads; the exact-aggregate APIs
+    // decline via their every-dir-has-an-entry guards).
+    // RENAME events do NOT taint: a pre-rename dir's physical old-name
+    // bytes ARE the new name's logical values (mapped forward on read),
+    // and the rename commit carries the old entries verbatim — only
+    // add (null-fill) and drop (dead bytes) generations lie
+    val altNullFrag = alters.orElse(ht.flatMap(parseAltersFrag))
+    val altNull: Map[String, Set[String]] = altNullFrag
+      .map(f => parseAlters(s"""{"alters":{$f}}"""))
+      .getOrElse(Seq.empty)
+      .flatMap { case (evCol, ty, ds) =>
+        if (ty == "#rename") Seq.empty else Seq(evCol -> ds) }
+      .groupBy(_._1).map { case (c, es) => c -> es.flatMap(_._2).toSet }
+    def logicallyNull(c: String, d: String): Boolean = {
+      val phys = c match { case Z2(x, y, _) => Seq(x, y); case _ => Seq(c) }
+      phys.exists(pc => altNull.getOrElse(pc, Set.empty).contains(d))
+    }
     val parentSc = ht.flatMap(parseStatsCol)
     val sc = statsCol.orElse(parentSc)
     val ts = math.max(System.currentTimeMillis(),
@@ -494,7 +540,10 @@ object Versioned {
         if (parentSc.forall(_ == c)) ht.map(parseDirStats).getOrElse(Map.empty)
         else Map.empty[String, (Long, Long)]
       val entries = dirs.flatMap { d =>
-        parent.get(d).orElse(precomputed.get(d))
+        // an alter-mentioned dir's physical bytes are not its logical
+        // values: no entry (conservative read), never a stale measure
+        if (logicallyNull(c, d)) None
+        else parent.get(d).orElse(precomputed.get(d))
           .orElse(statsFor(spark, root, d, c))
           .map { case (lo, hi) => s""""$d":[$lo,$hi]""" }
       }
@@ -512,12 +561,14 @@ object Versioned {
     val mstatsJson = if (mcols.isEmpty) "" else {
       val parentM = ht.map(parseMstats).getOrElse(Map.empty[(String, String), (Long, Long)])
       val fresh: Map[(String, String), (Long, Long)] = mcols.flatMap { c =>
-        val missing = dirs.filterNot(d => parentM.contains((c, d)))
+        val missing = dirs.filterNot(d =>
+          parentM.contains((c, d)) || logicallyNull(c, d))
         if (missing.isEmpty) Map.empty[(String, String), (Long, Long)]
         else mstatsForCol(spark, root, missing, c).map { case (d, e) => (c, d) -> e }
       }.toMap
       val entries = for {
         c <- mcols; d <- dirs
+        if !logicallyNull(c, d) // drop-then-re-add: stale physical bytes
         e <- parentM.get((c, d)).orElse(fresh.get((c, d)))
       } yield s""""$c|$d":[${e._1},${e._2}]"""
       s""","statsCols":"${mcols.mkString(",")}","mstats":{${entries.mkString(",")}}"""
@@ -567,14 +618,17 @@ object Versioned {
     // A dir is entry-less when the column is absent (pre-alter
     // generation), any non-null value fails the long cast, or every row
     // is null — sumAt then falls back to the scan, never answers wrong.
-    val sumJson = sumCol.orElse(ht.flatMap(parseSumCol)).map { mc =>
+    val sumJson = (if (suppressSum) None
+      else sumCol.orElse(ht.flatMap(parseSumCol))).map { mc =>
       val parent = ht.map(parseDirSums).getOrElse(Map.empty[String, Long])
       val parentVoid = ht.map(parseSumVoid).getOrElse(Set.empty[String])
-      val missingSum = dirs.filterNot(d => parent.contains(d) || parentVoid(d))
+      val missingSum = dirs.filterNot(d =>
+        parent.contains(d) || parentVoid(d) || logicallyNull(mc, d))
       val fresh = if (missingSum.isEmpty) Map.empty[String, Long]
                   else sumsFor(spark, root, missingSum, mc)
       val entries = dirs.flatMap(d =>
-        parent.get(d).orElse(fresh.get(d)).map(n => s""""$d":$n"""))
+        if (logicallyNull(mc, d)) None // stale physical bytes: no entry
+        else parent.get(d).orElse(fresh.get(d)).map(n => s""""$d":$n"""))
       // a dir that measured unsummable is marked VOID so no later commit
       // ever re-scans it (the probe is a data read, not a footer read)
       val void = dirs.filter(d =>
@@ -739,6 +793,23 @@ object Versioned {
     }).get
   }
 
+  /** Retire the metadata-SUM declaration: the per-dir sum entries stop
+    * being serialized and the column becomes rename/drop-eligible again
+    * ([[sumAt]] then declines; readers fall back to the scan).  The
+    * explicit-shrink twin of [[commitDeclareSum]], mirroring
+    * [[commitRetireStatsCols]]. */
+  def commitRetireSum(spark: SparkSession, root: String): Int =
+    publishRecord(spark, root, head => {
+      require(head > 0, s"no committed version at $root")
+      require(sumColOf(spark, root, head).isDefined,
+        s"$root declares no metadata-sum column")
+      val dirs = manifest(spark, root, head)
+      // suppressing the parent sum-column carry IS the retirement; every
+      // other field is reconstructed as usual
+      (dirs, extraFields(spark, root, head, dirs, None, "",
+        suppressSum = true))
+    }).get
+
   /** Retire columns from the multi-column zone map: re-declare to a
     * SUBSET of the prior set (empty retires the map entirely).  The
     * dropped columns' (col, dir) entries simply stop being serialized —
@@ -811,6 +882,9 @@ object Versioned {
     val sums = dirSums(spark, root, v)
     val rows = dirRows(spark, root, v)
     val dirs = manifest(spark, root, v)
+    // alters generations void the exact answer (see statsRangeAt)
+    if (alterMentions(spark, root, v, sumColOf(spark, root, v).get, dirs))
+      return None
     if (dirs.nonEmpty &&
         dirs.forall(d => sums.contains(d) || rows.get(d).contains(0L)))
       Some(dirs.flatMap(sums.get).sum)
@@ -1645,8 +1719,12 @@ object Versioned {
     // measure nothing — the physical column changed names — and the map
     // silently degrades); dropping it would leave a declaration that
     // probes a ghost.  Retire the column first (commitRetireStatsCols).
+    // The declared metadata-SUM column joins the same discipline: its
+    // per-dir entries were measured under this physical name, and a
+    // drop-then-re-add would leave sumAt answering from stale bytes.
     z2Ref || bloomColOf(spark, root, head).exists(_._1 == colName) ||
-      statsColsOf(spark, root, head).contains(colName)
+      statsColsOf(spark, root, head).contains(colName) ||
+      sumColOf(spark, root, head).contains(colName)
   }
 
   /** Schema evolution: RENAME a column — a pure metadata commit.  Dirs
@@ -2076,6 +2154,35 @@ object Versioned {
     require(statsColOf(spark, root, head0).forall(_ == statsCol),
       s"$root's zone map is on ${statsColOf(spark, root, head0).get}; " +
         "re-cluster via compactClustered before optimizing on a different column")
+    smallFoldImpl(spark, root, statsCol, smallRows, targetRows,
+      declare = true, head0)
+  }
+
+  /** Small-file defrag for tables with NO clustered 1-D statsCol but a
+    * declared MULTI-COLUMN zone map ([[commitDeclareStatsCols]]): fold
+    * sub-threshold dirs by range-shuffling on `colName` — any declared
+    * member works; the shuffle just needs *a* measured expression to
+    * give the fresh dirs locality — WITHOUT declaring a 1-D map (the
+    * table's layout contract is the multi-column map, and the commit
+    * path re-measures every declared column's mstats on the fresh dirs
+    * for free).  Same decision/abort discipline as [[optimizeSmall]];
+    * [[maintain]] routes here when a statsCols-only table fragments. */
+  def optimizeSmallOn(spark: SparkSession, root: String, colName: String,
+      smallRows: Long, targetRows: Long): Option[Int] = {
+    require(smallRows <= targetRows, "smallRows must not exceed targetRows")
+    val head0 = currentVersion(spark, root)
+    require(head0 > 0, s"no committed version at $root")
+    require(statsColOf(spark, root, head0).isEmpty,
+      s"$root has a clustered statsCol; use optimizeSmall")
+    require(statsColsOf(spark, root, head0).contains(colName),
+      s"$colName is not a declared zone-map member of $root")
+    smallFoldImpl(spark, root, colName, smallRows, targetRows,
+      declare = false, head0)
+  }
+
+  private def smallFoldImpl(spark: SparkSession, root: String,
+      foldCol: String, smallRows: Long, targetRows: Long,
+      declare: Boolean, head0: Int): Option[Int] = {
     val dirs0 = manifest(spark, root, head0)
     val rows = dirRows(spark, root, head0)
     val fold = dirs0.filter(d => rows.get(d).forall(_ < smallRows))
@@ -2087,14 +2194,15 @@ object Versioned {
     // small dirs forever) — the policy only fires when it converges
     if (buckets >= fold.size) return None
     val (rels, pre, nRows, blooms) = writeClustered(spark, root,
-      readDirs(spark, root, head0, fold), statsCol, buckets)
+      readDirs(spark, root, head0, fold), foldCol, buckets)
     val foldSet = fold.toSet
     val dvS0 = dvOf(spark, root, head0)
     val v = publishRecord(spark, root,
       head => {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
           .filterNot(foldSet) ++ rels
-        (dirs, extraFields(spark, root, head, dirs, Some(statsCol), "", pre,
+        (dirs, extraFields(spark, root, head, dirs,
+          if (declare) Some(foldCol) else None, "", pre,
           None, nRows, blooms))
       },
       // same conflict discipline as optimizeClustered: a concurrent
@@ -2107,6 +2215,114 @@ object Versioned {
     if (v.isEmpty) {
       val p = new org.apache.hadoop.fs.Path(
         dataPath(root, rels.head.split("/").take(2).mkString("/")))
+      fs(spark, p).delete(p, true)
+    }
+    v
+  }
+
+  /** DELETION-VECTOR REWRITE policy (the REORG/PURGE shape): rewrite —
+    * DV-applied — every dir whose recorded deleted fraction
+    * `dvRows/rows` exceeds `maxDvFraction`, retiring its sidecars.
+    * This is the ONE decay mode the fold policies cannot reach: MOR
+    * deletes defer rewrites as positional sidecars and the folds retire
+    * vectors only INCIDENTALLY (a dir must first qualify as overlapping
+    * or fragmented) — a layout-less table, or big clustered dirs that
+    * never qualify, accrete vectors forever: the per-read anti-join tax
+    * and the sidecar count grow without bound.  This policy is the
+    * bound: past the threshold the dir pays its rewrite once and reads
+    * clean again.
+    *
+    * The decision is PURE MANIFEST METADATA (`dvRows`/`rows` entries) —
+    * a table with no live vectors returns None at zero I/O, so
+    * [[maintain]] routes here on every sweep.  Each flagged dir
+    * re-lands 1:1 as its own fresh dir (one staged job for all of
+    * them), preserving whatever range locality the old layout had:
+    * zone-map, multi-column, row-count and bloom entries are
+    * re-measured for the fresh dirs through the standard commit path.
+    * A dir whose rows are ALL deleted simply leaves the manifest.
+    * Same abort discipline as the folds: a concurrent commit replacing
+    * or re-vectoring a flagged dir aborts the rewrite (the staged copy
+    * read stale vector state).
+    *
+    * NOT for vector-index tables — their cell dirs carry `_vec.json`
+    * sidecars a generic rewrite would orphan; [[VectorIndex.optimizeCells]]
+    * is their (sidecar-aware) rewrite path, and [[maintain]] routes
+    * vector tables there before ever reaching this policy. */
+  def rewriteVectored(spark: SparkSession, root: String,
+      maxDvFraction: Double = 0.3): Option[Int] = {
+    require(maxDvFraction > 0.0 && maxDvFraction < 1.0,
+      s"maxDvFraction must be in (0,1), got $maxDvFraction")
+    val head0 = currentVersion(spark, root)
+    require(head0 > 0, s"no committed version at $root")
+    val deleted = dvRowsOf(spark, root, head0)
+    if (deleted.isEmpty) return None // healthy: zero I/O
+    val dirs0 = manifest(spark, root, head0)
+    require(!dirs0.exists { d =>
+      val p = new org.apache.hadoop.fs.Path(s"${dataPath(root, d)}/_vec.json")
+      fs(spark, p).exists(p)
+    }, s"$root is a vector-index table; its cell rewrite is " +
+      "VectorIndex.optimizeCells — a generic rewrite would orphan the sidecars")
+    val rows = dirRows(spark, root, head0)
+    // a dir with vectors but no recorded row count (legacy) is flagged
+    // too: its fraction is unprovable without I/O and it pays the
+    // anti-join tax on every read
+    val flagged = dirs0.filter(d => deleted.get(d).exists(dv => dv > 0 &&
+      rows.get(d).forall(n => dv.toDouble / math.max(n, 1L) > maxDvFraction)))
+    if (flagged.isEmpty) return None
+    val cols = readDirs(spark, root, head0, Seq(flagged.head)).columns
+    require(!cols.contains("_rw"),
+      "table column _rw collides with the rewrite partitioner")
+    // ONE staged job: each flagged dir's DV-APPLIED content lands under
+    // its own `_rw=i` partition — 1:1, never a cross-dir shuffle
+    val base = s"data/${java.util.UUID.randomUUID()}"
+    flagged.zipWithIndex.map { case (d, i) =>
+        readDirs(spark, root, head0, Seq(d)).withColumn("_rw", lit(i)) }
+      .reduce(_ unionByName _)
+      .write.mode("errorifexists").partitionBy("_rw").parquet(s"$root/$base")
+    val bp = new org.apache.hadoop.fs.Path(s"$root/$base")
+    val rels = fs(spark, bp).listStatus(bp).filter(_.isDirectory)
+      .map(st => s"$base/${st.getPath.getName}").sorted.toSeq
+    // per-new-dir stats + row counts in ONE batched job (the
+    // writeClustered pattern); bloom entries via the shared staged path
+    val sc = statsColOf(spark, root, head0)
+    val (pre, nRows) = if (rels.isEmpty) {
+      // every flagged dir was fully deleted: nothing staged, the dirs
+      // simply leave the manifest below
+      (Map.empty[String, (Long, Long)], Map.empty[String, Long])
+    } else {
+      val staged = spark.read.parquet(s"$root/$base")
+      val c = sc.map(statsExpr).getOrElse(lit(null).cast("long"))
+      val bad = sc.map(s => statsBad(s, c)).getOrElse(lit(false))
+      val agg = staged.groupBy(col("_rw"))
+        .agg(min(c).as("lo"), max(c).as("hi"),
+          count(when(bad, 1)).as("nbad"), count(lit(1)).as("n"))
+        .collect()
+      val p = if (sc.isEmpty) Map.empty[String, (Long, Long)]
+        else agg.flatMap { r =>
+          if (r.isNullAt(1) || r.isNullAt(2) || r.getLong(3) > 0) None
+          else Some(s"$base/_rw=${r.get(0)}" -> (r.getLong(1), r.getLong(2)))
+        }.toMap
+      (p, agg.map(r => s"$base/_rw=${r.get(0)}" -> r.getLong(4)).toMap)
+    }
+    val blooms = if (rels.isEmpty) None
+      else bloomsForStaged(spark, root, head0, base, "_rw", rels)
+    val flaggedSet = flagged.toSet
+    val dv0 = dvOf(spark, root, head0)
+    val v = publishRecord(spark, root,
+      head => {
+        val dirs = manifest(spark, root, head).filterNot(flaggedSet) ++ rels
+        (dirs, extraFields(spark, root, head, dirs, None, "", pre,
+          None, nRows, blooms))
+      },
+      // a concurrent commit REPLACING a flagged dir, or changing its
+      // vector state, invalidates the staged copy — abort, reclaim
+      abortIf = head => head != head0 && {
+        val m = manifest(spark, root, head).toSet
+        val dvH = dvOf(spark, root, head)
+        !flaggedSet.subsetOf(m) || flagged.exists(d => dvH.get(d) != dv0.get(d))
+      })
+    if (v.isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$base")
       fs(spark, p).delete(p, true)
     }
     v
@@ -2154,14 +2370,25 @@ object Versioned {
     *    [[VectorIndex.optimizeCells]]: accreted cell dirs fold back to
     *    one dir per cell, orphaned rows re-land — never the clustered
     *    folds below, which would destroy the sidecars;
-    *  - a ZONE-MAPPED table (1-D statsCol declared) →
+    *  - a ZONE-MAPPED table (1-D or 2-D Morton statsCol declared) →
     *    [[optimizeClustered]] (overlap decay), then — when `smallRows`
-    *    > 0 — [[optimizeSmall]] (fragmentation decay);
+    *    > 0 — [[optimizeSmall]] (fragmentation decay); both folds
+    *    operate on the measured expression, so Morton tables heal
+    *    through the same path that built them;
+    *  - a statsCols-ONLY table (multi-column map, no clustered layout)
+    *    → [[optimizeSmallOn]] when `smallRows` > 0 (fragmentation is
+    *    the decay mode such tables actually suffer — their map never
+    *    promised disjoint ranges, so there is no overlap law to heal);
+    *  - ANY table with live deletion vectors → [[rewriteVectored]]
+    *    (read-tax decay): dirs past `maxDvFraction` deleted rows are
+    *    rewritten clean — the policy that works even on layout-less
+    *    tables, run after the folds so dirs they already folded (and
+    *    thereby cleaned) are not rewritten twice;
     *  - a bloom/token-indexed table → [[optimizeIndex]] (entry backfill
-    *    for plain-append dirs), run LAST so the folds above have
+    *    for plain-append dirs), run LAST so the rewrites above have
     *    already measured their own fresh dirs;
-    *  - anything else (no declared layout; 2-D Morton maps keep their
-    *    own compaction via [[compactClustered]]) → None.
+    *  - anything else (no declared layout, no live vectors, no index
+    *    to backfill) → None.
     *
     * Every routed policy is itself None-at-zero-data-I/O on a healthy
     * layout (their decisions are manifest metadata), so `maintain` is
@@ -2171,7 +2398,8 @@ object Versioned {
     * when the table was already healthy. */
   def maintain(spark: SparkSession, root: String,
       smallRows: Long = 0L, targetRows: Long = 0L,
-      buckets: Int = 16, maxCover: Int = 2): Option[Int] = {
+      buckets: Int = 16, maxCover: Int = 2,
+      maxDvFraction: Double = 0.3): Option[Int] = {
     val head0 = currentVersion(spark, root)
     require(head0 > 0, s"no committed version at $root")
     val dirs0 = manifest(spark, root, head0)
@@ -2184,14 +2412,35 @@ object Versioned {
       optimizeIndex(spark, root).foreach(v => last = Some(v))
       return last
     }
-    val sc = statsColOf(spark, root, head0).filter(c => Z2.findFirstIn(c).isEmpty)
+    // the one-call API's most natural partial invocation is
+    // maintain(root, smallRows = N): default the fold target to the
+    // threshold instead of tripping optimizeSmall's ordering require
+    val tgtRows = math.max(smallRows, targetRows)
+    // 2-D Morton tables route through the SAME folds: the overlap sweep
+    // and range shuffle operate on the Morton code — exactly how the
+    // layout was built (Zonemap2DSpec proves box reads stay sharp)
+    val sc = statsColOf(spark, root, head0)
     var last: Option[Int] = None
     if (sc.isDefined) {
       last = optimizeClustered(spark, root, sc.get, buckets, maxCover)
       if (smallRows > 0)
-        optimizeSmall(spark, root, sc.get, smallRows, targetRows)
+        optimizeSmall(spark, root, sc.get, smallRows, tgtRows)
           .foreach(v => last = Some(v))
+    } else if (smallRows > 0) {
+      // statsCols-only tables (multi-column map, no clustered layout)
+      // still fragment: defrag on the FIRST declared column — the fold
+      // needs *a* measured expression, and the multi-column map
+      // re-measures every member on the fresh dirs
+      statsColsOf(spark, root, head0).headOption.foreach { c =>
+        optimizeSmallOn(spark, root, c, smallRows, tgtRows)
+          .foreach(v => last = Some(v))
+      }
     }
+    // DV rewrite AFTER the folds: dirs they folded already read clean,
+    // so only the survivors past the threshold pay a rewrite — the one
+    // policy with reach on layout-less tables and never-fragmenting
+    // big dirs
+    rewriteVectored(spark, root, maxDvFraction).foreach(v => last = Some(v))
     // bloom/token-bloom BACKFILL runs last: the folds above already
     // built entries for their fresh dirs, so only plain-append survivors
     // remain — and on a table with no declared layout at all, this is
@@ -2488,12 +2737,18 @@ object Versioned {
     // bucket subdirs, so the TOP dir's mtime stops moving once the last
     // subdir is created — only the leaves tell when writing finished.
     // Walked only for the (few) non-live candidates, never for live dirs.
-    def newest(p: org.apache.hadoop.fs.Path): Long = {
+    def newest(p: org.apache.hadoop.fs.Path): Long = try {
       val kids = f.listStatus(p)
       val own = f.getFileStatus(p).getModificationTime
       val sub = kids.map(k =>
         if (k.isDirectory) newest(k.getPath) else k.getModificationTime)
       (sub :+ own).max
+    } catch {
+      // a concurrent sweep (second vacuum, a fold's own staged-dir
+      // reclaim) deleted the candidate mid-walk: it is already
+      // reclaimed — report it too-new so THIS sweep skips it instead
+      // of aborting the whole pass
+      case _: java.io.FileNotFoundException => Long.MaxValue
     }
     val rootN = root.stripSuffix("/")
     if (f.exists(dataDir))
@@ -3243,8 +3498,46 @@ object Versioned {
     Versioned.readAt(spark, root, v)
   }
 
+  /** Judged query: the DELETION-VECTOR REWRITE policy (REORG/PURGE)
+    * end-to-end.  A LAYOUT-LESS table (no zone map — the shape no fold
+    * policy reaches) suffers an MOR-heavy chain: two delete generations
+    * accrete positional sidecars on the same dirs, so every read pays
+    * the anti-join tax and the sidecar count can only grow.  ONE
+    * `maintain` call must route [[rewriteVectored]]: every flagged dir
+    * re-lands DV-applied, ALL sidecars retire (asserted in-query, along
+    * with the metadata row-count agreeing with the scan — the read-tax
+    * gone), and the steady state answers None.  Oracle = the content
+    * recompute: the rewrite must never change a row. */
+  val tableReorg: graft.GraftQuery = graft.GraftQuery("q_table_reorg",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 10 < 8 AND doc_id % 5 <> 0 AND n_chars < 300""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Versioned.commitAppend(spark, root, docs.filter(col("doc_id") % 10 < 4))
+    Versioned.commitAppend(spark, root,
+      docs.filter(col("doc_id") % 10 >= 4 && col("doc_id") % 10 < 8))
+    Versioned.commitDeleteMOR(spark, root, col("doc_id") % 5 === 0)
+    Versioned.commitDeleteMOR(spark, root, col("n_chars") >= 300)
+    val h = Versioned.currentVersion(spark, root)
+    val sidecars = Versioned.dvOf(spark, root, h).values.map(_.size).sum
+    require(sidecars >= 2, s"the chain must accrete sidecars (got $sidecars)")
+    val v = Versioned.maintain(spark, root, maxDvFraction = 0.1).get
+    require(Versioned.dvOf(spark, root, v).isEmpty &&
+      Versioned.dvRowsOf(spark, root, v).isEmpty,
+      "the rewrite must retire every sidecar")
+    // read-tax gone: the metadata count is plain row arithmetic again
+    // and matches the scan exactly
+    require(Versioned.countAt(spark, root, v) ==
+      Versioned.readAt(spark, root, v).count(),
+      "post-reorg metadata count must equal the scan")
+    require(Versioned.maintain(spark, root, maxDvFraction = 0.1).isEmpty,
+      "the steady state must answer None")
+    Versioned.readAt(spark, root, v)
+  }
+
   val all: Seq[graft.GraftQuery] =
-    Seq(tableDiff, tableZonemap, tableZonemapMulti, tableMaintain,
+    Seq(tableDiff, tableZonemap, tableZonemapMulti, tableMaintain, tableReorg,
       tableMerge, tableMergeMor,
       tableStreamIngest, tableSchemaEvolution, tableSchemaRenameDrop,
       tableDelete, tableDeleteMor, tableRestore, tableAsOf,

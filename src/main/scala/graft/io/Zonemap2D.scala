@@ -149,5 +149,44 @@ object Zonemap2D {
     readRange2(spark, root, v, 120L, 380L, 100L, 400L)
   }
 
-  val all: Seq[graft.GraftQuery] = Seq(tableZonemap2d, tableOptimize2d)
+  /** Judged query: the UNIFIED MAINTENANCE sweep on a 2-D Morton table
+    * — the routing hole the round-17 code documented ("2-D maps keep
+    * their own compaction") now closed.  Mixed churn: three interleaved
+    * z-clustered slices (overlap decay — every box probe covers every
+    * dir), two plain appends (fragmentation + wide z-spans), and an MOR
+    * delete (live vectors).  ONE `maintain` call must fold the layout
+    * back to near-disjoint z-segments (overlap law asserted in-query on
+    * the Morton [min,max] entries), retire the vectors with the fold,
+    * and reach the steady state (second call None).  Oracle = the
+    * content recompute: maintenance must never change a row. */
+  val tableMaintain2d: graft.GraftQuery = graft.GraftQuery("q_table_maintain_2d",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 13 <> 5""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    (0 until 3).foreach { r =>
+      commitAppendClustered2(spark, root,
+        docs.filter(col("doc_id") % 10 < 8 && col("doc_id") % 3 === r),
+        "doc_id", "n_chars", bits = 16, buckets = 8)
+    }
+    Versioned.commitAppend(spark, root, docs.filter(col("doc_id") % 10 === 8))
+    Versioned.commitAppend(spark, root, docs.filter(col("doc_id") % 10 === 9))
+    Versioned.commitDeleteMOR(spark, root, col("doc_id") % 13 === 5)
+    val v = Versioned.maintain(spark, root, buckets = 8).get
+    val st = Versioned.dirStats(spark, root, v)
+    val spans = Versioned.manifest(spark, root, v).flatMap(st.get).sortBy(_._1)
+    val worst = spans.map { case (lo, _) =>
+      spans.count { case (a, b) => a <= lo && lo <= b } }.max
+    require(worst <= 2,
+      s"maintain must restore the 2-D overlap law (z-cover $worst)")
+    require(Versioned.dvOf(spark, root, v).isEmpty,
+      "the fold must retire the deletion vectors")
+    require(Versioned.maintain(spark, root, buckets = 8).isEmpty,
+      "the steady state must answer None")
+    Versioned.readAt(spark, root, v)
+  }
+
+  val all: Seq[graft.GraftQuery] =
+    Seq(tableZonemap2d, tableOptimize2d, tableMaintain2d)
 }

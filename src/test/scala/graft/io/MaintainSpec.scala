@@ -79,6 +79,73 @@ class MaintainSpec extends AnyFunSuite {
     assert(Versioned.maintain(spark, root).isEmpty)
   }
 
+  test("maintain(root, smallRows = N) alone defragments instead of throwing") {
+    val root = newRoot()
+    Versioned.commitAppendClustered(spark, root,
+      (0L until 2000L).map(i => (i, i % 3)).toDF("id", "m"), "id", 4)
+    (0 until 6).foreach(k =>
+      Versioned.commitAppend(spark, root, Seq((2000L + k, -1L)).toDF("id", "m")))
+    // the natural partial invocation: threshold only, no explicit target
+    // (pre-fix this tripped optimizeSmall's smallRows<=targetRows require)
+    val v = Versioned.maintain(spark, root, smallRows = 100L)
+    assert(v.isDefined, "fragmented layout must fold")
+    val rows = Versioned.dirRows(spark, root, v.get)
+    val dirs = Versioned.manifest(spark, root, v.get)
+    assert(dirs.count(d => rows.get(d).exists(_ < 100L)) < 2,
+      "sub-threshold dirs must be folded")
+    assert(Versioned.readAt(spark, root, v.get).count() == 2006)
+  }
+
+  test("2-D Morton churn: one maintain() heals through the same folds") {
+    val root = newRoot()
+    val side = 32
+    val grid = (0 until side * side)
+      .map(i => ((i % side).toLong, (i / side).toLong, i.toLong))
+    (0 until 3).foreach { r =>
+      Zonemap2D.commitAppendClustered2(spark, root,
+        grid.filter(_._3 % 3 == r).toDF("x", "y", "n"),
+        "x", "y", bits = 5, buckets = 4)
+    }
+    Versioned.commitDeleteMOR(spark, root, col("n") % 7 === 0L)
+    val v = Versioned.maintain(spark, root, buckets = 4).get
+    // overlap law restored on the Morton entries
+    val st = Versioned.dirStats(spark, root, v)
+    val spans = Versioned.manifest(spark, root, v).flatMap(st.get).sortBy(_._1)
+    val worst = spans.map { case (lo, _) =>
+      spans.count { case (a, b) => a <= lo && lo <= b } }.max
+    assert(worst <= 2, s"z-overlap law broken: cover $worst")
+    assert(Versioned.dvOf(spark, root, v).isEmpty)
+    // box reads still exact and pruned after the heal
+    val probe = Zonemap2D.readRange2(spark, root, v, 4L, 6L, 8L, 10L)
+    assert(probe.count() ==
+      grid.count(g => g._1 >= 4 && g._1 <= 6 && g._2 >= 8 && g._2 <= 10 && g._3 % 7 != 0))
+    assert(Versioned.maintain(spark, root, buckets = 4).isEmpty, "steady state")
+  }
+
+  test("statsCols-only table: maintain defragments on a declared column") {
+    val root = newRoot()
+    Versioned.commitAppend(spark, root,
+      (0L until 3000L).map(i => (i, i % 7)).toDF("id", "m"))
+    Versioned.commitDeclareStatsCols(spark, root, Seq("id", "m"))
+    (0 until 5).foreach(k =>
+      Versioned.commitAppend(spark, root, Seq((3000L + k, -1L)).toDF("id", "m")))
+    // pre-fix: no clustered statsCol -> no defrag route at all
+    val v = Versioned.maintain(spark, root, smallRows = 100L).get
+    val rows = Versioned.dirRows(spark, root, v)
+    val dirs = Versioned.manifest(spark, root, v)
+    assert(dirs.count(d => rows.get(d).exists(_ < 100L)) < 2,
+      "sub-threshold dirs must fold")
+    // the fold did NOT declare a 1-D map (the table's contract is the
+    // multi-column map)...
+    assert(Versioned.statsColOf(spark, root, v).isEmpty)
+    // ...and every declared column re-measured on every manifest dir
+    val m = Versioned.dirMstats(spark, root, v)
+    assert(dirs.forall(d => m.contains(("id", d)) && m.contains(("m", d))),
+      "fresh dirs must carry mstats for every declared column")
+    assert(Versioned.readAt(spark, root, v).count() == 3005)
+    assert(Versioned.maintain(spark, root, smallRows = 100L).isEmpty)
+  }
+
   test("undeclared layouts are left alone") {
     val root = newRoot()
     Versioned.commitAppend(spark, root, Seq((1L, 2L)).toDF("id", "m"))

@@ -203,4 +203,50 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(Versioned.currentVersion(spark, root) == 1,
       "refused alters must publish nothing")
   }
+
+  test("drop-then-re-add never bakes stale physical extrema into declared maps") {
+    val root = newRoot()
+    Versioned.commit(spark, root, Seq((1L, 100L), (2L, 200L)).toDF("id", "v"))
+    Versioned.commitAlterDrop(spark, root, "v")
+    Versioned.commitAlterAdd(spark, root, "v", "bigint")
+    // the v1 dir PHYSICALLY still carries v = 100/200, but the logical
+    // head values there are NULL (the re-add generation null-fills)
+    Versioned.commitAppend(spark, root, Seq((3L, 300L)).toDF("id", "v"))
+    val vD = Versioned.commitDeclareStatsCols(spark, root, Seq("v"))
+    val oldDir = Versioned.manifest(spark, root, 1).head
+    // the pre-drop dir gets NO mstats entry (measuring its bytes would
+    // record [100,200] for a column whose logical content is NULL)...
+    assert(!Versioned.dirMstats(spark, root, vD).contains(("v", oldDir)))
+    // ...the fresh dir IS measured (the map still prunes where it can)...
+    val newDir = Versioned.manifest(spark, root, vD)
+      .filterNot(_ == oldDir).head
+    assert(Versioned.dirMstats(spark, root, vD).get(("v", newDir))
+      .contains((300L, 300L)))
+    // ...the exact metadata min/max DECLINES rather than answering stale
+    assert(Versioned.statsRangeOn(spark, root, vD, "v").isEmpty)
+    // pruned reads stay row-correct (the old dir reads conservatively)
+    assert(Versioned.readRangeOn(spark, root, vD, "v", 50L, 400L)
+      .select(col("id")).as[Long].collect().toSeq == Seq(3L))
+    assert(Versioned.readRangeOn(spark, root, vD, "v", 50L, 250L).count() == 0)
+    // metadata sums: the declaration skips the tainted dir and sumAt
+    // declines instead of summing dead bytes
+    val vS = Versioned.commitDeclareSum(spark, root, "v")
+    assert(Versioned.sumAt(spark, root, vS).isEmpty)
+  }
+
+  test("a declared sum column refuses drop until retired") {
+    val root = newRoot()
+    Versioned.commit(spark, root, Seq((1L, 10L), (2L, 32L)).toDF("id", "v"))
+    val vS = Versioned.commitDeclareSum(spark, root, "v")
+    assert(Versioned.sumAt(spark, root, vS).contains(42L))
+    intercept[IllegalArgumentException](
+      Versioned.commitAlterDrop(spark, root, "v"))
+    intercept[IllegalArgumentException](
+      Versioned.commitAlterRename(spark, root, "v", "w"))
+    val vR = Versioned.commitRetireSum(spark, root)
+    assert(Versioned.sumAt(spark, root, vR).isEmpty, "retired = no metadata sum")
+    // now rename/drop are legal again, and reads stay correct
+    val vDrop = Versioned.commitAlterDrop(spark, root, "v")
+    assert(Versioned.readAt(spark, root, vDrop).columns.toSeq == Seq("id"))
+  }
 }

@@ -177,4 +177,42 @@ class TxnCatalogSpec extends AnyFunSuite {
     assert(h.map(_._1) == Seq(2, 1))
     assert(h.head._2 == Map("a" -> 2, "b" -> 2))
   }
+
+  test("racing same-map creators never wedge the mapping file (checksum-safe)") {
+    val (cat, ra, _) = pair()
+    Versioned.commit(spark, ra, Seq(1L).toDF("id"))
+    val tables = Map("a" -> ra)
+    // 8 threads race the whole create (mapping write-then-rename + pin
+    // publish).  Pre-fix, the checksummed tmp write + two-op FileContext
+    // rename could leave tables.json under a mismatched .crc — wedging
+    // EVERY later read with ChecksumException; written raw there is no
+    // sidecar to desynchronize, and the JVM monitor serializes peers.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val futs = (1 to 8).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Int]] {
+        def call(): Either[Throwable, Int] =
+          try Right(TxnCatalog.create(spark, cat, tables))
+          catch { case t: Throwable => Left(t) }
+      })
+    }
+    val res = futs.map(_.get())
+    pool.shutdown()
+    assert(res.exists(_.isRight), "at least one creator must land the catalog")
+    res.foreach {
+      case Left(t) =>
+        // losers may refuse loudly ("already exists") but must never
+        // corrupt: a ChecksumException here means the mapping is wedged
+        assert(!t.isInstanceOf[org.apache.hadoop.fs.ChecksumException],
+          s"checksum corruption under create race: $t")
+      case Right(v) => assert(v == 1)
+    }
+    // the catalog stays fully readable — repeatedly (the pre-fix failure
+    // mode poisoned every subsequent read)
+    (1 to 3).foreach { _ =>
+      assert(TxnCatalog.tablesOf(spark, cat) == tables)
+      assert(TxnCatalog.pinsAt(spark, cat) == Map("a" -> 1))
+    }
+    assert(Versioned.currentVersion(spark, cat) == 1,
+      "racing creators must not stack duplicate pin records")
+  }
 }
