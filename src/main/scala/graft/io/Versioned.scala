@@ -2916,12 +2916,25 @@ object Versioned {
     val dvB = dvOf(spark, root, vb)
     val cancel = da.toSet.intersect(db.toSet)
       .filter(d => dvA.get(d) == dvB.get(d))
+    diffOn(spark, root, va, vb, da.filterNot(cancel), db.filterNot(cancel))
+  }
+
+  /** [[diff]] restricted to EXPLICIT dir subsets — `aDirs` read at `va`
+    * (under `va`'s vectors), `bDirs` at `vb` — the primitive behind
+    * row-capped change-feed chunks ([[ChangeFeed.nextBatchCapped]]):
+    * a chunk diffs a bounded subset of the changed dirs, and rows the
+    * subset shares still cancel under EXCEPT ALL.  `vMax`'s schema
+    * governs both sides, exactly as in [[diff]]. */
+  private[graft] def diffOn(spark: SparkSession, root: String, va: Int,
+      vb: Int, aDirs: Seq[String], bDirs: Seq[String]): DataFrame = {
+    val vMax = math.max(va, vb)
     def read(only: Seq[String], dvV: Int): DataFrame =
-      if (only.isEmpty) // schema from whichever side has data dirs
-        readDirs(spark, root, vMax, (da ++ db).distinct).limit(0)
-      else readDirsDv(spark, root, vMax, only, keepPos = false, dvV = dvV)
-    val a = read(da.filterNot(cancel), va)
-    val b = read(db.filterNot(cancel), vb)
+      if (only.isEmpty) { // schema from whichever side has data dirs
+        val any = (manifest(spark, root, va) ++ manifest(spark, root, vb)).distinct
+        readDirs(spark, root, vMax, any).limit(0)
+      } else readDirsDv(spark, root, vMax, only, keepPos = false, dvV = dvV)
+    val a = read(aDirs, va)
+    val b = read(bDirs, vb)
     b.exceptAll(a).withColumn("op", lit("added"))
       .unionByName(a.exceptAll(b).withColumn("op", lit("removed")))
   }

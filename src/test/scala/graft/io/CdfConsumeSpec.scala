@@ -104,6 +104,106 @@ class CdfConsumeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not commit batch fence"))
   }
 
+  test("changesByCommit: per-commit attribution + monotone timestamps") {
+    val b = newBase(); val src = s"$b/src"
+    chain(src)
+    val ch = ChangeFeed.changesByCommit(spark, src, 1, 3, "id")
+    // each version's slice equals the single-version feed exactly
+    (2 to 3).foreach { v =>
+      val got = ch.filter(col("_commit_version") === v)
+        .drop("_commit_version", "_commit_timestamp")
+      val want = ChangeFeed.changes(spark, src, v - 1, v, "id")
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0, s"version $v slice must match")
+    }
+    // stamps come from the log records and are monotone along it
+    val ts = ch.select(col("_commit_version"), col("_commit_timestamp"))
+      .distinct().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ts(2) == Versioned.tsOf(spark, src, 2))
+    assert(ts(3) == Versioned.tsOf(spark, src, 3))
+    assert(ts(2) <= ts(3))
+    // intra-window history preserved: id 22 was inserted at v2 and
+    // deleted (even) at v3 — per-commit shows both, the NET jump cancels
+    val id22 = ch.filter(col("id") === 22L)
+      .select(col("_change_type"), col("_commit_version")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(id22 == Set(("insert", 2), ("delete", 3)))
+    assert(ChangeFeed.changes(spark, src, 1, 3, "id")
+      .filter(col("id") === 22L).count() == 0)
+  }
+
+  test("a group fully deleted from the source drops from the aggregate") {
+    val b = newBase(); val src = s"$b/src"; val agg = s"$b/agg"
+    Versioned.commitAppendClustered(spark, src,
+      (1L to 10L).map(i => (i, if (i <= 5) "A" else "B", i))
+        .toDF("id", "g", "m"), "id", 2)
+    // v2 wipes group B entirely
+    Versioned.commitUpdate(spark, src, col("g") === "B",
+      d => d.filter(col("g") =!= "B"))
+    def applyBatch(feed: DataFrame, fence: Long): Unit = {
+      val add = col("_change_type").isin("insert", "update_postimage")
+      val d = feed.groupBy(col("g"))
+        .agg(sum(when(add, 1L).otherwise(-1L)).as("d_cnt"))
+      val head = Versioned.currentVersion(spark, agg)
+      if (head == 0)
+        Versioned.commitBatch(spark, agg, fence,
+          d.select(col("g"), col("d_cnt").as("cnt")))
+      else {
+        val cur = Versioned.readAt(spark, agg, head)
+        val merged = d.join(cur, Seq("g"), "left").select(col("g"),
+          (coalesce(col("cnt"), lit(0L)) + col("d_cnt")).as("cnt"))
+        // the judged-consumer pattern: zero-count groups become CDC
+        // deletes — evicted, never upserted as zero rows
+        val ch = merged.withColumn("_change_type",
+          when(col("cnt") === 0L, lit("delete"))
+            .otherwise(lit("update_postimage")))
+        ChangeFeed.applyChangesBatch(spark, agg, ch, "g", fence)
+      }
+      ()
+    }
+    assert(ChangeFeed.consume(spark, src, agg, "id",
+      maxVersions = 1)(applyBatch) == 2)
+    val rows = Versioned.readAt(spark, agg, Versioned.currentVersion(spark, agg))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("A" -> 5L), s"group B must be dropped, got $rows")
+  }
+
+  test("row-capped source: one 10-dir commit drains as bounded chunks") {
+    val b = newBase(); val src = s"$b/src"; val agg = s"$b/agg"
+    // ONE commit lands 10 clustered dirs of ~100 rows each
+    Versioned.commitAppendClustered(spark, src,
+      (0L until 1000L).map(i => (i, i)).toDF("id", "m"), "id", 10)
+    var fences = Vector.empty[Long]
+    val n = ChangeFeed.consumeCapped(spark, src, agg, "id", maxRows = 250L) {
+      (feed, fence) =>
+        assert(feed.count() <= 250L,
+          "each chunk must respect the row cap")
+        fences :+= fence
+        fold(agg)(feed, fence)
+    }
+    assert(n >= 3, s"a 1000-row commit at cap 250 must drain as chunks, got $n")
+    assert(state(agg) == recompute(src))
+    // fences strictly increase and end exactly at the version boundary
+    assert(fences == fences.sorted && fences.distinct == fences)
+    assert(fences.last == 1L * ChangeFeed.ChunkBase)
+    assert(ChangeFeed.consumeCapped(spark, src, agg, "id", 250L)(fold(agg)) == 0)
+  }
+
+  test("row-capped: a crashed apply redelivers the same chunk; cross-chunk update splits stay state-equivalent") {
+    val b = newBase(); val src = s"$b/src"; val agg = s"$b/agg"
+    chain(src) // merge + CoW delete: updates WILL straddle chunk bounds at cap 7
+    val (f1, fe1) = ChangeFeed.nextBatchCapped(spark, src, agg, "id", 7L).get
+    f1.count() // 'crash': feed computed, fence never committed
+    val (_, fe1b) = ChangeFeed.nextBatchCapped(spark, src, agg, "id", 7L).get
+    assert(fe1b == fe1, "the pending chunk must redeliver with the same fence")
+    val n = ChangeFeed.consumeCapped(spark, src, agg, "id", 7L)(fold(agg))
+    assert(n >= 4, s"the 3-version chain at cap 7 must drain as many chunks, got $n")
+    // split update pairs arrive as delete+insert — the fold cannot tell,
+    // and the final state equals the recompute to the row
+    assert(state(agg) == recompute(src))
+    assert(ChangeFeed.consumeCapped(spark, src, agg, "id", 7L)(fold(agg)) == 0)
+  }
+
   test("bootstrapV: a consumer born at v1 sees only post-v1 changes") {
     val b = newBase(); val src = s"$b/src"; val agg = s"$b/agg"
     chain(src)
