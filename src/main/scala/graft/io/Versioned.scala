@@ -39,8 +39,11 @@ import org.apache.spark.sql.functions._
   * (optimistic concurrency, spec-driven by two racing threads).  Readers
   * only ever see fully-written manifests, and a crashed writer leaves an
   * orphan data dir that no manifest references — garbage, never
-  * corruption.  On rename-is-copy object stores, front an atomic-commit
-  * layer, as with [[Staged]].
+  * corruption.  On rename-is-copy object stores, set
+  * `spark.graft.commitAdapter = create-exclusive` to claim version
+  * slots with the store's atomic conditional-PUT instead of a rename
+  * (see [[CommitAdapterConf]]), or front an atomic-commit layer, as
+  * with [[Staged]].
   *
   * [[diff]] is the snapshot comparator (multiset `EXCEPT ALL` both ways,
   * tagged added/removed) — the review primitive for "what changed
@@ -941,6 +944,54 @@ object Versioned {
     } finally raf.close()
   }
 
+  /** The COMMIT ADAPTER conf: how a record claims its version slot.
+    *
+    *  - `"rename"` (default): write a tmp file, then a no-overwrite
+    *    FileContext rename — atomic on HDFS and (under the per-root
+    *    locks) on local filesystems.
+    *  - `"create-exclusive"`: write the record DIRECTLY at its final
+    *    name with `create(overwrite = false)` — the primitive for
+    *    rename-is-copy object stores, whose conditional-PUT /
+    *    if-none-match create is atomic per whole object while their
+    *    rename is a copy+delete no arbitration can be built on.  The
+    *    record becomes visible only when the exclusive create COMPLETES
+    *    (object-store PUT semantics); do not select this on plain HDFS,
+    *    where a crashed writer could leave a partial visible file that
+    *    the rename discipline is designed to prevent. */
+  private[io] val CommitAdapterConf = "spark.graft.commitAdapter"
+
+  /** Land `rec` at `dst`, claiming version slot `dst` exclusively.
+    * Returns true when this writer's record landed, false when a racer
+    * already claimed the slot (caller re-resolves the head and
+    * retries).  Any other I/O failure propagates. */
+  private[io] def landRecord(f: org.apache.hadoop.fs.FileSystem,
+      fc: org.apache.hadoop.fs.FileContext, ld: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path, rec: String, adapter: String): Boolean =
+    adapter match {
+      case "create-exclusive" =>
+        try {
+          val out = f.create(dst, false) // atomic claim on conditional-PUT stores
+          try out.write(rec.getBytes("UTF-8")) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          // some FileSystems signal the exists-conflict as a plain IOE
+          case e: java.io.IOException => if (f.exists(dst)) false else throw e
+        }
+      case "rename" =>
+        val tmp = new org.apache.hadoop.fs.Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
+        val out = f.create(tmp, false)
+        try out.write(rec.getBytes("UTF-8")) finally out.close()
+        try { fc.rename(tmp, dst); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            f.delete(tmp, false); false // lost the race
+          case e: java.io.IOException => f.delete(tmp, false); throw e
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown $CommitAdapterConf '$other' (rename | create-exclusive)")
+    }
+
   private[io] def publishRecord(spark: SparkSession, root: String,
       recOf: Int => (Seq[String], String),
       abortIf: Int => Boolean = _ => false): Option[Int] = {
@@ -949,6 +1000,7 @@ object Versioned {
     f.mkdirs(ld)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       ld.toUri, spark.sparkContext.hadoopConfiguration)
+    val adapter = spark.conf.get(CommitAdapterConf, "rename")
     val lock = publishLocks.computeIfAbsent(ld.toString, _ => new Object)
     lock.synchronized {
     withLocalLock(f, ld) {
@@ -960,16 +1012,9 @@ object Versioned {
       val v = head + 1
       val (dirs, extra) = recOf(head)
       val rec = s"""{"version":$v,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]$extra}"""
-      val tmp = new org.apache.hadoop.fs.Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
-      val out = f.create(tmp, false)
-      try out.write(rec.getBytes("UTF-8")) finally out.close()
       val dst = new org.apache.hadoop.fs.Path(ld, f"v$v%05d.json")
-      try { fc.rename(tmp, dst); return Some(v) }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          f.delete(tmp, false) // lost the race: re-resolve head and retry
-        case e: java.io.IOException => f.delete(tmp, false); throw e
-      }
+      if (landRecord(f, fc, ld, dst, rec, adapter)) return Some(v)
+      // lost the race: re-resolve head and retry
     }
     throw new IllegalStateException(s"commit contention not resolving at $root")
     }
