@@ -469,6 +469,82 @@ object ChangeFeed {
     Versioned.readAt(spark, agg, Versioned.currentVersion(spark, agg))
   }
 
+  /** Judged query: the REGISTERED streaming source end-to-end.  The
+    * same realistic source chain as [[streamCdfConsume]], but consumed
+    * through `spark.readStream.format("graft.io.ChangeFeedSourceProvider")`
+    * — the standard Structured Streaming API over the commit log.
+    * Three checkpointed runs: (1) the clustered base streams in, (2)
+    * the merge + CoW delete arrive as a resumed DELTA batch (the
+    * checkpoint carries the source offset = table version), (3) the
+    * checkpoint is WIPED and the full feed replays — every fence it
+    * carries is already applied, so the fold must not move (in-query
+    * assertion).  Output = the per-lang aggregate head; oracle = the
+    * recompute over the final snapshot. */
+  val streamCdfSource: graft.GraftQuery = graft.GraftQuery("q_stream_cdf_source",
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN doc_id % 10 < 8 AND doc_id BETWEEN 260 AND 490
+      |              THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 9 <> 0)
+      |SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM f GROUP BY lang""".stripMargin) { (spark, sfDir) =>
+    val run = graft.streaming.StreamSink.newRunDir()
+    val src = s"$run/src"; val agg = s"$run/agg"; val ckpt = s"$run/ckpt"
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    def applyBatch(feed: DataFrame, fence: Long): Unit = {
+      val add = col("_change_type").isin("insert", "update_postimage")
+      val d = feed.groupBy(col("lang")).agg(
+        sum(when(add, 1L).otherwise(-1L)).as("d_cnt"),
+        sum(when(add, col("n_chars").cast("long"))
+          .otherwise(-col("n_chars").cast("long"))).as("d_chars"))
+      val headA = Versioned.currentVersion(spark, agg)
+      if (headA == 0)
+        Versioned.commitBatch(spark, agg, fence, d.select(col("lang"),
+          col("d_cnt").as("cnt"), col("d_chars").as("sum_chars")))
+      else {
+        val cur = Versioned.readAt(spark, agg, headA)
+        val merged = d.join(cur, Seq("lang"), "left")
+          .select(col("lang"),
+            (coalesce(col("cnt"), lit(0L)) + col("d_cnt")).as("cnt"),
+            (coalesce(col("sum_chars"), lit(0L)) + col("d_chars")).as("sum_chars"))
+        val ch = merged.withColumn("_change_type",
+          when(col("cnt") === 0L, lit("delete"))
+            .otherwise(lit("update_postimage")))
+        applyChangesBatch(spark, agg, ch, "lang", fence)
+      }
+      ()
+    }
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.io.ChangeFeedSourceProvider")
+        .option("path", src).option("key", "doc_id")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((b: DataFrame, id: Long) => applyBatch(b, id))
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    Versioned.commitAppendClustered(spark, src, base, "doc_id", buckets = 8)
+    drain() // run 1: the base streams in
+    val updates = base.filter(col("doc_id").between(260, 490))
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(docs.filter(col("doc_id") % 10 >= 8))
+    Versioned.commitMerge(spark, src, updates, "doc_id")
+    val pred = col("doc_id") % 9 === 0
+    Versioned.commitUpdate(spark, src, pred, d => d.filter(!pred))
+    drain() // run 2: checkpointed resume folds exactly the delta
+    val settled = Versioned.currentVersion(spark, agg)
+    val cp = new org.apache.hadoop.fs.Path(ckpt)
+    Versioned.fs(spark, cp).delete(cp, true)
+    drain() // run 3: wiped checkpoint — the replayed fences are all applied
+    require(Versioned.currentVersion(spark, agg) == settled,
+      "a wiped-checkpoint replay must not move the fold")
+    Versioned.readAt(spark, agg, settled)
+  }
+
   val all: Seq[graft.GraftQuery] =
-    Seq(tableCdf, tableReplica, streamReplica, streamCdfConsume)
+    Seq(tableCdf, tableReplica, streamReplica, streamCdfConsume,
+      streamCdfSource)
 }

@@ -32,6 +32,18 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
 
+  /** A batch DataFrame re-tagged as a one-batch STREAMING relation —
+    * what a V1 streaming `Source.getBatch` must return
+    * (MicroBatchExecution asserts `isStreaming`); the rows still come
+    * from the batch plan, evaluated once per micro-batch.  This is the
+    * FileStreamSource technique, re-exported. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[Dataset[Row]]
+    Dataset.ofRows(ds.sparkSession,
+      execution.LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
+        isStreaming = true))
+  }
+
   /** Column over a raw Catalyst expression (and back) — needed to use a
     * custom TypedImperativeAggregate through the DataFrame API. */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =

@@ -1,0 +1,107 @@
+package graft.io
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the registered streaming change-feed source: readStream →
+  * foreachBatch with fenced commits equals the batch recompute, a
+  * checkpointed resume delivers only the delta, and a WIPED checkpoint
+  * replays exactly-once (the redelivered feed's fences are already
+  * applied). */
+class ChangeFeedSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newBase() =
+    s"/tmp/graft_cdf_source/${java.util.UUID.randomUUID()}"
+
+  private def chain(src: String): Unit = {
+    Versioned.commitAppendClustered(spark, src,
+      (1L to 20L).map(i => (i, i)).toDF("id", "m"), "id", 4)
+    Versioned.commitMerge(spark, src,
+      ((5L to 8L).map(i => (i, i + 100L)) ++ (21L to 25L).map(i => (i, i)))
+        .toDF("id", "m"), "id")
+    Versioned.commitUpdate(spark, src, col("id") % 2 === 0,
+      d => d.filter(col("id") % 2 =!= 0))
+  }
+
+  /** Fenced fold sink: per-batch ±delta into a one-row (cnt, sum). */
+  private def fold(agg: String)(feed: DataFrame, fence: Long): Unit = {
+    val add = col("_change_type").isin("insert", "update_postimage")
+    val d = feed.agg(
+      sum(when(add, 1L).otherwise(-1L)).as("d_cnt"),
+      sum(when(add, col("m")).otherwise(-col("m"))).as("d_m"))
+      .withColumn("k", lit(0L))
+    val head = Versioned.currentVersion(spark, agg)
+    if (head == 0)
+      Versioned.commitBatch(spark, agg, fence,
+        d.select(col("k"), col("d_cnt").as("cnt"), col("d_m").as("s")))
+    else {
+      val cur = Versioned.readAt(spark, agg, head)
+      Versioned.commitMergeBatch(spark, agg, fence,
+        d.join(cur, Seq("k"), "left").select(col("k"),
+          (coalesce(col("cnt"), lit(0L)) + col("d_cnt")).as("cnt"),
+          (coalesce(col("s"), lit(0L)) + col("d_m")).as("s")), "k")
+    }
+    ()
+  }
+
+  private def state(agg: String): (Long, Long) = {
+    val r = Versioned.readAt(spark, agg, Versioned.currentVersion(spark, agg))
+      .select("cnt", "s").head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def recompute(src: String): (Long, Long) = {
+    val r = Versioned.readAt(spark, src, Versioned.currentVersion(spark, src))
+      .agg(count(lit(1)), sum(col("m"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def run(src: String, agg: String, ckpt: String): Unit = {
+    val q = spark.readStream
+      .format("graft.io.ChangeFeedSourceProvider")
+      .option("path", src).option("key", "id")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch((b: DataFrame, id: Long) => fold(agg)(b, id))
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
+  test("readStream e2e: fenced sink = recompute; resume = delta; wipe = exactly-once") {
+    val b = newBase()
+    val src = s"$b/src"; val agg = s"$b/agg"; val ckpt = s"$b/ckpt"
+    chain(src)
+    run(src, agg, ckpt)
+    assert(state(agg) == recompute(src), "streamed fold must equal the recompute")
+    // the source advances; a checkpointed RESUME delivers only the delta
+    Versioned.commitAppend(spark, src, Seq((100L, 100L)).toDF("id", "m"))
+    run(src, agg, ckpt)
+    assert(state(agg) == recompute(src), "resume must fold exactly the new delta")
+    // WIPED checkpoint: the engine replays the whole feed from version 0
+    // as batch 0 — but every fence it would land is already applied, so
+    // the sink skips and state is untouched (exactly-once without the
+    // checkpoint)
+    val cp = new org.apache.hadoop.fs.Path(ckpt)
+    Versioned.fs(spark, cp).delete(cp, true)
+    run(src, agg, ckpt)
+    assert(state(agg) == recompute(src),
+      "a wiped-checkpoint replay must not double-fold")
+  }
+
+  test("option validation and schema") {
+    val b = newBase(); val src = s"$b/src"
+    Versioned.commit(spark, src, Seq((1L, 2L)).toDF("id", "m"))
+    val df = spark.readStream.format("graft.io.ChangeFeedSourceProvider")
+      .option("path", src).option("key", "id").load()
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "m", "_change_type"))
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft.io.ChangeFeedSourceProvider")
+        .option("key", "id").load()
+    }
+  }
+}
