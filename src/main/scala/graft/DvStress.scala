@@ -133,6 +133,34 @@ object DvStress {
       f"${tOnePlain}%.2f s, vectored ${tOneVec}%.2f s " +
       f"(tax ${tOneVec / tOnePlain}%.2fx - proportional to the vectored " +
       f"fraction, not the table)")
+
+    // ---- REORG law: sidecar GENERATIONS accrete (every sparse delete
+    // adds one per touched dir — the folds never fire on this layout-
+    // less table), the read tax grows with them, and ONE
+    // rewriteVectored retires them all and flattens the read back to
+    // baseline — the deferred rewrite, paid once, bounded by threshold ----
+    val reorgRoot = s"/tmp/graft_dv_stress/${java.util.UUID.randomUUID()}"
+    (0 until nDirs).foreach(i => Versioned.commitAppend(spark, reorgRoot, batch(i)))
+    agg(Versioned.readAt(spark, reorgRoot, nDirs))
+    val (_, tBase) = time(agg(Versioned.readAt(spark, reorgRoot, nDirs)))
+    val gens = (1 to 4).map { g =>
+      val v = Versioned.commitDeleteMOR(spark, reorgRoot,
+        col("id") % 1000 === (7 + g).toLong)
+      agg(Versioned.readAt(spark, reorgRoot, v))
+      val (_, t) = time(agg(Versioned.readAt(spark, reorgRoot, v)))
+      val sidecars = Versioned.dvOf(spark, reorgRoot, v).values.map(_.size).sum
+      (g, sidecars, t)
+    }
+    val (vReorg, tReorg) = time(Versioned.rewriteVectored(spark, reorgRoot,
+      maxDvFraction = 0.001).getOrElse(sys.error("reorg must publish")))
+    assert(Versioned.dvOf(spark, reorgRoot, vReorg).isEmpty, "reorg retires all")
+    agg(Versioned.readAt(spark, reorgRoot, vReorg))
+    val (_, tPost) = time(agg(Versioned.readAt(spark, reorgRoot, vReorg)))
+    println(f"DV REORG: baseline ${tBase}%.2f s; " +
+      gens.map { case (g, s, t) => f"gen$g ($s sidecars) ${t}%.2f s" }
+        .mkString(", ") +
+      f"; rewriteVectored ${tReorg}%.1f s once -> post-reorg ${tPost}%.2f s " +
+      f"(${tPost / tBase}%.2fx of baseline)")
     spark.stop()
   }
 }

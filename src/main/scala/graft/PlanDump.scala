@@ -76,7 +76,10 @@ object PlanDump {
     "q_table_wap",
     // round 17 headliners: multi-column zone-map read, filtered exact
     // kNN, incremental change-feed consumption
-    "q_table_zonemap_multi", "q_table_knn_filtered", "q_stream_cdf_consume")
+    "q_table_zonemap_multi", "q_table_knn_filtered", "q_stream_cdf_consume",
+    // round 18: DV rewrite policy, 2-D maintenance, per-commit CDC
+    // provenance, the registered streaming source
+    "q_table_reorg", "q_table_maintain_2d", "q_stream_cdf_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

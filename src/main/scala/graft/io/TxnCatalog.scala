@@ -196,9 +196,11 @@ object TxnCatalog {
     * keep their pinned versions.  Returns name → new version for the
     * members that needed work (empty = the whole catalog was healthy). */
   def maintainMembers(spark: SparkSession, cat: String,
-      smallRows: Long = 0L, targetRows: Long = 0L): Map[String, Int] =
+      smallRows: Long = 0L, targetRows: Long = 0L,
+      maxDvFraction: Double = 0.3): Map[String, Int] =
     tablesOf(spark, cat).flatMap { case (n, r) =>
-      Versioned.maintain(spark, r, smallRows, targetRows).map(n -> _)
+      Versioned.maintain(spark, r, smallRows, targetRows,
+        maxDvFraction = maxDvFraction).map(n -> _)
     }
 
   /** The catalog's transaction history: (catalog version, pin map),

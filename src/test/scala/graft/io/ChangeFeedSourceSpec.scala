@@ -92,6 +92,44 @@ class ChangeFeedSourceSpec extends AnyFunSuite {
       "a wiped-checkpoint replay must not double-fold")
   }
 
+  test("maxVersionsPerTrigger drains a backlog as bounded micro-batches") {
+    val b = newBase()
+    val src = s"$b/src"; val agg = s"$b/agg"; val ckpt = s"$b/ckpt"
+    chain(src) // 3 commits BEFORE the stream starts: the backlog case
+    var batches = 0
+    val q = spark.readStream
+      .format("graft.io.ChangeFeedSourceProvider")
+      .option("path", src).option("key", "id")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (feed: DataFrame, id: Long) =>
+        batches += 1; fold(agg)(feed, id)
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(batches == 3,
+      s"a 3-commit backlog at maxVersionsPerTrigger=1 must drain as 3 batches, got $batches")
+    assert(state(agg) == recompute(src))
+    // the cap watermark survives a restart: one more commit, resume —
+    // exactly the delta arrives, still capped
+    Versioned.commitAppend(spark, src, Seq((200L, 200L)).toDF("id", "m"))
+    var batches2 = 0
+    val q2 = spark.readStream
+      .format("graft.io.ChangeFeedSourceProvider")
+      .option("path", src).option("key", "id")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (feed: DataFrame, id: Long) =>
+        batches2 += 1; fold(agg)(feed, id)
+      }
+      .start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(batches2 == 1, s"the resume must deliver exactly the delta, got $batches2")
+    assert(state(agg) == recompute(src))
+  }
+
   test("option validation and schema") {
     val b = newBase(); val src = s"$b/src"
     Versioned.commit(spark, src, Seq((1L, 2L)).toDF("id", "m"))
