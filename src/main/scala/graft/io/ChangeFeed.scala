@@ -235,12 +235,21 @@ object ChangeFeed {
       s"fence $raw points past version $v's ${chunks.size} chunks — " +
         "was maxRows changed while the version drained?")
     val cur = if (chunks.isEmpty) Seq.empty else chunks(k)
-    val aDirs = cur.collect { case (d, kind) if kind != "added" => d }
-    val bDirs = cur.collect { case (d, kind) if kind != "removed" => d }
-    val feed = align(Versioned.diffOn(spark, srcRoot, av, v, aDirs, bDirs), key)
+    val feed = chunkFeed(spark, srcRoot, av, v, key, cur)
     val fence = if (chunks.isEmpty || k + 1 == chunks.size) v.toLong * ChunkBase
                 else av.toLong * ChunkBase + (k + 1)
     Some((feed, fence))
+  }
+
+  /** The CDC rows of ONE chunk of the version step `va → vb` — the
+    * [[versionChunks]] dir subset diffed ([[Versioned.diffOn]]) and
+    * key-aligned; shared by [[nextBatchCapped]] and the registered
+    * source's `maxRowsPerTrigger` mode. */
+  private[io] def chunkFeed(spark: SparkSession, root: String, va: Int,
+      vb: Int, key: String, chunk: Seq[(String, String)]): DataFrame = {
+    val aDirs = chunk.collect { case (d, kind) if kind != "added" => d }
+    val bDirs = chunk.collect { case (d, kind) if kind != "removed" => d }
+    align(Versioned.diffOn(spark, root, va, vb, aDirs, bDirs), key)
   }
 
   /** Drain the row-capped feed until current — [[consume]]'s loop over

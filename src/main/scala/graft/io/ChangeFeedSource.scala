@@ -3,9 +3,9 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** `spark.readStream` over a [[Versioned]] table: the registered
   * streaming wrapper around [[ChangeFeed.changes]], so any Structured
@@ -31,15 +31,32 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * [[ChangeFeed.nextBatch]]/[[ChangeFeed.consume]] — whose progress
   * rides the consumer's own commit log instead.)
   *
-  * `startVersion` (default 0 = from table birth) bootstraps a consumer
-  * born at a snapshot, exactly like [[ChangeFeed.nextBatch]]'s
-  * `bootstrapV`; `maxVersionsPerTrigger` caps each micro-batch's commit
-  * span so a long backlog drains as bounded batches (the watermark
-  * persists in the source's metadata dir, so the cap survives
-  * restarts).  The schema is fixed at stream start (the standard
-  * Structured Streaming requirement); source retention must cover the
-  * consumer's lag — a vacuumed-away offset fails loudly, never
-  * silently. */
+  * Options:
+  *  - `startVersion` (default 0 = table birth) bootstraps a consumer
+  *    born at a snapshot, exactly like [[ChangeFeed.nextBatch]]'s
+  *    `bootstrapV`.
+  *  - `maxVersionsPerTrigger` caps each micro-batch's COMMIT span so a
+  *    long backlog drains as bounded batches.
+  *  - `maxRowsPerTrigger` caps each micro-batch's ROWS: offsets become
+  *    chunk-encoded (`version * ChunkBase + chunksApplied` — the
+  *    [[ChangeFeed.nextBatchCapped]] encoding) and each trigger
+  *    delivers ONE deterministic dir-subset chunk of the next commit,
+  *    decided from manifest row-count metadata at zero extra I/O; a
+  *    key whose pre/post images straddle chunks arrives as
+  *    delete + insert (state-equivalent for fold/merge sinks).
+  *    Mutually exclusive with `maxVersionsPerTrigger`; pick ONE pacing
+  *    mode per checkpoint — the offset encodings differ.
+  *  - `includeCommitVersions = true` appends the CDC provenance
+  *    columns `_commit_version` / `_commit_timestamp`
+  *    ([[ChangeFeed.changesByCommit]]); batches then emit PER-COMMIT
+  *    changes (intra-batch history preserved) instead of the net jump.
+  *
+  * Pacing watermarks persist in the source's metadata dir (restart-
+  * safe; a stale watermark can only widen a batch — the getBatch guard
+  * delivers an empty batch rather than a reversed diff).  The schema
+  * is fixed at stream start (the standard Structured Streaming
+  * requirement); source retention must cover the consumer's lag — a
+  * vacuumed-away offset fails loudly, never silently. */
 class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-changes"
 
@@ -47,10 +64,14 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft change-feed source needs option 'path' = the versioned table root"))
 
+  private def withVersionsOf(parameters: Map[String, String]): Boolean =
+    parameters.get("includeCommitVersions").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), ChangeFeedSource.schemaOf(sqlContext, rootOf(parameters)))
+    (shortName(), ChangeFeedSource.schemaOf(sqlContext, rootOf(parameters),
+      withVersionsOf(parameters)))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -61,90 +82,160 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toInt)
       .getOrElse(Int.MaxValue)
     require(maxV >= 1, s"maxVersionsPerTrigger must be positive, got $maxV")
+    val maxRows = parameters.get("maxRowsPerTrigger").map(_.toLong)
+      .getOrElse(Long.MaxValue)
+    require(maxRows >= 1, s"maxRowsPerTrigger must be positive, got $maxRows")
+    require(maxV == Int.MaxValue || maxRows == Long.MaxValue,
+      "pick ONE pacing mode: maxVersionsPerTrigger or maxRowsPerTrigger " +
+        "(their offset encodings differ)")
     new ChangeFeedSource(sqlContext, rootOf(parameters), key, startV, maxV,
-      metadataPath)
+      maxRows, withVersionsOf(parameters), metadataPath)
   }
 }
 
 private[io] object ChangeFeedSource {
-  def schemaOf(sqlContext: SQLContext, root: String): StructType = {
+  def schemaOf(sqlContext: SQLContext, root: String,
+      withVersions: Boolean = false): StructType = {
     val spark = sqlContext.sparkSession
     val head = Versioned.currentVersion(spark, root)
     require(head > 0, s"no committed version at $root")
-    Versioned.readAt(spark, root, head).schema
+    val base = Versioned.readAt(spark, root, head).schema
       .add(StructField("_change_type", StringType, nullable = false))
+    if (!withVersions) base
+    else base
+      .add(StructField("_commit_version", IntegerType, nullable = false))
+      .add(StructField("_commit_timestamp", LongType, nullable = false))
   }
 }
 
 private[io] class ChangeFeedSource(sqlContext: SQLContext, root: String,
     key: String, startV: Int, maxVersionsPerTrigger: Int = Int.MaxValue,
+    maxRowsPerTrigger: Long = Long.MaxValue, withVersions: Boolean = false,
     metadataPath: String = "") extends Source {
   private val spark = sqlContext.sparkSession
-  override val schema: StructType = ChangeFeedSource.schemaOf(sqlContext, root)
+  private val rowCapped = maxRowsPerTrigger != Long.MaxValue
+  override val schema: StructType =
+    ChangeFeedSource.schemaOf(sqlContext, root, withVersions)
 
-  // rate limiting needs the last OFFERED end to cap the next offer,
-  // and it must survive a restart (on a restart-with-committed-batch
-  // the engine may call getOffset before any getBatch): persist the
+  import ChangeFeed.ChunkBase
+
+  // position 0 of each pacing mode's offset line
+  private def origin: Long =
+    if (rowCapped) startV.toLong * ChunkBase else startV.toLong
+
+  // pacing needs the last OFFERED end to cap the next offer, and it
+  // must survive a restart (on a restart-with-committed-batch the
+  // engine may call getOffset before any getBatch): persist the
   // watermark in the engine-assigned metadataPath, best-effort — a
   // stale/torn read only widens one batch, never reverses one (the
   // getBatch guard below floors at the committed start)
   private def capFile: Option[org.apache.hadoop.fs.Path] =
-    if (metadataPath.isEmpty || maxVersionsPerTrigger == Int.MaxValue) None
+    if (metadataPath.isEmpty ||
+        (maxVersionsPerTrigger == Int.MaxValue && !rowCapped)) None
     else Some(new org.apache.hadoop.fs.Path(metadataPath, "graft-cap"))
-  private def readCap(): Int = capFile.map { p =>
+  private def readCap(): Long = capFile.map { p =>
     try {
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!f.exists(p)) startV
+      if (!f.exists(p)) origin
       else {
         val in = f.open(p)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        txt.trim.toInt
+        txt.trim.toLong
       }
-    } catch { case _: Exception => startV }
-  }.getOrElse(startV)
-  private def persistCap(v: Int): Unit = capFile.foreach { p =>
+    } catch { case _: Exception => origin }
+  }.getOrElse(origin)
+  private def persistCap(v: Long): Unit = capFile.foreach { p =>
     try {
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = f.create(p, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     } catch { case _: Exception => () } // best-effort (see above)
   }
-  @volatile private var lastEnd: Int = math.max(startV, readCap())
+  @volatile private var lastEnd: Long = math.max(origin, readCap())
 
   // every Offset serializes through json (LongOffset's json is the
   // value; a checkpointed restart hands back a SerializedOffset whose
   // json is what we wrote) — parsing the json is the universal decode
-  private def versionOf(o: Offset): Int = o.json.trim.toInt
+  private def rawOf(o: Offset): Long = o.json.trim.toLong
 
   override def getOffset: Option[Offset] = {
     val head = Versioned.currentVersion(spark, root)
-    // `maxVersionsPerTrigger` caps each micro-batch's commit span so a
-    // long backlog drains as bounded batches instead of one giant jump
-    val capped =
-      if (maxVersionsPerTrigger == Int.MaxValue) head
-      else math.min(head.toLong, lastEnd.toLong + maxVersionsPerTrigger).toInt
-    if (capped <= startV || capped <= lastEnd) None
-    else Some(LongOffset(capped.toLong))
+    if (rowCapped) {
+      // one chunk per trigger: advance the chunk cursor of version av+1
+      val av = (lastEnd / ChunkBase).toInt
+      val k = (lastEnd % ChunkBase).toInt
+      if (av >= head) return None
+      val v = av + 1
+      val chunks = ChangeFeed.versionChunks(spark, root, av, v, maxRowsPerTrigger)
+      val next = if (chunks.isEmpty || k + 1 >= chunks.size) v.toLong * ChunkBase
+                 else lastEnd + 1
+      if (next <= lastEnd) None else Some(LongOffset(next))
+    } else {
+      // `maxVersionsPerTrigger` caps each micro-batch's commit span so
+      // a long backlog drains as bounded batches, not one giant jump
+      val capped =
+        if (maxVersionsPerTrigger == Int.MaxValue) head.toLong
+        else math.min(head.toLong, lastEnd + maxVersionsPerTrigger)
+      if (capped <= startV || capped <= lastEnd) None
+      else Some(LongOffset(capped))
+    }
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val va = start.map(versionOf).getOrElse(startV)
-    val vb = versionOf(end)
-    lastEnd = math.max(lastEnd, vb)
-    persistCap(lastEnd)
-    // guard: a stale rate-limit watermark could make getOffset offer an
-    // end at-or-below the committed start — deliver an EMPTY batch, not
-    // a reversed diff
-    if (vb <= va)
-      return org.apache.spark.sql.GraftSqlBridge.asStreaming(
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-    // column order pinned to the declared source schema
+  private def emptyBatch: DataFrame =
     org.apache.spark.sql.GraftSqlBridge.asStreaming(
-      ChangeFeed.changes(spark, root, va, vb, key)
-        .select(schema.fieldNames.toSeq.map(col): _*))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
+  private def pin(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSqlBridge.asStreaming(
+      df.select(schema.fieldNames.toSeq.map(col): _*))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val sRaw = start.map(rawOf).getOrElse(origin)
+    val eRaw = rawOf(end)
+    lastEnd = math.max(lastEnd, eRaw)
+    persistCap(lastEnd)
+    // guard: a stale pacing watermark could make getOffset offer an end
+    // at-or-below the committed start — deliver an EMPTY batch, never a
+    // reversed diff
+    if (eRaw <= sRaw) return emptyBatch
+    if (rowCapped) {
+      val sav = (sRaw / ChunkBase).toInt; val sk = (sRaw % ChunkBase).toInt
+      val eav = (eRaw / ChunkBase).toInt; val ek = (eRaw % ChunkBase).toInt
+      val v = sav + 1
+      // the pacing invariant keeps every logged span inside ONE version
+      // step: (v-1, k) → (v-1, k+1) or (v-1, k) → (v, 0)
+      val chunks = ChangeFeed.versionChunks(spark, root, sav, v, maxRowsPerTrigger)
+      val hi = if (eav == sav) ek
+               else if (eav == v && ek == 0) chunks.size
+               else -1
+      if (hi >= 0) {
+        val span = chunks.slice(sk, hi)
+        if (span.isEmpty) return emptyBatch
+        val feed = span.map(c => ChangeFeed.chunkFeed(spark, root, sav, v, key, c))
+          .reduce(_ unionByName _)
+        val stamped =
+          if (!withVersions) feed
+          else feed.withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp", lit(Versioned.tsOf(spark, root, v)))
+        pin(stamped)
+      } else {
+        // a span our own getOffset could never have offered: the
+        // checkpoint was written by a DIFFERENT pacing mode (the
+        // encodings share the long namespace) — refuse loudly rather
+        // than risk double-delivering already-applied chunks
+        throw new IllegalStateException(
+          s"offset span $sRaw -> $eRaw is not a row-capped chunk step; " +
+            "this checkpoint was not written with maxRowsPerTrigger — " +
+            "use a fresh checkpoint when changing the pacing mode")
+      }
+    } else pin(feedFor(sRaw.toInt, eRaw.toInt))
   }
+
+  private def feedFor(va: Int, vb: Int): DataFrame =
+    if (withVersions) ChangeFeed.changesByCommit(spark, root, va, vb, key)
+    else ChangeFeed.changes(spark, root, va, vb, key)
 
   override def stop(): Unit = ()
 }

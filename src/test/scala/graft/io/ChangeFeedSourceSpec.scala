@@ -130,6 +130,70 @@ class ChangeFeedSourceSpec extends AnyFunSuite {
     assert(state(agg) == recompute(src))
   }
 
+  test("maxRowsPerTrigger: a 10-dir commit streams as bounded chunk batches") {
+    val b = newBase()
+    val src = s"$b/src"; val agg = s"$b/agg"; val ckpt = s"$b/ckpt"
+    // ONE commit lands 10 clustered dirs of ~100 rows each
+    Versioned.commitAppendClustered(spark, src,
+      (0L until 1000L).map(i => (i, i)).toDF("id", "m"), "id", 10)
+    var batches = 0; var maxBatchRows = 0L
+    val q = spark.readStream
+      .format("graft.io.ChangeFeedSourceProvider")
+      .option("path", src).option("key", "id")
+      .option("maxRowsPerTrigger", "250")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (feed: DataFrame, id: Long) =>
+        batches += 1
+        maxBatchRows = math.max(maxBatchRows, feed.count())
+        fold(agg)(feed, id)
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(batches >= 3,
+      s"a 1000-row commit at maxRowsPerTrigger=250 must stream as chunks, got $batches")
+    assert(maxBatchRows <= 250L, s"chunk cap violated: $maxBatchRows rows")
+    assert(state(agg) == recompute(src))
+    // the chunk cursor survives a restart: a new commit resumes cleanly
+    Versioned.commitAppend(spark, src, Seq((2000L, 2000L)).toDF("id", "m"))
+    val q2 = spark.readStream
+      .format("graft.io.ChangeFeedSourceProvider")
+      .option("path", src).option("key", "id")
+      .option("maxRowsPerTrigger", "250")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch((feed: DataFrame, id: Long) => fold(agg)(feed, id))
+      .start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(state(agg) == recompute(src))
+  }
+
+  test("includeCommitVersions stamps per-commit provenance on the stream") {
+    val b = newBase()
+    val src = s"$b/src"; val out = s"$b/out"; val ckpt = s"$b/ckpt"
+    chain(src)
+    val q = spark.readStream
+      .format("graft.io.ChangeFeedSourceProvider")
+      .option("path", src).option("key", "id")
+      .option("includeCommitVersions", "true")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (feed: DataFrame, id: Long) =>
+        Versioned.commitBatch(spark, out, id, feed); ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = Versioned.readAt(spark, out, Versioned.currentVersion(spark, out))
+    assert(got.columns.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
+    // the streamed relation equals changesByCommit over the same span
+    val want = ChangeFeed.changesByCommit(spark, src, 0, 3, "id")
+      .select(got.columns.map(col).toSeq: _*)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // per-commit history preserved through the stream: id 22 shows both
+    assert(got.filter(col("id") === 22L).count() == 2)
+  }
+
   test("option validation and schema") {
     val b = newBase(); val src = s"$b/src"
     Versioned.commit(spark, src, Seq((1L, 2L)).toDF("id", "m"))
