@@ -109,7 +109,7 @@ object BloomIndex {
       (if (head == 0) Seq.empty else Versioned.manifest(spark, root, head)) :+ rel
     },
       precomputedRows = Map(rel -> n),
-      blooms = Some((bloomCol, bits, Map(rel -> entry))))
+      blooms = Some((bloomCol, bits, Map(rel -> entry))), op = "append")
     catch { case e: IllegalArgumentException =>
       val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
       Versioned.fs(spark, p).delete(p, true) // reclaim the staged dir

@@ -71,7 +71,7 @@ object TextIndex {
       (if (head == 0) Seq.empty else Versioned.manifest(spark, root, head)) :+ rel
     },
       precomputedRows = Map(rel -> n),
-      blooms = Some((decl, bits, Map(rel -> entry))))
+      blooms = Some((decl, bits, Map(rel -> entry))), op = "append")
     catch { case e: IllegalArgumentException =>
       val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
       Versioned.fs(spark, p).delete(p, true) // reclaim the staged dir

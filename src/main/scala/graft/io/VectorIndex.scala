@@ -63,7 +63,8 @@ object VectorIndex {
       .select(col("vec_id"), col("cell"))
     val rows = base.join(assigned, "vec_id")
     val (rels, rowsMap) = writeAssigned(spark, root, rows, cent)
-    Versioned.publish(spark, root, _ => rels, precomputedRows = rowsMap)
+    Versioned.publish(spark, root, _ => rels, precomputedRows = rowsMap,
+      op = "commit")
   }
 
   /** The shared write path of [[commitClustered]] and
@@ -146,7 +147,7 @@ object VectorIndex {
     val (rels, rowsMap) = writeAssigned(spark, root, rows, centDf)
     Versioned.publish(spark, root, h =>
       (if (h == 0) Seq.empty else Versioned.manifest(spark, root, h)) ++ rels,
-      precomputedRows = rowsMap)
+      precomputedRows = rowsMap, op = "append")
   }
 
   /** RE-INDEX: restore kNN pruning after ingest decay, without the full

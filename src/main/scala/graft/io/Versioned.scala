@@ -500,7 +500,8 @@ object Versioned {
       sumCol: Option[String] = None,
       checksArg: Option[String] = None,
       statsColsArg: Option[Seq[String]] = None,
-      suppressSum: Boolean = false): String = {
+      suppressSum: Boolean = false,
+      opArg: String = ""): String = {
     // ONE metadata read of the head record serves every carried field
     // below (12 reads collapsed to 1 — on an object store that is the
     // difference between 1 and 12 GETs per commit)
@@ -687,8 +688,20 @@ object Versioned {
         val n = dvEntries.map { case (d, _, k) => s""""$d":$k""" }
         s""","dv":{${e.mkString(",")}},"dvRows":{${n.mkString(",")}}"""
       }
-    s""","ts":$ts$statsJson$mstatsJson$rowsJson$bytesJson$sumJson$bloomJson$altersJson$checksJson$dvJson$more"""
+    // the OPERATION label (DESCRIBE HISTORY parity): stamped per commit,
+    // deliberately NOT carried from the parent — each record names what
+    // produced IT; replay records (restore/clone) stamp their own
+    val opJson = if (opArg.isEmpty) "" else s""","op":"$opArg""""
+    s""","ts":$ts$opJson$statsJson$mstatsJson$rowsJson$bytesJson$sumJson$bloomJson$altersJson$checksJson$dvJson$more"""
   }
+
+  private def parseOp(txt: String): Option[String] =
+    """"op":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+
+  /** The commit's operation label at version `v` (absent for records
+    * written before labels existed, and for paths that stamp none). */
+  private[graft] def opOf(spark: SparkSession, root: String, v: Int): Option[String] =
+    recOpt(spark, root, v).flatMap(parseOp)
 
   private def parseChecksFrag(txt: String): Option[String] =
     """"checks":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
@@ -754,7 +767,7 @@ object Versioned {
             s"re-declaring $colName would corrupt carried entries"))
       val dirs = manifest(spark, root, head)
       (dirs, extraFields(spark, root, head, dirs, None, "",
-        sumCol = Some(colName)))
+        sumCol = Some(colName), opArg = "declare"))
     }).get
   }
 
@@ -792,7 +805,7 @@ object Versioned {
         s"$root already keeps zone maps on $prior; re-declaring may only extend the set")
       val dirs = manifest(spark, root, head)
       (dirs, extraFields(spark, root, head, dirs, None, "",
-        statsColsArg = Some(cols)))
+        statsColsArg = Some(cols), opArg = "declare"))
     }).get
   }
 
@@ -810,7 +823,7 @@ object Versioned {
       // suppressing the parent sum-column carry IS the retirement; every
       // other field is reconstructed as usual
       (dirs, extraFields(spark, root, head, dirs, None, "",
-        suppressSum = true))
+        suppressSum = true, opArg = "retire"))
     }).get
 
   /** Retire columns from the multi-column zone map: re-declare to a
@@ -830,7 +843,7 @@ object Versioned {
         s"retire must name a strict subset of the declared set $prior")
       val dirs = manifest(spark, root, head)
       (dirs, extraFields(spark, root, head, dirs, None, "",
-        statsColsArg = Some(cols)))
+        statsColsArg = Some(cols), opArg = "retire"))
     }).get
   }
 
@@ -1025,11 +1038,12 @@ object Versioned {
       dirsOf: Int => Seq[String], statsCol: Option[String] = None,
       precomputed: Map[String, (Long, Long)] = Map.empty,
       precomputedRows: Map[String, Long] = Map.empty,
-      blooms: Option[(String, Int, Map[String, String])] = None): Int =
+      blooms: Option[(String, Int, Map[String, String])] = None,
+      op: String = "commit"): Int =
     publishRecord(spark, root, head => {
       val dirs = dirsOf(head)
       (dirs, extraFields(spark, root, head, dirs, statsCol, "", precomputed,
-        None, precomputedRows, blooms))
+        None, precomputedRows, blooms, opArg = op))
     }).get
 
   /** Full-snapshot commit (also the compaction path): the new version's
@@ -1039,7 +1053,7 @@ object Versioned {
   def commit(spark: SparkSession, root: String, df: DataFrame,
       statsCol: Option[String] = None): Int = {
     val rel = writeDataDir(spark, root, df)
-    publish(spark, root, _ => Seq(rel), statsCol)
+    publish(spark, root, _ => Seq(rel), statsCol, op = "commit")
   }
 
   /** Append commit: writes ONLY `df`'s rows; the manifest is the current
@@ -1050,7 +1064,8 @@ object Versioned {
       statsCol: Option[String] = None): Int = {
     val rel = writeDataDir(spark, root, df)
     publish(spark, root, head =>
-      (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel, statsCol)
+      (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel,
+      statsCol, op = "append")
   }
 
   /** A [[commitAppendChecked]] audit failure: nothing was published, the
@@ -1090,7 +1105,7 @@ object Versioned {
     }
     publish(spark, root, head =>
       (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel,
-      precomputedRows = Map(rel -> counts.getLong(0)))
+      precomputedRows = Map(rel -> counts.getLong(0)), op = "append")
   }
 
   /** Declare persisted CHECK constraints — the table's INGEST CONTRACT.
@@ -1118,7 +1133,7 @@ object Versioned {
         .map { case (n, e) => s""""$n":"$e"""" }.mkString(",")
       val dirs = manifest(spark, root, head)
       (dirs, extraFields(spark, root, head, dirs, None, "",
-        checksArg = Some(frag)))
+        checksArg = Some(frag), opArg = "declare"))
     }).get
   }
 
@@ -1202,7 +1217,7 @@ object Versioned {
         head => {
           val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel
           (dirs, extraFields(spark, root, head, dirs, None, "",
-            precomputedRows = Map(rel -> n)))
+            precomputedRows = Map(rel -> n), opArg = "append"))
         },
         abortIf = head => head != head0) // new head: re-probe its keys
       v match {
@@ -1271,7 +1286,7 @@ object Versioned {
           val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
             .filterNot(touched) ++ rewritten._1
           (dirs, extraFields(spark, root, head, dirs, None, "",
-            rewritten._2, None, rewritten._3, rewritten._4))
+            rewritten._2, None, rewritten._3, rewritten._4, opArg = "update"))
         },
         abortIf = head => head != head0 && {
           val m = manifest(spark, root, head).toSet
@@ -1349,7 +1364,7 @@ object Versioned {
         head => {
           val dirs = manifest(spark, root, head)
           (dirs, extraFields(spark, root, head, dirs, None, "",
-            dvAdd = perDir.map { case (d, n) => d -> (Seq(rel), n) }))
+            dvAdd = perDir.map { case (d, n) => d -> (Seq(rel), n) }, opArg = "delete"))
         },
         // our positions are only valid against head0's copy AND head0's
         // vector state of each touched dir: a concurrent rewrite orphans
@@ -1597,7 +1612,7 @@ object Versioned {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
           .filterNot(touched) ++ rewritten._1 :+ newDir
         (dirs, extraFields(spark, root, head, dirs, None, more,
-          rewritten._2, None, rewritten._3, bloomAdd))
+          rewritten._2, None, rewritten._3, bloomAdd, opArg = "merge"))
       },
       abortIf = head =>
         batchId.exists(b => lastBatchId(spark, root).exists(_ >= b)) ||
@@ -1691,7 +1706,7 @@ object Versioned {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ newDir
         (dirs, extraFields(spark, root, head, dirs, None, more,
           blooms = bloomAdd,
-          dvAdd = perDir.map { case (d, n) => d -> (Seq(rel), n) }))
+          dvAdd = perDir.map { case (d, n) => d -> (Seq(rel), n) }, opArg = "merge"))
       },
       abortIf = head =>
         batchId.exists(b => lastBatchId(spark, root).exists(_ >= b)) ||
@@ -1740,7 +1755,7 @@ object Versioned {
       val entry = s""""$colName|$sqlType":"${dirs.mkString(",")}""""
       val frag = altersFragOf(spark, root, head).filter(_.nonEmpty)
         .map(p => s"$p,$entry").getOrElse(entry)
-      (dirs, extraFields(spark, root, head, dirs, None, "", Map.empty, Some(frag)))
+      (dirs, extraFields(spark, root, head, dirs, None, "", Map.empty, Some(frag), opArg = "alter"))
     }).get
   }
 
@@ -1806,7 +1821,7 @@ object Versioned {
         .filter(_ == oldName).map(_ => newName)
       (dirs, extraFields(spark, root, head, dirs, statsFollow, "",
         if (statsFollow.isDefined) dirStats(spark, root, head) else Map.empty,
-        Some(frag)))
+        Some(frag), opArg = "alter"))
     }).get
   }
 
@@ -1831,7 +1846,7 @@ object Versioned {
       val entry = s""""$colName|#drop":"${dirs.mkString(",")}""""
       val frag = altersFragOf(spark, root, head).filter(_.nonEmpty)
         .map(p => s"$p,$entry").getOrElse(entry)
-      (dirs, extraFields(spark, root, head, dirs, None, "", Map.empty, Some(frag)))
+      (dirs, extraFields(spark, root, head, dirs, None, "", Map.empty, Some(frag), opArg = "alter"))
     }).get
   }
 
@@ -2015,9 +2030,13 @@ object Versioned {
     readAt(spark, root, versionAt(spark, root, ts))
 
   /** The commit history as a DataFrame (DESCRIBE HISTORY parity):
-    * version, commit timestamp, dir count, batchId if the commit was
-    * streaming-fenced.  O(#surviving versions) driver-side record reads
-    * — records below the vacuum retention floor are gone, not listed. */
+    * version, commit timestamp, OPERATION label (append / merge /
+    * update / delete / optimize / reorg / alter / restore / clone /
+    * stream-append / declare / … — stamped by the commit path that
+    * produced the record; null for pre-label records), dir count,
+    * metadata row count, batchId if the commit was streaming-fenced.
+    * O(#surviving versions) driver-side record reads — records below
+    * the vacuum retention floor are gone, not listed. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val head = currentVersion(spark, root)
@@ -2034,8 +2053,8 @@ object Versioned {
         if (dirs.forall(known.contains))
           Some(dirs.map(known).sum - dirs.flatMap(deleted.get).sum)
         else None
-      (v, ts, dirs.size, nRows, bid)
-    }.toDF("version", "ts_ms", "n_dirs", "n_rows", "batch_id")
+      (v, ts, parseOp(txt), dirs.size, nRows, bid)
+    }.toDF("version", "ts_ms", "op", "n_dirs", "n_rows", "batch_id")
   }
 
   /** Range-clustered append: ONE range shuffle on the zone-map column,
@@ -2052,7 +2071,7 @@ object Versioned {
     val (rels, pre, rows, blooms) = writeClustered(spark, root, df, statsCol, buckets)
     publish(spark, root, head =>
       (if (head == 0) Seq.empty else manifest(spark, root, head)) ++ rels,
-      Some(statsCol), pre, rows, blooms)
+      Some(statsCol), pre, rows, blooms, op = "append")
   }
 
   /** Clustering-preserving compaction: rewrite the ENTIRE head snapshot
@@ -2080,7 +2099,7 @@ object Versioned {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
           .filterNot(dirs0) ++ rels
         (dirs, extraFields(spark, root, head, dirs, Some(statsCol), "", pre,
-          None, rows, blooms))
+          None, rows, blooms, opArg = "optimize"))
       },
       abortIf = head => head != head0 && {
         val m = manifest(spark, root, head).toSet
@@ -2162,7 +2181,7 @@ object Versioned {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head))
           .filterNot(foldSet) ++ rels
         (dirs, extraFields(spark, root, head, dirs, Some(statsCol), "", pre,
-          None, rows, blooms))
+          None, rows, blooms, opArg = "optimize"))
       },
       abortIf = head => head != head0 && {
         val m = manifest(spark, root, head).toSet
@@ -2248,7 +2267,7 @@ object Versioned {
           .filterNot(foldSet) ++ rels
         (dirs, extraFields(spark, root, head, dirs,
           if (declare) Some(foldCol) else None, "", pre,
-          None, nRows, blooms))
+          None, nRows, blooms, opArg = "optimize"))
       },
       // same conflict discipline as optimizeClustered: a concurrent
       // commit replacing a fold dir, or vectoring one, aborts
@@ -2357,7 +2376,7 @@ object Versioned {
       head => {
         val dirs = manifest(spark, root, head).filterNot(flaggedSet) ++ rels
         (dirs, extraFields(spark, root, head, dirs, None, "", pre,
-          None, nRows, blooms))
+          None, nRows, blooms, opArg = "reorg"))
       },
       // a concurrent commit REPLACING a flagged dir, or changing its
       // vector state, invalidates the staged copy — abort, reclaim
@@ -2403,7 +2422,7 @@ object Versioned {
     Some(publishRecord(spark, root, head => {
       val dirs = manifest(spark, root, head)
       (dirs, extraFields(spark, root, head, dirs, None, "",
-        blooms = Some((decl, bits, entries.toMap))))
+        blooms = Some((decl, bits, entries.toMap)), opArg = "optimize"))
     }).get)
   }
 
@@ -2647,7 +2666,8 @@ object Versioned {
       val carried = carryFieldsOf(spark, srcRoot, v, orig, remap, remap)
       publishRecord(spark, dstRoot, head => {
         require(head == 0, s"clone target $dstRoot is not empty")
-        (orig.map(remap), s""","ts":${System.currentTimeMillis()}$carried""")
+        (orig.map(remap),
+          s""","ts":${System.currentTimeMillis()},"op":"clone"$carried""")
       }).get
     }
   }
@@ -2689,7 +2709,7 @@ object Versioned {
       }
       publishRecord(spark, root, head => {
         val ts = math.max(System.currentTimeMillis(), tsOf(spark, root, head))
-        (dirs, s""","ts":$ts${carryFieldsOf(spark, root, v, dirs)}""")
+        (dirs, s""","ts":$ts,"op":"restore"${carryFieldsOf(spark, root, v, dirs)}""")
       }).get
     }
   }
@@ -2854,7 +2874,7 @@ object Versioned {
     val rel = writeDataDir(spark, root, df)
     val v = publishRecord(spark, root, head => {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel
-        (dirs, extraFields(spark, root, head, dirs, None, s""","batchId":$batchId"""))
+        (dirs, extraFields(spark, root, head, dirs, None, s""","batchId":$batchId""", opArg = "stream-append"))
       },
       abortIf = head => lastBatchId(spark, root).exists(_ >= batchId))
     if (v.isEmpty) { // lost to a racing replay that carried our batch
@@ -2883,7 +2903,7 @@ object Versioned {
     val v = publishRecord(spark, root, head => {
         val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel
         (dirs, extraFields(spark, root, head, dirs, None, s""","batchId":$batchId""",
-          blooms = blooms))
+          blooms = blooms, opArg = "stream-append"))
       },
       abortIf = head => lastBatchId(spark, root).exists(_ >= batchId))
     if (v.isEmpty) { // lost to a racing replay that carried our batch
@@ -2905,7 +2925,7 @@ object Versioned {
     if (lastBatchId(spark, root).exists(_ >= batchId)) return None
     val rel = writeDataDir(spark, root, df)
     val v = publishRecord(spark, root, head =>
-        (Seq(rel), extraFields(spark, root, head, Seq(rel), None, s""","batchId":$batchId""")),
+        (Seq(rel), extraFields(spark, root, head, Seq(rel), None, s""","batchId":$batchId""", opArg = "stream-snapshot")),
       abortIf = _ => lastBatchId(spark, root).exists(_ >= batchId))
     if (v.isEmpty) {
       val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
@@ -3594,8 +3614,44 @@ object Versioned {
     Versioned.readAt(spark, root, v)
   }
 
+  /** Judged query: DESCRIBE HISTORY with OPERATION labels.  A realistic
+    * chain — clustered append, keyed MERGE, MOR delete, one maintain()
+    * sweep — must read back as the labeled, metadata-only audit trail
+    * (version, op, exact row count per version, deletion-vector
+    * cardinalities subtracted), the observability surface an operator
+    * actually debugs a table with.  The oracle derives every row count
+    * by expression; the op labels are the contract under test. */
+  val tableHistory: graft.GraftQuery = graft.GraftQuery("q_table_history",
+    """SELECT 1 AS version, 'append' AS op,
+      |       (SELECT count(*) FROM documents WHERE doc_id % 10 < 8) AS n_rows
+      |UNION ALL
+      |SELECT 2 AS version, 'merge' AS op,
+      |       (SELECT count(*) FROM documents) AS n_rows
+      |UNION ALL
+      |SELECT 3 AS version, 'delete' AS op,
+      |       (SELECT count(*) FROM documents WHERE doc_id % 9 <> 0) AS n_rows
+      |UNION ALL
+      |SELECT 4 AS version, 'optimize' AS op,
+      |       (SELECT count(*) FROM documents WHERE doc_id % 9 <> 0) AS n_rows""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    Versioned.commitAppendClustered(spark, root, base, "doc_id", buckets = 8)
+    val updates = base.filter(col("doc_id").between(260, 490))
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(docs.filter(col("doc_id") % 10 >= 8))
+    Versioned.commitMerge(spark, root, updates, "doc_id")
+    Versioned.commitDeleteMOR(spark, root, col("doc_id") % 9 === 0)
+    val v = Versioned.maintain(spark, root).get
+    require(v == 4, s"the sweep must publish exactly one optimize commit, got $v")
+    Versioned.history(spark, root)
+      .select(col("version"), col("op"), col("n_rows"))
+  }
+
   val all: Seq[graft.GraftQuery] =
     Seq(tableDiff, tableZonemap, tableZonemapMulti, tableMaintain, tableReorg,
+      tableHistory,
       tableMerge, tableMergeMor,
       tableStreamIngest, tableSchemaEvolution, tableSchemaRenameDrop,
       tableDelete, tableDeleteMor, tableRestore, tableAsOf,

@@ -372,13 +372,16 @@ class IncrementalViewSpec extends AnyFunSuite {
     Versioned.commitAppend(spark, root, Seq((2L, "b", 2L)).toDF("id", "k", "m"))
     Versioned.commitBatch(spark, root, 7L, Seq((3L, "c", 3L)).toDF("id", "k", "m"))
     val h = Versioned.history(spark, root)
-      .as[(Int, Option[Long], Int, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+      .as[(Int, Option[Long], Option[String], Int, Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
     assert(h.map(_._1) == Seq(1, 2, 3))
-    assert(h.map(_._3) == Seq(1, 2, 3), "dir counts grow with each append")
+    assert(h.map(_._4) == Seq(1, 2, 3), "dir counts grow with each append")
     assert(h.forall(_._2.isDefined), "every commit carries a timestamp")
-    assert(h.map(_._4) == Seq(Some(1L), Some(2L), Some(3L)),
+    assert(h.map(_._3) == Seq(Some("commit"), Some("append"), Some("stream-append")),
+      "operation labels per version")
+    assert(h.map(_._5) == Seq(Some(1L), Some(2L), Some(3L)),
       "metadata row counts per version")
-    assert(h.map(_._5) == Seq(None, None, Some(7L)))
+    assert(h.map(_._6) == Seq(None, None, Some(7L)), "batch fences per version")
   }
 
   test("judged q_mv_incremental equals the direct group-by at sf0.001") {

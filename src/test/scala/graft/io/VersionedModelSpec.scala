@@ -117,7 +117,8 @@ class VersionedModelSpec extends AnyFunSuite {
         s"trace $trace: time travel to step-6 snapshot broken")
       // history covers every version with monotone timestamps
       val h = Versioned.history(spark, root)
-        .as[(Int, Option[Long], Int, Option[Long], Option[Long])].collect().sortBy(_._1)
+        .as[(Int, Option[Long], Option[String], Int, Option[Long], Option[Long])]
+        .collect().sortBy(_._1)
       assert(h.map(_._1).toSeq == (1 to 15))
       assert(h.flatMap(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
       // a DEFAULT-GRACE vacuum is read-invisible over a live table: log

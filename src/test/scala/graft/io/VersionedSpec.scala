@@ -303,4 +303,27 @@ class VersionedSpec extends AnyFunSuite {
     val addedIds = out.filter(col("op") === "added").select("doc_id")
     assert(removedIds.exceptAll(addedIds).count() == 0)
   }
+
+  test("history operation labels across the commit surface") {
+    val root = newRoot()
+    def ops() = Versioned.history(spark, root)
+      .select("version", "op").as[(Int, Option[String])]
+      .collect().sortBy(_._1).map(_._2).toSeq
+    Versioned.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Versioned.commitAppend(spark, root, Seq((3L, "c")).toDF("id", "s"))
+    Versioned.commitMerge(spark, root, Seq((2L, "B"), (4L, "d")).toDF("id", "s"), "id")
+    Versioned.commitUpdate(spark, root, col("id") === 1L,
+      d => d.withColumn("s", when(col("id") === 1L, "A").otherwise(col("s"))))
+    Versioned.commitDeleteMOR(spark, root, col("id") === 3L)
+    Versioned.commitAlterAdd(spark, root, "q", "bigint")
+    Versioned.restore(spark, root, 5)
+    assert(ops() == Seq(Some("commit"), Some("append"), Some("merge"),
+      Some("update"), Some("delete"), Some("alter"), Some("restore")))
+    // the restore re-published v5's CONTENT but stamped its OWN op —
+    // and a clone's first record names the clone
+    val dst = s"${newRoot()}_clone"
+    Versioned.cloneAt(spark, root, dst, 5)
+    assert(Versioned.history(spark, dst).select("op")
+      .as[Option[String]].head() == Some("clone"))
+  }
 }
