@@ -134,23 +134,41 @@ private[io] class ChangeFeedSource(sqlContext: SQLContext, root: String,
         (maxVersionsPerTrigger == Int.MaxValue && !rowCapped)) None
     else Some(new org.apache.hadoop.fs.Path(metadataPath, "graft-cap"))
   private def readCap(): Long = capFile.map { p =>
-    try {
-      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!f.exists(p)) origin
-      else {
-        val in = f.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        txt.trim.toLong
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) origin // fresh stream: nothing persisted yet
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      // an unparseable watermark must be LOUD: silently falling back
+      // would rewind the chunk cursor below the committed offset and
+      // redeliver already-applied chunks (the write below is atomic, so
+      // this indicates outside interference, not a torn write)
+      try txt.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupt pacing watermark at $p ('${txt.take(40)}'); the " +
+            "watermark and the checkpoint live and die together — start " +
+            "the stream over with a FRESH checkpoint (and fenced sink " +
+            "commits make the replay exactly-once)")
       }
-    } catch { case _: Exception => origin }
+    }
   }.getOrElse(origin)
   private def persistCap(v: Long): Unit = capFile.foreach { p =>
-    try {
-      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = f.create(p, true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    } catch { case _: Exception => () } // best-effort (see above)
+    // tmp + atomic overwrite-rename: a crash mid-write must never leave
+    // a PARTIAL number (a truncated watermark parses small and rewinds
+    // the cursor — silent double-delivery).  Failures propagate and fail
+    // the batch: a SWALLOWED persist failure is what would let a later
+    // restart read a watermark below the engine's committed offset and
+    // offer a regressed offset — the one sequence that can redeliver
+    // applied chunks past the sink's fences.
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".graft-cap-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
   @volatile private var lastEnd: Long = math.max(origin, readCap())
 
@@ -194,7 +212,9 @@ private[io] class ChangeFeedSource(sqlContext: SQLContext, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val sRaw = start.map(rawOf).getOrElse(origin)
     val eRaw = rawOf(end)
-    lastEnd = math.max(lastEnd, eRaw)
+    // fast-forward past BOTH ends: `start` is the engine's committed
+    // offset — the authoritative floor no later offer may regress below
+    lastEnd = math.max(lastEnd, math.max(sRaw, eRaw))
     persistCap(lastEnd)
     // guard: a stale pacing watermark could make getOffset offer an end
     // at-or-below the committed start — deliver an EMPTY batch, never a

@@ -101,6 +101,32 @@ class ReorgSpec extends AnyFunSuite {
     assert(e.getMessage.contains("optimizeCells"))
   }
 
+  test("rewriteVectored races a concurrent MOR delete x3: never a lost delete") {
+    for (round <- 1 to 3) {
+      val root = newRoot()
+      Versioned.commitAppend(spark, root,
+        (0L until 2000L).map(i => (i, i % 5)).toDF("id", "m"))
+      Versioned.commitDeleteMOR(spark, root, col("id") < 1000L) // 50% > threshold
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val t1 = new Thread(() =>
+        try Versioned.commitDeleteMOR(spark, root, col("id").between(1500L, 1599L))
+        catch { case e: Throwable => errs.add(e) })
+      val t2 = new Thread(() =>
+        try Versioned.rewriteVectored(spark, root, maxDvFraction = 0.3)
+        catch { case e: Throwable => errs.add(e) })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(errs.isEmpty, s"round $round: $errs")
+      // whatever interleaved, BOTH effects hold: the racer's 100 deletes
+      // are never resurrected by a stale staged copy, and a sequential
+      // sweep reaches the clean steady state
+      Versioned.rewriteVectored(spark, root, maxDvFraction = 0.05)
+      val v = Versioned.currentVersion(spark, root)
+      assert(Versioned.readAt(spark, root, v).count() == 900, s"round $round lost/resurrected rows")
+      assert(Versioned.countAt(spark, root, v) == 900, s"round $round metadata drift")
+      assert(Versioned.rewriteVectored(spark, root, maxDvFraction = 0.05).isEmpty)
+    }
+  }
+
   test("maintain routes the rewrite on layout-less tables") {
     val root = newRoot()
     Versioned.commitAppend(spark, root, (0L until 1000L).map(i => (i, i % 3)).toDF("id", "m"))
