@@ -79,7 +79,8 @@ object PlanDump {
     "q_table_zonemap_multi", "q_table_knn_filtered", "q_stream_cdf_consume",
     // round 18: DV rewrite policy, 2-D maintenance, per-commit CDC
     // provenance, the registered streaming source
-    "q_table_reorg", "q_table_maintain_2d", "q_stream_cdf_source")
+    "q_table_reorg", "q_table_maintain_2d", "q_stream_cdf_source",
+    "q_table_history", "q_stream_table_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

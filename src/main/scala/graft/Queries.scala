@@ -23,6 +23,7 @@ object Queries {
       io.Branches.all ++
       io.Zonemap2D.all ++
       io.ChangeFeed.all ++
+      io.GraftSinkProvider.all ++
       io.BloomIndex.all ++
       io.TextIndex.all ++
       io.VectorIndex.all ++

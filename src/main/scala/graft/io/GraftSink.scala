@@ -1,0 +1,165 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+
+/** `writeStream` INTO a [[Versioned]] table: the registered
+  * transactional sink, so a pipeline lands exactly-once in a versioned
+  * table with the standard API instead of foreachBatch boilerplate —
+  *
+  * {{{
+  * df.writeStream
+  *   .format("graft.io.GraftSinkProvider")
+  *   .option("path", tableRoot)          // .option("key", "k") for merges
+  *   .option("checkpointLocation", ckpt)
+  *   .start()
+  * }}}
+  *
+  * Every micro-batch lands through the batchId-FENCED commit family, so
+  * the sink is idempotent across replays (crash between sink write and
+  * checkpoint advance, wiped checkpoints re-running old batch ids): the
+  * fence piggybacks on the manifest rename, visibility and progress are
+  * ONE atomic event, and a replayed batch is skipped instead of
+  * re-applied.
+  *
+  * The commit shape follows the stream's OUTPUT MODE (overridable with
+  * `.option("mode", ...)`):
+  *
+  *  - Append → `"append"` → [[Versioned.commitBatch]]: each batch is a
+  *    new immutable dir (ingest pipelines);
+  *  - Update → `"merge"` → [[Versioned.commitMergeBatch]] on the
+  *    required `key` option: changed rows upsert (streaming aggregates
+  *    in update mode, CDC upserts); `"merge-mor"` lands the same
+  *    semantics as merge-on-read sidecars
+  *    ([[Versioned.commitMergeBatchMOR]]) — O(batch) writes however
+  *    wide the touched dirs;
+  *  - Complete → `"snapshot"` → [[Versioned.commitSnapshotBatch]]: the
+  *    batch REPLACES the table (complete-mode aggregates), history
+  *    preserved.
+  *
+  * Composes with the registered SOURCE into a table-to-table streaming
+  * pipeline: `readStream(graft) → transform → writeStream(graft)`, both
+  * ends fenced. */
+class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft sink: partitioning is the table's own layout concern " +
+        "(clustered commits / zone maps), not partitionBy")
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft sink needs option 'path' = the versioned table root"))
+    val inferred = outputMode match {
+      case m if m == OutputMode.Append()   => "append"
+      case m if m == OutputMode.Update()   => "merge"
+      case m if m == OutputMode.Complete() => "snapshot"
+      case other => throw new IllegalArgumentException(s"unsupported output mode $other")
+    }
+    val mode = parameters.getOrElse("mode", inferred)
+    require(Set("append", "merge", "merge-mor", "snapshot")(mode),
+      s"graft sink mode '$mode' (append | merge | merge-mor | snapshot)")
+    val key = parameters.get("key")
+    require(!mode.startsWith("merge") || key.isDefined,
+      s"graft sink mode '$mode' needs option 'key' = the merge key column")
+    new GraftSink(root, mode, key)
+  }
+}
+
+object GraftSinkProvider {
+
+  /** Judged query: the full TABLE-TO-TABLE streaming pipeline through
+    * the registered endpoints — `readStream(graft source)` → projection
+    * of post-images → `writeStream(graft sink, merge)` — both ends
+    * fenced, zero foreachBatch code.  The source table runs the
+    * realistic chain (clustered base → keyed MERGE → CoW delete) across
+    * TWO checkpointed pipeline runs (the second consumes only the
+    * delta), deletes propagate as CDC deletes through the sink's merge
+    * (eviction without reinsertion via the update_preimage filter
+    * trick: a delete emits no post-image, so its key simply never
+    * re-lands — handled by feeding delete keys as explicit evictions),
+    * and a third run after a WIPED checkpoint must not move the
+    * follower (in-query assertion).  Output = the follower table;
+    * oracle = the source head recomputed by expression. */
+  val streamTablePipeline: graft.GraftQuery = graft.GraftQuery("q_stream_table_pipeline",
+    """SELECT doc_id, lang,
+      |       CASE WHEN doc_id % 10 < 8 AND doc_id BETWEEN 260 AND 490
+      |            THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |FROM documents WHERE doc_id % 9 <> 0""".stripMargin) { (spark, sfDir) =>
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val run = graft.streaming.StreamSink.newRunDir()
+    val src = s"$run/src"; val dst = s"$run/dst"; val ckpt = s"$run/ckpt"
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    def follow(): Unit = {
+      val q = spark.readStream
+        .format("graft.io.ChangeFeedSourceProvider")
+        .option("path", src).option("key", "doc_id")
+        .load()
+        // deletes ride along as tombstones the merge sink evicts: a
+        // deleted key's row re-lands marked, then is dropped by the
+        // follower read below — simplest would be applyChangesBatch,
+        // but the POINT here is the pure declarative pipeline
+        .filter(col("_change_type") =!= "update_preimage")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          when(col("_change_type") === "delete", lit(1L)).otherwise(lit(0L))
+            .as("_tombstone"))
+        .writeStream.format("graft.io.GraftSinkProvider")
+        .option("path", dst).option("key", "doc_id").option("mode", "merge")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    Versioned.commitAppendClustered(spark, src, base, "doc_id", buckets = 8)
+    follow() // run 1: the base flows through
+    val updates = base.filter(col("doc_id").between(260, 490))
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(docs.filter(col("doc_id") % 10 >= 8))
+    Versioned.commitMerge(spark, src, updates, "doc_id")
+    val pred = col("doc_id") % 9 === 0
+    Versioned.commitUpdate(spark, src, pred, d => d.filter(!pred))
+    follow() // run 2: exactly the delta flows through
+    val settled = Versioned.currentVersion(spark, dst)
+    val cp = new org.apache.hadoop.fs.Path(ckpt)
+    Versioned.fs(spark, cp).delete(cp, true)
+    follow() // run 3: wiped checkpoint — every replayed fence is applied
+    require(Versioned.currentVersion(spark, dst) == settled,
+      "a wiped-checkpoint replay must not move the follower")
+    Versioned.readAt(spark, dst, settled)
+      .filter(col("_tombstone") === 0L)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val all: Seq[graft.GraftQuery] = Seq(streamTablePipeline)
+}
+
+private[io] class GraftSink(root: String, mode: String, key: Option[String])
+    extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    // the engine hands a STREAMING-tagged frame; re-tag it as the batch
+    // relation over the same rows so the fenced commit surface applies
+    val batch = org.apache.spark.sql.GraftSqlBridge.asBatch(data)
+    mode match {
+      case "append"    => Versioned.commitBatch(spark, root, batchId, batch)
+      case "merge" | "merge-mor" =>
+        // bootstrap: the first batch of a merge stream lands on an empty
+        // table as a plain fenced append (nothing to merge into yet) —
+        // the consumer-pattern idiom, under the same fence
+        if (Versioned.currentVersion(spark, root) == 0)
+          Versioned.commitBatch(spark, root, batchId, batch)
+        else if (mode == "merge")
+          Versioned.commitMergeBatch(spark, root, batchId, batch, key.get)
+        else
+          Versioned.commitMergeBatchMOR(spark, root, batchId, batch, key.get)
+      case "snapshot"  => Versioned.commitSnapshotBatch(spark, root, batchId, batch)
+    }
+    ()
+  }
+  override def toString: String = s"GraftSink[$mode -> $root]"
+}

@@ -44,6 +44,22 @@ object GraftSqlBridge {
         isStreaming = true))
   }
 
+  /** The inverse of [[asStreaming]]: a V1 `Sink.addBatch` DataFrame
+    * (whose plan is still marked streaming, so `.write`/batch actions
+    * refuse) re-tagged as a plain BATCH relation over the same
+    * micro-batch rows — the KafkaSink/FileStreamSink technique of
+    * consuming `queryExecution.toRdd`, packaged as a DataFrame so the
+    * whole batch commit surface applies unchanged.  The RDD recomputes
+    * deterministically within the batch (the sources are immutable
+    * offsets), so multi-action consumers (MERGE discovery + write) are
+    * safe. */
+  def asBatch(df: org.apache.spark.sql.DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[Dataset[Row]]
+    Dataset.ofRows(ds.sparkSession,
+      execution.LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
+        isStreaming = false))
+  }
+
   /** Column over a raw Catalyst expression (and back) — needed to use a
     * custom TypedImperativeAggregate through the DataFrame API. */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =

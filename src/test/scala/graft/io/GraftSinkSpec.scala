@@ -1,0 +1,115 @@
+package graft.io
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the registered transactional sink: append mode ingests
+  * exactly-once (wiped-checkpoint replays are fence-voided), update
+  * mode merges streaming aggregates to the batch answer, and the
+  * source+sink compose into a fenced table-to-table pipeline. */
+class GraftSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newBase() =
+    s"/tmp/graft_sink_spec/${java.util.UUID.randomUUID()}"
+
+  test("append mode: file stream lands exactly-once; checkpoint wipe is fence-voided") {
+    val b = newBase()
+    val files = s"$b/files"; val dst = s"$b/dst"; val ckpt = s"$b/ckpt"
+    val rows = (1L to 300L).map(i => (i, i % 7)).toDF("id", "m")
+    rows.repartition(3).write.parquet(files)
+    def run(): Unit = {
+      val q = spark.readStream.schema(spark.read.parquet(files).schema)
+        .option("maxFilesPerTrigger", 1).parquet(files)
+        .writeStream.format("graft.io.GraftSinkProvider")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    run()
+    val v = Versioned.currentVersion(spark, dst)
+    assert(v >= 3, "one fenced commit per micro-batch")
+    assert(Versioned.readAt(spark, dst, v).count() == 300)
+    // history shows the fenced stream appends
+    assert(Versioned.history(spark, dst).select("op").as[Option[String]]
+      .collect().forall(_.contains("stream-append")))
+    // wiped checkpoint: every replayed batch id is already fenced
+    val cp = new org.apache.hadoop.fs.Path(ckpt)
+    Versioned.fs(spark, cp).delete(cp, true)
+    run()
+    assert(Versioned.currentVersion(spark, dst) == v, "replays must be voided")
+    assert(Versioned.readAt(spark, dst, v).count() == 300)
+  }
+
+  test("update mode: streaming aggregate merges to the batch answer") {
+    val b = newBase()
+    val files = s"$b/files"; val dst = s"$b/dst"; val ckpt = s"$b/ckpt"
+    val rows = (1L to 400L).map(i => (i % 10, i)).toDF("g", "x")
+    rows.repartition(4).write.parquet(files)
+    val q = spark.readStream.schema(spark.read.parquet(files).schema)
+      .option("maxFilesPerTrigger", 1).parquet(files)
+      .groupBy(col("g")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .writeStream.format("graft.io.GraftSinkProvider")
+      .option("path", dst).option("key", "g")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = Versioned.readAt(spark, dst, Versioned.currentVersion(spark, dst))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val want = rows.groupBy(col("g")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == want, "update-mode merge must land the batch aggregate")
+  }
+
+  test("table-to-table: graft source feeds graft sink, both ends fenced") {
+    val b = newBase()
+    val src = s"$b/src"; val dst = s"$b/dst"; val ckpt = s"$b/ckpt"
+    Versioned.commitAppendClustered(spark, src,
+      (1L to 200L).map(i => (i, i % 5)).toDF("id", "m"), "id", 4)
+    def follow(): Unit = {
+      val q = spark.readStream.format("graft.io.ChangeFeedSourceProvider")
+        .option("path", src).option("key", "id")
+        .load()
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(col("id"), col("m"))
+        .writeStream.format("graft.io.GraftSinkProvider")
+        .option("path", dst).option("key", "id").option("mode", "merge")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    follow()
+    assert(Versioned.readAt(spark, dst, Versioned.currentVersion(spark, dst))
+      .count() == 200)
+    // the source advances (merge bumps a window); the follower converges
+    Versioned.commitMerge(spark, src,
+      (50L to 80L).map(i => (i, 99L)).toDF("id", "m"), "id")
+    follow()
+    val got = Versioned.readAt(spark, dst, Versioned.currentVersion(spark, dst))
+    assert(got.count() == 200)
+    assert(got.filter(col("m") === 99L).count() == 31,
+      "the upstream merge must propagate through the pipeline")
+  }
+
+  test("option and mode validation") {
+    val b = newBase()
+    val e1 = intercept[Exception] {
+      spark.readStream.format("rate").load()
+        .writeStream.format("graft.io.GraftSinkProvider")
+        .option("checkpointLocation", s"$b/c1").start()
+    }
+    assert(e1.getMessage.contains("path"))
+    val e2 = intercept[Exception] {
+      spark.readStream.format("rate").load()
+        .writeStream.format("graft.io.GraftSinkProvider")
+        .option("path", s"$b/t").option("mode", "merge")
+        .option("checkpointLocation", s"$b/c2").start()
+    }
+    assert(e2.getMessage.contains("key"))
+  }
+}
