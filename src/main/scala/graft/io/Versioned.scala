@@ -2843,6 +2843,66 @@ object Versioned {
     }
   }
 
+  /** DRY-RUN of [[vacuum]] — the operator's look-before-you-delete:
+    * every data dir and log record the sweep WOULD touch, with its
+    * size and the action the real sweep would take (`reclaim`,
+    * `keep-grace` for possible in-flight commit stages inside the
+    * grace window, `keep-pinned` for dirs a live replay pins).  Reads
+    * only metadata plus one content summary per CANDIDATE (live dirs
+    * are never walked, exactly like the sweep).  Deletes nothing. */
+  def vacuumPreview(spark: SparkSession, root: String, keep: Int,
+      floorCap: Int = Int.MaxValue,
+      graceMs: Long = VacuumGraceMs): DataFrame = {
+    import spark.implicits._
+    require(keep >= 1, "must keep at least the head version")
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
+    val head = currentVersion(spark, root)
+    if (head != 0) {
+      val floor = math.min(math.max(1, head - keep + 1), floorCap)
+      // same live-set construction as the sweep (dv sidecars + branch
+      // refs pin exactly as there)
+      val live: Set[String] =
+        (floor to head).flatMap(v =>
+          manifest(spark, root, v) ++ dvOf(spark, root, v).values.flatten).toSet ++
+          Branches.pinnedByRefs(spark, root)
+      val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
+      val f = fs(spark, dataDir)
+      val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+      def newest(p: org.apache.hadoop.fs.Path): Long = try {
+        val kids = f.listStatus(p)
+        val own = f.getFileStatus(p).getModificationTime
+        (kids.map(k => if (k.isDirectory) newest(k.getPath)
+                       else k.getModificationTime) :+ own).max
+      } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      val rootN = root.stripSuffix("/")
+      val pins = replayPinnedDirs(rootN)
+      if (f.exists(dataDir))
+        f.listStatus(dataDir).foreach { st =>
+          val rel = s"data/${st.getPath.getName}"
+          if (!live.contains(rel) && !live.exists(_.startsWith(s"$rel/"))) {
+            val bytes = try f.getContentSummary(st.getPath).getLength
+              catch { case _: java.io.FileNotFoundException => 0L }
+            val action =
+              if (pins.contains(rel) || pins.exists(_.startsWith(s"$rel/")))
+                "keep-pinned"
+              else if (newest(st.getPath) >= cutoff) "keep-grace"
+              else "reclaim"
+            rows += (("data-dir", rel, bytes, action))
+          }
+        }
+      val ld = logDir(root)
+      f.listStatus(ld).foreach { st =>
+        st.getPath.getName match {
+          case V(n) if n.toInt < floor =>
+            rows += (("log-record", s"log/${st.getPath.getName}",
+              st.getLen, "reclaim"))
+          case _ => ()
+        }
+      }
+    }
+    rows.toSeq.toDF("kind", "path", "bytes", "action")
+  }
+
   /** Wall-clock retention: keep every version committed at or after
     * `ts` (epoch ms) — plus the head, always — and reclaim the rest.
     * The deployment knob ("retain 30 days") expressed on the same

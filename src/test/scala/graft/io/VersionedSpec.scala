@@ -304,6 +304,32 @@ class VersionedSpec extends AnyFunSuite {
     assert(removedIds.exceptAll(addedIds).count() == 0)
   }
 
+  test("vacuumPreview predicts the sweep exactly and deletes nothing") {
+    val root = newRoot()
+    Versioned.commit(spark, root, (1L to 50L).toDF("id"))  // v1 dir doomed
+    Versioned.commit(spark, root, (1L to 60L).toDF("id"))  // v2 replaces
+    Versioned.commitAppend(spark, root, (61L to 70L).toDF("id")) // v3
+    // default grace: the young doomed dir is reported kept, not reclaimed
+    val guarded = Versioned.vacuumPreview(spark, root, keep = 2)
+      .as[(String, String, Long, String)].collect()
+    assert(guarded.filter(_._1 == "data-dir").map(_._4).toSeq == Seq("keep-grace"))
+    assert(guarded.count(_._1 == "log-record") == 1, "v1's record is past retention")
+    // grace 0: the same dir flips to reclaim, with a real size
+    val plan = Versioned.vacuumPreview(spark, root, keep = 2, graceMs = 0L)
+      .as[(String, String, Long, String)].collect()
+    val doomed = plan.filter(t => t._1 == "data-dir" && t._4 == "reclaim")
+    assert(doomed.length == 1 && doomed.head._3 > 0L)
+    // nothing was deleted by either preview
+    assert(Versioned.readAt(spark, root, 1).count() == 50)
+    // the real sweep reclaims exactly the predicted set
+    Versioned.vacuum(spark, root, keep = 2, graceMs = 0L)
+    val p = new org.apache.hadoop.fs.Path(s"$root/${doomed.head._2}")
+    assert(!Versioned.fs(spark, p).exists(p), "prediction must match the sweep")
+    assert(Versioned.readAt(spark, root, 3).count() == 70)
+    assert(Versioned.vacuumPreview(spark, root, keep = 2, graceMs = 0L)
+      .filter(col("action") === "reclaim").count() == 0, "post-sweep: clean")
+  }
+
   test("history operation labels across the commit surface") {
     val root = newRoot()
     def ops() = Versioned.history(spark, root)
