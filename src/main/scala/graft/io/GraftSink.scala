@@ -65,7 +65,15 @@ class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
     val key = parameters.get("key")
     require(!mode.startsWith("merge") || key.isDefined,
       s"graft sink mode '$mode' needs option 'key' = the merge key column")
-    new GraftSink(root, mode, key)
+    // append mode may declare a zone-map layout: each micro-batch then
+    // lands range-clustered (commitBatchClustered) and the streaming
+    // table keeps tight per-dir [min,max] from ingest on
+    val statsCol = parameters.get("statsCol")
+    require(statsCol.isEmpty || mode == "append",
+      "graft sink: statsCol clustering applies to append mode only")
+    val buckets = parameters.get("buckets").map(_.toInt).getOrElse(16)
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    new GraftSink(root, mode, key, statsCol, buckets)
   }
 }
 
@@ -138,14 +146,17 @@ object GraftSinkProvider {
   val all: Seq[graft.GraftQuery] = Seq(streamTablePipeline)
 }
 
-private[io] class GraftSink(root: String, mode: String, key: Option[String])
-    extends Sink {
+private[io] class GraftSink(root: String, mode: String, key: Option[String],
+    statsCol: Option[String] = None, buckets: Int = 16) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
     // the engine hands a STREAMING-tagged frame; re-tag it as the batch
     // relation over the same rows so the fenced commit surface applies
     val batch = org.apache.spark.sql.GraftSqlBridge.asBatch(data)
     mode match {
+      case "append" if statsCol.isDefined =>
+        Versioned.commitBatchClustered(spark, root, batchId, batch,
+          statsCol.get, buckets)
       case "append"    => Versioned.commitBatch(spark, root, batchId, batch)
       case "merge" | "merge-mor" =>
         // bootstrap: the first batch of a merge stream lands on an empty

@@ -2994,6 +2994,29 @@ object Versioned {
     v
   }
 
+  /** Exactly-once CLUSTERED streaming ingest: [[commitBatch]]'s fence
+    * with [[commitAppendClustered]]'s layout — each micro-batch lands
+    * as range buckets with tight per-dir [min,max] entries, so a
+    * STREAMING table keeps its zone map live at ingest time instead of
+    * needing a separate re-cluster pass (the fold policies then only
+    * handle cross-batch overlap, which time-keyed streams never
+    * produce).  Skipped (None) when the fence already covers
+    * `batchId`, exactly like [[commitBatch]]. */
+  def commitBatchClustered(spark: SparkSession, root: String, batchId: Long,
+      df: DataFrame, statsCol: String, buckets: Int = 16): Option[Int] = {
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    val (rels, pre, rows, blooms) = writeClustered(spark, root, df, statsCol, buckets)
+    val v = publishRecord(spark, root, head => {
+        val dirs = (if (head == 0) Seq.empty else manifest(spark, root, head)) ++ rels
+        (dirs, extraFields(spark, root, head, dirs, Some(statsCol),
+          s""","batchId":$batchId""", precomputed = pre,
+          precomputedRows = rows, blooms = blooms, opArg = "stream-append"))
+      },
+      abortIf = _ => lastBatchId(spark, root).exists(_ >= batchId))
+    if (v.isEmpty) reclaimStaged(spark, root, rels)
+    v
+  }
+
   /** Highest batchId any SURVIVING manifest carries, scanning
     * newest-first down to the vacuum retention floor — so streaming
     * ingest into a table vacuumed past its last fenced record degrades

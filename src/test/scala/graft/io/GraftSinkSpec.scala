@@ -96,6 +96,35 @@ class GraftSinkSpec extends AnyFunSuite {
       "the upstream merge must propagate through the pipeline")
   }
 
+  test("clustered append mode keeps the zone map live from ingest on") {
+    val b = newBase()
+    val files = s"$b/files"; val dst = s"$b/dst"; val ckpt = s"$b/ckpt"
+    // time-keyed micro-batches: each file a disjoint id window
+    (0 until 4).foreach(k =>
+      (k * 500L until (k + 1) * 500L).map(i => (i, i % 3)).toDF("id", "m")
+        .coalesce(1).write.parquet(s"$files/part$k"))
+    val q = spark.readStream.schema(spark.read.parquet(s"$files/part0").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$files/part*")
+      .writeStream.format("graft.io.GraftSinkProvider")
+      .option("path", dst).option("statsCol", "id").option("buckets", "4")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val v = Versioned.currentVersion(spark, dst)
+    assert(Versioned.readAt(spark, dst, v).count() == 2000)
+    // every dir carries a tight stats entry and a narrow probe prunes
+    val st = Versioned.dirStats(spark, dst, v)
+    val dirs = Versioned.manifest(spark, dst, v)
+    assert(dirs.forall(st.contains), "every streamed bucket must be measured")
+    val probe = Versioned.readRange(spark, dst, v, 100L, 140L)
+    assert(probe.count() == 41)
+    val read = dirs.count(d => probe.inputFiles.exists(_.contains(s"/$d/")))
+    assert(read < dirs.size / 2,
+      s"the streamed zone map must prune ($read of ${dirs.size} dirs read)")
+    // steady state: nothing for maintenance to heal on a time-keyed stream
+    assert(Versioned.maintain(spark, dst).isEmpty)
+  }
+
   test("option and mode validation") {
     val b = newBase()
     val e1 = intercept[Exception] {
