@@ -80,7 +80,7 @@ object PlanDump {
     // round 18: DV rewrite policy, 2-D maintenance, per-commit CDC
     // provenance, the registered streaming source
     "q_table_reorg", "q_table_maintain_2d", "q_stream_cdf_source",
-    "q_table_history", "q_stream_table_pipeline")
+    "q_table_history", "q_stream_table_pipeline", "q_table_merge_keys")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

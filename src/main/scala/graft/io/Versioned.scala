@@ -1563,16 +1563,24 @@ object Versioned {
 
   private[graft] def mergeImpl(spark: SparkSession, root: String,
       upserts: DataFrame, keysDf: DataFrame, key: String,
+      batchId: Option[Long] = None, attempt: Int = 0): Option[Int] =
+    mergeKeysImpl(spark, root, upserts, keysDf, Seq(key), batchId, attempt)
+
+  private[graft] def mergeKeysImpl(spark: SparkSession, root: String,
+      upserts: DataFrame, keysDf: DataFrame, keys: Seq[String],
       batchId: Option[Long] = None, attempt: Int = 0): Option[Int] = {
     val head0 = currentVersion(spark, root)
     require(head0 > 0, s"no committed version at $root")
     val dirs0 = manifest(spark, root, head0)
-    // when the merge key HAS a zone map — the clustered statsCol OR any
+    // when a merge key HAS a zone map — the clustered statsCol OR any
     // column of the multi-column map — discovery only needs the dirs
     // overlapping the TOUCHED-KEY range (upserts AND deletes — a delete
     // key outside the upserts' span must still evict) — O(overlapping
-    // dirs) instead of a full key-column pass
-    val candidates = keyConfinedDirs(spark, root, head0, dirs0, keysDf, key)
+    // dirs) instead of a full key-column pass; COMPOSITE keys confine
+    // CONJUNCTIVELY (a match needs every column equal, so a dir missing
+    // any key's touched range cannot hold one)
+    val candidates = keys.foldLeft(dirs0)((ds, k) =>
+      keyConfinedDirs(spark, root, head0, ds, keysDf, k))
     // matched-file discovery runs over the EVOLVED, vector-applied view
     // (readDirsDv with the position columns kept): renamed generations
     // resolve the key under its current name, deleted rows cannot
@@ -1581,14 +1589,14 @@ object Versioned {
     // NULL-FILL the merge key — an add event recorded them — can never
     // match and are skipped without scanning.
     val keyless = altersOf(spark, root, head0)
-      .filter(a => a._1 == key && a._2 != "#rename" && a._2 != "#drop")
+      .filter(a => keys.contains(a._1) && a._2 != "#rename" && a._2 != "#drop")
       .flatMap(_._3).toSet
     val scanDirs = candidates.filterNot(keyless)
     val touchedFiles =
       if (scanDirs.isEmpty) Array.empty[String]
       else readDirsDv(spark, root, head0, scanDirs, keepPos = true, dvV = head0)
-        .select(col(key), col("_dvf").as("f"))
-        .join(keysDf, Seq(key), "left_semi")
+        .select(keys.map(col) :+ col("_dvf").as("f"): _*)
+        .join(keysDf, keys, "left_semi")
         .select("f").distinct()
         .collect().map(_.getString(0))
     val touched = dirs0.filter(d => touchedFiles.exists(fileInDir(root, _, d))).toSet
@@ -1596,7 +1604,7 @@ object Versioned {
     // rewriteDirs) — 2 jobs however many dirs the keys touch
     val rewritten = rewriteDirs(spark, root, head0,
       dirs0.filter(touched).map(d =>
-        readDirs(spark, root, head0, Seq(d)).join(keysDf, Seq(key), "left_anti")))
+        readDirs(spark, root, head0, Seq(d)).join(keysDf, keys, "left_anti")))
     val newDir = writeDataDir(spark, root, upserts)
     // index maintenance: the upsert dir gets its own filter entry, so a
     // merged-in key stays point-probeable without a conservative read
@@ -1626,9 +1634,43 @@ object Versioned {
       case None =>
         reclaimStaged(spark, root, rewritten._1 :+ newDir)
         if (batchId.exists(b => lastBatchId(spark, root).exists(_ >= b))) None // fenced
-        else if (attempt < 5) mergeImpl(spark, root, upserts, keysDf, key, batchId, attempt + 1)
+        else if (attempt < 5)
+          mergeKeysImpl(spark, root, upserts, keysDf, keys, batchId, attempt + 1)
         else throw new IllegalStateException(s"merge conflict not resolving at $root")
     }
+  }
+
+  /** [[commitMerge]] on a COMPOSITE key: a head row is replaced when
+    * EVERY column in `keys` matches its update row (`MERGE ON a.x = b.x
+    * AND a.y = b.y` — the natural-key shape single-column merges force
+    * users to concat around).  Same cost discipline: discovery is one
+    * multi-column semi-join, zone-map confinement applies CONJUNCTIVELY
+    * on every mapped key, and `updates` must carry at most one row per
+    * composite key. */
+  def commitMergeKeys(spark: SparkSession, root: String, updates: DataFrame,
+      keys: Seq[String]): Int = {
+    require(keys.nonEmpty && keys.distinct == keys, s"bad merge keys $keys")
+    mergeKeysImpl(spark, root, updates,
+      updates.select(keys.map(col): _*).distinct(), keys).get
+  }
+
+  /** Exactly-once streaming twin of [[commitMergeKeys]] (the
+    * [[commitMergeBatch]] fence). */
+  def commitMergeBatchKeys(spark: SparkSession, root: String, batchId: Long,
+      updates: DataFrame, keys: Seq[String]): Option[Int] = {
+    require(keys.nonEmpty && keys.distinct == keys, s"bad merge keys $keys")
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    mergeKeysImpl(spark, root, updates,
+      updates.select(keys.map(col): _*).distinct(), keys,
+      batchId = Some(batchId))
+  }
+
+  /** [[commitMergeMOR]] on a COMPOSITE key — the zero-rewrite upsert
+    * with every-column matching. */
+  def commitMergeKeysMOR(spark: SparkSession, root: String,
+      updates: DataFrame, keys: Seq[String]): Int = {
+    require(keys.nonEmpty && keys.distinct == keys, s"bad merge keys $keys")
+    mergeMorKeysImpl(spark, root, updates, keys, batchId = None).get
   }
 
   /** MERGE-ON-READ keyed upsert: the [[commitMerge]] semantics (matched
@@ -1663,16 +1705,23 @@ object Versioned {
 
   private def mergeMorImpl(spark: SparkSession, root: String,
       updates: DataFrame, key: String, batchId: Option[Long],
+      attempt: Int = 0): Option[Int] =
+    mergeMorKeysImpl(spark, root, updates, Seq(key), batchId, attempt)
+
+  private def mergeMorKeysImpl(spark: SparkSession, root: String,
+      updates: DataFrame, keys: Seq[String], batchId: Option[Long],
       attempt: Int = 0): Option[Int] = {
     val head0 = currentVersion(spark, root)
     require(head0 > 0, s"no committed version at $root")
     val dirs0 = manifest(spark, root, head0)
-    val keysDf = updates.select(col(key)).distinct()
+    val keysDf = updates.select(keys.map(col): _*).distinct()
     // zone-map confinement + null-cast conservatism: the commitMerge
-    // discovery discipline verbatim (clustered OR multi-column map)
-    val candidates = keyConfinedDirs(spark, root, head0, dirs0, keysDf, key)
+    // discovery discipline verbatim (clustered OR multi-column map),
+    // composite keys confining conjunctively
+    val candidates = keys.foldLeft(dirs0)((ds, k) =>
+      keyConfinedDirs(spark, root, head0, ds, keysDf, k))
     val keyless = altersOf(spark, root, head0)
-      .filter(a => a._1 == key && a._2 != "#rename" && a._2 != "#drop")
+      .filter(a => keys.contains(a._1) && a._2 != "#rename" && a._2 != "#drop")
       .flatMap(_._3).toSet
     val scanDirs = candidates.filterNot(keyless)
     val rel = s"data/${java.util.UUID.randomUUID()}"
@@ -1680,7 +1729,7 @@ object Versioned {
       if (scanDirs.isEmpty) Map.empty
       else {
         readDirsDv(spark, root, head0, scanDirs, keepPos = true, dvV = head0)
-          .join(keysDf, Seq(key), "left_semi")
+          .join(keysDf, keys, "left_semi")
           .select(col("_dvf"), col("_dvp"))
           .write.mode("errorifexists").parquet(s"$root/$rel")
         val perFile = spark.read.parquet(s"$root/$rel")
@@ -1721,7 +1770,8 @@ object Versioned {
         reclaimStaged(spark, root,
           (if (perDir.isEmpty) Seq(newDir) else Seq(rel, newDir)))
         if (batchId.exists(b => lastBatchId(spark, root).exists(_ >= b))) None // fenced
-        else if (attempt < 5) mergeMorImpl(spark, root, updates, key, batchId, attempt + 1)
+        else if (attempt < 5)
+          mergeMorKeysImpl(spark, root, updates, keys, batchId, attempt + 1)
         else throw new IllegalStateException(s"MOR merge conflict not resolving at $root")
     }
   }
@@ -3732,9 +3782,36 @@ object Versioned {
       .select(col("version"), col("op"), col("n_rows"))
   }
 
+  /** Judged query: COMPOSITE-KEY MERGE.  The corpus keyed by the
+    * natural pair (hi, lo) = (doc_id div 100, doc_id mod 100) — unique
+    * together, wildly non-unique apart, so a single-column merge on
+    * either piece would evict entire stripes (the trap this API
+    * closes).  The base slice takes a keyed MERGE bumping a window's
+    * n_chars and inserting the day-2 slice, matching on BOTH columns;
+    * oracle = the whole corpus with the window bumped, recomputed by
+    * expression. */
+  val tableMergeKeys: graft.GraftQuery = graft.GraftQuery("q_table_merge_keys",
+    """SELECT doc_id // 100 AS hi, doc_id % 100 AS lo, lang,
+      |       CASE WHEN doc_id % 10 < 8 AND doc_id BETWEEN 260 AND 490
+      |            THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |FROM documents""".stripMargin) { (spark, sfDir) =>
+    val root = graft.streaming.StreamSink.newRunDir()
+    val t = Tables.documents(spark, sfDir)
+      .select(expr("doc_id div 100").as("hi"), (col("doc_id") % 100).as("lo"),
+        col("lang"), col("n_chars"), col("doc_id"))
+    val base = t.filter(col("doc_id") % 10 < 8)
+    Versioned.commitAppend(spark, root, base.drop("doc_id"))
+    val updates = base.filter(col("doc_id").between(260, 490))
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(t.filter(col("doc_id") % 10 >= 8))
+      .drop("doc_id")
+    val v = Versioned.commitMergeKeys(spark, root, updates, Seq("hi", "lo"))
+    Versioned.readAt(spark, root, v)
+  }
+
   val all: Seq[graft.GraftQuery] =
     Seq(tableDiff, tableZonemap, tableZonemapMulti, tableMaintain, tableReorg,
-      tableHistory,
+      tableHistory, tableMergeKeys,
       tableMerge, tableMergeMor,
       tableStreamIngest, tableSchemaEvolution, tableSchemaRenameDrop,
       tableDelete, tableDeleteMor, tableRestore, tableAsOf,
