@@ -51,22 +51,44 @@ object ChangeFeed {
     * single-version feed `changes(v-1, v)` stamped with its commit
     * provenance — `_commit_version` (the version that produced the
     * change) and `_commit_timestamp` (that record's monotone commit
-    * wall clock, epoch ms) — the Delta-CDF provenance columns.  Unlike
-    * [[changes]] (the NET jump, where a row inserted then deleted
-    * inside the window cancels — what replication wants), the
-    * per-commit relation preserves intra-window history, so a consumer
-    * can attribute every change to its commit and window changes by
-    * time.  Cost: one manifest-pruned diff per version — a day's jump
-    * reads each commit's touched dirs once, never a table scan; the
-    * per-version records are already in the log, so the stamps are
-    * metadata-only. */
+    * wall clock, TIMESTAMP-typed — the upstream change-data-feed
+    * convention, so ported pipelines see the type they expect) — the
+    * Delta-CDF provenance columns.  Unlike [[changes]] (the NET jump,
+    * where a row inserted then deleted inside the window cancels —
+    * what replication wants), the per-commit relation preserves
+    * intra-window history, so a consumer can attribute every change to
+    * its commit and window changes by time.  Cost: one manifest-pruned
+    * diff per version — a day's jump reads each commit's touched dirs
+    * once, never a table scan; the per-version records are already in
+    * the log, so the stamps are metadata-only.
+    *
+    * A window SPANNING a schema-evolution commit yields per-step feeds
+    * under differing schemas (each step reads under its own newer-side
+    * schema): every feed is projected to the HEAD (`vb`) column set
+    * before the union — renames map forward in commit order (pre-rename
+    * steps carry their values under the new name), columns `vb` added
+    * are null-filled, columns `vb` dropped are projected out.  Without
+    * the projection the strict union would throw on the first evolved
+    * window. */
   def changesByCommit(spark: SparkSession, root: String, va: Int, vb: Int,
       key: String): DataFrame = {
     require(va < vb, s"changesByCommit needs va < vb, got $va >= $vb")
-    (va + 1 to vb).map { v =>
+    val steps = (va + 1 to vb).map { v =>
       changes(spark, root, v - 1, v, key)
         .withColumn("_commit_version", lit(v))
-        .withColumn("_commit_timestamp", lit(Versioned.tsOf(spark, root, v)))
+        .withColumn("_commit_timestamp",
+          timestamp_millis(lit(Versioned.tsOf(spark, root, v))))
+    }
+    val target = steps.last.schema
+    val renames = Versioned.renameEventsOf(spark, root, vb)
+    steps.map { f =>
+      val renamed = renames.foldLeft(f) { case (df, (o, n)) =>
+        if (df.columns.contains(o) && !df.columns.contains(n))
+          df.withColumnRenamed(o, n) else df }
+      val filled = target.fields.foldLeft(renamed)((df, fld) =>
+        if (df.columns.contains(fld.name)) df
+        else df.withColumn(fld.name, lit(null).cast(fld.dataType)))
+      filled.select(target.fieldNames.toSeq.map(col): _*)
     }.reduce(_ unionByName _)
   }
 
@@ -167,11 +189,24 @@ object ChangeFeed {
   val ChunkBase: Long = 1L << 20
 
   /** The deterministic chunk plan for one version step `va → vb`:
-    * changed dirs (added / removed / dv-changed), name-sorted, greedily
-    * packed so each chunk's manifest row-count metadata stays within
-    * `maxRows` — decided at ZERO data I/O.  A single dir larger than
-    * `maxRows` is its own chunk (dir granularity is the floor); a dir
-    * with no recorded count (legacy) conservatively fills a chunk. */
+    * changed dirs (added / removed / dv-changed), KIND-ordered then
+    * name-sorted, greedily packed so each chunk's manifest row-count
+    * metadata stays within `maxRows` — decided at ZERO data I/O.  A
+    * single dir larger than `maxRows` is its own chunk (dir granularity
+    * is the floor); a dir with no recorded count (legacy) conservatively
+    * fills a chunk.
+    *
+    * DELETES PRECEDE INSERTS ACROSS CHUNKS: removed dirs pack first,
+    * then dv-changed dirs (which under forward flow contribute only
+    * delete rows — the same dir under grown deletion vectors), then
+    * added dirs.  An updated key whose pre- and post-image dirs
+    * straddle a chunk boundary therefore always arrives delete-first,
+    * so a KEYED replica consumer ([[applyChangesBatch]], the merge
+    * sink) applies the eviction before the re-insert and the split is
+    * state-equivalent for keyed consumers too, not only for commutative
+    * folds.  (Name-only ordering could deliver the insert chunk first
+    * and let the later delete chunk evict the freshly-landed key —
+    * silent row loss.) */
   private[io] def versionChunks(spark: SparkSession, root: String,
       va: Int, vb: Int, maxRows: Long): Seq[Seq[(String, String)]] = {
     val da = Versioned.manifest(spark, root, va)
@@ -182,6 +217,7 @@ object ChangeFeed {
     val cancel = shared.filter(d => dvA.get(d) == dvB.get(d))
     val rowsA = Versioned.dirRows(spark, root, va)
     val rowsB = Versioned.dirRows(spark, root, vb)
+    val kindRank = Map("removed" -> 0, "changed" -> 1, "added" -> 2)
     val items: Seq[(String, String, Long)] =
       (da.filterNot(d => shared(d)).map(d =>
          (d, "removed", rowsA.getOrElse(d, maxRows))) ++
@@ -189,7 +225,7 @@ object ChangeFeed {
          (d, "added", rowsB.getOrElse(d, maxRows))) ++
        shared.filterNot(cancel).toSeq.sorted.map(d =>
          (d, "changed", rowsB.getOrElse(d, maxRows)))
-      ).sortBy(t => (t._1, t._2))
+      ).sortBy(t => (kindRank(t._2), t._1))
     val chunks = scala.collection.mutable.ArrayBuffer[Vector[(String, String)]]()
     var cur = Vector.empty[(String, String)]
     var w = 0L
@@ -199,6 +235,50 @@ object ChangeFeed {
     }
     if (cur.nonEmpty) chunks += cur
     chunks.toSeq
+  }
+
+  /** Guard against the row cap changing WHILE a version drains.  Chunk
+    * boundaries are recomputed per call from (manifests, row counts,
+    * maxRows): a mid-drain cap change remaps chunk index `k` to a
+    * different dir subset — a SMALLER cap (more chunks) even passes the
+    * `k < nChunks` range check while silently redelivering or skipping
+    * rows.  So when a multi-chunk version STARTS draining (`k == 0`)
+    * the plan fingerprint `version:maxRows:nChunks` is pinned at
+    * `planPath` (atomic tmp+rename — a torn pin can never parse
+    * plausibly-small); every mid-drain call (`k > 0`) recomputes and
+    * must match the pin EXACTLY or fails loudly.  Single-chunk versions
+    * drain atomically and need no pin.  Used by both capped feeds:
+    * [[nextBatchCapped]] pins next to the consumer's own commit log,
+    * the registered source next to its pacing watermark in the
+    * engine-assigned metadata dir. */
+  private[io] def chunkPlanCheck(spark: SparkSession,
+      planPath: org.apache.hadoop.fs.Path, v: Int, k: Int, maxRows: Long,
+      nChunks: Int): Unit = {
+    if (nChunks <= 1 && k == 0) return
+    val f = planPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = s"$v:$maxRows:$nChunks"
+    if (k == 0) {
+      val tmp = new org.apache.hadoop.fs.Path(planPath.getParent,
+        s".${planPath.getName}-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        planPath.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, planPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } else {
+      if (!f.exists(planPath)) throw new IllegalStateException(
+        s"version $v is mid-drain (chunk $k) but no chunk plan is pinned " +
+          s"at $planPath — the consumer's pacing state was deleted while " +
+          "a version drained; finish or restart the drain from a clean slate")
+      val in = f.open(planPath)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (got != want) throw new IllegalStateException(
+        s"chunk plan changed mid-drain: pinned '$got' at $planPath, " +
+          s"recomputed '$want' — maxRows must stay FIXED while a version " +
+          "drains (a changed cap remaps chunk indexes to different dirs); " +
+          "finish the version under the original cap first")
+    }
   }
 
   /** ROW-CAPPED streaming change-feed source: [[nextBatch]] at
@@ -214,11 +294,14 @@ object ChangeFeed {
     *
     * Relaxation a consumer must accept: a key whose pre- and
     * post-image dirs land in different chunks arrives as delete +
-    * insert instead of an update pair — state-equivalent for any
-    * fold/merge consumer (the standard row-capped CDC trade); rows a
-    * chunk's own dirs share still cancel exactly.  Keep `maxRows`
+    * insert instead of an update pair — delivered DELETE-FIRST by the
+    * [[versionChunks]] kind ordering, so the split is state-equivalent
+    * for keyed replica consumers as well as commutative folds; rows a
+    * chunk's own dirs share still cancel exactly.  `maxRows` must stay
     * fixed while a version drains: chunk boundaries are recomputed per
-    * call from (manifests, row counts, maxRows). */
+    * call, and a mid-drain cap change fails loudly against the pinned
+    * plan fingerprint ([[chunkPlanCheck]], kept next to the consumer's
+    * commit log). */
   def nextBatchCapped(spark: SparkSession, srcRoot: String, dstRoot: String,
       key: String, maxRows: Long, bootstrapV: Int = 0)
       : Option[(DataFrame, Long)] = {
@@ -231,6 +314,9 @@ object ChangeFeed {
     if (av >= head) return None
     val v = av + 1
     val chunks = versionChunks(spark, srcRoot, av, v, maxRows)
+    chunkPlanCheck(spark,
+      new org.apache.hadoop.fs.Path(s"$dstRoot/log/.cdc-chunkplan"),
+      v, k, maxRows, chunks.size)
     require(chunks.isEmpty || k < chunks.size,
       s"fence $raw points past version $v's ${chunks.size} chunks — " +
         "was maxRows changed while the version drained?")
@@ -405,8 +491,9 @@ object ChangeFeed {
     // monotone, not oracle-able): every change attributes to a commit
     // whose stamp is within the log's [ts(2), ts(3)] window
     val bad = ch.filter(col("_commit_timestamp") <
-        lit(Versioned.tsOf(spark, root, 2)) ||
-        col("_commit_timestamp") > lit(Versioned.tsOf(spark, root, 3)))
+        timestamp_millis(lit(Versioned.tsOf(spark, root, 2))) ||
+        col("_commit_timestamp") >
+        timestamp_millis(lit(Versioned.tsOf(spark, root, 3))))
       .count()
     require(bad == 0, "commit timestamps must lie in the log's window")
     ch.drop("_commit_timestamp")

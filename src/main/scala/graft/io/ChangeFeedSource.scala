@@ -3,9 +3,9 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType, TimestampType}
 
 /** `spark.readStream` over a [[Versioned]] table: the registered
   * streaming wrapper around [[ChangeFeed.changes]], so any Structured
@@ -47,16 +47,28 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *    Mutually exclusive with `maxVersionsPerTrigger`; pick ONE pacing
   *    mode per checkpoint — the offset encodings differ.
   *  - `includeCommitVersions = true` appends the CDC provenance
-  *    columns `_commit_version` / `_commit_timestamp`
+  *    columns `_commit_version` / `_commit_timestamp` (TIMESTAMP-typed,
+  *    the upstream change-data-feed convention)
   *    ([[ChangeFeed.changesByCommit]]); batches then emit PER-COMMIT
   *    changes (intra-batch history preserved) instead of the net jump.
   *
   * Pacing watermarks persist in the source's metadata dir (restart-
   * safe; a stale watermark can only widen a batch — the getBatch guard
-  * delivers an empty batch rather than a reversed diff).  The schema
-  * is fixed at stream start (the standard Structured Streaming
-  * requirement); source retention must cover the consumer's lag — a
-  * vacuumed-away offset fails loudly, never silently. */
+  * delivers an empty batch rather than a reversed diff), and the
+  * row-capped mode pins its chunk-plan fingerprint beside them so a
+  * `maxRowsPerTrigger` change while a version drains fails loudly
+  * instead of remapping committed chunk indexes.
+  *
+  * SCHEMA CONTRACT: the schema is fixed at stream start (the standard
+  * Structured Streaming requirement) — from the table head, or from a
+  * user-supplied `.schema(...)` (which also lets a stream start on a
+  * not-yet-written table; its first commit must then match).  An
+  * upstream ALTER while the stream runs fails LOUDLY at the next batch
+  * (named columns, remediation in the message — see `pin`); restart the
+  * stream (the same checkpoint is fine — offsets are table versions) to
+  * subscribe under the evolved schema.  Source retention must cover the
+  * consumer's lag — a vacuumed-away offset fails loudly, never
+  * silently. */
 class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-changes"
 
@@ -71,7 +83,7 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), ChangeFeedSource.schemaOf(sqlContext, rootOf(parameters),
-      withVersionsOf(parameters)))
+      withVersionsOf(parameters), schema))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -89,33 +101,44 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
       "pick ONE pacing mode: maxVersionsPerTrigger or maxRowsPerTrigger " +
         "(their offset encodings differ)")
     new ChangeFeedSource(sqlContext, rootOf(parameters), key, startV, maxV,
-      maxRows, withVersionsOf(parameters), metadataPath)
+      maxRows, withVersionsOf(parameters), metadataPath, schema)
   }
 }
 
 private[io] object ChangeFeedSource {
+  /** The stream schema: the table's head schema (or the user-supplied
+    * one — `.schema(...)` lets a stream start on a NOT-YET-WRITTEN
+    * table, whose first commit must then match it) + `_change_type`,
+    * plus the provenance columns when requested.  `_commit_timestamp`
+    * is TIMESTAMP-typed — the upstream change-data-feed convention. */
   def schemaOf(sqlContext: SQLContext, root: String,
-      withVersions: Boolean = false): StructType = {
+      withVersions: Boolean = false,
+      userSchema: Option[StructType] = None): StructType = {
     val spark = sqlContext.sparkSession
-    val head = Versioned.currentVersion(spark, root)
-    require(head > 0, s"no committed version at $root")
-    val base = Versioned.readAt(spark, root, head).schema
-      .add(StructField("_change_type", StringType, nullable = false))
+    val base0 = userSchema.getOrElse {
+      val head = Versioned.currentVersion(spark, root)
+      require(head > 0, s"no committed version at $root — start the " +
+        "stream after the first commit, or supply the table schema with " +
+        ".schema(...) to subscribe to a not-yet-written table")
+      Versioned.readAt(spark, root, head).schema
+    }
+    val base = base0.add(StructField("_change_type", StringType, nullable = false))
     if (!withVersions) base
     else base
       .add(StructField("_commit_version", IntegerType, nullable = false))
-      .add(StructField("_commit_timestamp", LongType, nullable = false))
+      .add(StructField("_commit_timestamp", TimestampType, nullable = false))
   }
 }
 
 private[io] class ChangeFeedSource(sqlContext: SQLContext, root: String,
     key: String, startV: Int, maxVersionsPerTrigger: Int = Int.MaxValue,
     maxRowsPerTrigger: Long = Long.MaxValue, withVersions: Boolean = false,
-    metadataPath: String = "") extends Source {
+    metadataPath: String = "",
+    userSchema: Option[StructType] = None) extends Source {
   private val spark = sqlContext.sparkSession
   private val rowCapped = maxRowsPerTrigger != Long.MaxValue
   override val schema: StructType =
-    ChangeFeedSource.schemaOf(sqlContext, root, withVersions)
+    ChangeFeedSource.schemaOf(sqlContext, root, withVersions, userSchema)
 
   import ChangeFeed.ChunkBase
 
@@ -205,9 +228,26 @@ private[io] class ChangeFeedSource(sqlContext: SQLContext, root: String,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
-  private def pin(df: DataFrame): DataFrame =
+  /** Project a batch's feed to the stream's FIXED schema — and pin the
+    * mid-stream schema-evolution contract: an upstream ALTER while the
+    * stream runs fails LOUDLY here (named columns, remediation in the
+    * message), never as a silent mis-mapping or a cryptic analysis
+    * error inside the select.  A RESTARTED stream (fresh `load()`)
+    * resolves the evolved schema and carries on. */
+  private def pin(df: DataFrame): DataFrame = {
+    val metaCols = Set("_change_type", "_commit_version", "_commit_timestamp")
+    val extra = df.columns.filterNot(schema.fieldNames.contains)
+    val missing = schema.fieldNames.filterNot(metaCols).filterNot(df.columns.contains)
+    if (extra.nonEmpty || missing.nonEmpty) throw new IllegalStateException(
+      s"upstream table $root evolved its schema while this stream ran " +
+        s"(stream schema lacks ${extra.mkString("[", ", ", "]")}, feed " +
+        s"lacks ${missing.mkString("[", ", ", "]")}); a Structured " +
+        "Streaming source's schema is fixed at stream start — RESTART " +
+        "the stream (same checkpoint is fine) to subscribe under the " +
+        "evolved schema")
     org.apache.spark.sql.GraftSqlBridge.asStreaming(
       df.select(schema.fieldNames.toSeq.map(col): _*))
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val sRaw = start.map(rawOf).getOrElse(origin)
@@ -231,6 +271,14 @@ private[io] class ChangeFeedSource(sqlContext: SQLContext, root: String,
                else if (eav == v && ek == 0) chunks.size
                else -1
       if (hi >= 0) {
+        // mid-drain pacing guard: a maxRowsPerTrigger change while a
+        // version drains would remap the committed chunk index to a
+        // different dir subset — verify against the plan fingerprint
+        // pinned next to the pacing watermark (chunkPlanCheck)
+        if (metadataPath.nonEmpty)
+          ChangeFeed.chunkPlanCheck(spark,
+            new org.apache.hadoop.fs.Path(metadataPath, "graft-chunkplan"),
+            v, sk, maxRowsPerTrigger, chunks.size)
         val span = chunks.slice(sk, hi)
         if (span.isEmpty) return emptyBatch
         val feed = span.map(c => ChangeFeed.chunkFeed(spark, root, sav, v, key, c))
@@ -238,7 +286,8 @@ private[io] class ChangeFeedSource(sqlContext: SQLContext, root: String,
         val stamped =
           if (!withVersions) feed
           else feed.withColumn("_commit_version", lit(v))
-            .withColumn("_commit_timestamp", lit(Versioned.tsOf(spark, root, v)))
+            .withColumn("_commit_timestamp",
+              timestamp_millis(lit(Versioned.tsOf(spark, root, v))))
         pin(stamped)
       } else {
         // a span our own getOffset could never have offered: the

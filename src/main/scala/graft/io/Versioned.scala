@@ -208,6 +208,15 @@ object Versioned {
   private[io] def altersFragOf(spark: SparkSession, root: String, v: Int): Option[String] =
     recOpt(spark, root, v).flatMap(parseAltersFrag)
 
+  /** Rename events recorded at version `v` as `(old, new)` pairs, in
+    * commit order (chains `a>b` then `b>c` compose by folding) — how a
+    * cross-alter consumer ([[ChangeFeed.changesByCommit]]) maps an
+    * older step's column names forward to the head's. */
+  private[graft] def renameEventsOf(spark: SparkSession, root: String,
+      v: Int): Seq[(String, String)] =
+    altersOf(spark, root, v).collect { case (n, "#rename", _) =>
+      val i = n.indexOf('>'); (n.substring(0, i), n.substring(i + 1)) }
+
   private def parseStatsCol(txt: String): Option[String] =
     """"statsCol":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
 

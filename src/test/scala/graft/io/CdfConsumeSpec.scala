@@ -116,8 +116,10 @@ class CdfConsumeSpec extends AnyFunSuite {
       assert(got.exceptAll(want).count() == 0 &&
         want.exceptAll(got).count() == 0, s"version $v slice must match")
     }
-    // stamps come from the log records and are monotone along it
-    val ts = ch.select(col("_commit_version"), col("_commit_timestamp"))
+    // stamps come from the log records (TIMESTAMP-typed — the upstream
+    // CDF convention) and are monotone along it
+    val ts = ch.select(col("_commit_version"),
+        unix_millis(col("_commit_timestamp")))
       .distinct().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(ts(2) == Versioned.tsOf(spark, src, 2))
     assert(ts(3) == Versioned.tsOf(spark, src, 3))
@@ -202,6 +204,97 @@ class CdfConsumeSpec extends AnyFunSuite {
     // and the final state equals the recompute to the row
     assert(state(agg) == recompute(src))
     assert(ChangeFeed.consumeCapped(spark, src, agg, "id", 7L)(fold(agg)) == 0)
+  }
+
+  test("row-capped chunks deliver deletes BEFORE inserts: a keyed replica survives a split update") {
+    val b = newBase(); val src = s"$b/src"; val rep = s"$b/rep"
+    // v1: four ~10-row clustered dirs; v2: a merge that bumps one key in
+    // EVERY dir (all four rewritten) + one brand-new insert — at cap 12
+    // each changed dir is its own chunk, so every update pair straddles
+    // a chunk boundary and arrives as delete + insert
+    Versioned.commitAppendClustered(spark, src,
+      (1L to 40L).map(i => (i, i)).toDF("id", "m"), "id", 4)
+    def replicate(track: Boolean): (Int, Int, Int) = {
+      var delAt = -1; var insAt = -1; var i = 0; var n = 0
+      n = ChangeFeed.consumeCapped(spark, src, rep, "id", maxRows = 12L) {
+        (feed, fence) =>
+          if (track) {
+            val t5 = feed.filter(col("id") === 5L)
+              .select("_change_type").collect().map(_.getString(0)).toSet
+            if (delAt < 0 && (t5("delete") || t5("update_preimage"))) delAt = i
+            if (insAt < 0 && (t5("insert") || t5("update_postimage"))) insAt = i
+          }
+          val head = Versioned.currentVersion(spark, rep)
+          if (head == 0)
+            Versioned.commitBatch(spark, rep, fence,
+              feed.filter(col("_change_type").isin("insert", "update_postimage"))
+                .drop("_change_type"))
+          else ChangeFeed.applyChangesBatch(spark, rep, feed, "id", fence)
+          i += 1; ()
+      }
+      (n, delAt, insAt)
+    }
+    replicate(track = false) // v1 streams in
+    Versioned.commitMerge(spark, src,
+      ((5L to 35L by 10L).map(i => (i, i + 100L)) ++ Seq((41L, 41L)))
+        .toDF("id", "m"), "id")
+    val (n2, delAt, insAt) = replicate(track = true)
+    assert(n2 >= 3, s"the rewrite must drain as several chunks, got $n2")
+    // the regression: key 5's delete chunk MUST precede its insert chunk
+    // — insert-first would let the later delete evict the landed row
+    assert(delAt >= 0 && insAt > delAt,
+      s"split update must arrive delete-first (delete@$delAt, insert@$insAt)")
+    val got = Versioned.readAt(spark, rep, Versioned.currentVersion(spark, rep))
+    val want = Versioned.readAt(spark, src, Versioned.currentVersion(spark, src))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "the replica must land bit-exactly on the source head")
+  }
+
+  test("changing maxRows mid-drain fails loudly; the original cap resumes") {
+    val b = newBase(); val src = s"$b/src"; val agg = s"$b/agg"
+    Versioned.commitAppendClustered(spark, src,
+      (0L until 1000L).map(i => (i, i)).toDF("id", "m"), "id", 10)
+    // one chunk fenced at cap 250 — the version is now mid-drain
+    val (f1, fe1) = ChangeFeed.nextBatchCapped(spark, src, agg, "id", 250L).get
+    fold(agg)(f1, fe1)
+    assert(fe1 % ChangeFeed.ChunkBase != 0L, "test needs a mid-drain fence")
+    // a smaller cap would pass the old range check while remapping the
+    // committed chunk index to different dirs — refused loudly instead
+    val e = intercept[IllegalStateException] {
+      ChangeFeed.nextBatchCapped(spark, src, agg, "id", 100L)
+    }
+    assert(e.getMessage.contains("chunk plan changed mid-drain"))
+    // the original cap carries the drain to completion
+    assert(ChangeFeed.consumeCapped(spark, src, agg, "id", 250L)(fold(agg)) >= 2)
+    assert(state(agg) == recompute(src))
+  }
+
+  test("changesByCommit spans schema-evolution commits (add + rename project to head schema)") {
+    val b = newBase(); val src = s"$b/src"
+    Versioned.commitAppendClustered(spark, src,
+      (1L to 8L).map(i => (i, i)).toDF("id", "m"), "id", 2)
+    Versioned.commitAlterAdd(spark, src, "tag", "STRING")        // v2
+    Versioned.commitAppend(spark, src,                            // v3
+      Seq((9L, 9L, "new")).toDF("id", "m", "tag"))
+    Versioned.commitAlterRename(spark, src, "m", "metric")        // v4
+    Versioned.commitMerge(spark, src,                             // v5
+      Seq((1L, 101L, "upd")).toDF("id", "metric", "tag"), "id")
+    // the window spans both alters: per-step feeds carry differing
+    // column sets, projected to the head schema before the union
+    val ch = ChangeFeed.changesByCommit(spark, src, 0, 5, "id")
+    assert(ch.columns.takeWhile(_ != "_change_type").sorted.toSeq ==
+      Seq("id", "metric", "tag"))
+    // pre-rename steps carry their values under the NEW name (mapped
+    // forward), not null-filled: v1's inserts show metric = id
+    val v1 = ch.filter(col("_commit_version") === 1)
+    assert(v1.count() == 8 &&
+      v1.filter(col("metric") === col("id")).count() == 8)
+    // pre-add steps null-fill the added column
+    assert(v1.filter(col("tag").isNull).count() == 8)
+    // post-evolution commits attribute normally
+    assert(ch.filter(col("_commit_version") === 5 &&
+      col("_change_type") === "update_postimage")
+      .select("metric").head().getLong(0) == 101L)
   }
 
   test("bootstrapV: a consumer born at v1 sees only post-v1 changes") {

@@ -194,6 +194,69 @@ class ChangeFeedSourceSpec extends AnyFunSuite {
     assert(got.filter(col("id") === 22L).count() == 2)
   }
 
+  test("mid-stream upstream ALTER fails loudly; a restarted stream picks up the new schema") {
+    val b = newBase()
+    val src = s"$b/src"; val out1 = s"$b/out1"; val out2 = s"$b/out2"
+    val ckpt = s"$b/ckpt"
+    Versioned.commit(spark, src, Seq((1L, 10L), (2L, 20L)).toDF("id", "m"))
+    def start(out: String) = spark.readStream
+      .format("graft.io.ChangeFeedSourceProvider")
+      .option("path", src).option("key", "id").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (feed: DataFrame, id: Long) =>
+        Versioned.commitBatch(spark, out, id, feed); ()
+      }
+      .start()
+    val q1 = start(out1)
+    try q1.processAllAvailable() finally ()
+    // upstream evolves while the stream runs: the next batch must fail
+    // LOUDLY (named columns), never silently mis-map the renamed column
+    Versioned.commitAlterRename(spark, src, "m", "metric")
+    Versioned.commitAppend(spark, src, Seq((3L, 30L)).toDF("id", "metric"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("evolved its schema")),
+      s"expected the schema-evolution contract error, got: ${e.getMessage}")
+    // a restarted stream (same checkpoint — offsets are table versions)
+    // resolves the evolved schema and delivers the pending delta under it
+    val q2 = start(out2)
+    try q2.processAllAvailable() finally q2.stop()
+    val got = Versioned.readAt(spark, out2, Versioned.currentVersion(spark, out2))
+    assert(got.columns.toSeq == Seq("id", "metric", "_change_type"))
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq == Seq((3L, 30L, "insert")))
+  }
+
+  test(".schema(...) starts a stream on a not-yet-written table") {
+    val b = newBase()
+    val src = s"$b/src"; val out = s"$b/out"; val ckpt = s"$b/ckpt"
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sch = StructType(Seq(StructField("id", LongType), StructField("m", LongType)))
+    val df = spark.readStream.format("graft.io.ChangeFeedSourceProvider")
+      .schema(sch).option("path", src).option("key", "id").load()
+    assert(df.schema.fieldNames.toSeq == Seq("id", "m", "_change_type"))
+    val q = df.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (feed: DataFrame, id: Long) =>
+        Versioned.commitBatch(spark, out, id, feed); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // table still unborn: no batch fires
+      assert(Versioned.currentVersion(spark, out) == 0)
+      Versioned.commit(spark, src, Seq((1L, 10L)).toDF("id", "m"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Versioned.readAt(spark, out, Versioned.currentVersion(spark, out))
+    assert(got.columns.toSeq == Seq("id", "m", "_change_type"))
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq == Seq((1L, 10L, "insert")))
+  }
+
   test("option validation and schema") {
     val b = newBase(); val src = s"$b/src"
     Versioned.commit(spark, src, Seq((1L, 2L)).toDF("id", "m"))
