@@ -24,6 +24,7 @@ object Queries {
       io.Zonemap2D.all ++
       io.ChangeFeed.all ++
       io.GraftSinkProvider.all ++
+      io.GraftTable.all ++
       io.BloomIndex.all ++
       io.TextIndex.all ++
       io.VectorIndex.all ++

@@ -134,8 +134,15 @@ object BloomIndex {
       values: Seq[String]): DataFrame =
     readPointCanonical(spark, root, v, values)
 
-  private def readPointCanonical(spark: SparkSession, root: String, v: Int,
-      values: Seq[String]): DataFrame = {
+  /** The dirs of version `v` whose bloom filter claims at least one of
+    * `values` (canonical string form), plus the filter-less dirs
+    * (conservatively kept) — the dir-pruning core of [[readPoint]],
+    * shared with the registered batch source's pushed-equality path
+    * ([[GraftTable.pruneDirs]]).  Probe hashing runs through the SAME
+    * Spark expressions as the build — one 1-row local job — so driver
+    * and executor hashing can never drift. */
+  private[io] def pruneDirsPoint(spark: SparkSession, root: String, v: Int,
+      values: Seq[String]): Seq[String] = {
     require(values.nonEmpty, "empty probe set")
     val (c, bits) = Versioned.bloomColOf(spark, root, v).getOrElse(
       throw new IllegalArgumentException(s"$root has no bloom index"))
@@ -150,7 +157,13 @@ object BloomIndex {
       val bytes = loadBitset(spark, root, d, entry)
       probes.exists(_.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0))
     }
-    val keep = Versioned.manifest(spark, root, v).filter(d => blooms.get(d).forall(hits(d, _)))
+    Versioned.manifest(spark, root, v).filter(d => blooms.get(d).forall(hits(d, _)))
+  }
+
+  private def readPointCanonical(spark: SparkSession, root: String, v: Int,
+      values: Seq[String]): DataFrame = {
+    val keep = pruneDirsPoint(spark, root, v, values)
+    val c = Versioned.bloomColOf(spark, root, v).get._1
     val base =
       if (keep.isEmpty) Versioned.readAt(spark, root, v).limit(0)
       else Versioned.readDirs(spark, root, v, keep)

@@ -25,23 +25,35 @@ object ChangeFeed {
   /** The change rows `va → vb`, schema = table columns + `_change_type`. */
   def changes(spark: SparkSession, root: String, va: Int, vb: Int,
       key: String): DataFrame =
-    align(Versioned.diff(spark, root, va, vb), key)
+    changesKeys(spark, root, va, vb, Seq(key))
+
+  /** [[changes]] on a COMPOSITE key: a row is the same logical entity
+    * when EVERY column in `keys` matches — the natural-key shape
+    * [[Versioned.commitMergeKeys]] serves on the write side, now
+    * symmetric on the CDC side (no concat workarounds).  Single-key
+    * calls delegate here; every feed/apply/follow entry point has a
+    * `*Keys` twin built on this. */
+  def changesKeys(spark: SparkSession, root: String, va: Int, vb: Int,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && keys.distinct == keys, s"bad CDC keys $keys")
+    align(Versioned.diff(spark, root, va, vb), keys)
+  }
 
   /** Keyed alignment of a row-level diff (`op` ∈ {added, removed})
     * into CDC change rows — the shared tail of [[changes]] and the
-    * row-capped chunk feeds. */
-  private def align(d: DataFrame, key: String): DataFrame = {
-    val payload = d.columns.filterNot(c => c == "op" || c == key)
+    * row-capped chunk feeds.  Composite keys join conjunctively. */
+  private def align(d: DataFrame, keys: Seq[String]): DataFrame = {
+    val payload = d.columns.filterNot(c => c == "op" || keys.contains(c))
     def side(op: String) = d.filter(col("op") === op)
-      .select(col(key), struct(payload.map(col): _*).as(s"_$op"))
-    val j = side("removed").join(side("added"), Seq(key), "full_outer")
+      .select(keys.map(col) :+ struct(payload.map(col): _*).as(s"_$op"): _*)
+    val j = side("removed").join(side("added"), keys, "full_outer")
     // each joined key explodes into its 1-or-2 change rows
-    val tagged = j.select(col(key), explode(
+    val tagged = j.select(keys.map(col) :+ explode(
       when(col("_removed").isNull, array(struct(col("_added").as("img"), lit("insert").as("t"))))
         .when(col("_added").isNull, array(struct(col("_removed").as("img"), lit("delete").as("t"))))
         .otherwise(array(
           struct(col("_removed").as("img"), lit("update_preimage").as("t")),
-          struct(col("_added").as("img"), lit("update_postimage").as("t"))))).as("ch"))
+          struct(col("_added").as("img"), lit("update_postimage").as("t"))))).as("ch"): _*)
     payload.foldLeft(tagged)((df, c) => df.withColumn(c, col(s"ch.img.$c")))
       .withColumn("_change_type", col("ch.t"))
       .drop("ch")
@@ -71,10 +83,15 @@ object ChangeFeed {
     * the projection the strict union would throw on the first evolved
     * window. */
   def changesByCommit(spark: SparkSession, root: String, va: Int, vb: Int,
-      key: String): DataFrame = {
+      key: String): DataFrame =
+    changesByCommitKeys(spark, root, va, vb, Seq(key))
+
+  /** [[changesByCommit]] on a composite key. */
+  def changesByCommitKeys(spark: SparkSession, root: String, va: Int,
+      vb: Int, keys: Seq[String]): DataFrame = {
     require(va < vb, s"changesByCommit needs va < vb, got $va >= $vb")
     val steps = (va + 1 to vb).map { v =>
-      changes(spark, root, v - 1, v, key)
+      changesKeys(spark, root, v - 1, v, keys)
         .withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp",
           timestamp_millis(lit(Versioned.tsOf(spark, root, v))))
@@ -103,7 +120,12 @@ object ChangeFeed {
     * sized, so replication cost is O(changed dirs), never O(table). */
   def applyChanges(spark: SparkSession, root: String, ch: DataFrame,
       key: String): Int =
-    applyImpl(spark, root, ch, key, batchId = None).get
+    applyImpl(spark, root, ch, Seq(key), batchId = None).get
+
+  /** [[applyChanges]] on a composite key. */
+  def applyChangesKeys(spark: SparkSession, root: String, ch: DataFrame,
+      keys: Seq[String]): Int =
+    applyImpl(spark, root, ch, keys, batchId = None).get
 
   /** [[applyChanges]] with the batchId FENCE: the exactly-once CDC
     * apply for [[nextBatch]] consumers whose downstream state is itself
@@ -112,10 +134,16 @@ object ChangeFeed {
     * when the fence voids a replay. */
   def applyChangesBatch(spark: SparkSession, root: String, ch: DataFrame,
       key: String, batchId: Long): Option[Int] =
-    applyImpl(spark, root, ch, key, batchId = Some(batchId))
+    applyImpl(spark, root, ch, Seq(key), batchId = Some(batchId))
+
+  /** [[applyChangesBatch]] on a composite key. */
+  def applyChangesBatchKeys(spark: SparkSession, root: String, ch: DataFrame,
+      keys: Seq[String], batchId: Long): Option[Int] =
+    applyImpl(spark, root, ch, keys, batchId = Some(batchId))
 
   private def applyImpl(spark: SparkSession, root: String, ch: DataFrame,
-      key: String, batchId: Option[Long]): Option[Int] = {
+      keys: Seq[String], batchId: Option[Long]): Option[Int] = {
+    require(keys.nonEmpty && keys.distinct == keys, s"bad CDC keys $keys")
     // STAGE the feed once: the merge body evaluates its inputs in four
     // separate actions (key-range agg, discovery semi-join, eviction
     // anti-join, upsert write) — an unstaged feed plan (a diff chain, a
@@ -126,9 +154,9 @@ object ChangeFeed {
       val staged = spark.read.parquet(tmp)
       val ups = staged.filter(col("_change_type").isin("insert", "update_postimage"))
         .drop("_change_type")
-      val keys = staged.filter(col("_change_type") =!= "update_preimage")
-        .select(col(key)).distinct()
-      Versioned.mergeImpl(spark, root, ups, keys, key, batchId)
+      val keysDf = staged.filter(col("_change_type") =!= "update_preimage")
+        .select(keys.map(col): _*).distinct()
+      Versioned.mergeKeysImpl(spark, root, ups, keysDf, keys, batchId)
     } finally {
       val p = new org.apache.hadoop.fs.Path(tmp)
       Versioned.fs(spark, p).delete(p, true)
@@ -147,12 +175,17 @@ object ChangeFeed {
     * fails loudly, never silently).  Returns the new replica version,
     * or None when already current — safe to call on every poll. */
   def follow(spark: SparkSession, srcRoot: String, repRoot: String,
-      key: String, clonedAt: Int): Option[Int] = {
+      key: String, clonedAt: Int): Option[Int] =
+    followKeys(spark, srcRoot, repRoot, Seq(key), clonedAt)
+
+  /** [[follow]] on a composite key. */
+  def followKeys(spark: SparkSession, srcRoot: String, repRoot: String,
+      keys: Seq[String], clonedAt: Int): Option[Int] = {
     val head = Versioned.currentVersion(spark, srcRoot)
     val applied = Versioned.lastBatchId(spark, repRoot).getOrElse(clonedAt.toLong)
     if (applied >= head) None
     else applyImpl(spark, repRoot,
-      changes(spark, srcRoot, applied.toInt, head, key), key,
+      changesKeys(spark, srcRoot, applied.toInt, head, keys), keys,
       batchId = Some(head.toLong))
   }
 
@@ -174,13 +207,19 @@ object ChangeFeed {
     * lag (a vacuumed-away `applied` manifest fails loudly). */
   def nextBatch(spark: SparkSession, srcRoot: String, dstRoot: String,
       key: String, bootstrapV: Int = 0,
+      maxVersions: Int = Int.MaxValue): Option[(DataFrame, Long)] =
+    nextBatchKeys(spark, srcRoot, dstRoot, Seq(key), bootstrapV, maxVersions)
+
+  /** [[nextBatch]] on a composite key. */
+  def nextBatchKeys(spark: SparkSession, srcRoot: String, dstRoot: String,
+      keys: Seq[String], bootstrapV: Int = 0,
       maxVersions: Int = Int.MaxValue): Option[(DataFrame, Long)] = {
     val head = Versioned.currentVersion(spark, srcRoot)
     val applied = Versioned.lastBatchId(spark, dstRoot).getOrElse(bootstrapV.toLong)
     if (applied >= head) None
     else {
       val upTo = math.min(head.toLong, applied + math.max(1, maxVersions)).toInt
-      Some((changes(spark, srcRoot, applied.toInt, upTo, key), upTo.toLong))
+      Some((changesKeys(spark, srcRoot, applied.toInt, upTo, keys), upTo.toLong))
     }
   }
 
@@ -304,6 +343,12 @@ object ChangeFeed {
     * commit log). */
   def nextBatchCapped(spark: SparkSession, srcRoot: String, dstRoot: String,
       key: String, maxRows: Long, bootstrapV: Int = 0)
+      : Option[(DataFrame, Long)] =
+    nextBatchCappedKeys(spark, srcRoot, dstRoot, Seq(key), maxRows, bootstrapV)
+
+  /** [[nextBatchCapped]] on a composite key. */
+  def nextBatchCappedKeys(spark: SparkSession, srcRoot: String,
+      dstRoot: String, keys: Seq[String], maxRows: Long, bootstrapV: Int = 0)
       : Option[(DataFrame, Long)] = {
     require(maxRows >= 1, s"maxRows must be positive, got $maxRows")
     val head = Versioned.currentVersion(spark, srcRoot)
@@ -321,7 +366,7 @@ object ChangeFeed {
       s"fence $raw points past version $v's ${chunks.size} chunks — " +
         "was maxRows changed while the version drained?")
     val cur = if (chunks.isEmpty) Seq.empty else chunks(k)
-    val feed = chunkFeed(spark, srcRoot, av, v, key, cur)
+    val feed = chunkFeed(spark, srcRoot, av, v, keys, cur)
     val fence = if (chunks.isEmpty || k + 1 == chunks.size) v.toLong * ChunkBase
                 else av.toLong * ChunkBase + (k + 1)
     Some((feed, fence))
@@ -332,19 +377,25 @@ object ChangeFeed {
     * key-aligned; shared by [[nextBatchCapped]] and the registered
     * source's `maxRowsPerTrigger` mode. */
   private[io] def chunkFeed(spark: SparkSession, root: String, va: Int,
-      vb: Int, key: String, chunk: Seq[(String, String)]): DataFrame = {
+      vb: Int, keys: Seq[String], chunk: Seq[(String, String)]): DataFrame = {
     val aDirs = chunk.collect { case (d, kind) if kind != "added" => d }
     val bDirs = chunk.collect { case (d, kind) if kind != "removed" => d }
-    align(Versioned.diffOn(spark, root, va, vb, aDirs, bDirs), key)
+    align(Versioned.diffOn(spark, root, va, vb, aDirs, bDirs), keys)
   }
 
   /** Drain the row-capped feed until current — [[consume]]'s loop over
     * [[nextBatchCapped]] fences. */
   def consumeCapped(spark: SparkSession, srcRoot: String, dstRoot: String,
       key: String, maxRows: Long, bootstrapV: Int = 0)
+      (apply: (DataFrame, Long) => Unit): Int =
+    consumeCappedKeys(spark, srcRoot, dstRoot, Seq(key), maxRows, bootstrapV)(apply)
+
+  /** [[consumeCapped]] on a composite key. */
+  def consumeCappedKeys(spark: SparkSession, srcRoot: String, dstRoot: String,
+      keys: Seq[String], maxRows: Long, bootstrapV: Int = 0)
       (apply: (DataFrame, Long) => Unit): Int = {
     var n = 0
-    var batch = nextBatchCapped(spark, srcRoot, dstRoot, key, maxRows, bootstrapV)
+    var batch = nextBatchCappedKeys(spark, srcRoot, dstRoot, keys, maxRows, bootstrapV)
     while (batch.isDefined) {
       val (feed, fence) = batch.get
       apply(feed, fence)
@@ -353,7 +404,7 @@ object ChangeFeed {
           s"change-feed consumer at $dstRoot did not commit batch fence $fence; " +
             "apply must land state with a batchId-fenced commit")
       n += 1
-      batch = nextBatchCapped(spark, srcRoot, dstRoot, key, maxRows, bootstrapV)
+      batch = nextBatchCappedKeys(spark, srcRoot, dstRoot, keys, maxRows, bootstrapV)
     }
     n
   }
@@ -366,9 +417,15 @@ object ChangeFeed {
     * delivered (0 = already current — safe to call on every poll). */
   def consume(spark: SparkSession, srcRoot: String, dstRoot: String,
       key: String, bootstrapV: Int = 0, maxVersions: Int = Int.MaxValue)
+      (apply: (DataFrame, Long) => Unit): Int =
+    consumeKeys(spark, srcRoot, dstRoot, Seq(key), bootstrapV, maxVersions)(apply)
+
+  /** [[consume]] on a composite key. */
+  def consumeKeys(spark: SparkSession, srcRoot: String, dstRoot: String,
+      keys: Seq[String], bootstrapV: Int = 0, maxVersions: Int = Int.MaxValue)
       (apply: (DataFrame, Long) => Unit): Int = {
     var n = 0
-    var batch = nextBatch(spark, srcRoot, dstRoot, key, bootstrapV, maxVersions)
+    var batch = nextBatchKeys(spark, srcRoot, dstRoot, keys, bootstrapV, maxVersions)
     while (batch.isDefined) {
       val (feed, fence) = batch.get
       apply(feed, fence)
@@ -377,7 +434,7 @@ object ChangeFeed {
           s"change-feed consumer at $dstRoot did not commit batch fence $fence; " +
             "apply must land state with a batchId-fenced commit")
       n += 1
-      batch = nextBatch(spark, srcRoot, dstRoot, key, bootstrapV, maxVersions)
+      batch = nextBatchKeys(spark, srcRoot, dstRoot, keys, bootstrapV, maxVersions)
     }
     n
   }

@@ -88,8 +88,14 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
+    // composite natural keys ride the same option, comma-separated:
+    // .option("key", "hi,lo") — the commitMergeKeys symmetry
     val key = parameters.getOrElse("key", throw new IllegalArgumentException(
-      "graft change-feed source needs option 'key' = the CDC key column"))
+      "graft change-feed source needs option 'key' = the CDC key column " +
+        "(comma-separate a composite key)"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(key.nonEmpty && key.distinct == key,
+      s"bad CDC key option '${parameters("key")}'")
     val startV = parameters.get("startVersion").map(_.toInt).getOrElse(0)
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toInt)
       .getOrElse(Int.MaxValue)
@@ -131,7 +137,7 @@ private[io] object ChangeFeedSource {
 }
 
 private[io] class ChangeFeedSource(sqlContext: SQLContext, root: String,
-    key: String, startV: Int, maxVersionsPerTrigger: Int = Int.MaxValue,
+    key: Seq[String], startV: Int, maxVersionsPerTrigger: Int = Int.MaxValue,
     maxRowsPerTrigger: Long = Long.MaxValue, withVersions: Boolean = false,
     metadataPath: String = "",
     userSchema: Option[StructType] = None) extends Source {
@@ -303,8 +309,8 @@ private[io] class ChangeFeedSource(sqlContext: SQLContext, root: String,
   }
 
   private def feedFor(va: Int, vb: Int): DataFrame =
-    if (withVersions) ChangeFeed.changesByCommit(spark, root, va, vb, key)
-    else ChangeFeed.changes(spark, root, va, vb, key)
+    if (withVersions) ChangeFeed.changesByCommitKeys(spark, root, va, vb, key)
+    else ChangeFeed.changesKeys(spark, root, va, vb, key)
 
   override def stop(): Unit = ()
 }

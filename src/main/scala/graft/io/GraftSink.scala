@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** `writeStream` INTO a [[Versioned]] table: the registered
@@ -29,21 +29,46 @@ import org.apache.spark.sql.streaming.OutputMode
   *
   *  - Append → `"append"` → [[Versioned.commitBatch]]: each batch is a
   *    new immutable dir (ingest pipelines);
-  *  - Update → `"merge"` → [[Versioned.commitMergeBatch]] on the
-  *    required `key` option: changed rows upsert (streaming aggregates
-  *    in update mode, CDC upserts); `"merge-mor"` lands the same
-  *    semantics as merge-on-read sidecars
-  *    ([[Versioned.commitMergeBatchMOR]]) — O(batch) writes however
-  *    wide the touched dirs;
+  *  - Update → `"merge"` → [[Versioned.commitMergeBatchKeys]] on the
+  *    required `key` option (comma-separate a composite natural key:
+  *    `.option("key", "hi,lo")`): changed rows upsert (streaming
+  *    aggregates in update mode, CDC upserts); `"merge-mor"` lands the
+  *    same semantics as merge-on-read sidecars
+  *    ([[Versioned.commitMergeBatchKeysMOR]]) — O(batch) writes however
+  *    wide the touched dirs.  `deleteOn` (a SQL boolean expression over
+  *    the batch's columns, e.g. `_change_type = 'delete'`) makes
+  *    matching rows EVICT their key instead of upserting — TRUE deletes
+  *    through the declarative pipeline, no tombstone workarounds — and
+  *    `dropCols` names predicate-only columns that must not land;
+  *    eviction and upsert share ONE fenced commit
+  *    ([[Versioned.mergeEvictBatch]]);
   *  - Complete → `"snapshot"` → [[Versioned.commitSnapshotBatch]]: the
   *    batch REPLACES the table (complete-mode aggregates), history
   *    preserved.
   *
   * Composes with the registered SOURCE into a table-to-table streaming
   * pipeline: `readStream(graft) → transform → writeStream(graft)`, both
-  * ends fenced. */
-class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
+  * ends fenced.
+  *
+  * The same format name also serves the registered BATCH READ —
+  * `spark.read.format("graft-table").load(root)` resolves a
+  * [[GraftTableRelation]] with pushed-filter manifest pruning and
+  * `version` / `asOfTimestamp` time travel (see [[GraftTable]]) — so
+  * ONE format string covers the table in and out. */
+class GraftSinkProvider extends StreamSinkProvider with RelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  /** `spark.read.format("graft-table")`: the batch relation over a
+    * versioned table snapshot (head by default; `version` /
+    * `asOfTimestamp` options time-travel). */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-table batch read needs a path: load(root) or option 'path'"))
+    new GraftTableRelation(sqlContext, root,
+      GraftTable.versionOf(sqlContext.sparkSession, root, parameters))
+  }
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -62,9 +87,30 @@ class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
     val mode = parameters.getOrElse("mode", inferred)
     require(Set("append", "merge", "merge-mor", "snapshot")(mode),
       s"graft sink mode '$mode' (append | merge | merge-mor | snapshot)")
+    // composite natural keys ride the same option, comma-separated:
+    // .option("key", "hi,lo") — the commitMergeKeys symmetry
     val key = parameters.get("key")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    key.foreach(ks => require(ks.nonEmpty && ks.distinct == ks,
+      s"bad merge key option '${parameters("key")}'"))
     require(!mode.startsWith("merge") || key.isDefined,
-      s"graft sink mode '$mode' needs option 'key' = the merge key column")
+      s"graft sink mode '$mode' needs option 'key' = the merge key " +
+        "column (comma-separate a composite key)")
+    // deleteOn = a SQL boolean expression over the batch's columns:
+    // matching rows EVICT their key (true deletes — the follower
+    // physically drops them) instead of re-landing as tombstones;
+    // dropCols = columns consumed by the predicate (e.g. _change_type)
+    // that must not land in the table
+    val deleteOn = parameters.get("deleteOn")
+    require(deleteOn.isEmpty || mode.startsWith("merge"),
+      "graft sink: deleteOn applies to the merge modes")
+    val dropCols = parameters.get("dropCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    require(dropCols.isEmpty || mode.startsWith("merge"),
+      "graft sink: dropCols applies to the merge modes")
+    key.foreach(ks => require(dropCols.forall(!ks.contains(_)),
+      "graft sink: dropCols cannot contain a merge key column"))
     // append mode may declare a zone-map layout: each micro-batch then
     // lands range-clustered (commitBatchClustered) and the streaming
     // table keeps tight per-dir [min,max] from ingest on
@@ -73,7 +119,7 @@ class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
       "graft sink: statsCol clustering applies to append mode only")
     val buckets = parameters.get("buckets").map(_.toInt).getOrElse(16)
     require(buckets >= 1, s"buckets must be positive, got $buckets")
-    new GraftSink(root, mode, key, statsCol, buckets)
+    new GraftSink(root, mode, key, statsCol, buckets, deleteOn, dropCols)
   }
 }
 
@@ -81,23 +127,24 @@ object GraftSinkProvider {
 
   /** Judged query: the full TABLE-TO-TABLE streaming pipeline through
     * the registered endpoints — `readStream(graft source)` → projection
-    * of post-images → `writeStream(graft sink, merge)` — both ends
-    * fenced, zero foreachBatch code.  The source table runs the
-    * realistic chain (clustered base → keyed MERGE → CoW delete) across
-    * TWO checkpointed pipeline runs (the second consumes only the
-    * delta), deletes propagate as CDC deletes through the sink's merge
-    * (eviction without reinsertion via the update_preimage filter
-    * trick: a delete emits no post-image, so its key simply never
-    * re-lands — handled by feeding delete keys as explicit evictions),
-    * and a third run after a WIPED checkpoint must not move the
-    * follower (in-query assertion).  Output = the follower table;
-    * oracle = the source head recomputed by expression. */
+    * of post-images → `writeStream(graft sink, merge + deleteOn)` —
+    * both ends fenced, zero foreachBatch code.  The source table runs
+    * the realistic chain (clustered base → keyed MERGE → CoW delete)
+    * across TWO checkpointed pipeline runs (the second consumes only
+    * the delta); deletes propagate as TRUE deletes through the sink's
+    * `deleteOn = "_change_type = 'delete'"` (the key evicts, the
+    * follower physically drops the row — no tombstone column, no
+    * read-side filter: the follower IS a replica, asserted in-query
+    * against the source head), and a third run after a WIPED checkpoint
+    * must not move the follower (in-query assertion).  Output = the
+    * follower table read directly; oracle = the source head recomputed
+    * by expression. */
   val streamTablePipeline: graft.GraftQuery = graft.GraftQuery("q_stream_table_pipeline",
     """SELECT doc_id, lang,
       |       CASE WHEN doc_id % 10 < 8 AND doc_id BETWEEN 260 AND 490
       |            THEN n_chars + 1000 ELSE n_chars END AS n_chars
       |FROM documents WHERE doc_id % 9 <> 0""".stripMargin) { (spark, sfDir) =>
-    import org.apache.spark.sql.functions.{col, when, lit}
+    import org.apache.spark.sql.functions.col
     val run = graft.streaming.StreamSink.newRunDir()
     val src = s"$run/src"; val dst = s"$run/dst"; val ckpt = s"$run/ckpt"
     val docs = Tables.documents(spark, sfDir)
@@ -108,16 +155,13 @@ object GraftSinkProvider {
         .format("graft.io.ChangeFeedSourceProvider")
         .option("path", src).option("key", "doc_id")
         .load()
-        // deletes ride along as tombstones the merge sink evicts: a
-        // deleted key's row re-lands marked, then is dropped by the
-        // follower read below — simplest would be applyChangesBatch,
-        // but the POINT here is the pure declarative pipeline
         .filter(col("_change_type") =!= "update_preimage")
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          when(col("_change_type") === "delete", lit(1L)).otherwise(lit(0L))
-            .as("_tombstone"))
+          col("_change_type"))
         .writeStream.format("graft.io.GraftSinkProvider")
         .option("path", dst).option("key", "doc_id").option("mode", "merge")
+        .option("deleteOn", "_change_type = 'delete'")
+        .option("dropCols", "_change_type")
         .option("checkpointLocation", ckpt)
         .outputMode("update")
         .start()
@@ -138,16 +182,27 @@ object GraftSinkProvider {
     follow() // run 3: wiped checkpoint — every replayed fence is applied
     require(Versioned.currentVersion(spark, dst) == settled,
       "a wiped-checkpoint replay must not move the follower")
-    Versioned.readAt(spark, dst, settled)
-      .filter(col("_tombstone") === 0L)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
+    // TRUE REPLICA: the follower equals the source head bit-exactly —
+    // deleted keys are physically absent, no tombstone filtering
+    val got = Versioned.readAt(spark, dst, settled)
+    val want = Versioned.readAt(spark, src, Versioned.currentVersion(spark, src))
+    require(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "deleteOn must make the follower a bit-exact replica of the source head")
+    got
   }
 
   val all: Seq[graft.GraftQuery] = Seq(streamTablePipeline)
 }
 
-private[io] class GraftSink(root: String, mode: String, key: Option[String],
-    statsCol: Option[String] = None, buckets: Int = 16) extends Sink {
+private[io] class GraftSink(root: String, mode: String,
+    key: Option[Seq[String]], statsCol: Option[String] = None,
+    buckets: Int = 16, deleteOn: Option[String] = None,
+    dropCols: Seq[String] = Seq.empty) extends Sink {
+  import org.apache.spark.sql.functions.{col, expr, not}
+
+  private def dropLanded(df: DataFrame): DataFrame =
+    dropCols.foldLeft(df)(_ drop _)
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
     // the engine hands a STREAMING-tagged frame; re-tag it as the batch
@@ -159,15 +214,35 @@ private[io] class GraftSink(root: String, mode: String, key: Option[String],
           statsCol.get, buckets)
       case "append"    => Versioned.commitBatch(spark, root, batchId, batch)
       case "merge" | "merge-mor" =>
-        // bootstrap: the first batch of a merge stream lands on an empty
-        // table as a plain fenced append (nothing to merge into yet) —
-        // the consumer-pattern idiom, under the same fence
-        if (Versioned.currentVersion(spark, root) == 0)
-          Versioned.commitBatch(spark, root, batchId, batch)
-        else if (mode == "merge")
-          Versioned.commitMergeBatch(spark, root, batchId, batch, key.get)
-        else
-          Versioned.commitMergeBatchMOR(spark, root, batchId, batch, key.get)
+        val keys = key.get
+        val mor = mode == "merge-mor"
+        deleteOn match {
+          case None =>
+            // bootstrap: the first batch of a merge stream lands on an
+            // empty table as a plain fenced append (nothing to merge
+            // into yet) — the consumer-pattern idiom, under the fence
+            if (Versioned.currentVersion(spark, root) == 0)
+              Versioned.commitBatch(spark, root, batchId, dropLanded(batch))
+            else if (!mor)
+              Versioned.commitMergeBatchKeys(spark, root, batchId,
+                dropLanded(batch), keys)
+            else
+              Versioned.commitMergeBatchKeysMOR(spark, root, batchId,
+                dropLanded(batch), keys)
+          case Some(p) =>
+            // deleteOn splits the batch: matching rows EVICT their key
+            // (true deletes — the follower physically drops them), the
+            // rest upsert; both effects land under ONE fenced commit
+            val pred = expr(p)
+            val ups = dropLanded(batch.filter(not(pred)))
+            if (Versioned.currentVersion(spark, root) == 0)
+              Versioned.commitBatch(spark, root, batchId, ups)
+            else {
+              val evict = batch.select(keys.map(col): _*).distinct()
+              Versioned.mergeEvictBatch(spark, root, batchId, ups, evict,
+                keys, mor)
+            }
+        }
       case "snapshot"  => Versioned.commitSnapshotBatch(spark, root, batchId, batch)
     }
     ()

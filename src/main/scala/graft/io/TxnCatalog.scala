@@ -193,11 +193,16 @@ object TxnCatalog {
     * maintenance rewrites are ordinary table commits: they stay
     * INVISIBLE to catalog readers until a transaction re-pins, exactly
     * like any out-of-band member commit — reads through the catalog
-    * keep their pinned versions.  Returns name → new version for the
-    * members that needed work (empty = the whole catalog was healthy). */
+    * keep their pinned versions.  Knobs left UNSET resolve per member
+    * through each table's declared policy
+    * ([[Versioned.commitDeclarePolicy]]) — ONE parameterless sweep
+    * heals heterogeneous members each under its own thresholds;
+    * explicit arguments here override every member alike.  Returns
+    * name → new version for the members that needed work (empty = the
+    * whole catalog was healthy). */
   def maintainMembers(spark: SparkSession, cat: String,
-      smallRows: Long = 0L, targetRows: Long = 0L,
-      maxDvFraction: Double = 0.3): Map[String, Int] =
+      smallRows: Long = -1L, targetRows: Long = -1L,
+      maxDvFraction: Double = -1.0): Map[String, Int] =
     tablesOf(spark, cat).flatMap { case (n, r) =>
       Versioned.maintain(spark, r, smallRows, targetRows,
         maxDvFraction = maxDvFraction).map(n -> _)

@@ -510,7 +510,8 @@ object Versioned {
       checksArg: Option[String] = None,
       statsColsArg: Option[Seq[String]] = None,
       suppressSum: Boolean = false,
-      opArg: String = ""): String = {
+      opArg: String = "",
+      policyArg: Option[String] = None): String = {
     // ONE metadata read of the head record serves every carried field
     // below (12 reads collapsed to 1 — on an object store that is the
     // difference between 1 and 12 GETs per commit)
@@ -677,6 +678,10 @@ object Versioned {
     // the persisted ingest contract rides along the same way
     val checksJson = checksArg.orElse(ht.flatMap(parseChecksFrag))
       .map(c => s""","checks":{$c}""").getOrElse("")
+    // the declared maintenance policy rides along the same way — every
+    // commit carries it, so a parameterless maintain() always sees it
+    val policyJson = policyArg.orElse(ht.flatMap(parsePolicyFrag))
+      .map(p => s""","policy":{$p}""").getOrElse("")
     // deletion vectors: parent entries carried for carried dirs (a
     // replaced/folded dir's entries drop WITH the dir — the rewrite read
     // DV-applied content, so its vectors are retired, not lost), plus the
@@ -701,11 +706,68 @@ object Versioned {
     // deliberately NOT carried from the parent — each record names what
     // produced IT; replay records (restore/clone) stamp their own
     val opJson = if (opArg.isEmpty) "" else s""","op":"$opArg""""
-    s""","ts":$ts$opJson$statsJson$mstatsJson$rowsJson$bytesJson$sumJson$bloomJson$altersJson$checksJson$dvJson$more"""
+    s""","ts":$ts$opJson$statsJson$mstatsJson$rowsJson$bytesJson$sumJson$bloomJson$altersJson$checksJson$policyJson$dvJson$more"""
   }
 
   private def parseOp(txt: String): Option[String] =
     """"op":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+
+  /** A table's declared maintenance knobs ([[commitDeclarePolicy]]) —
+    * what a parameterless [[maintain]] resolves before falling back to
+    * the global defaults. */
+  final case class MaintenancePolicy(smallRows: Long, targetRows: Long,
+      buckets: Int, maxCover: Int, maxDvFraction: Double)
+
+  private def parsePolicyFrag(txt: String): Option[String] =
+    """"policy":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+
+  /** The declared maintenance policy at version `v`, if any. */
+  private[graft] def policyOf(spark: SparkSession, root: String,
+      v: Int): Option[MaintenancePolicy] =
+    recOpt(spark, root, v).flatMap(parsePolicyFrag).map { f =>
+      def num(k: String): Option[String] =
+        (s""""$k":\\s*(-?[0-9.]+)""").r.findFirstMatchIn(f).map(_.group(1))
+      MaintenancePolicy(
+        num("smallRows").map(_.toLong).getOrElse(0L),
+        num("targetRows").map(_.toLong).getOrElse(0L),
+        num("buckets").map(_.toInt).getOrElse(16),
+        num("maxCover").map(_.toInt).getOrElse(2),
+        num("maxDvFraction").map(_.toDouble).getOrElse(0.3))
+    }
+
+  /** Declare the table's MAINTENANCE POLICY: the [[maintain]] knobs
+    * (`smallRows`/`targetRows` small-dir folding, `buckets`/`maxCover`
+    * re-clustering, `maxDvFraction` deletion-vector rewrite) persisted
+    * in the commit log and carried by every later commit — so a
+    * parameterless `maintain(root)` does THIS table's right thing, and
+    * [[TxnCatalog.maintainMembers]] heals heterogeneous members each
+    * under its own policy instead of forcing one parameter set on all.
+    * An operator schedules ONE sweep; each table remembers its own
+    * thresholds (the statsCol declaration discipline).  Explicit
+    * `maintain` arguments still override per call; re-declaring
+    * replaces the policy.  Validation re-runs inside the publish
+    * closure (per retry — the declaration TOCTOU discipline). */
+  def commitDeclarePolicy(spark: SparkSession, root: String,
+      smallRows: Long = 0L, targetRows: Long = 0L, buckets: Int = 16,
+      maxCover: Int = 2, maxDvFraction: Double = 0.3): Int =
+    publishRecord(spark, root, head => {
+      require(head > 0, s"no committed version at $root")
+      require(smallRows >= 0 && targetRows >= 0 &&
+        (targetRows == 0 || targetRows >= smallRows),
+        s"bad policy: smallRows=$smallRows targetRows=$targetRows " +
+          "(targetRows must be 0 or >= smallRows)")
+      require(buckets >= 1 && maxCover >= 1,
+        s"bad policy: buckets=$buckets maxCover=$maxCover")
+      require(maxDvFraction >= 0.0 && maxDvFraction <= 1.0,
+        s"bad policy: maxDvFraction=$maxDvFraction")
+      val dirs = manifest(spark, root, head)
+      (dirs, extraFields(spark, root, head, dirs, None, "",
+        policyArg = Some(
+          s""""smallRows":$smallRows,"targetRows":$targetRows,""" +
+            s""""buckets":$buckets,"maxCover":$maxCover,""" +
+            s""""maxDvFraction":$maxDvFraction"""),
+        opArg = "declare"))
+    }).get
 
   /** The commit's operation label at version `v` (absent for records
     * written before labels existed, and for paths that stamp none). */
@@ -1712,6 +1774,33 @@ object Versioned {
     mergeMorImpl(spark, root, updates, key, batchId = Some(batchId))
   }
 
+  /** Exactly-once streaming twin of [[commitMergeKeysMOR]] — the
+    * composite-key MOR merge under the batchId fence (the registered
+    * sink's `merge-mor` mode on a comma-separated key). */
+  def commitMergeBatchKeysMOR(spark: SparkSession, root: String,
+      batchId: Long, updates: DataFrame, keys: Seq[String]): Option[Int] = {
+    require(keys.nonEmpty && keys.distinct == keys, s"bad merge keys $keys")
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    mergeMorKeysImpl(spark, root, updates, keys, batchId = Some(batchId))
+  }
+
+  /** Fenced keyed merge with EXPLICIT EVICTIONS: every key in `keysDf`
+    * is evicted — CoW rewrite or MOR deletion vectors per `mor` — and
+    * `updates`' rows re-land; a key present in `keysDf` but absent from
+    * `updates` is a TRUE delete (physically gone from the next CoW
+    * snapshot; vectored until the next fold under MOR).  The
+    * [[ChangeFeed.applyChangesBatch]] shape for callers that already
+    * split deletes from upserts — the registered sink's `deleteOn`
+    * path.  None when the fence voids a replay. */
+  private[graft] def mergeEvictBatch(spark: SparkSession, root: String,
+      batchId: Long, updates: DataFrame, keysDf: DataFrame,
+      keys: Seq[String], mor: Boolean): Option[Int] = {
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    if (mor) mergeMorKeysImpl(spark, root, updates, keys,
+      batchId = Some(batchId), keysDf0 = Some(keysDf))
+    else mergeKeysImpl(spark, root, updates, keysDf, keys, Some(batchId))
+  }
+
   private def mergeMorImpl(spark: SparkSession, root: String,
       updates: DataFrame, key: String, batchId: Option[Long],
       attempt: Int = 0): Option[Int] =
@@ -1719,11 +1808,14 @@ object Versioned {
 
   private def mergeMorKeysImpl(spark: SparkSession, root: String,
       updates: DataFrame, keys: Seq[String], batchId: Option[Long],
-      attempt: Int = 0): Option[Int] = {
+      attempt: Int = 0, keysDf0: Option[DataFrame] = None): Option[Int] = {
     val head0 = currentVersion(spark, root)
     require(head0 > 0, s"no committed version at $root")
     val dirs0 = manifest(spark, root, head0)
-    val keysDf = updates.select(keys.map(col): _*).distinct()
+    // an EXPLICIT key set may exceed the updates' own keys: the extras
+    // are true deletes — vectored wherever they live, never re-landed
+    // (the applyChanges eviction semantics, merge-on-read form)
+    val keysDf = keysDf0.getOrElse(updates.select(keys.map(col): _*).distinct())
     // zone-map confinement + null-cast conservatism: the commitMerge
     // discovery discipline verbatim (clustered OR multi-column map),
     // composite keys confining conjunctively
@@ -1780,7 +1872,7 @@ object Versioned {
           (if (perDir.isEmpty) Seq(newDir) else Seq(rel, newDir)))
         if (batchId.exists(b => lastBatchId(spark, root).exists(_ >= b))) None // fenced
         else if (attempt < 5)
-          mergeMorKeysImpl(spark, root, updates, keys, batchId, attempt + 1)
+          mergeMorKeysImpl(spark, root, updates, keys, batchId, attempt + 1, keysDf0)
         else throw new IllegalStateException(s"MOR merge conflict not resolving at $root")
     }
   }
@@ -2517,14 +2609,30 @@ object Versioned {
     * layout (their decisions are manifest metadata), so `maintain` is
     * safe to schedule after every batch; bloom and token-index entries
     * need no routing at all — every rewrite a policy lands re-measures
-    * them in [[extraFields]].  Returns the last new version, or None
-    * when the table was already healthy. */
+    * them in [[extraFields]].  Knobs left unset (-1) resolve through
+    * the table's DECLARED policy ([[commitDeclarePolicy]]) before the
+    * global defaults, so a parameterless call does each table's right
+    * thing.  Returns the last new version, or None when the table was
+    * already healthy. */
   def maintain(spark: SparkSession, root: String,
-      smallRows: Long = 0L, targetRows: Long = 0L,
-      buckets: Int = 16, maxCover: Int = 2,
-      maxDvFraction: Double = 0.3): Option[Int] = {
+      smallRows: Long = -1L, targetRows: Long = -1L,
+      buckets: Int = -1, maxCover: Int = -1,
+      maxDvFraction: Double = -1.0): Option[Int] = {
     val head0 = currentVersion(spark, root)
     require(head0 > 0, s"no committed version at $root")
+    // knob resolution: explicit argument > the table's DECLARED policy
+    // ([[commitDeclarePolicy]], carried in the head record) > global
+    // default — so `maintain(root)` with no knobs does each table's
+    // right thing, and a catalog sweep needs no per-member parameters
+    val pol = policyOf(spark, root, head0)
+    val smallRowsR = if (smallRows >= 0L) smallRows
+                     else pol.map(_.smallRows).getOrElse(0L)
+    val targetRowsR = if (targetRows >= 0L) targetRows
+                      else pol.map(_.targetRows).getOrElse(0L)
+    val bucketsR = if (buckets >= 1) buckets else pol.map(_.buckets).getOrElse(16)
+    val maxCoverR = if (maxCover >= 1) maxCover else pol.map(_.maxCover).getOrElse(2)
+    val maxDvFractionR = if (maxDvFraction >= 0.0) maxDvFraction
+                         else pol.map(_.maxDvFraction).getOrElse(0.3)
     val dirs0 = manifest(spark, root, head0)
     val isVector = dirs0.exists { d =>
       val p = new org.apache.hadoop.fs.Path(s"${dataPath(root, d)}/_vec.json")
@@ -2538,24 +2646,24 @@ object Versioned {
     // the one-call API's most natural partial invocation is
     // maintain(root, smallRows = N): default the fold target to the
     // threshold instead of tripping optimizeSmall's ordering require
-    val tgtRows = math.max(smallRows, targetRows)
+    val tgtRows = math.max(smallRowsR, targetRowsR)
     // 2-D Morton tables route through the SAME folds: the overlap sweep
     // and range shuffle operate on the Morton code — exactly how the
     // layout was built (Zonemap2DSpec proves box reads stay sharp)
     val sc = statsColOf(spark, root, head0)
     var last: Option[Int] = None
     if (sc.isDefined) {
-      last = optimizeClustered(spark, root, sc.get, buckets, maxCover)
-      if (smallRows > 0)
-        optimizeSmall(spark, root, sc.get, smallRows, tgtRows)
+      last = optimizeClustered(spark, root, sc.get, bucketsR, maxCoverR)
+      if (smallRowsR > 0)
+        optimizeSmall(spark, root, sc.get, smallRowsR, tgtRows)
           .foreach(v => last = Some(v))
-    } else if (smallRows > 0) {
+    } else if (smallRowsR > 0) {
       // statsCols-only tables (multi-column map, no clustered layout)
       // still fragment: defrag on the FIRST declared column — the fold
       // needs *a* measured expression, and the multi-column map
       // re-measures every member on the fresh dirs
       statsColsOf(spark, root, head0).headOption.foreach { c =>
-        optimizeSmallOn(spark, root, c, smallRows, tgtRows)
+        optimizeSmallOn(spark, root, c, smallRowsR, tgtRows)
           .foreach(v => last = Some(v))
       }
     }
@@ -2563,7 +2671,7 @@ object Versioned {
     // so only the survivors past the threshold pay a rewrite — the one
     // policy with reach on layout-less tables and never-fragmenting
     // big dirs
-    rewriteVectored(spark, root, maxDvFraction).foreach(v => last = Some(v))
+    rewriteVectored(spark, root, maxDvFractionR).foreach(v => last = Some(v))
     // bloom/token-bloom BACKFILL runs last: the folds above already
     // built entries for their fresh dirs, so only plain-append survivors
     // remain — and on a table with no declared layout at all, this is

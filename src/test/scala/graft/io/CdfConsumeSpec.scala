@@ -297,6 +297,31 @@ class CdfConsumeSpec extends AnyFunSuite {
       .select("metric").head().getLong(0) == 101L)
   }
 
+  test("composite-key CDC: changesKeys aligns on (hi, lo); applyChangesKeys replicates") {
+    val b = newBase(); val src = s"$b/src"; val rep = s"$b/rep"
+    val rows = (1L to 30L).map(i => (i % 5, i / 5, i)).toDF("hi", "lo", "m")
+    Versioned.commit(spark, src, rows)
+    Versioned.cloneAt(spark, src, rep, 1)
+    Versioned.commitMergeKeys(spark, src,
+      Seq((1L, 0L, 101L), (0L, 9L, 103L)).toDF("hi", "lo", "m"),
+      Seq("hi", "lo"))
+    Versioned.commitUpdate(spark, src, col("hi") === 4L,
+      d => d.filter(col("hi") =!= 4L))
+    val ch = ChangeFeed.changesKeys(spark, src, 1, 3, Seq("hi", "lo"))
+    // (1, 0) aligned on BOTH columns: an update pair, not delete+insert
+    // (single-column alignment on hi would smear all five lo rows)
+    assert(ch.filter(col("hi") === 1L && col("lo") === 0L)
+      .select("_change_type").collect().map(_.getString(0)).toSet ==
+      Set("update_preimage", "update_postimage"))
+    assert(ch.filter(col("hi") === 0L && col("lo") === 9L)
+      .select("_change_type").head().getString(0) == "insert")
+    val v = ChangeFeed.applyChangesKeys(spark, rep, ch, Seq("hi", "lo"))
+    val got = Versioned.readAt(spark, rep, v)
+    val want = Versioned.readAt(spark, src, Versioned.currentVersion(spark, src))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "composite-key apply must land the replica on the source head")
+  }
+
   test("bootstrapV: a consumer born at v1 sees only post-v1 changes") {
     val b = newBase(); val src = s"$b/src"; val agg = s"$b/agg"
     chain(src)

@@ -125,6 +125,80 @@ class GraftSinkSpec extends AnyFunSuite {
     assert(Versioned.maintain(spark, dst).isEmpty)
   }
 
+  test("deleteOn: CDC deletes physically evict — the follower is a true replica") {
+    val b = newBase()
+    val src = s"$b/src"; val dst = s"$b/dst"; val ckpt = s"$b/ckpt"
+    // groups A (ids 1..5) and B (ids 6..10)
+    Versioned.commitAppendClustered(spark, src,
+      (1L to 10L).map(i => (i, if (i <= 5) "A" else "B", i)).toDF("id", "g", "m"),
+      "id", 2)
+    def follow(): Unit = {
+      val q = spark.readStream
+        .format("graft.io.ChangeFeedSourceProvider")
+        .option("path", src).option("key", "id").load()
+        .filter(col("_change_type") =!= "update_preimage")
+        .select(col("id"), col("g"), col("m"), col("_change_type"))
+        .writeStream.format("graft.io.GraftSinkProvider")
+        .option("path", dst).option("key", "id").option("mode", "merge")
+        .option("deleteOn", "_change_type = 'delete'")
+        .option("dropCols", "_change_type")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    follow()
+    // v2 wipes group B ENTIRELY at the source
+    Versioned.commitUpdate(spark, src, col("g") === "B",
+      d => d.filter(col("g") =!= "B"))
+    follow()
+    // the follower physically dropped the group: a raw, unfiltered read
+    // of the head has no B rows and no tombstone column
+    val got = Versioned.readAt(spark, dst, Versioned.currentVersion(spark, dst))
+    assert(got.columns.toSeq == Seq("id", "g", "m"), "no tombstone column lands")
+    assert(got.filter(col("g") === "B").count() == 0,
+      "a full-group delete must physically leave the follower")
+    val want = Versioned.readAt(spark, src, Versioned.currentVersion(spark, src))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("composite key option: an (hi, lo)-keyed table streams end-to-end") {
+    val b = newBase()
+    val src = s"$b/src"; val dst = s"$b/dst"; val ckpt = s"$b/ckpt"
+    val rows = (1L to 30L).map(i => (i % 5, i / 5, i)).toDF("hi", "lo", "m")
+    Versioned.commit(spark, src, rows)
+    def follow(): Unit = {
+      val q = spark.readStream
+        .format("graft.io.ChangeFeedSourceProvider")
+        .option("path", src).option("key", "hi,lo").load()
+        .filter(col("_change_type") =!= "update_preimage")
+        .select(col("hi"), col("lo"), col("m"), col("_change_type"))
+        .writeStream.format("graft.io.GraftSinkProvider")
+        .option("path", dst).option("key", "hi,lo").option("mode", "merge")
+        .option("deleteOn", "_change_type = 'delete'")
+        .option("dropCols", "_change_type")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    follow()
+    // composite MERGE (every-column matching) + a CoW delete upstream
+    Versioned.commitMergeKeys(spark, src,
+      Seq((1L, 0L, 101L), (2L, 3L, 102L), (0L, 9L, 103L)).toDF("hi", "lo", "m"),
+      Seq("hi", "lo"))
+    Versioned.commitUpdate(spark, src, col("hi") === 4L,
+      d => d.filter(col("hi") =!= 4L))
+    follow()
+    val got = Versioned.readAt(spark, dst, Versioned.currentVersion(spark, dst))
+    val want = Versioned.readAt(spark, src, Versioned.currentVersion(spark, src))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "the (hi, lo)-keyed follower must equal the source head")
+    // the natural key really drove the merge: (1, 0) updated in place
+    assert(got.filter(col("hi") === 1L && col("lo") === 0L)
+      .select("m").head().getLong(0) == 101L)
+  }
+
   test("option and mode validation") {
     val b = newBase()
     val e1 = intercept[Exception] {

@@ -146,6 +146,49 @@ class MaintainSpec extends AnyFunSuite {
     assert(Versioned.maintain(spark, root, smallRows = 100L).isEmpty)
   }
 
+  test("declared policy drives a parameterless maintain; explicit args override") {
+    val root = newRoot()
+    Versioned.commitAppendClustered(spark, root,
+      (0L until 4000L).map(i => (i, i % 7)).toDF("id", "m"), "id", 8)
+    Versioned.commitDeclarePolicy(spark, root,
+      smallRows = 1000L, targetRows = 4000L)
+    // fragmentation churn: two tiny appends
+    Versioned.commitAppend(spark, root, Seq((17L, -2L)).toDF("id", "m"))
+    Versioned.commitAppend(spark, root, Seq((3900L, -3L)).toDF("id", "m"))
+    // NO knobs: the declared policy must fold the fragments
+    val v = Versioned.maintain(spark, root).get
+    val rows = Versioned.dirRows(spark, root, v)
+    val dirs = Versioned.manifest(spark, root, v)
+    assert(dirs.count(d => rows.get(d).exists(_ < 1000L)) < 2,
+      "the declared smallRows threshold must drive the fold")
+    assert(Versioned.maintain(spark, root).isEmpty, "steady state under policy")
+    // the policy survives every commit (carried in extraFields)
+    assert(Versioned.policyOf(spark, root, Versioned.currentVersion(spark, root))
+      .contains(Versioned.MaintenancePolicy(1000L, 4000L, 16, 2, 0.3)))
+    // and the declaration validates its values
+    intercept[IllegalArgumentException] {
+      Versioned.commitDeclarePolicy(spark, root, smallRows = 100L,
+        targetRows = 50L)
+    }
+    // EXPLICIT arguments override the declaration — isolated on a
+    // statsCols-only table (no clustered layout, so only the
+    // smallRows-gated defrag has reach): two sub-threshold appends the
+    // policy would fold stay put under an explicit smallRows = 0
+    val r2 = newRoot()
+    Versioned.commit(spark, r2, (0L until 3000L).map(i => (i, i % 5)).toDF("id", "m"))
+    Versioned.commitDeclareStatsCols(spark, r2, Seq("id"))
+    Versioned.commitDeclarePolicy(spark, r2, smallRows = 1000L, targetRows = 4000L)
+    Versioned.commitAppend(spark, r2, Seq((17L, -2L)).toDF("id", "m"))
+    Versioned.commitAppend(spark, r2, Seq((18L, -3L)).toDF("id", "m"))
+    assert(Versioned.maintain(spark, r2, smallRows = 0L).isEmpty,
+      "explicit smallRows=0 must suppress the declared fold")
+    // and the parameterless call then heals under the declaration
+    val v2 = Versioned.maintain(spark, r2).get
+    val rows2 = Versioned.dirRows(spark, r2, v2)
+    assert(Versioned.manifest(spark, r2, v2)
+      .count(d => rows2.get(d).exists(_ < 1000L)) < 2)
+  }
+
   test("undeclared layouts are left alone") {
     val root = newRoot()
     Versioned.commitAppend(spark, root, Seq((1L, 2L)).toDF("id", "m"))

@@ -110,6 +110,37 @@ class TxnCatalogSpec extends AnyFunSuite {
     assert(TxnCatalog.maintainMembers(spark, cat).isEmpty, "steady state")
   }
 
+  test("maintainMembers heals heterogeneous members each under its OWN declared policy") {
+    val (cat, ra, rb) = pair()
+    // member a declares an aggressive defrag policy (folds 1-row dirs);
+    // member b declares NO small-fold (smallRows = 0) — the same two
+    // tiny appends must fold on a and stay put on b under ONE
+    // parameterless sweep
+    Versioned.commit(spark, ra, (0L until 3000L).map(i => (i, i % 5)).toDF("id", "m"))
+    Versioned.commitDeclareStatsCols(spark, ra, Seq("id"))
+    Versioned.commitDeclarePolicy(spark, ra, smallRows = 1000L, targetRows = 4000L)
+    Versioned.commit(spark, rb, (0L until 3000L).map(i => (i, i % 5)).toDF("id", "m"))
+    Versioned.commitDeclareStatsCols(spark, rb, Seq("id"))
+    Versioned.commitDeclarePolicy(spark, rb, smallRows = 0L)
+    Seq(ra, rb).foreach { r =>
+      Versioned.commitAppend(spark, r, Seq((17L, -2L)).toDF("id", "m"))
+      Versioned.commitAppend(spark, r, Seq((18L, -3L)).toDF("id", "m"))
+    }
+    TxnCatalog.create(spark, cat, Map("a" -> ra, "b" -> rb))
+    val worked = TxnCatalog.maintainMembers(spark, cat) // NO parameters
+    assert(worked.keySet == Set("a"),
+      s"only a's policy has the fold threshold: $worked")
+    val va = Versioned.currentVersion(spark, ra)
+    val rowsA = Versioned.dirRows(spark, ra, va)
+    assert(Versioned.manifest(spark, ra, va)
+      .count(d => rowsA.get(d).exists(_ < 1000L)) < 2, "a folded under its policy")
+    val vb = Versioned.currentVersion(spark, rb)
+    val rowsB = Versioned.dirRows(spark, rb, vb)
+    assert(Versioned.manifest(spark, rb, vb)
+      .count(d => rowsB.get(d).exists(_ < 1000L)) >= 2, "b kept its fragments")
+    assert(TxnCatalog.maintainMembers(spark, cat).isEmpty, "steady state")
+  }
+
   test("create arbitrates on the mapping file: a different map can never pin") {
     val (cat, ra, rb) = pair()
     Versioned.commit(spark, ra, Seq(1L).toDF("id"))
