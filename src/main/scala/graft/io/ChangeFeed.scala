@@ -150,8 +150,9 @@ object ChangeFeed {
     // stream batch) would recompute for each
     val tmp = s"$root/tmp/${java.util.UUID.randomUUID()}"
     ch.write.parquet(tmp)
+    Versioned.cacheDirSchema(tmp, ch.schema)
     try {
-      val staged = spark.read.parquet(tmp)
+      val staged = Versioned.readParquetDirs(spark, Seq(tmp))
       val ups = staged.filter(col("_change_type").isin("insert", "update_postimage"))
         .drop("_change_type")
       val keysDf = staged.filter(col("_change_type") =!= "update_preimage")
