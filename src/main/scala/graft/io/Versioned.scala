@@ -578,11 +578,40 @@ object Versioned {
       stats: Map[(String, String), (Long, Long)],
       sums: Map[String, Long])
   private def measureNewDirs(spark: SparkSession, root: String,
-      rowsDirs: Seq[String], statNeed: Map[String, Seq[String]],
-      sumCol: Option[String], sumDirs: Seq[String]): Option[NewDirMeasures] = {
+      rowsDirs0: Seq[String], statNeed0: Map[String, Seq[String]],
+      sumCol: Option[String], sumDirs0: Seq[String]): Option[NewDirMeasures] = {
+    // write-time observed measurements first: a dir written by this JVM
+    // already carries rows/stats/sums from its write job's observe —
+    // consume them and measure only the remainder (usually nothing)
+    val obsRows = scala.collection.mutable.Map[String, Long]()
+    val obsStats = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    val obsSums = scala.collection.mutable.Map[String, Long]()
+    val rowsDirs = rowsDirs0.filter { d =>
+      Option(observedCache.get(dataPath(root, d))) match {
+        case Some(o) => obsRows(d) = o.rows; false
+        case None    => true
+      }
+    }
+    val statNeed = statNeed0.map { case (c, ds) =>
+      c -> ds.filter { d =>
+        Option(observedCache.get(dataPath(root, d))).flatMap(_.stats.get(c)) match {
+          case Some(Some(e)) => obsStats((c, d)) = e; false
+          case Some(None)    => false // measured void: no entry, no re-scan
+          case None          => true
+        }
+      }
+    }.filter(_._2.nonEmpty)
+    val sumDirs = sumDirs0.filter { d =>
+      sumCol.flatMap(c =>
+        Option(observedCache.get(dataPath(root, d))).flatMap(_.sum.get(c))) match {
+        case Some(Some(s)) => obsSums(d) = s; false
+        case Some(None)    => false // measured void: the void marker below
+        case None          => true
+      }
+    }
     val allDirs = (rowsDirs ++ statNeed.values.flatten ++ sumDirs).distinct
     if (allDirs.isEmpty)
-      return Some(NewDirMeasures(Map.empty, Map.empty, Map.empty))
+      return Some(NewDirMeasures(obsRows.toMap, obsStats.toMap, obsSums.toMap))
     // a fileless dir (zero-row write under some planners) has no schema
     // to infer: it contributes rows=0 and no stats/sum entries, exactly
     // the legacy semantics ("no files = an empty dir")
@@ -652,7 +681,8 @@ object Versioned {
         }
       }
     }
-    Some(NewDirMeasures(rows.toMap, stats.toMap, sums.toMap))
+    Some(NewDirMeasures(rows.toMap ++ obsRows, stats.toMap ++ obsStats,
+      sums.toMap ++ obsSums))
   }
 
   private[io] def extraFields(spark: SparkSession, root: String, head: Int,
@@ -1165,11 +1195,73 @@ object Versioned {
     else None
   }
 
-  /** Write `df` as one immutable data dir; returns the root-relative path. */
-  private[graft] def writeDataDir(spark: SparkSession, root: String, df: DataFrame): String = {
+  /** Measurements taken DURING a data dir's write (an `observe` on the
+    * write job): per measured column Some(bounds)/None(void — bad cast,
+    * all-null, or column absent), the sum column likewise, and the row
+    * count.  The commit path used to RE-READ every dir it had just
+    * written to record these — a second full pass over the ingest batch
+    * at any scale; observing the write job computes them on the rows as
+    * they stream to the files, for free.  Keyed by absolute dir path
+    * (write-once dirs, same discipline as the schema cache). */
+  private case class ObservedDir(rows: Long,
+      stats: Map[String, Option[(Long, Long)]],
+      sum: Map[String, Option[Long]])
+  private val observedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ObservedDir]()
+
+  /** Write `df` as one immutable data dir; returns the root-relative path.
+    * The write job is OBSERVED: the row count plus min/max for the
+    * table's declared stats columns (and `extraStatsCols` a caller is
+    * about to declare) and the declared sum column are measured on the
+    * stream of written rows and cached for [[extraFields]] — the commit
+    * that publishes this dir then needs NO second pass over it. */
+  private[graft] def writeDataDir(spark: SparkSession, root: String, df: DataFrame,
+      extraStatsCols: Seq[String] = Seq.empty): String = {
     val rel = s"data/${java.util.UUID.randomUUID()}"
-    df.write.mode("errorifexists").parquet(s"$root/$rel")
+    val head = currentVersion(spark, root)
+    val ht = recOpt(spark, root, head)
+    val declStats = (ht.flatMap(parseStatsCol).toSeq ++
+      ht.map(parseStatsCols).getOrElse(Seq.empty) ++ extraStatsCols).distinct
+    val declSum = ht.flatMap(parseSumCol).toSeq.distinct
+    val cols = df.columns.toSet
+    def present(c: String): Boolean = c match {
+      case Z2(x, y, _) => cols.contains(x) && cols.contains(y)
+      case _           => cols.contains(c)
+    }
+    val (obsStats, absentStats) = declStats.partition(present)
+    val (obsSums, absentSums) = declSum.partition(present)
+    var aggs: Seq[Column] = Seq(count(lit(1)).as("_g_n"))
+    obsStats.zipWithIndex.foreach { case (c, i) =>
+      val e = statsExpr(c)
+      aggs ++= Seq(min(e).as(s"_g_lo$i"), max(e).as(s"_g_hi$i"),
+        count(when(statsBad(c, e), 1)).as(s"_g_bad$i"))
+    }
+    obsSums.zipWithIndex.foreach { case (c, i) =>
+      val e = tryLong(c)
+      aggs ++= Seq(sum(e).as(s"_g_s$i"),
+        count(when(e.isNull && col(c).isNotNull, 1)).as(s"_g_sbad$i"))
+    }
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode("errorifexists").parquet(s"$root/$rel")
     cacheDirSchema(dataPath(root, rel), df.schema)
+    val m = obs.get
+    def longOpt(k: String): Option[Long] =
+      Option(m.getOrElse(k, null)).map(_.asInstanceOf[Long])
+    val statsM: Map[String, Option[(Long, Long)]] =
+      obsStats.zipWithIndex.map { case (c, i) =>
+        val lo = longOpt(s"_g_lo$i"); val hi = longOpt(s"_g_hi$i")
+        val bad = longOpt(s"_g_bad$i").getOrElse(0L)
+        c -> (if (bad > 0 || lo.isEmpty) None else Some((lo.get, hi.get)))
+      }.toMap ++ absentStats.map(_ -> None)
+    val sumM: Map[String, Option[Long]] =
+      obsSums.zipWithIndex.map { case (c, i) =>
+        val s = longOpt(s"_g_s$i"); val bad = longOpt(s"_g_sbad$i").getOrElse(0L)
+        c -> (if (bad > 0 || s.isEmpty) None else s)
+      }.toMap ++ absentSums.map(_ -> None)
+    if (observedCache.size > 8192) observedCache.clear()
+    observedCache.put(dataPath(root, rel),
+      ObservedDir(longOpt("_g_n").getOrElse(0L), statsM, sumM))
     rel
   }
 
@@ -1311,7 +1403,7 @@ object Versioned {
     * [[readRange]]; once declared, later commits inherit it. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       statsCol: Option[String] = None): Int = {
-    val rel = writeDataDir(spark, root, df)
+    val rel = writeDataDir(spark, root, df, statsCol.toSeq)
     publish(spark, root, _ => Seq(rel), statsCol, op = "commit")
   }
 
@@ -1321,7 +1413,7 @@ object Versioned {
     * new dir is measured. */
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
       statsCol: Option[String] = None): Int = {
-    val rel = writeDataDir(spark, root, df)
+    val rel = writeDataDir(spark, root, df, statsCol.toSeq)
     publish(spark, root, head =>
       (if (head == 0) Seq.empty else manifest(spark, root, head)) :+ rel,
       statsCol, op = "append")
