@@ -88,8 +88,9 @@ object BloomIndex {
       bloomCol: String, bits: Int = 1 << 16): Int = {
     require(Integer.bitCount(bits) == 1 && bits >= 64, s"bits must be a power of 2 >= 64: $bits")
     val rel = Versioned.writeDataDir(spark, root, df)
-    val staged = spark.read.parquet(s"$root/$rel")
-    val n = staged.count()
+    val staged = Versioned.readParquetDirs(spark, Seq(Versioned.dataPath(root, rel)))
+    val n = Versioned.observedRowsOf(Versioned.dataPath(root, rel))
+      .getOrElse(staged.count())
     import spark.implicits._
     val set = staged.select(explode(positions(col(bloomCol), bits)).as("p"))
       .distinct().as[Long].collect()

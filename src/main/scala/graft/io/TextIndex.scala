@@ -51,8 +51,9 @@ object TextIndex {
       s"bits must be a power of 2 >= 64: $bits")
     val decl = s"_tok($textCol)"
     val rel = Versioned.writeDataDir(spark, root, df)
-    val staged = spark.read.parquet(s"$root/$rel")
-    val n = staged.count()
+    val staged = Versioned.readParquetDirs(spark, Seq(Versioned.dataPath(root, rel)))
+    val n = Versioned.observedRowsOf(Versioned.dataPath(root, rel))
+      .getOrElse(staged.count())
     import spark.implicits._
     val set = staged
       .select(explode(tokensOf(col(textCol))).as("t"))

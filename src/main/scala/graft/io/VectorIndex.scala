@@ -82,6 +82,11 @@ object VectorIndex {
     val bp = new org.apache.hadoop.fs.Path(s"$root/$rel")
     val rels = Versioned.fs(spark, bp).listStatus(bp).filter(_.isDirectory)
       .map(st => s"$rel/${st.getPath.getName}").sorted.toSeq
+    // leaf files carry rows' columns minus the cell/_c partitioner —
+    // cache so later cell reads skip footer inference
+    val leafSchema = org.apache.spark.sql.types.StructType(
+      rows.schema.fields.filterNot(f => f.name == "cell" || f.name == "_c"))
+    rels.foreach(d => Versioned.cacheDirSchema(Versioned.dataPath(root, d), leafSchema))
     // per-cell angular radius + row count in ONE job over the assignment
     val qdot = graft.fns.VecExpressions.numVecDot(spark, col("qv"), col("cv"))
     val stats = rows.join(broadcast(cent), "cell")

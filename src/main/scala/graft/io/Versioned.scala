@@ -1209,6 +1209,11 @@ object Versioned {
   private val observedCache =
     new java.util.concurrent.ConcurrentHashMap[String, ObservedDir]()
 
+  /** Row count observed at write time for a dir this JVM wrote, if any —
+    * lets sibling index paths (bloom/text) skip their post-write count. */
+  private[io] def observedRowsOf(path: String): Option[Long] =
+    Option(observedCache.get(path)).map(_.rows)
+
   /** Write `df` as one immutable data dir; returns the root-relative path.
     * The write job is OBSERVED: the row count plus min/max for the
     * table's declared stats columns (and `extraStatsCols` a caller is
