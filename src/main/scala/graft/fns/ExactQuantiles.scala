@@ -65,8 +65,15 @@ object ExactQuantiles {
     * only groups ABOVE it — the hot groups that kill buffer-all
     * `percentile` — pay the multi-pass histogram search.  At 100 TB the
     * usual shape is millions of small groups plus a few giants: the small
-    * ones resolve in ONE aggregate, the giants stay memory-bounded. */
-  private val DefaultBufferThreshold = 100000L
+    * ones resolve in ONE aggregate, the giants stay memory-bounded.
+    * 1 M longs ≈ 8 MB peak per group buffer — the same order as one
+    * shuffle-fetch buffer (spark.reducer.maxSizeInFlight, 48 MB) and far
+    * inside executor execution memory, so routing sub-million groups to
+    * the one-aggregate path trades bounded memory for 2-4 whole-table
+    * counting passes saved; the prior 100 k bound paid those passes for
+    * groups whose buffer would have cost under 1 MB.  Both paths compute
+    * the same exact order statistics (spec-asserted equal). */
+  private val DefaultBufferThreshold = 1000000L
 
   /** Per-group exact interpolated quantiles.
     *
