@@ -144,6 +144,13 @@ object ChangeFeed {
   private def applyImpl(spark: SparkSession, root: String, ch: DataFrame,
       keys: Seq[String], batchId: Option[Long]): Option[Int] = {
     require(keys.nonEmpty && keys.distinct == keys, s"bad CDC keys $keys")
+    // replay short-circuit BEFORE the stage write: a fence that already
+    // landed voids this batch, so computing + staging the feed would be
+    // pure waste (a wiped-checkpoint replay redelivers every batch; the
+    // merge body's own fence check would catch it, but only after the
+    // staged feed was written).  Metadata-only: one log scan.
+    if (batchId.exists(b => Versioned.lastBatchId(spark, root).exists(_ >= b)))
+      return None
     // STAGE the feed once: the merge body evaluates its inputs in four
     // separate actions (key-range agg, discovery semi-join, eviction
     // anti-join, upsert write) — an unstaged feed plan (a diff chain, a
@@ -487,7 +494,9 @@ object ChangeFeed {
       docs.filter(col("doc_id") % 10 < 8), "doc_id", buckets = 8)
     Versioned.cloneAt(spark, src, rep, 1)
     docs.filter(col("doc_id") % 10 >= 8).repartition(3).write.parquet(srcFiles)
-    val q = spark.readStream.schema(spark.read.parquet(srcFiles).schema)
+    // the writer just flushed srcFiles — schema known, no inference job
+    Versioned.cacheDirSchema(srcFiles, docs.schema)
+    val q = spark.readStream.schema(Versioned.dirSchemaOf(spark, srcFiles))
       .option("maxFilesPerTrigger", 1).parquet(srcFiles)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, id: Long) =>

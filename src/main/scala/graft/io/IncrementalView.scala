@@ -145,7 +145,9 @@ object IncrementalView {
       Versioned.readAt(spark, table, 1).groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars")))
     docs.filter(col("doc_id") % 10 >= 8).repartition(3).write.parquet(src)
-    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+    // the writer just flushed src — schema known, no inference job
+    Versioned.cacheDirSchema(src, docs.schema)
+    val q = spark.readStream.schema(Versioned.dirSchemaOf(spark, src))
       .option("maxFilesPerTrigger", 1).parquet(src)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, id: Long) =>

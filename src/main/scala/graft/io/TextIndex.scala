@@ -292,7 +292,9 @@ object TextIndex {
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
     commitAppendIndexed(spark, table, docs.filter(col("doc_id") % 10 < 5), "text")
     docs.filter(col("doc_id") % 10 >= 5).repartition(3).write.parquet(src)
-    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+    // the writer just flushed src — schema known, no inference job
+    Versioned.cacheDirSchema(src, docs.schema)
+    val q = spark.readStream.schema(Versioned.dirSchemaOf(spark, src))
       .option("maxFilesPerTrigger", 1).parquet(src)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>

@@ -76,13 +76,54 @@ object StreamSink {
     d
   }
 
+  /** SCALE-ADAPTIVE state/shuffle partitioning for the streaming runs.
+    * A Structured Streaming query pins its STATEFUL-operator partition
+    * count to `spark.sql.shuffle.partitions` at first start, and every
+    * micro-batch then pays one state-store load + commit PER PARTITION
+    * per stateful operator — a per-batch cost that scales with the
+    * partition count, not the data (the stream-stream join keeps four
+    * stores per partition).  Inheriting the session default (= core
+    * count in the bench) prices a 2 MB source at 32 partitions × stores:
+    * measured, the join sink runs FASTER at 8 cores than 32 (driver
+    * scaling ratio 0.45) — pure orchestration tax.  Like the session
+    * sink's bucket count, the right number tracks STATE SIZE, not cores:
+    * derive from the source's on-disk bytes (~32 MB of input per
+    * partition, floor 4), capped at the session default so a big source
+    * keeps its parallelism; the GRAFT_STREAM_SHUFFLE_PARTITIONS
+    * deployment knob wins verbatim (at 100 TB the operator sizes state
+    * partitions to the watermark-horizon state, exactly as before).
+    * The session default is restored after the run — batch queries are
+    * untouched.  AQE cannot do this: stateful partitions are exempt
+    * from coalescing by design (state-store identity). */
+  private[graft] def withStreamShufflePartitions[T](spark: SparkSession,
+      eventsPath: String)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevN = try prev.toInt catch { case _: NumberFormatException => -1 }
+    if (prevN <= 0) return body // non-numeric session setting: leave it be
+    val n = sys.env.get("GRAFT_STREAM_SHUFFLE_PARTITIONS").map(_.toInt)
+      .getOrElse {
+        val p = new org.apache.hadoop.fs.Path(eventsPath)
+        val bytes =
+          try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+          catch { case _: java.io.IOException => return body }
+        math.max(4, math.min(prevN, (bytes / (32L << 20)).toInt + 1))
+      }
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def runTumblingSink(spark: SparkSession, eventsPath: String,
       outDir: String, ckptDir: String, maxFilesPerTrigger: Option[Int]): Unit = {
     // schema comes from a metadata-only batch read; nanosAsLong must be on
     // before either read so both see the same `ts` type
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchShape = spark.read.parquet(eventsPath)
-    var reader = spark.readStream.schema(batchShape.schema)
+    // the landing dir's path is CONTENT-ADDRESSED (stagedEventsDir folds
+    // the source fingerprint into it), so the path-keyed schema cache is
+    // honest: one inference job per source content instead of one per run
+    val batchShape = graft.io.Versioned.dirSchemaOf(spark, eventsPath)
+    var reader = spark.readStream.schema(batchShape)
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
     val raw = reader.parquet(eventsPath)
     val ev = raw
@@ -90,21 +131,23 @@ object StreamSink {
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "35 days")
     val agg = graft.time.EventWindows.tumblingOnTs(ev)
-    val q = agg.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", ckptDir)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        // no emptiness pre-check: `isEmpty` would execute the batch's
-        // aggregation a second time, and an empty frame under dynamic
-        // partition overwrite touches zero partitions anyway
-        b.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("wstart_us", "event_type")
-          .parquet(outDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark, eventsPath) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // no emptiness pre-check: `isEmpty` would execute the batch's
+          // aggregation a second time, and an empty frame under dynamic
+          // partition overwrite touches zero partitions anyway
+          b.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("wstart_us", "event_type")
+            .parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Drive the tumbling pipeline over `eventsPath` to completion and read
@@ -180,9 +223,10 @@ object StreamSink {
       outDir: String, ckptDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val shape = spark.read.parquet(eventsPath)
+    // content-addressed landing dir: cached schema (see runTumblingSink)
+    val shape = graft.io.Versioned.dirSchemaOf(spark, eventsPath)
     def src(): DataFrame = {
-      var reader = spark.readStream.schema(shape.schema)
+      var reader = spark.readStream.schema(shape)
       maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
       val raw = reader.parquet(eventsPath)
       raw.withColumn("ts_us", graft.io.Tables.tsUsColFor(raw))
@@ -202,14 +246,16 @@ object StreamSink {
         col("c_ts") < col("p_ts"))
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
         unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("c_ts")).as("c_ts_us"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckptDir)
-      .option("path", outDir)
-      .format("parquet")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark, eventsPath) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .option("path", outDir)
+        .format("parquet")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
       .select("user_id", "purchase_id", "click_id", "p_ts_us", "c_ts_us")
   }
@@ -306,8 +352,9 @@ object StreamSink {
       outDir: String, ckptDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val shape = spark.read.parquet(eventsPath)
-    var reader = spark.readStream.schema(shape.schema)
+    // content-addressed landing dir: cached schema (see runTumblingSink)
+    val shape = graft.io.Versioned.dirSchemaOf(spark, eventsPath)
+    var reader = spark.readStream.schema(shape)
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
     val raw = reader.parquet(eventsPath)
     val ev = raw
@@ -323,6 +370,7 @@ object StreamSink {
     val agg = EventStreams.sessionizeUpserts(
       ev.select(col("user_id"), col("ts")).as[EventStreams.SEv]).toDF()
     val nBuckets = sessionSinkBucketsFor(spark, eventsPath)
+    withStreamShufflePartitions(spark, eventsPath) {
     val q = agg.writeStream
       .outputMode("update")
       .option("checkpointLocation", ckptDir)
@@ -366,6 +414,7 @@ object StreamSink {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    }
     spark.read.parquet(outDir)
       .select(col("user_id").cast("long"), col("session_start_us"),
         col("session_end_us"), col("n_events"))
