@@ -87,9 +87,20 @@ object VectorIndex {
     val leafSchema = org.apache.spark.sql.types.StructType(
       rows.schema.fields.filterNot(f => f.name == "cell" || f.name == "_c"))
     rels.foreach(d => Versioned.cacheDirSchema(Versioned.dataPath(root, d), leafSchema))
-    // per-cell angular radius + row count in ONE job over the assignment
+    // per-cell angular radius + row count in ONE job — over the STAGED
+    // FILES the write just flushed (explicit schema, `_c` = the cell
+    // partitioner), NOT a second evaluation of the assignment plan: the
+    // assignment chain (centroid cross-join + argmax agg + corpus join)
+    // used to re-run in full for this measurement, rebuilding its
+    // broadcasts as extra jobs.  One columnar read-back of what was just
+    // written measures exactly the same rows.
     val qdot = graft.fns.VecExpressions.numVecDot(spark, col("qv"), col("cv"))
-    val stats = rows.join(broadcast(cent), "cell")
+    val staged = spark.read.schema(org.apache.spark.sql.types.StructType(
+        leafSchema.fields :+ org.apache.spark.sql.types.StructField("_c",
+          org.apache.spark.sql.types.LongType)))
+      .parquet(s"$root/$rel")
+    val stats = staged.select(col("_c").as("cell"), col("qv"), col("nrm"))
+      .join(broadcast(cent), "cell")
       .withColumn("cos", qdot / (sqrt(col("nrm")) * sqrt(col("cnrm"))))
       .groupBy(col("cell"))
       .agg(min(col("cos")).as("minCos"), count(lit(1)).as("n"))

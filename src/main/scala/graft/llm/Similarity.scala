@@ -124,6 +124,19 @@ object Similarity {
       .select(col("vec_id"), col("qv"), (-col("best.negcell")).as("cell"))
   }
 
+  /** Re-plan a (small, bounded-by-k) centroid frame as a LocalRelation:
+    * every later action joining `broadcast(cent)` then builds the
+    * broadcast DRIVER-SIDE with no per-action Spark job — the kNN ingest
+    * paths used to rebuild the centroid broadcast (and re-run its
+    * distributed agg) once per action (74 of q_table_knn_optimize's 80
+    * jobs were such builds, measured).  Centroids are k×(dim+2) doubles
+    * — k is a caller-chosen handful, so the collect is always tiny. */
+  private[graft] def localCent(cent: DataFrame): DataFrame = {
+    val spark = cent.sparkSession
+    val rows = cent.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), cent.schema)
+  }
+
   private[graft] def kmeans(base: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val spark = base.sparkSession
     // All dots via the codegen'd NumVecDot — the zip_with/aggregate lambda
@@ -139,7 +152,10 @@ object Similarity {
       assigned = assignCells(base, cent).localCheckpoint(eager = true)
       cent = toCent(assigned)
     }
-    (assigned.select("vec_id", "cell"), cent)
+    // the final centroids are what every consumer joins against, action
+    // after action — hand them back LOCALIZED so those joins broadcast
+    // without re-running the centroid agg per action
+    (assigned.select("vec_id", "cell"), localCent(cent))
   }
 
   /** IVF ANN: k-means coarse cells (k=16, 2 Lloyd iterations), query probes
