@@ -36,7 +36,25 @@ object ChangeFeed {
   def changesKeys(spark: SparkSession, root: String, va: Int, vb: Int,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty && keys.distinct == keys, s"bad CDC keys $keys")
-    align(Versioned.diff(spark, root, va, vb), keys)
+    // BOOTSTRAP FAST PATH: a diff from the canonical empty v0 has a
+    // structurally EMPTY removed side, so under the CDC unique-key
+    // contract every row is an INSERT — the keyed full-outer alignment
+    // (a shuffle of the WHOLE BASE on the initial sync, the biggest
+    // batch a consumer ever sees) is the identity and is skipped.
+    if (va == 0) oneSided(Versioned.diff(spark, root, va, vb), keys, "insert")
+    else align(Versioned.diff(spark, root, va, vb), keys)
+  }
+
+  /** The alignment of a diff whose OTHER side is structurally empty:
+    * every surviving row carries the one possible change type — same
+    * columns, same rows as [[align]] (keys unique per snapshot, so a
+    * one-sided key is exactly one insert/delete), no join. */
+  private def oneSided(d: DataFrame, keys: Seq[String], t: String): DataFrame = {
+    val op = if (t == "insert") "added" else "removed"
+    val payload = d.columns.filterNot(c => c == "op" || keys.contains(c))
+    d.filter(col("op") === op)
+      .select(keys.map(col) ++ payload.map(col): _*)
+      .withColumn("_change_type", lit(t))
   }
 
   /** Keyed alignment of a row-level diff (`op` ∈ {added, removed})
@@ -388,7 +406,13 @@ object ChangeFeed {
       vb: Int, keys: Seq[String], chunk: Seq[(String, String)]): DataFrame = {
     val aDirs = chunk.collect { case (d, kind) if kind != "added" => d }
     val bDirs = chunk.collect { case (d, kind) if kind != "removed" => d }
-    align(Versioned.diffOn(spark, root, va, vb, aDirs, bDirs), keys)
+    val d = Versioned.diffOn(spark, root, va, vb, aDirs, bDirs)
+    // one-kind chunks (common: versionChunks packs removed dirs first,
+    // added last) have a structurally empty other side — skip the
+    // alignment join exactly like the bootstrap fast path
+    if (aDirs.isEmpty) oneSided(d, keys, "insert")
+    else if (bDirs.isEmpty) oneSided(d, keys, "delete")
+    else align(d, keys)
   }
 
   /** Drain the row-capped feed until current — [[consume]]'s loop over
